@@ -1,0 +1,84 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is total wall-clock over the bench set; per-query
+seconds are reported individually. B1 (ETL-chain throughput) also
+reports rows/s in the queries map as etl_rows_per_s.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from big_data_spark.fixtures import synthetic_postings
+from big_data_spark.operators.job_etl import clean_job_postings
+from big_data_spark.queries import QUERIES
+from big_data_spark.session import get_spark
+
+# BASELINE.md bench targets: B1 ETL chain, B2 explode->agg->score,
+# plus the join/topk/dedup/similarity headliners.
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q05_nation_revenue",
+    "q08_top3_orders_per_customer",
+    "q19_event_windows",
+    "q40_token_hot_score",
+    "q43_fingerprint_dedup",
+    "q46_lsh_candidate_pairs",
+    "q60_cosine_topk",
+]
+
+ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("big_data_spark-bench")
+
+    results: dict[str, float] = {}
+
+    # B1: batch ETL chain throughput (reference anchor job_streaming.py:62-156;
+    # 10x the reference's 85k-row corpus, generated distributed).
+    t0 = time.perf_counter()
+    n_out = clean_job_postings(
+        synthetic_postings(spark, ETL_ROWS), deterministic_id=True
+    ).count()
+    etl_sec = time.perf_counter() - t0
+    results["etl_chain"] = round(etl_sec, 3)
+    results["etl_rows_per_s"] = round(n_out / etl_sec, 1)
+
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        results[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+
+    total = round(etl_sec + sum(results[q] for q in BENCH_QUERIES), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Native column-expression helpers.
+
+Policy (SURVEY.md §2.11): the reference's three Python scalar UDFs
+(cosine similarity ml_skills_recommendation.pyc:38, token filter
+:202/:263, skill-set overlap :504) are re-expressed as built-in /
+higher-order functions so they stay inside whole-stage codegen. At
+100 TB the difference between a JVM expression and a row-at-a-time
+Python UDF on these hot paths is ~10-100x.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array columns.
+
+    Replaces the reference's numpy UDF (ml_skills_recommendation
+    .pyc:38 compute_cosine_similarity) with a codegen-friendly
+    expression; null/zero-norm inputs yield NULL like the UDF's 0-div
+    guard.
+    """
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0, dot(a, b) / denom)
+
+
+def clean_tokens(tokens: Column, min_len: int = 2) -> Column:
+    """Trim tokens and drop short ones.
+
+    Replaces the token-filter UDF (ml_skills_recommendation.pyc:202):
+    [t.strip() for t in tokens if len(t.strip()) > 2] — expressed with
+    higher-order transform/filter.
+    """
+    trimmed = F.transform(tokens, lambda t: F.trim(t))
+    return F.filter(trimmed, lambda t: F.length(t) > min_len)
+
+
+def set_overlap_ratio(user_skills: Column, job_skills: Column) -> Column:
+    """|user ∩ job| / |job| set-overlap score.
+
+    Replaces calculate_skill_match (ml_skills_recommendation.pyc:504)
+    with array_intersect/size built-ins.
+    """
+    jsize = F.size(F.array_distinct(job_skills))
+    return F.when(
+        jsize > 0,
+        F.size(F.array_intersect(F.array_distinct(user_skills), job_skills))
+        / jsize.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def minhash(tokens: Column, seed: int) -> Column:
+    """One MinHash value: lexicographic min of md5(token || seed).
+
+    md5 is available with identical semantics in DuckDB, making the
+    signature oracle-checkable — a deliberate choice over xxhash64
+    (whose seeds/implementation differ across engines).
+    """
+    return F.array_min(
+        F.transform(tokens, lambda t: F.md5(F.concat(t, F.lit(f"#{seed}"))))
+    )
+
+
+def shingles(tokens: Column, k: int = 3) -> Column:
+    """k-token shingles of an array<string> column (native, no UDF)."""
+    n = F.size(tokens)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tokens, (i + j).cast("int")) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array())

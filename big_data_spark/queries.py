@@ -1,0 +1,1091 @@
+"""The oracle-checked query inventory — single source of truth.
+
+Each entry pairs an idiomatic-PySpark query (DataFrame API, Catalyst-
+optimizable) with an equivalent DuckDB SQL oracle over the same
+parquet tables. ``__spark_entry__.queries()/oracle_sql()`` and
+``bench.py`` both consume this registry. Names map to SURVEY.md §2
+operator rows (noted per query).
+
+Cross-engine determinism rules (why the code looks the way it does):
+- Sums of doubles are order-dependent; we cast elements to DECIMAL
+  before SUM (exact, engine-independent) and cast the result back to
+  double. Averages are exact-decimal-sum / count.
+- Per-row scalar math on identical doubles is IEEE-deterministic in
+  both engines — no rounding needed.
+- Quantiles/cosines are rounded (interpolation formulas may differ in
+  the last ulp).
+- Cross-engine hashing uses md5 (identical everywhere), never
+  xxhash64/hash (engine-specific).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .catalog import load_table
+from .fixtures import (
+    EXPERIENCE_CORPUS,
+    SALARY_CORPUS,
+    values_clause,
+)
+from .functions import cosine_similarity, minhash, shingles
+from .operators.job_etl import (
+    EXPERIENCE_ORACLE_SQL,
+    SALARY_ORACLE_SQL,
+    parse_experience,
+    parse_salary,
+)
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None -> driver does rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def _ensure_confs(spark: SparkSession) -> None:
+    """Make queries self-sufficient under any caller's SparkSession.
+
+    The driver builds its own session; these are runtime-settable and
+    required for correct semantics: permissive casts (Spark 4 defaults
+    ANSI on; the parsing chains need null-on-bad-cast), UTC so
+    timestamp bucketing matches the tz-naive DuckDB oracle, and
+    nanos-as-long so the events table's timestamp[ns] is readable.
+    """
+    for k, v in (
+        ("spark.sql.ansi.enabled", "false"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
+def register(name: str, oracle: str | None, *tags: str):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_confs(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = QuerySpec(fn=wrapped, oracle=oracle, tags=tags)
+        return fn
+
+    return deco
+
+
+def _dsum(col: Column, alias: str, scale: int = 2) -> Column:
+    """Exact, engine-independent sum of a double column."""
+    return F.sum(col.cast(f"decimal(27,{scale})")).cast("double").alias(alias)
+
+
+def _davg(col: Column, alias: str, scale: int = 4) -> Column:
+    """avg as exact-decimal-sum / count — bit-identical across engines."""
+    return (
+        F.sum(col.cast(f"decimal(27,{scale})")).cast("double") / F.count(col)
+    ).alias(alias)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# =========================================================================
+# Relational core (SURVEY §2.2-2.4, §2.6-2.8)
+# =========================================================================
+
+
+@register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(27,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "agg",
+    "tpch",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-side filter + hash agg (A1). The filter and
+    the 2-column group key push down to the parquet scan; partial
+    aggregation runs map-side so the shuffle carries only group cells."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity"), "sum_qty"),
+            _dsum(F.col("l_extendedprice"), "sum_base_price"),
+            _dsum(disc_price, "sum_disc_price", 4),
+            _dsum(charge, "sum_charge", 6),
+            _davg(F.col("l_quantity"), "avg_qty", 2),
+            _davg(F.col("l_extendedprice"), "avg_price", 2),
+            _davg(F.col("l_discount"), "avg_disc", 4),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q02_topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    "topk",
+)
+def q02_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k (O1): compiles to TakeOrderedAndProject — per-partition
+    heaps + driver merge of k rows, no global sort at any scale."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q03_range_filter",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity > 0 AND l_quantity <= 30
+      AND l_discount >= 0.02 AND l_discount <= 0.08
+      AND l_returnflag IS NOT NULL
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    """,
+    "filter",
+)
+def q03_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive range/sanity predicates (P3/P5, parity
+    train_kmeans.py:100-105): all four land in parquet PushedFilters,
+    so row groups outside the ranges never leave storage."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 0)
+        & (F.col("l_quantity") <= 30)
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.08)
+        & F.col("l_returnflag").isNotNull()
+        & (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+@register(
+    "q04_segment_revenue",
+    """
+    SELECT c.c_mktsegment,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS order_cnt
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    "join",
+    "agg",
+)
+def q04_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim join + agg. customer is the small side — broadcast it
+    so the orders scan never shuffles (§2.7)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(_dsum(F.col("o_totalprice"), "revenue"), F.count("*").alias("order_cnt"))
+    )
+
+
+@register(
+    "q05_nation_revenue",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    "join",
+    "agg",
+    "tpch",
+)
+def q05_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiway star join (TPC-H Q5 shape). All three dims broadcast:
+    the 100-TB lineitem scan flows through map-side joins straight
+    into partial aggregation — zero join shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dsum(revenue, "revenue", 4))
+    )
+
+
+@register(
+    "q06_customers_no_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "join",
+    "anti",
+)
+def q06_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join — the engine form of the reference's NOT-isin
+    exclusion (P11, ml_skills_recommendation.pyc:406)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q07_customers_with_open_orders",
+    """
+    SELECT c_custkey, c_acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+    "join",
+    "semi",
+)
+def q07_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (P11 positive direction)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+@register(
+    "q08_top3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+    "window",
+)
+def q08_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N-per-group via row_number (SURVEY §2.5). Spark rewrites
+    rn<=3 into a per-partition top-k (WindowGroupLimit) before the
+    shuffle, so skewed customers don't blow up executors."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "q09_running_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_total
+    FROM orders
+    WHERE o_custkey < 100
+    """,
+    "window",
+)
+def q09_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-sum window frame (rowsBetween) — the frame-spec
+    generalization SURVEY §2.5 flags as absent in the reference."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+            .over(w)
+            .cast("double")
+            .alias("running_total"),
+        )
+    )
+
+
+@register(
+    "q10_status_priority_matrix",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) / COUNT(o_totalprice) AS avg_price
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+    "agg",
+)
+def q10_status_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key group-by lattice (A4, parity train_random_forest
+    .py:300-302 — plain GROUP BY over the cross of keys, not CUBE)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("cnt"),
+            _davg(F.col("o_totalprice"), "avg_price", 2),
+        )
+    )
+
+
+@register(
+    "q11_nation_segments",
+    """
+    SELECT n.n_name, list(DISTINCT c.c_mktsegment ORDER BY c.c_mktsegment) AS segments,
+           COUNT(*) AS customer_cnt
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    "agg",
+    "join",
+)
+def q11_nation_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set aggregation (A5, parity ml_skills_recommendation
+    .pyc:145) — array_sort makes the set deterministic for comparison."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+            F.count("*").alias("customer_cnt"),
+        )
+    )
+
+
+@register(
+    "q12_distinct_status_priority",
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    "dedup",
+)
+def q12_distinct_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct == exact dedup on all columns (R2)."""
+    return _t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@register(
+    "q13_setops_customers",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    UNION
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 9000
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+    "setop",
+)
+def q13_setops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT (§2.7 generalization). Chained with
+    SQL's left-assoc precedence to mirror the oracle exactly."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    positive = c.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    rich_auto = c.filter(
+        (F.col("c_mktsegment") == "AUTOMOBILE") & (F.col("c_acctbal") > 9000)
+    ).select("c_custkey")
+    pending = (
+        o.filter(F.col("o_orderstatus") == "P")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return building.intersect(positive).union(rich_auto).distinct().exceptAll(pending).distinct()
+
+
+@register(
+    "q14_priority_filter_isin",
+    """
+    SELECT o_orderpriority, COUNT(*) AS cnt
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    """,
+    "filter",
+)
+def q14_priority_filter_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """isin membership predicate (P11)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority")
+        .count()
+        .withColumnRenamed("count", "cnt")
+    )
+
+
+@register(
+    "q15_price_quantiles",
+    """
+    SELECT o_orderstatus,
+           ROUND(CAST(quantile_cont(o_totalprice, 0.25) AS DOUBLE), 4) AS p25,
+           ROUND(CAST(quantile_cont(o_totalprice, 0.50) AS DOUBLE), 4) AS p50,
+           ROUND(CAST(quantile_cont(o_totalprice, 0.75) AS DOUBLE), 4) AS p75
+    FROM orders GROUP BY o_orderstatus
+    """,
+    "agg",
+    "quantile",
+)
+def q15_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (the exact
+    counterpart of A9's approxQuantile outlier clipping; SURVEY §7
+    risk (e) says oracle-check the exact form)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+    )
+
+
+@register(
+    "q16_brand_having",
+    """
+    SELECT p_brand, COUNT(*) AS part_cnt,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(27,2))) AS DOUBLE) / COUNT(p_retailprice) AS avg_price
+    FROM part GROUP BY p_brand HAVING COUNT(*) >= 50
+    """,
+    "agg",
+    "having",
+)
+def q16_brand_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-agg frequency floor (P6/A1, parity train_gbt.py:88
+    job_count >= 10 HAVING)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("part_cnt"),
+            _davg(F.col("p_retailprice"), "avg_price", 2),
+        )
+        .filter(F.col("part_cnt") >= 50)
+    )
+
+
+@register(
+    "q17_price_bands",
+    """
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 150000 THEN 'mid'
+                WHEN o_totalprice < 300000 THEN 'high'
+                ELSE 'very_high' END AS band,
+           COUNT(*) AS cnt
+    FROM orders GROUP BY 1
+    """,
+    "expr",
+)
+def q17_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """when/otherwise categorical derivation (F4/F5 shape, parity
+    job_streaming.py:87-100 unit normalization chain)."""
+    band = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .when(F.col("o_totalprice") < 300000, "high")
+        .otherwise("very_high")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(band.alias("band"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "q18_orders_by_month",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY 1
+    """,
+    "agg",
+    "time",
+)
+def q18_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar bucketing (F10 generalization)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.count("*").alias("cnt"), _dsum(F.col("o_totalprice"), "revenue"))
+    )
+
+
+@register(
+    "q19_event_windows",
+    """
+    SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)) AS TIMESTAMP) AS window_start,
+           event_type, COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "streaming",
+    "time",
+)
+def q19_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows by event_type — the batch twin of the
+    Structured Streaming windowed agg (SURVEY §2.9's idiomatic
+    extension); streaming/ mounts the same logic on readStream."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), _dsum(F.col("value"), "total_value", 4))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q20_event_props_json",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(try_cast(json_extract_string(props, '$.k') AS DOUBLE) AS DECIMAL(27,2))) AS DOUBLE)
+             / COUNT(try_cast(json_extract_string(props, '$.k') AS DOUBLE)) AS avg_k,
+           COUNT(*) AS cnt
+    FROM events GROUP BY event_type
+    """,
+    "expr",
+    "json",
+)
+def q20_event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON extraction (S2 analog for batch: the
+    reference's from_json parse, job_streaming.py:55-57, re-expressed
+    over the events props payload)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return ev.groupBy("event_type").agg(
+        _davg(k, "avg_k", 2),
+        F.count("*").alias("cnt"),
+    )
+
+
+@register(
+    "q21_name_string_funcs",
+    """
+    SELECT upper(substr(c_name, 1, 8)) AS name_prefix,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(length(c_name) AS DECIMAL(27,0))) AS DOUBLE) / COUNT(c_name) AS avg_len
+    FROM customer
+    WHERE length(trim(c_name)) > 1
+    GROUP BY 1
+    """,
+    "expr",
+    "string",
+)
+def q21_name_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface (F1/F13/F14: lower/upper, trim,
+    length, substring)."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.filter(F.length(F.trim(F.col("c_name"))) > 1)
+        .groupBy(F.upper(F.substring("c_name", 1, 8)).alias("name_prefix"))
+        .agg(
+            F.count("*").alias("cnt"),
+            _davg(F.length("c_name").cast("double"), "avg_len", 0),
+        )
+    )
+
+
+@register(
+    "q22_acctbal_coalesce",
+    """
+    SELECT c_mktsegment,
+           CAST(SUM(CAST(coalesce(nullif(c_acctbal, 0.0), -1.0) AS DECIMAL(27,2))) AS DOUBLE) AS adj_balance
+    FROM customer GROUP BY c_mktsegment
+    """,
+    "expr",
+)
+def q22_acctbal_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce/nullif null plumbing (F6, parity train_kmeans
+    .py:39-52 fallback chains)."""
+    c = _t(spark, sf_dir, "customer")
+    adj = F.coalesce(F.nullif(F.col("c_acctbal"), F.lit(0.0)), F.lit(-1.0))
+    return c.groupBy("c_mktsegment").agg(_dsum(adj, "adj_balance"))
+
+
+# =========================================================================
+# Job-domain ETL parity (SURVEY §2.3, §3.1) — golden corpus via VALUES
+# =========================================================================
+
+
+@register(
+    "q30_salary_parse",
+    SALARY_ORACLE_SQL.format(src=values_clause(SALARY_CORPUS, "salary")),
+    "etl",
+    "regex",
+)
+def q30_salary_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full salary normalization chain (F2-F4, job_streaming.py:70-110)
+    over the golden corpus — regex extract, separator strip, unit
+    heuristic to millions VND."""
+    from .fixtures import salary_corpus_df
+
+    return parse_salary(salary_corpus_df(spark)).select(
+        "salary", "salary_min", "salary_max", "salary_avg"
+    )
+
+
+@register(
+    "q31_experience_parse",
+    EXPERIENCE_ORACLE_SQL.format(src=values_clause(EXPERIENCE_CORPUS, "experience")),
+    "etl",
+    "regex",
+)
+def q31_experience_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experience parsing + categorization (F5, job_streaming
+    .py:115-147) over the golden corpus."""
+    from .fixtures import experience_corpus_df
+
+    return parse_experience(experience_corpus_df(spark)).select(
+        "experience", "exp_min_year", "exp_max_year", "exp_avg_year", "exp_type"
+    )
+
+
+# =========================================================================
+# Text analysis over documents (north-star; SURVEY §7)
+# =========================================================================
+
+_TOKENS_SQL = """
+  SELECT doc_id, lang, source, n_chars,
+         unnest(string_split(text, ' ')) AS token
+  FROM documents
+"""
+
+
+@register(
+    "q40_token_hot_score",
+    f"""
+    WITH tok AS ({_TOKENS_SQL}),
+    agg AS (
+      SELECT token,
+             COUNT(*) AS doc_count,
+             CAST(SUM(CAST(n_chars AS DECIMAL(27,0))) AS DOUBLE) / COUNT(n_chars) AS avg_chars
+      FROM tok WHERE length(trim(token)) > 1 GROUP BY token
+    )
+    SELECT token, doc_count, avg_chars,
+           0.4 * (avg_chars / 100.0) + 0.3 * least(doc_count / 100.0, 1.0) AS token_hot_score
+    FROM agg WHERE doc_count >= 10
+    """,
+    "text",
+    "agg",
+    "etl",
+)
+def q40_token_hot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's skill-hot-score pipeline shape (train_gbt
+    .py:59-116: explode -> trim/length filter -> groupBy -> frequency
+    floor -> weighted score) applied to document tokens. Map-side
+    partial agg keeps the shuffle proportional to vocabulary, not
+    corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.split("text", " ")).alias("token"),
+    ).filter(F.length(F.trim("token")) > 1)
+    agg = tok.groupBy("token").agg(
+        F.count("*").alias("doc_count"),
+        _davg(F.col("n_chars").cast("double"), "avg_chars", 0),
+    )
+    return agg.filter(F.col("doc_count") >= 10).select(
+        "token",
+        "doc_count",
+        "avg_chars",
+        (
+            0.4 * (F.col("avg_chars") / 100.0)
+            + 0.3 * F.least(F.col("doc_count") / 100.0, F.lit(1.0))
+        ).alias("token_hot_score"),
+    )
+
+
+@register(
+    "q41_doc_quality",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, n_chars,
+             string_split(text, ' ') AS toks,
+             length(text) AS text_len
+      FROM documents
+    ), m AS (
+      SELECT doc_id, lang, n_chars, text_len,
+             len(toks) AS n_tokens,
+             len(list_filter(toks, x -> x IN ('the', 'a'))) AS n_stop,
+             len(list_filter(toks, x -> length(x) > 1)) AS n_long
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(n_long AS DOUBLE) / n_tokens AS long_token_ratio,
+           CASE WHEN n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens < 0.5
+                THEN 1.0 ELSE 0.0 END AS quality_pass
+    FROM m
+    """,
+    "text",
+)
+def q41_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (north-star text-analysis op):
+    token/stopword/length ratios via higher-order array functions —
+    per-row, shuffle-free, codegen-eligible."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin("the", "a")))
+    n_long = F.size(F.filter(toks, lambda x: F.length(x) > 1))
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
+        (n_long.cast("double") / n_tokens).alias("long_token_ratio"),
+        F.when(
+            (n_tokens >= 20) & (n_stop.cast("double") / n_tokens < 0.5), 1.0
+        )
+        .otherwise(0.0)
+        .alias("quality_pass"),
+    )
+
+
+@register(
+    "q42_lang_id",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ), score AS (
+      SELECT doc_id, lang,
+             len(list_filter(toks, x -> x IN ('the', 'a', 'value', 'fast'))) AS en_hits,
+             len(toks) AS n
+      FROM t
+    )
+    SELECT doc_id, lang AS true_lang,
+           CASE WHEN CAST(en_hits AS DOUBLE) / n >= 0.05 THEN 'en' ELSE 'other' END AS pred_lang
+    FROM score
+    """,
+    "text",
+)
+def q42_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID (north-star): stopword-hit-rate
+    classifier as a pure column expression."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    en_hits = F.size(F.filter(toks, lambda x: x.isin("the", "a", "value", "fast")))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.when(en_hits.cast("double") / F.size(toks) >= 0.05, "en")
+        .otherwise("other")
+        .alias("pred_lang"),
+    )
+
+
+@register(
+    "q43_fingerprint_dedup",
+    """
+    SELECT md5(lower(trim(text))) AS fingerprint,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY 1
+    """,
+    "dedup",
+    "text",
+)
+def q43_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-identity dedup by content fingerprint (north-star):
+    normalize -> md5 -> groupBy, keeping the smallest doc_id. At scale
+    the shuffle key is the 16-byte digest, not the document body."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(F.lower(F.trim("text"))).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("dup_count"))
+    )
+
+
+@register(
+    "q44_minhash_signatures",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           MIN(md5(token || '#0')) AS mh0,
+           MIN(md5(token || '#1')) AS mh1,
+           MIN(md5(token || '#2')) AS mh2,
+           MIN(md5(token || '#3')) AS mh3
+    FROM tok GROUP BY doc_id
+    """,
+    "dedup",
+    "minhash",
+)
+def q44_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (north-star near-dup): 4 md5-permutation
+    minima per doc. Computed with higher-order functions on the token
+    array — no explode, no shuffle; md5 keeps it oracle-checkable."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.array_distinct(F.split("text", " "))
+    return docs.select(
+        "doc_id",
+        *[minhash(toks, i).alias(f"mh{i}") for i in range(4)],
+    )
+
+
+@register(
+    "q45_jaccard_near_dup",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents WHERE doc_id < 60
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           ROUND(CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter), 6) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) >= 0.8
+    """,
+    "dedup",
+    "jaccard",
+)
+def q45_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs >= 0.8 on a bounded
+    slice (correctness anchor). The all-pairs token join is
+    intentionally capped: the scale path is MinHash-LSH banding
+    (q46), which replaces the quadratic join with band-bucket
+    grouping."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("inter").cast("double") / (
+        F.col("sa.sz") + F.col("sb.sz") - F.col("inter")
+    )
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "q46_lsh_candidate_pairs",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents
+    ), sig AS (
+      SELECT doc_id,
+             md5(MIN(md5(token || '#0')) || MIN(md5(token || '#1'))) AS band0,
+             md5(MIN(md5(token || '#2')) || MIN(md5(token || '#3'))) AS band1
+      FROM tok GROUP BY doc_id
+    ), b0 AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+      UNION
+      SELECT a.doc_id, b.doc_id
+      FROM sig a JOIN sig b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b FROM b0
+    """,
+    "dedup",
+    "minhash",
+    "lsh",
+)
+def q46_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding (the 100-TB near-dup path): 4 minhashes ->
+    2 bands of 2 rows; docs sharing a band hash become candidate
+    pairs. Join keys are band digests, so shuffle volume tracks the
+    number of near-duplicate documents, not the corpus square."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split("text", " "))
+    sig = docs.select(
+        "doc_id",
+        F.md5(F.concat(minhash(toks, 0), minhash(toks, 1))).alias("band0"),
+        F.md5(F.concat(minhash(toks, 2), minhash(toks, 3))).alias("band1"),
+    )
+    a0, b0 = sig.alias("a"), sig.alias("b")
+    p0 = a0.join(
+        b0,
+        (F.col("a.band0") == F.col("b.band0"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    p1 = a0.join(
+        b0,
+        (F.col("a.band1") == F.col("b.band1"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    return p0.union(p1).distinct()
+
+
+# =========================================================================
+# Similarity search over embeddings (north-star; SURVEY §7)
+# =========================================================================
+
+
+@register(
+    "q60_cosine_topk",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    expanded AS (
+      SELECT e.vec_id, e.label,
+             unnest(e.embedding)::DOUBLE AS a,
+             unnest(q.qv)::DOUBLE AS b
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+    ), sims AS (
+      SELECT vec_id, ANY_VALUE(label) AS label,
+             SUM(a * b) / (sqrt(SUM(a * a)) * sqrt(SUM(b * b))) AS cos
+      FROM expanded GROUP BY vec_id
+    )
+    SELECT vec_id, label, ROUND(cos, 6) AS cosine
+    FROM sims ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+    "similarity",
+    "topk",
+)
+def q60_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (ANN baseline): the query vector is
+    broadcast, similarity is a JVM higher-order expression (replaces
+    the reference's numpy UDF, ml_skills_recommendation.pyc:38), and
+    top-k is TakeOrderedAndProject — scan-parallel at any scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "q61_centroid_distance",
+    """
+    WITH expanded AS (
+      SELECT label, vec_id,
+             unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ), centroids AS (
+      SELECT label, pos, SUM(v) / COUNT(*) AS c
+      FROM expanded GROUP BY label, pos
+    )
+    SELECT e.label, e.vec_id,
+           ROUND(sqrt(SUM((e.v - c.c) * (e.v - c.c))), 4) AS dist
+    FROM expanded e JOIN centroids c ON e.label = c.label AND e.pos = c.pos
+    GROUP BY e.label, e.vec_id
+    """,
+    "similarity",
+    "agg",
+)
+def q61_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid + per-vector Euclidean distance to its
+    centroid — the K-Means assignment-step primitive (M3) as pure
+    DataFrame ops: posexplode -> avg per (label,pos) -> broadcast
+    centroids back."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exp = emb.select(
+        "label", "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = exp.groupBy("label", "pos").agg(
+        (F.sum("v") / F.count("*")).alias("c")
+    )
+    return (
+        exp.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("label", "vec_id")
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")))), 4
+            ).alias("dist")
+        )
+    )
