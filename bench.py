@@ -33,7 +33,7 @@ BENCH_QUERIES = [
     "q19_event_windows",
     "q40_token_hot_score",
     "q43_fingerprint_dedup",
-    "q46_lsh_candidate_pairs",
+    "q47_lsh_dedup_groups",
     "q60_cosine_topk",
 ]
 

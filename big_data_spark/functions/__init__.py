@@ -80,6 +80,24 @@ def minhash(tokens: Column, seed: int) -> Column:
     )
 
 
+def minhash_slices(token_hashes: Column, k: int = 4) -> list[Column]:
+    """k MinHash lanes from pre-hashed tokens (array of md5 hex).
+
+    Each lane takes the min over a disjoint 8-hex-char slice of the
+    token digest — statistically independent permutations at a quarter
+    of the hashing cost of per-seed md5 (the hot-path variant used by
+    the LSH dedup stage; ``minhash`` remains the per-seed reference
+    form). Callers materialize ``transform(tokens, md5)`` once and
+    pass that column in. k <= 4 fits in one 32-char md5.
+    """
+    if not 1 <= k <= 4:
+        raise ValueError("k must be in 1..4 (one md5 yields 4 lanes)")
+    return [
+        F.array_min(F.transform(token_hashes, lambda h: F.substring(h, 1 + 8 * i, 8)))
+        for i in range(k)
+    ]
+
+
 def shingles(tokens: Column, k: int = 3) -> Column:
     """k-token shingles of an array<string> column (native, no UDF)."""
     n = F.size(tokens)

@@ -33,7 +33,7 @@ from .fixtures import (
     SALARY_CORPUS,
     values_clause,
 )
-from .functions import cosine_similarity, minhash, shingles
+from .functions import cosine_similarity, minhash, minhash_slices, shingles
 from .operators.job_etl import (
     EXPERIENCE_ORACLE_SQL,
     SALARY_ORACLE_SQL,
@@ -954,11 +954,13 @@ def q45_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tok AS (
       SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
       FROM documents
+    ), th AS (
+      SELECT doc_id, md5(token) AS h FROM tok
     ), sig AS (
       SELECT doc_id,
-             md5(MIN(md5(token || '#0')) || MIN(md5(token || '#1'))) AS band0,
-             md5(MIN(md5(token || '#2')) || MIN(md5(token || '#3'))) AS band1
-      FROM tok GROUP BY doc_id
+             md5(MIN(substring(h, 1, 8)) || MIN(substring(h, 9, 8))) AS band0,
+             md5(MIN(substring(h, 17, 8)) || MIN(substring(h, 25, 8))) AS band1
+      FROM th GROUP BY doc_id
     ), b0 AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM sig a JOIN sig b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
@@ -977,25 +979,97 @@ def q46_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     2 bands of 2 rows; docs sharing a band hash become candidate
     pairs. Join keys are band digests, so shuffle volume tracks the
     number of near-duplicate documents, not the corpus square."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = F.array_distinct(F.split("text", " "))
-    sig = docs.select(
-        "doc_id",
-        F.md5(F.concat(minhash(toks, 0), minhash(toks, 1))).alias("band0"),
-        F.md5(F.concat(minhash(toks, 2), minhash(toks, 3))).alias("band1"),
+    bands = _lsh_bands(spark, sf_dir)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    a0, b0 = sig.alias("a"), sig.alias("b")
-    p0 = a0.join(
-        b0,
-        (F.col("a.band0") == F.col("b.band0"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    p1 = a0.join(
-        b0,
-        (F.col("a.band1") == F.col("b.band1"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    return p0.union(p1).distinct()
+
+
+def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band_idx, band) — 4 md5-minhashes folded into 2 bands.
+
+    Shared by q46 (pair enumeration) and q47 (scalable dedup
+    grouping). Stacking bands into rows lets one shuffle serve the
+    whole LSH stage; Spark's ReusedExchange kicks in for self-joins.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    # One md5 per distinct token, materialized once; the 4 minhash
+    # lanes are digest slices (see functions.minhash_slices).
+    hashed = docs.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(F.split("text", " ")), lambda t: F.md5(t)
+        ).alias("th"),
+    )
+    lanes = minhash_slices(F.col("th"), 4)
+    sig = hashed.select(
+        "doc_id",
+        F.md5(F.concat(lanes[0], lanes[1])).alias("band0"),
+        F.md5(F.concat(lanes[2], lanes[3])).alias("band1"),
+    )
+    return sig.select(
+        "doc_id",
+        F.posexplode(F.array("band0", "band1")).alias("band_idx", "band"),
+    )
+
+
+@register(
+    "q47_lsh_dedup_groups",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents
+    ), th AS (
+      SELECT doc_id, md5(token) AS h FROM tok
+    ), sig AS (
+      SELECT doc_id,
+             md5(MIN(substring(h, 1, 8)) || MIN(substring(h, 9, 8))) AS band0,
+             md5(MIN(substring(h, 17, 8)) || MIN(substring(h, 25, 8))) AS band1
+      FROM th GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, 0 AS band_idx, band0 AS band FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band_idx, band1 AS band FROM sig
+    ), reps AS (
+      SELECT band_idx, band, MIN(doc_id) AS rep
+      FROM bands GROUP BY band_idx, band
+    )
+    SELECT b.doc_id, MIN(r.rep) AS rep,
+           CASE WHEN b.doc_id = MIN(r.rep) THEN 1 ELSE 0 END AS is_kept
+    FROM bands b JOIN reps r ON b.band_idx = r.band_idx AND b.band = r.band
+    GROUP BY b.doc_id
+    """,
+    "dedup",
+    "minhash",
+    "lsh",
+)
+def q47_lsh_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB LSH dedup path: instead of enumerating candidate
+    pairs (quadratic inside hot buckets — see q46), assign every doc
+    the minimum doc_id among all docs sharing any band (one
+    min-propagation round). Cost is linear in docs x bands regardless
+    of bucket skew: groupBy band -> broadcast-able reps -> groupBy
+    doc. Survivors (is_kept=1) are the dedup output."""
+    bands = _lsh_bands(spark, sf_dir)
+    reps = bands.groupBy("band_idx", "band").agg(F.min("doc_id").alias("rep"))
+    return (
+        bands.join(reps, ["band_idx", "band"])
+        .groupBy("doc_id")
+        .agg(F.min("rep").alias("rep"))
+        .select(
+            "doc_id",
+            "rep",
+            F.when(F.col("doc_id") == F.col("rep"), 1).otherwise(0).alias("is_kept"),
+        )
+    )
 
 
 # =========================================================================
