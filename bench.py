@@ -57,6 +57,17 @@ def main() -> None:
     results["etl_chain"] = round(etl_sec, 3)
     results["etl_rows_per_s"] = round(n_out / etl_sec, 1)
 
+    # B2: ETL -> explode skills -> per-skill agg -> hot score at the
+    # same row count (reference anchor train_gbt.py:59-116).
+    from big_data_spark.operators.skills import skill_hot_scores
+
+    t0 = time.perf_counter()
+    skill_hot_scores(
+        clean_job_postings(synthetic_postings(spark, ETL_ROWS)), min_jobs=10
+    ).count()
+    b2_sec = time.perf_counter() - t0
+    results["skill_hot_agg"] = round(b2_sec, 3)
+
     for name in BENCH_QUERIES:
         fn = QUERIES[name].fn
         t0 = time.perf_counter()
@@ -65,7 +76,7 @@ def main() -> None:
         results[name] = round(time.perf_counter() - t0, 3)
         assert n >= 0
 
-    total = round(etl_sec + sum(results[q] for q in BENCH_QUERIES), 3)
+    total = round(etl_sec + b2_sec + sum(results[q] for q in BENCH_QUERIES), 3)
     print(
         json.dumps(
             {

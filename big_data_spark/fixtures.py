@@ -128,3 +128,53 @@ def synthetic_postings(spark: SparkSession, n: int) -> DataFrame:
         .withColumn("event_type", F.lit("JOB_CREATED"))
         .drop("id")
     )
+
+
+# Combined multi-column postings corpus: one row per interesting
+# (salary x experience x city x skills) interaction, including a
+# null-title row (dropped by the ETL filter) and skill edge cases
+# (empty, 1-char tokens, whitespace, duplicate-after-trim).
+_SKILLS_VARIANTS = [
+    "Python, SQL, Excel",
+    "java,,c++",
+    " go , rust ",
+    "",
+    "a, bb",
+    "Python",
+    "python , PYTHON",
+    "data analysis,machine learning",
+    "sql,x",
+    None,
+]
+
+JOBS_CORPUS: list[tuple] = [
+    (
+        None if i == 7 else f"Job {i}",
+        CITY_CORPUS[i % len(CITY_CORPUS)],
+        EXPERIENCE_CORPUS[i % len(EXPERIENCE_CORPUS)],
+        _SKILLS_VARIANTS[i % len(_SKILLS_VARIANTS)],
+        SALARY_CORPUS[i % len(SALARY_CORPUS)],
+    )
+    for i in range(48)
+]
+
+JOBS_COLUMNS = ["job_title", "city", "experience", "skills", "salary"]
+
+
+def jobs_corpus_df(spark: SparkSession) -> DataFrame:
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([StructField(c, StringType()) for c in JOBS_COLUMNS])
+    return spark.createDataFrame(JOBS_CORPUS, schema)
+
+
+def multi_values_clause(rows: list[tuple], colnames: list[str]) -> str:
+    """Render a multi-column DuckDB VALUES relation (NULL-safe)."""
+
+    def cell(v):
+        if v is None:
+            return "CAST(NULL AS VARCHAR)"
+        return "'" + str(v).replace("'", "''") + "'"
+
+    vals = ", ".join("(" + ", ".join(cell(v) for v in r) + ")" for r in rows)
+    return f"(VALUES {vals}) AS t({', '.join(colnames)})"

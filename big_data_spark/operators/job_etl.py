@@ -233,3 +233,75 @@ SELECT experience, exp_min_year, exp_max_year,
   exp_type
 FROM e2
 """
+
+
+# Full-chain twin: salary + experience + city default over a relation
+# exposing (job_title, city, experience, skills, salary). Mirrors
+# clean_job_postings minus id/event_time (non-deterministic / absent).
+JOBS_ETL_ORACLE_SQL = """
+WITH raw AS (
+  SELECT * FROM {src} WHERE job_title IS NOT NULL
+), s1 AS (
+  SELECT *, lower(salary) AS sc, lower(experience) AS er FROM raw
+), s2 AS (
+  SELECT *,
+    regexp_extract(sc, '(\\d+[.,\\d]*)', 1) AS raw_min,
+    regexp_extract(sc, '-\\s*(\\d+[.,\\d]*)', 1) AS raw_max
+  FROM s1
+), s3 AS (
+  SELECT *,
+    CASE WHEN regexp_matches(sc, 'triệu|tr|m') THEN try_cast(raw_min AS DOUBLE)
+         ELSE try_cast(regexp_replace(raw_min, '[.,]', '', 'g') AS DOUBLE) END AS val_min,
+    CASE WHEN regexp_matches(sc, 'triệu|tr|m') THEN try_cast(raw_max AS DOUBLE)
+         ELSE try_cast(regexp_replace(raw_max, '[.,]', '', 'g') AS DOUBLE) END AS val_max
+  FROM s2
+), s4 AS (
+  SELECT *,
+    CASE WHEN regexp_matches(sc, 'usd|\\$') THEN (val_min * 25) / 1000
+         WHEN val_min >= 1000 THEN val_min / 1000000
+         WHEN val_min > 100 AND val_min < 1000 THEN val_min / 1000
+         ELSE val_min END AS salary_min,
+    CASE WHEN regexp_matches(sc, 'usd|\\$') THEN (val_max * 25) / 1000
+         WHEN val_max >= 1000 THEN val_max / 1000000
+         WHEN val_max > 100 AND val_max < 1000 THEN val_max / 1000
+         ELSE val_max END AS salary_max
+  FROM s3
+), s5 AS (
+  SELECT *,
+    CASE WHEN salary_min IS NOT NULL AND salary_max IS NOT NULL
+           THEN (salary_min + salary_max) / 2
+         WHEN salary_min IS NOT NULL THEN salary_min
+         ELSE 0.0 END AS salary_avg,
+    CASE WHEN contains(er, 'không yêu cầu') THEN NULL
+         WHEN regexp_matches(er, 'chưa có|mới tốt nghiệp|intern') THEN 0.0
+         WHEN regexp_matches(er, '(từ|from|at least|tối thiểu|min)\\s*(\\d+)')
+           THEN try_cast(regexp_extract(er, '(?:từ|from|at least|tối thiểu|min)\\s*(\\d+)', 1) AS DOUBLE)
+         WHEN regexp_matches(er, '(\\d+)\\s*\\+')
+           THEN try_cast(regexp_extract(er, '(\\d+)', 1) AS DOUBLE)
+         WHEN regexp_matches(er, '(\\d+)\\s*(năm|year|yoe|kn)')
+           THEN try_cast(regexp_extract(er, '(\\d+)', 1) AS DOUBLE)
+         WHEN regexp_matches(er, '\\d+\\s*-\\s*\\d+')
+           THEN try_cast(regexp_extract(er, '(\\d+)\\s*-\\s*(\\d+)', 1) AS DOUBLE)
+         ELSE NULL END AS exp_min_year,
+    CASE WHEN regexp_matches(er, '\\d+\\s*-\\s*\\d+')
+           THEN try_cast(regexp_extract(er, '(\\d+)\\s*-\\s*(\\d+)', 2) AS DOUBLE)
+         ELSE NULL END AS exp_max_year,
+    CASE WHEN contains(er, 'không yêu cầu') THEN 'no_requirement'
+         WHEN contains(er, 'chưa có') THEN 'no_experience'
+         WHEN contains(er, 'mới tốt nghiệp') THEN 'fresh_graduate'
+         WHEN contains(er, 'lên đến') THEN 'upper_bound'
+         WHEN contains(er, 'trên') THEN 'lower_bound'
+         WHEN regexp_matches(er, '\\d+\\s*-\\s*\\d+') THEN 'range'
+         ELSE 'unknown' END AS exp_type
+  FROM s4
+)
+SELECT job_title,
+       CASE WHEN city = '' OR city IS NULL THEN 'Unknown' ELSE city END AS city,
+       experience, skills, salary,
+       salary_min, salary_max, salary_avg,
+       exp_min_year, exp_max_year,
+       CASE WHEN coalesce(exp_min_year, 0.0) > 40 THEN NULL
+            ELSE coalesce(exp_min_year, 0.0) END AS exp_avg_year,
+       exp_type
+FROM s5
+"""

