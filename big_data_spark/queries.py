@@ -1222,3 +1222,136 @@ def q61_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dist")
         )
     )
+
+
+# =========================================================================
+# Recommender query flows (SURVEY §3.4) and ML entries (§2.10).
+# m-prefixed queries have no SQL oracle (iterative MLlib fits) -> the
+# driver records the weaker rows-only check, per the contract.
+# =========================================================================
+
+
+@register(
+    "q34_top_skills_per_city",
+    SKILL_HOT_ORACLE_SQL.format(
+        src="("
+        + JOBS_ETL_ORACLE_SQL.format(
+            src=multi_values_clause(JOBS_CORPUS, JOBS_COLUMNS)
+        )
+        + ")",
+        min_jobs=1,
+    ).replace(
+        "SELECT skill, job_count, avg_salary, avg_exp, big_city_ratio,",
+        "SELECT skill, job_count,",
+    ).replace(
+        """0.4 * (avg_salary / 100.0) + 0.3 * least(job_count / 100.0, 1.0)
+       - 0.2 * (avg_exp / 10.0) + 0.1 * big_city_ratio AS skill_hot_score
+FROM agg WHERE job_count >= 1""",
+        """ROW_NUMBER() OVER (ORDER BY job_count DESC, skill) AS rnk
+FROM agg QUALIFY rnk <= 15""",
+    ),
+    "skills",
+    "topk",
+    "window",
+)
+def q34_top_skills_per_city(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 skills by frequency (ml_skills_recommendation.pyc:145
+    extract_skills: orderBy(desc(frequency)).limit(15)), ranked with
+    row_number for a deterministic tie-break."""
+    clean = clean_job_postings(jobs_corpus_df(spark), deterministic_id=True)
+    agg = skill_hot_scores(clean, min_jobs=1).select("skill", "job_count")
+    w = Window.orderBy(F.desc("job_count"), F.asc("skill"))
+    return (
+        agg.select("skill", "job_count", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 15)
+    )
+
+
+@register(
+    "q35_skill_match_scores",
+    """
+    WITH etl AS ({etl}),
+    jobs AS (
+      SELECT job_title, skills,
+             list_distinct(list_transform(
+               string_split(lower(skills), ','), x -> trim(x))) AS job_skills
+      FROM etl WHERE skills IS NOT NULL AND skills <> ''
+    )
+    SELECT job_title,
+           CASE WHEN len(job_skills) > 0
+                THEN CAST(len(list_intersect(['python', 'sql', 'excel'], job_skills)) AS DOUBLE)
+                     / len(job_skills)
+                ELSE 0.0 END AS match_score
+    FROM jobs
+    """.format(
+        etl=JOBS_ETL_ORACLE_SQL.format(
+            src=multi_values_clause(JOBS_CORPUS, JOBS_COLUMNS)
+        )
+    ),
+    "skills",
+    "expr",
+)
+def q35_skill_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skill-set overlap score |user ∩ job|/|job| as native
+    array_intersect/size expressions — replaces the reference's
+    calculate_skill_match Python UDF (ml_skills_recommendation
+    .pyc:504; engine policy §2.11)."""
+    from .functions import set_overlap_ratio
+
+    clean = clean_job_postings(jobs_corpus_df(spark), deterministic_id=True)
+    jobs = clean.filter(
+        F.col("skills").isNotNull() & (F.col("skills") != "")
+    ).select(
+        "job_title",
+        F.array_distinct(
+            F.transform(F.split(F.lower("skills"), ","), lambda x: F.trim(x))
+        ).alias("job_skills"),
+    )
+    user = F.array(F.lit("python"), F.lit("sql"), F.lit("excel"))
+    return jobs.select(
+        "job_title",
+        set_overlap_ratio(user, F.col("job_skills")).alias("match_score"),
+    )
+
+
+@register("m01_kmeans_embedding_clusters", None, "ml", "clustering")
+def m01_kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Means (M3: k=5, seed=42) over the embeddings table via
+    array_to_vector; returns per-cluster sizes (the reference's
+    cluster-distribution output, train_kmeans.py:193)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector("embedding").alias("features")
+    )
+    km = KMeans(k=5, seed=42, featuresCol="features", predictionCol="cluster")
+    model = km.fit(emb)
+    return (
+        model.transform(emb)
+        .groupBy("cluster")
+        .agg(F.count("*").alias("cluster_size"))
+        .orderBy("cluster")
+    )
+
+
+@register("m02_skill_hot_gbt_top", None, "ml", "regression", "skills")
+def m02_skill_hot_gbt_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skill-hot GBT (M4) trained on the aggregated skill stats of
+    4000 deterministic postings; returns the top-10 predicted-hot
+    skills (train_gbt.py:205-219 shape)."""
+    from .fixtures import synthetic_postings
+    from .ml.pipelines import fit_skill_hot_gbt
+
+    clean = clean_job_postings(synthetic_postings(spark, 4000), deterministic_id=True)
+    agg = skill_hot_scores(clean, min_jobs=10)
+    res = fit_skill_hot_gbt(agg)
+    return (
+        res.predictions.select(
+            "skill",
+            F.round("prediction", 4).alias("predicted_hot_score"),
+            "job_count",
+        )
+        .orderBy(F.desc("predicted_hot_score"), F.asc("skill"))
+        .limit(10)
+    )

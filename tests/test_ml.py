@@ -1,0 +1,143 @@
+"""ML pipelines (SURVEY §2.10 / §5): metric-threshold + invariant
+tests at fixed seed, the reference's own acceptance style.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from big_data_spark.fixtures import synthetic_postings
+from big_data_spark.ml.features import attractiveness_rule, job_features
+from big_data_spark.ml.pipelines import (
+    adaptive_rf_params,
+    fit_attractiveness_lr,
+    fit_job_clustering,
+    fit_salary_rf,
+    fit_skill_hot_gbt,
+    fit_skill_word2vec,
+    fit_topic_lda,
+)
+from big_data_spark.ml.registry import latest_model, register_model
+from big_data_spark.operators.job_etl import clean_job_postings
+from big_data_spark.operators.skills import skill_hot_scores
+
+from .conftest import SF_ORACLE
+
+N_ROWS = 4000
+
+
+@pytest.fixture(scope="module")
+def featured(spark):
+    clean = clean_job_postings(synthetic_postings(spark, N_ROWS), deterministic_id=True)
+    return job_features(clean).cache()
+
+
+def test_job_features_flags(featured):
+    row = featured.filter(F.col("city") == "Hồ Chí Minh").first()
+    assert row["is_hcm"] == 1.0 and row["is_hanoi"] == 0.0
+    assert featured.filter(F.col("is_it") == 1.0).count() == featured.count()
+    # sanity filter bounds hold
+    bad = featured.filter(
+        (F.col("salary_final") <= 0) | (F.col("salary_final") > 200)
+    ).count()
+    assert bad == 0
+
+
+def test_kmeans_clustering(featured):
+    res = fit_job_clustering(featured, k=5)
+    sizes = {
+        r["cluster"]: r["count"]
+        for r in res.predictions.groupBy("cluster").count().collect()
+    }
+    assert len(sizes) == 5  # k distinct clusters materialize
+    assert sum(sizes.values()) == featured.count()
+    # reference achieved 0.296 on real data; synthetic one-hot data
+    # separates far more cleanly — just require a sane silhouette
+    assert res.metrics["silhouette"] > 0.2
+
+
+def test_skill_hot_gbt(spark):
+    clean = clean_job_postings(
+        synthetic_postings(spark, N_ROWS), deterministic_id=True
+    )
+    agg = skill_hot_scores(clean, min_jobs=10)
+    res = fit_skill_hot_gbt(agg)
+    # GBT on its own training signal must basically reproduce it
+    assert res.metrics["r2"] > 0.5, res.metrics
+    assert res.metrics["rmse"] < 0.2, res.metrics
+    imps = res.model.stages[-1].featureImportances.toArray()
+    assert math.isclose(sum(imps), 1.0, rel_tol=1e-6)
+
+
+def test_salary_rf_and_adaptive_params(featured):
+    res = fit_salary_rf(featured, adaptive=True)
+    # 4000 rows -> (60, 15) per the size-stepped table
+    assert res.metrics["num_trees"] == 60.0
+    assert res.metrics["rmse"] > 0
+    assert adaptive_rf_params(100) == (30, 8)
+    assert adaptive_rf_params(999) == (40, 10)
+    assert adaptive_rf_params(1999) == (50, 12)
+    assert adaptive_rf_params(4999) == (60, 15)
+    assert adaptive_rf_params(100000) == (75, 18)
+
+
+def test_attractiveness_rule_and_lr(featured):
+    labeled = featured.withColumn(
+        "want", attractiveness_rule(F.col("salary_final"), F.col("exp_final"))
+    )
+    # rule classifier is deterministic: spot-check both branches
+    assert labeled.filter((F.col("salary_final") >= 30) & (F.col("want") != 1.0)).count() == 0
+    sample = labeled.limit(2000)
+    res = fit_attractiveness_lr(sample)
+    assert res.metrics["accuracy"] > 0.85, res.metrics
+
+
+def test_word2vec_and_lda(spark):
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+        "doc_id", F.split("text", " ").alias("tokens")
+    )
+    w2v = fit_skill_word2vec(docs, vector_size=16)
+    syns = w2v.model.findSynonyms("table", 3).collect()
+    assert len(syns) == 3
+    lda = fit_topic_lda(docs, k=5, max_iter=10)
+    assert lda.metrics["log_perplexity"] > 0
+    topics = lda.model.stages[-1].describeTopics(5)
+    assert topics.count() == 5
+
+
+def test_model_registry_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "registry")
+    import datetime
+
+    register_model(
+        spark, path, "salary_rf", "regression",
+        {"rmse": 7.9, "mae": 5.0, "r2": 0.26},
+        ["exp_final", "is_manager"], "/models/salary_rf", version=1,
+        training_date=datetime.datetime(2024, 1, 1, 0, 0, 0),
+    )
+    register_model(
+        spark, path, "salary_rf", "regression",
+        {"rmse": 7.5, "mae": 4.8, "r2": 0.31},
+        ["exp_final", "is_manager", "num_skills"], "/models/salary_rf_v2", version=2,
+        training_date=datetime.datetime(2024, 2, 1, 0, 0, 0),
+    )
+    latest = latest_model(spark, path, "salary_rf")
+    assert latest["version"] == 2
+    assert latest["r2_score"] == pytest.approx(0.31)
+    assert latest["feature_columns"] == ["exp_final", "is_manager", "num_skills"]
+
+
+def test_model_save_load_roundtrip(spark, tmp_path, featured):
+    res = fit_job_clustering(featured.limit(800), k=3)
+    path = str(tmp_path / "kmeans_model")
+    res.model.write().overwrite().save(path)
+    from pyspark.ml import PipelineModel
+
+    loaded = PipelineModel.load(path)
+    a = res.model.transform(featured.limit(100)).select("cluster").collect()
+    b = loaded.transform(featured.limit(100)).select("cluster").collect()
+    assert a == b

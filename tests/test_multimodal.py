@@ -1,0 +1,66 @@
+"""Multimodal plumbing: schema, Arrow batching, fan-out, and the
+stubbed-codec contract (north-star operator set)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from big_data_spark.catalog import load_table
+from big_data_spark.operators.multimodal import (
+    attach_fake_payloads,
+    extract_image_features,
+    fake_decode,
+    sample_frames,
+)
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    return attach_fake_payloads(docs).cache()
+
+
+def test_payload_schema_and_bytes(media):
+    assert dict(media.dtypes) == {
+        "media_id": "bigint",
+        "modality": "string",
+        "codec": "string",
+        "payload": "binary",
+        "n_bytes": "bigint",
+    }
+    r = media.first()
+    assert isinstance(r["payload"], (bytes, bytearray))
+    assert r["n_bytes"] == len(r["payload"])
+
+
+def test_extract_image_features(media):
+    feats = extract_image_features(media, decode_fn=fake_decode)
+    rows = feats.collect()
+    assert len(rows) == media.count()
+    for r in rows[:20]:
+        assert 64 <= r["width"] < 64 + 1920
+        assert 64 <= r["height"] < 64 + 1080
+        assert len(r["phash"]) == 16
+    # deterministic: same payload -> same features on re-run
+    again = {r["media_id"]: r["phash"] for r in extract_image_features(media, fake_decode).collect()}
+    for r in rows:
+        assert again[r["media_id"]] == r["phash"]
+
+
+def test_decode_stub_raises_without_codec(media):
+    with pytest.raises(NotImplementedError, match="codec"):
+        extract_image_features(media, decode_fn=None)
+
+
+def test_frame_sampling_fanout(media):
+    frames = sample_frames(media, every_n_bytes=64, max_frames=4)
+    per = frames.groupBy("media_id").count().collect()
+    assert all(1 <= r["count"] <= 4 for r in per)
+    assert frames.count() >= media.count()
+    r = frames.filter(F.col("frame_idx") == 0).first()
+    assert isinstance(r["frame_bytes"], (bytes, bytearray))
+    assert len(r["frame_bytes"]) <= 64
