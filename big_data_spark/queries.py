@@ -669,6 +669,198 @@ def q22_acctbal_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy("c_mktsegment").agg(_dsum(adj, "adj_balance"))
 
 
+@register(
+    "q23_event_sessions",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events WHERE user_id < 200
+    ), marked AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ), sessions AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS session_value,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    "window",
+    "sessionization",
+)
+def q23_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gap > 30 min) via lag + running-sum
+    session ids — the declarative twin of the streaming
+    applyInPandasWithState sessionizer (streaming/stateful.py). All
+    windows share one hash-partition by user_id: a single shuffle
+    regardless of table size."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.lag("ts").over(w).alias("prev_ts"),
+    ).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn("session_id", F.sum("new_session").over(wrun))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        _dsum(F.col("value"), "session_value", 4),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "q24_rollup_region_nation",
+    """
+    SELECT coalesce(r.r_name, 'ALL') AS region,
+           coalesce(n.n_name, 'ALL') AS nation,
+           COUNT(c.c_custkey) AS customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(27,2))) AS DOUBLE) AS total_balance
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    "agg",
+    "rollup",
+)
+def q24_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (the idiomatic upgrade of A4's manual
+    lattice; Spark expands it to a single multi-grouping shuffle)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("c_custkey").alias("customers"),
+            _dsum(F.col("c_acctbal"), "total_balance"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            "customers",
+            "total_balance",
+        )
+    )
+
+
+@register(
+    "q25_order_deltas",
+    """
+    SELECT o_custkey, o_orderkey,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile,
+           CAST(epoch(o_orderdate) - epoch(lag(o_orderdate) OVER w) AS BIGINT) AS secs_since_prev,
+           lead(o_orderkey) OVER w AS next_orderkey
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "window",
+)
+def q25_order_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-window surface beyond row_number: rank,
+    dense_rank, ntile, lag/lead deltas, one shared window spec (one
+    sort per partition)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        (
+            F.unix_timestamp("o_orderdate")
+            - F.unix_timestamp(F.lag("o_orderdate").over(w))
+        ).alias("secs_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+@register(
+    "q26_supplier_part_variety",
+    """
+    SELECT l_suppkey,
+           COUNT(DISTINCT l_partkey) AS distinct_parts,
+           COUNT(DISTINCT l_returnflag) AS distinct_flags,
+           COUNT(*) AS lines
+    FROM lineitem GROUP BY l_suppkey
+    """,
+    "agg",
+    "distinct",
+)
+def q26_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column COUNT DISTINCT per group (Spark expands to
+    partial-distinct aggregates before the shuffle). The approximate
+    path at 100 TB is approx_count_distinct (HLL) — engine-specific
+    sketches, so the exact form is the oracle-checked one."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.count_distinct("l_partkey").alias("distinct_parts"),
+            F.count_distinct("l_returnflag").alias("distinct_flags"),
+            F.count("*").alias("lines"),
+        )
+    )
+
+
+@register(
+    "q27_status_by_priority_pivot",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+           COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+           COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+           COUNT(*) FILTER (WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')) AS low_or_unspec
+    FROM orders GROUP BY o_orderstatus
+    """,
+    "agg",
+    "pivot",
+)
+def q27_status_by_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot as conditional aggregation — fixed output columns, so the
+    plan is one pass (Spark's pivot() with explicit values compiles to
+    the same shape; open-ended pivots need a values-discovery pass)."""
+    o = _t(spark, sf_dir, "orders")
+
+    def cnt(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+
+    return o.groupBy("o_orderstatus").agg(
+        cnt(F.col("o_orderpriority") == "1-URGENT", "urgent"),
+        cnt(F.col("o_orderpriority") == "2-HIGH", "high"),
+        cnt(F.col("o_orderpriority") == "3-MEDIUM", "medium"),
+        cnt(
+            F.col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW"),
+            "low_or_unspec",
+        ),
+    )
+
+
 # =========================================================================
 # Job-domain ETL parity (SURVEY §2.3, §3.1) — golden corpus via VALUES
 # =========================================================================
@@ -1131,6 +1323,95 @@ def q47_lsh_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q48_simhash_signatures",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents
+    ), bits AS (
+      SELECT doc_id, md5(token) AS h FROM tok
+    ), sums AS (
+      SELECT doc_id,
+             {sums}
+      FROM bits GROUP BY doc_id
+    )
+    SELECT doc_id, {concat} AS simhash16
+    FROM sums
+    """.format(
+        sums=",\n             ".join(
+            f"SUM(CASE WHEN substring(h, {i + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS b{i}"
+            for i in range(16)
+        ),
+        concat="||".join(
+            f"(CASE WHEN b{i} > 0 THEN '1' ELSE '0' END)" for i in range(16)
+        ),
+    ),
+    "dedup",
+    "simhash",
+)
+def q48_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (north-star near-dup): 16-bit signature where bit i is
+    the sign of sum over tokens of ±1 by the i-th md5 nibble's high
+    bit (nibble >= 8 ⟺ hex char >= '8'). Shuffle-free per-doc
+    higher-order aggregation; near-dup candidates then group on
+    signature prefixes instead of pairwise comparison."""
+    docs = _t(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(F.split("text", " ")), lambda t: F.md5(t)
+        ).alias("th"),
+    )
+    bit_sums = [
+        F.aggregate(
+            "th",
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.substring(h, i + 1, 1) >= "8", 1).otherwise(-1),
+        ).alias(f"b{i}")
+        for i in range(16)
+    ]
+    sums = hashed.select("doc_id", *bit_sums)
+    sig = F.concat(
+        *[F.when(F.col(f"b{i}") > 0, "1").otherwise("0") for i in range(16)]
+    )
+    return sums.select("doc_id", sig.alias("simhash16"))
+
+
+@register(
+    "q49_bpe_token_stats",
+    """
+    SELECT doc_id, lang,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           round(CAST(length(text) AS DOUBLE)
+                 / len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')), 6) AS chars_per_token
+    FROM documents
+    """,
+    "text",
+    "tokenize",
+)
+def q49_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (north-star): whitespace tokens vs a BPE-ish
+    regex lexer ([a-z]+ | digits | single punctuation) — the standard
+    pre-tokenizer shape — plus chars-per-token compression ratio.
+    Pure per-row expressions; scales scan-parallel."""
+    docs = _t(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(
+        F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.round(F.length("text").cast("double") / F.size(bpe), 6).alias(
+            "chars_per_token"
+        ),
+    )
+
+
 # =========================================================================
 # Similarity search over embeddings (north-star; SURVEY §7)
 # =========================================================================
@@ -1354,4 +1635,86 @@ def m02_skill_hot_gbt_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("predicted_hot_score"), F.asc("skill"))
         .limit(10)
+    )
+
+
+@register(
+    "q62_embedding_near_dup",
+    """
+    WITH sub AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150
+    ), pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             a.embedding AS ea, b.embedding AS eb
+      FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    ), expanded AS (
+      SELECT vec_a, vec_b,
+             unnest(ea)::DOUBLE AS x, unnest(eb)::DOUBLE AS y
+      FROM pairs
+    ), sims AS (
+      SELECT vec_a, vec_b,
+             SUM(x * y) / (sqrt(SUM(x * x)) * sqrt(SUM(y * y))) AS cos
+      FROM expanded GROUP BY vec_a, vec_b
+    )
+    SELECT vec_a, vec_b, ROUND(cos, 6) AS cosine
+    FROM sims WHERE cos >= 0.5
+    """,
+    "similarity",
+    "dedup",
+)
+def q62_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.5) on a
+    bounded slice — the correctness anchor for semantic dedup. The
+    all-pairs join is the exact baseline; the scale path buckets by
+    SimHash-of-embedding-signs first (see q63) so only
+    same-bucket pairs are compared."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = cosine_similarity(F.col("ea"), F.col("eb"))
+    return pairs.select(
+        "vec_a", "vec_b", F.round(cos, 6).alias("cosine")
+    ).filter(F.col("cosine") >= 0.5)
+
+
+@register(
+    "q63_embedding_sign_buckets",
+    """
+    WITH signs AS (
+      SELECT vec_id, label,
+             (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+      FROM embeddings
+    )
+    SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+    FROM signs GROUP BY bucket
+    """,
+    "similarity",
+    "lsh",
+)
+def q63_embedding_sign_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketing for ANN (the scale path for q60/q62):
+    the first 8 coordinate signs form a 256-way bucket key — the
+    axis-aligned special case of random-hyperplane LSH (hyperplanes =
+    basis vectors, deterministic so the oracle can reproduce it).
+    Candidate search then touches only same-bucket (or
+    1-bit-neighbor) vectors: ~1/256 of the corpus per probe."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bucket = F.concat(
+        *[
+            F.when(F.element_at("embedding", i + 1) >= 0, "1").otherwise("0")
+            for i in range(8)
+        ]
+    )
+    return (
+        emb.select("vec_id", "label", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
     )

@@ -86,7 +86,7 @@ def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 4)
         .format("parquet")
         .load(source_dir)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
 
 
