@@ -21,17 +21,45 @@ from pyspark.sql import functions as F
 CITY_FLAGS = {
     "is_hcm": "hồ chí minh|hcm",
     "is_hanoi": "hà nội|ha noi|hanoi",
+    "is_danang": "đà nẵng|da nang",  # train_random_forest.py:66
 }
 FIELD_FLAGS = {
     "is_it": "it|phần mềm|developer|lập trình|data|ai",
     "is_sales": "bán hàng|kinh doanh|sales|tiếp thị|marketing",
     "is_finance": "tài chính|ngân hàng|kế toán|finance|banking",
     "is_education": "giáo dục|đào tạo|giáo viên|education",
+    "is_engineering": "kỹ thuật|cơ khí|điện|xây dựng|engineer",  # :89
 }
 POSITION_FLAGS = {
-    "is_manager": "trưởng|quản lý|giám đốc|manager|lead|head",
+    # 7-level ladder, train_random_forest.py:94-136
+    "is_intern": "thực tập|intern|internship",
+    "is_fresher": "fresher|mới ra trường|sinh viên mới",
+    "is_junior": "junior",
+    "is_staff": "nhân viên|chuyên viên|staff|employee",
     "is_senior": "senior|chuyên gia|chuyên viên cao cấp",
+    "is_team_lead": "trưởng nhóm|team lead|leader|tech lead",
+    "is_manager": "trưởng|quản lý|giám đốc|manager|lead|head",
 }
+
+# The 16-feature serving/RF set (train_random_forest.py:151-168)
+RF_FEATURES = [
+    "exp_final",
+    "is_hcm",
+    "is_hanoi",
+    "is_danang",
+    "is_it",
+    "is_sales",
+    "is_finance",
+    "is_education",
+    "is_engineering",
+    "is_intern",
+    "is_fresher",
+    "is_junior",
+    "is_staff",
+    "is_senior",
+    "is_team_lead",
+    "is_manager",
+]
 
 CLUSTERING_FEATURES = [
     "salary_final",

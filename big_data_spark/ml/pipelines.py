@@ -120,9 +120,9 @@ def fit_salary_rf(
     """Salary RF regressor (M5, M7, M10): numTrees=100, maxDepth=10,
     seed=42 by default (train_random_forest.py:206-212); adaptive=True
     switches to the size-stepped table with maxBins=32."""
-    feature_cols = feature_cols or [
-        c for c in CLUSTERING_FEATURES if c != "salary_final"
-    ] + ["num_skills", "num_fields", "title_length"]
+    from .features import RF_FEATURES
+
+    feature_cols = feature_cols or RF_FEATURES
     if adaptive:
         n_trees, depth = adaptive_rf_params(featured.count())
     else:

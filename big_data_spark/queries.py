@@ -951,6 +951,106 @@ def q33_skill_hot_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skill_hot_scores(clean, min_jobs=2)
 
 
+@register(
+    "q36_attractiveness_rule",
+    """
+    WITH etl AS ({etl})
+    SELECT job_title, salary_avg, exp_avg_year,
+           CASE WHEN (salary_avg >= 15 AND coalesce(exp_avg_year, 0.0) <= 2)
+                  OR salary_avg >= 30 THEN 1.0 ELSE 0.0 END AS is_hot
+    FROM etl
+    """.format(
+        etl=JOBS_ETL_ORACLE_SQL.format(
+            src=multi_values_clause(JOBS_CORPUS, JOBS_COLUMNS)
+        )
+    ),
+    "etl",
+    "rule",
+)
+def q36_attractiveness_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based attractiveness classifier (§2.12, streamlit_app
+    .py:130-141): hot iff (salary >= 15 and exp <= 2) or salary >= 30,
+    applied to the ETL output as a when/otherwise column."""
+    from .ml.features import attractiveness_rule
+
+    clean = clean_job_postings(jobs_corpus_df(spark), deterministic_id=True)
+    return clean.select(
+        "job_title",
+        "salary_avg",
+        "exp_avg_year",
+        attractiveness_rule(
+            F.col("salary_avg"), F.coalesce(F.col("exp_avg_year"), F.lit(0.0))
+        ).alias("is_hot"),
+    )
+
+
+@register(
+    "q37_price_outlier_clip",
+    """
+    WITH bounds AS (
+      SELECT quantile_cont(o_totalprice, 0.01) AS lo,
+             quantile_cont(o_totalprice, 0.99) AS hi
+      FROM orders
+    )
+    SELECT o.o_orderkey,
+           ROUND(CASE WHEN o.o_totalprice < b.lo THEN b.lo
+                      WHEN o.o_totalprice > b.hi THEN b.hi
+                      ELSE o.o_totalprice END, 4) AS clipped_price
+    FROM orders o CROSS JOIN bounds b
+    """,
+    "agg",
+    "quantile",
+)
+def q37_price_outlier_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1%/99% quantile outlier clipping (A9 parity:
+    ml_train_from_cassandra_pyspark.pyc:177 preprocess_data uses
+    approxQuantile(0.01, 0.99)). Exact percentiles here so the oracle
+    can agree (SURVEY §7 risk (e)); at 100 TB swap in approxQuantile
+    with tight relativeError — same plan shape, bounded memory."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.select(
+        F.expr("percentile(o_totalprice, 0.01)").alias("lo"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("hi"),
+    )
+    return o.join(F.broadcast(bounds)).select(
+        "o_orderkey",
+        F.round(
+            F.when(F.col("o_totalprice") < F.col("lo"), F.col("lo"))
+            .when(F.col("o_totalprice") > F.col("hi"), F.col("hi"))
+            .otherwise(F.col("o_totalprice")),
+            4,
+        ).alias("clipped_price"),
+    )
+
+
+@register(
+    "q38_city_value_counts",
+    """
+    WITH etl AS ({etl})
+    SELECT city, COUNT(*) AS cnt,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, city) AS rnk
+    FROM etl GROUP BY city QUALIFY rnk <= 10
+    """.format(
+        etl=JOBS_ETL_ORACLE_SQL.format(
+            src=multi_values_clause(JOBS_CORPUS, JOBS_COLUMNS)
+        )
+    ),
+    "agg",
+    "topk",
+)
+def q38_city_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dashboard value_counts().head(10) (A12, streamlit_app.py:196)
+    as an engine query: groupBy + deterministic rank + limit."""
+    clean = clean_job_postings(jobs_corpus_df(spark), deterministic_id=True)
+    w = Window.orderBy(F.desc("cnt"), F.asc("city"))
+    return (
+        clean.groupBy("city")
+        .agg(F.count("*").alias("cnt"))
+        .select("city", "cnt", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 10)
+    )
+
+
 # =========================================================================
 # Text analysis over documents (north-star; SURVEY §7)
 # =========================================================================
