@@ -861,6 +861,57 @@ def q27_status_by_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q28_json_struct_unwrap",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(k AS DECIMAL(27,0))) AS DOUBLE) / COUNT(k) AS avg_k,
+           MIN(k) AS min_k, MAX(k) AS max_k
+    FROM (
+      SELECT event_type,
+             try_cast(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM events
+    ) GROUP BY event_type
+    """,
+    "expr",
+    "json",
+)
+def q28_json_struct_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 exactly: from_json with an explicit schema -> struct unwrap
+    via data.* (job_streaming.py:55-57 shape), then aggregate the
+    typed field. Malformed JSON yields nulls (permissive), same as
+    the reference's ingest contract."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "k INT").alias("data"),
+    ).select("event_type", "data.*")
+    return parsed.groupBy("event_type").agg(
+        _davg(F.col("k").cast("double"), "avg_k", 0),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+@register(
+    "q29_bag_setops",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    "setop",
+)
+def q29_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL (intersectAll): keeps duplicate
+    multiplicity min(left, right) — the bag-semantics counterpart of
+    q13's set ops."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return a.intersectAll(b)
+
+
 # =========================================================================
 # Job-domain ETL parity (SURVEY §2.3, §3.1) — golden corpus via VALUES
 # =========================================================================

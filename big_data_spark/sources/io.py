@@ -1,0 +1,76 @@
+"""Batch readers/writers.
+
+Scale conventions:
+- readers take an explicit schema (contract-first, §1.3) — schema
+  inference is a full extra pass over 100 TB;
+- ``write_parquet`` supports partitionBy + compaction-friendly
+  ``target_file_rows`` repartitioning: downstream scans prune on
+  partition columns, and file counts stay bounded instead of
+  one-file-per-task;
+- ``write_csv_single`` reproduces the reference's coalesce(1) CSV
+  export (S9 evidence: spark/app/output/job_data_csv/ single part
+  file) — explicitly a small-result export, never a big-data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """CSV source with explicit schema (S8; permissive mode keeps the
+    reference's null-on-malformed semantics, §1.3)."""
+    return (
+        spark.read.schema(schema)
+        .options(header=str(header).lower(), mode="PERMISSIVE", **options)
+        .csv(path)
+    )
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: StructType, **options: str
+) -> DataFrame:
+    """JSON-lines source with explicit schema (S2 batch form)."""
+    return spark.read.schema(schema).options(**options).json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    target_file_rows: int | None = None,
+) -> None:
+    """Parquet sink (S5 overwrite / S6 append).
+
+    ``partition_by`` buys partition pruning for every downstream
+    reader; ``target_file_rows`` repartitions so each output file has
+    a sane size (the small-files problem is the #1 operational issue
+    of high-frequency appends at scale).
+    """
+    out = df
+    if target_file_rows:
+        n = max(1, df.count() // target_file_rows)
+        out = df.repartition(n, *(partition_by or []))
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv_single(df: DataFrame, path: str, header: bool = True) -> None:
+    """Single-file CSV export (S9: coalesce(1) + header).
+
+    Deliberately driver-adjacent: use only for bounded results
+    (top-k, aggregates). Large tables go through write_parquet.
+    """
+    df.coalesce(1).write.mode("overwrite").option(
+        "header", str(header).lower()
+    ).csv(path)
