@@ -912,6 +912,73 @@ def q29_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.intersectAll(b)
 
 
+@register(
+    "q39_customer_order_lists",
+    """
+    SELECT o_custkey,
+           list(o_orderkey ORDER BY o_orderkey) AS order_keys,
+           COUNT(*) AS n_orders
+    FROM orders WHERE o_custkey < 50
+    GROUP BY o_custkey
+    """,
+    "agg",
+    "collect",
+)
+def q39_customer_order_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list aggregation (A6) with array_sort for a
+    deterministic ordering — per-key event/order history assembly,
+    the shape the reference uses for topic/word list assembly
+    (ml_skills_recommendation.pyc imports)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    return o.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "q50_cube_type_size",
+    """
+    SELECT coalesce(p_type, 'ALL') AS part_type,
+           coalesce(size_band, 'ALL') AS size_band,
+           COUNT(*) AS parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(27,2))) AS DOUBLE) AS total_price
+    FROM (
+      SELECT p_type,
+             CASE WHEN p_size <= 25 THEN 'small' ELSE 'large' END AS size_band,
+             p_retailprice
+      FROM part
+    )
+    GROUP BY CUBE (p_type, size_band)
+    """,
+    "agg",
+    "cube",
+)
+def q50_cube_type_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (type, size band): the full-lattice generalization of
+    the reference's manual 2^5 groupBy lattice (A4,
+    train_random_forest.py:300-302) — one shuffle computes all
+    grouping sets."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_type",
+        F.when(F.col("p_size") <= 25, "small").otherwise("large").alias("size_band"),
+        "p_retailprice",
+    )
+    return (
+        p.cube("p_type", "size_band")
+        .agg(
+            F.count("*").alias("parts"),
+            _dsum(F.col("p_retailprice"), "total_price"),
+        )
+        .select(
+            F.coalesce(F.col("p_type"), F.lit("ALL")).alias("part_type"),
+            F.coalesce(F.col("size_band"), F.lit("ALL")).alias("size_band"),
+            "parts",
+            "total_price",
+        )
+    )
+
+
 # =========================================================================
 # Job-domain ETL parity (SURVEY §2.3, §3.1) — golden corpus via VALUES
 # =========================================================================

@@ -140,3 +140,33 @@ def test_sessionize_events(spark, tmp_path):
         assert r["session_events"] >= 1
         assert r["session_end"] >= r["session_start"]
         assert r["closed_by"] in ("gap", "timeout")
+
+
+def test_stream_static_join(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", src / "events.parquet")
+    from big_data_spark.streaming import enriched_event_stream
+
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 5.0)],
+        ["event_type", "weight"],
+    )
+    stream = read_events_stream(spark, str(src))
+    enriched = enriched_event_stream(stream, dim)
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(sink)
+    assert out.count() == spark.read.parquet(str(src / "events.parquet")).count()
+    got = {r["event_type"]: r["weight"] for r in out.select("event_type", "weight").distinct().collect()}
+    assert got["click"] == 1.0 and got["purchase"] == 5.0
+    assert got["error"] is None  # left join keeps unmatched stream rows
