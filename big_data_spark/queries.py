@@ -1169,6 +1169,31 @@ def q38_city_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q51_salted_event_agg",
+    """
+    SELECT event_type, COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total
+    FROM events GROUP BY event_type
+    """,
+    "agg",
+    "skew",
+)
+def q51_salted_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted two-phase aggregation (operators.relational
+    .salted_count_sum): results are EXACTLY the plain groupBy's (the
+    oracle is the unsalted SQL), but a hot event_type spreads over 16
+    reducers in phase 1 instead of melting one. 5 event types over
+    10k+ rows is precisely the low-cardinality-hot-key shape that
+    needs this at 100 TB."""
+    from .operators.relational import salted_count_sum
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_count_sum(ev, "event_type", "value", salt=16).select(
+        "event_type", "cnt", "total"
+    )
+
+
 # =========================================================================
 # Text analysis over documents (north-star; SURVEY §7)
 # =========================================================================

@@ -1,0 +1,86 @@
+"""Bucketed tables: pre-shuffled storage -> shuffle-free joins.
+
+The 100-TB strategy for repeated fact⋈fact joins on the same key:
+bucket both tables by the join key at write time; Spark then plans a
+SortMergeJoin with NO exchange on either side.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from big_data_spark.catalog import load_table
+from big_data_spark.operators.relational import (
+    broadcast_salted_join,
+    salted_count_sum,
+)
+from big_data_spark.plans import count_shuffles
+
+from .conftest import SF_SMOKE
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    # warehouse dir is a static conf — set in conftest's session
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    try:
+        orders = load_table(spark, SF_SMOKE, "orders")
+        customer = load_table(spark, SF_SMOKE, "customer")
+        (
+            orders.write.mode("overwrite")
+            .bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .saveAsTable("orders_b")
+        )
+        (
+            customer.withColumnRenamed("c_custkey", "o_custkey")
+            .write.mode("overwrite")
+            .bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .saveAsTable("customer_b")
+        )
+        a = spark.table("orders_b")
+        b = spark.table("customer_b")
+        joined = a.join(b, "o_custkey")
+        n_shuffles = count_shuffles(joined)
+        assert n_shuffles == 0, f"bucketed join should not shuffle, got {n_shuffles}"
+        # and it still returns the right answer
+        plain = orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).count()
+        assert joined.count() == plain
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+
+
+def test_salted_agg_equals_plain(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    salted = {
+        r["event_type"]: (r["cnt"], r["total"])
+        for r in salted_count_sum(ev, "event_type", "value", salt=8).collect()
+    }
+    plain = {
+        r["event_type"]: (r["cnt"], r["total"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(27,4)")).cast("double").alias("total"),
+        )
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_equals_plain(spark):
+    o = load_table(spark, SF_SMOKE, "orders").select("o_custkey", "o_orderkey")
+    c = load_table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    salted = broadcast_salted_join(o, c, "o_custkey", salt=8)
+    assert salted.count() == o.join(c, "o_custkey").count()
+    one = salted.filter(F.col("o_orderkey") == 1).collect()
+    assert len(one) == 1 and one[0]["c_mktsegment"] is not None
