@@ -139,3 +139,18 @@ def career_path_recommendations(
         .filter(F.col("rnk") <= n)
         .drop("rnk")
     )
+
+
+def suggest_skills(postings: DataFrame, prefix: str, n: int = 10) -> DataFrame:
+    """Autocomplete: skills starting with ``prefix``, by frequency
+    (P10 startswith, parity ml_skills_recommendation.pyc:382)."""
+    w = Window.orderBy(F.desc("frequency"), F.asc("skill"))
+    return (
+        explode_skills(postings)
+        .filter(F.col("skill").startswith(prefix.lower()))
+        .groupBy("skill")
+        .agg(F.count("*").alias("frequency"))
+        .select("skill", "frequency", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= n)
+        .drop("rnk")
+    )

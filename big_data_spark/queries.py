@@ -1874,6 +1874,9 @@ def m02_skill_hot_gbt_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         res.predictions.select(
             "skill",
             F.round("prediction", 4).alias("predicted_hot_score"),
+            F.round(F.abs(F.col("prediction") - F.col("skill_hot_score")), 4).alias(
+                "abs_error"
+            ),
             "job_count",
         )
         .orderBy(F.desc("predicted_hot_score"), F.asc("skill"))
@@ -1960,4 +1963,20 @@ def q63_embedding_sign_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id", "label", bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+@register("m04_similar_tokens_w2v", None, "ml", "similarity", "text")
+def m04_similar_tokens_w2v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word2Vec token similarity (M15 findSynonyms, the
+    find_similar_skills flow §3.4): embeddings trained on document
+    token streams, then nearest neighbors of a probe token."""
+    from .ml.pipelines import fit_skill_word2vec
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tokens")
+    )
+    res = fit_skill_word2vec(docs, vector_size=16)
+    return res.model.findSynonyms("table", 5).select(
+        "word", F.round("similarity", 4).alias("similarity")
     )

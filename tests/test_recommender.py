@@ -56,3 +56,14 @@ def test_career_paths_match_threshold(postings):
 def test_career_paths_empty_when_no_match(postings):
     paths = career_path_recommendations(postings, ["cobol"], n=5)
     assert paths.count() == 0
+
+
+def test_suggest_skills_prefix(postings):
+    from big_data_spark.operators.recommender import suggest_skills
+
+    sug = suggest_skills(postings, "skill1", n=20).collect()
+    assert sug, "no suggestions"
+    for r in sug:
+        assert r["skill"].startswith("skill1")
+    freqs = [r["frequency"] for r in sug]
+    assert freqs == sorted(freqs, reverse=True)
