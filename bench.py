@@ -74,6 +74,50 @@ def main() -> None:
     results["skill_hot_agg"] = round(b2_sec, 3)
     shutil.rmtree(raw_dir, ignore_errors=True)
 
+    # B3/B4 at the reference's own data scale (~85k postings,
+    # BASELINE.md): feature prep + KMeans k=5 fit; RF 100x10 fit +
+    # rmse/mae/r2 evaluation.
+    from big_data_spark.ml.features import job_features
+    from big_data_spark.ml.pipelines import fit_job_clustering, fit_salary_rf
+
+    ref_scale = synthetic_postings(spark, 85_000)
+    featured = job_features(clean_job_postings(ref_scale)).cache()
+    featured.count()  # materialize outside timing
+    t0 = time.perf_counter()
+    fit_job_clustering(featured, k=5)
+    results["kmeans_fit_85k"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    fit_salary_rf(featured)
+    results["rf_train_eval_85k"] = round(time.perf_counter() - t0, 3)
+    featured.unpersist()
+    ml_sec = results["kmeans_fit_85k"] + results["rf_train_eval_85k"]
+
+    # B5: streaming micro-batch ETL latency (file source, availableNow)
+    import json as _json
+
+    from big_data_spark.fixtures import JOBS_COLUMNS, JOBS_CORPUS
+    from big_data_spark.streaming import stream_clean_postings
+
+    sdir = tempfile.mkdtemp(prefix="bench_stream_")
+    src = os.path.join(sdir, "src")
+    os.makedirs(src)
+    for part in range(4):
+        with open(os.path.join(src, f"p{part}.json"), "w") as f:
+            for rep in range(500):
+                for i, row in enumerate(JOBS_CORPUS):
+                    if i % 4 != part:
+                        continue
+                    rec = dict(zip(JOBS_COLUMNS, row))
+                    rec["event_time"] = "2024-01-01 10:00:00"
+                    f.write(_json.dumps(rec) + "\n")
+    t0 = time.perf_counter()
+    q = stream_clean_postings(
+        spark, src, os.path.join(sdir, "sink"), os.path.join(sdir, "ckpt")
+    )
+    q.awaitTermination(300)
+    results["stream_etl_24k"] = round(time.perf_counter() - t0, 3)
+    shutil.rmtree(sdir, ignore_errors=True)
+
     for name in BENCH_QUERIES:
         fn = QUERIES[name].fn
         t0 = time.perf_counter()
@@ -82,7 +126,14 @@ def main() -> None:
         results[name] = round(time.perf_counter() - t0, 3)
         assert n >= 0
 
-    total = round(etl_sec + b2_sec + sum(results[q] for q in BENCH_QUERIES), 3)
+    total = round(
+        etl_sec
+        + b2_sec
+        + ml_sec
+        + results["stream_etl_24k"]
+        + sum(results[q] for q in BENCH_QUERIES),
+        3,
+    )
     print(
         json.dumps(
             {

@@ -1655,6 +1655,45 @@ def q49_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q52_shingle_stats",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS token,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents WHERE doc_id < 200
+    ), sh AS (
+      SELECT doc_id,
+             token || ' ' || lead(token, 1) OVER w || ' ' || lead(token, 2) OVER w AS shingle
+      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    )
+    SELECT doc_id,
+           COUNT(shingle) AS n_shingles,
+           COUNT(DISTINCT shingle) AS n_distinct_shingles
+    FROM sh WHERE shingle IS NOT NULL
+    GROUP BY doc_id
+    """,
+    "text",
+    "dedup",
+)
+def q52_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-token shingling (functions.shingles — the MinHash input
+    representation): per-doc total and distinct shingle counts.
+    Spark builds shingles with a higher-order sequence/transform (no
+    explode until counting); the oracle reconstructs them with
+    lead() windows."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sh = docs.select(
+        "doc_id", shingles(F.split("text", " "), 3).alias("sh")
+    ).filter(F.size("sh") > 0)
+    return sh.select(
+        "doc_id",
+        F.size("sh").alias("n_shingles"),
+        F.size(F.array_distinct("sh")).alias("n_distinct_shingles"),
+    )
+
+
 # =========================================================================
 # Similarity search over embeddings (north-star; SURVEY §7)
 # =========================================================================
