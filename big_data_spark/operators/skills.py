@@ -51,10 +51,13 @@ def skill_hot_scores(df: DataFrame, min_jobs: int = 10) -> DataFrame:
         .na.fill({"salary_avg": 0.0, "exp_avg_year": 0.0, "skills": ""})
         .filter(F.col("skills") != "")
     )
-    skill_df = explode_skills(base).withColumn(
+    # flag BEFORE exploding: one regex eval per posting, not per
+    # skill token (~Nx fewer at N skills/posting; same result)
+    flagged = base.withColumn(
         "is_big_city",
         F.when(F.col("city").rlike(BIG_CITY_RE), 1.0).otherwise(0.0),
     )
+    skill_df = explode_skills(flagged)
     agg = skill_df.groupBy("skill").agg(
         F.count("*").alias("job_count"),
         (

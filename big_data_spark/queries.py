@@ -324,7 +324,7 @@ def q08_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "orders")
         .select(
-            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).cast("long").alias("rn")
         )
         .filter(F.col("rn") <= 3)
     )
@@ -681,8 +681,8 @@ def q22_acctbal_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
                        OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
       FROM ordered
     ), sessions AS (
-      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM marked
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -789,9 +789,9 @@ def q25_order_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         (
             F.unix_timestamp("o_orderdate")
             - F.unix_timestamp(F.lag("o_orderdate").over(w))
@@ -1074,8 +1074,8 @@ def q33_skill_hot_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH etl AS ({etl})
     SELECT job_title, salary_avg, exp_avg_year,
-           CASE WHEN (salary_avg >= 15 AND coalesce(exp_avg_year, 0.0) <= 2)
-                  OR salary_avg >= 30 THEN 1.0 ELSE 0.0 END AS is_hot
+           CAST(CASE WHEN (salary_avg >= 15 AND coalesce(exp_avg_year, 0.0) <= 2)
+                  OR salary_avg >= 30 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS is_hot
     FROM etl
     """.format(
         etl=JOBS_ETL_ORACLE_SQL.format(
@@ -1164,7 +1164,7 @@ def q38_city_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         clean.groupBy("city")
         .agg(F.count("*").alias("cnt"))
-        .select("city", "cnt", F.row_number().over(w).alias("rnk"))
+        .select("city", "cnt", F.row_number().over(w).cast("long").alias("rnk"))
         .filter(F.col("rnk") <= 10)
     )
 
@@ -1268,8 +1268,8 @@ def q40_token_hot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, lang, n_tokens,
            CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
            CAST(n_long AS DOUBLE) / n_tokens AS long_token_ratio,
-           CASE WHEN n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens < 0.5
-                THEN 1.0 ELSE 0.0 END AS quality_pass
+           CAST(CASE WHEN n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens < 0.5
+                THEN 1.0 ELSE 0.0 END AS DOUBLE) AS quality_pass
     FROM m
     """,
     "text",
@@ -1286,7 +1286,7 @@ def q41_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         "lang",
-        n_tokens.alias("n_tokens"),
+        n_tokens.cast("long").alias("n_tokens"),
         (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
         (n_long.cast("double") / n_tokens).alias("long_token_ratio"),
         F.when(
@@ -1647,8 +1647,8 @@ def q49_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         "lang",
-        F.size(bpe).alias("n_bpe_tokens"),
-        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
         F.round(F.length("text").cast("double") / F.size(bpe), 6).alias(
             "chars_per_token"
         ),
@@ -1689,8 +1689,8 @@ def q52_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.size("sh") > 0)
     return sh.select(
         "doc_id",
-        F.size("sh").alias("n_shingles"),
-        F.size(F.array_distinct("sh")).alias("n_distinct_shingles"),
+        F.size("sh").cast("long").alias("n_shingles"),
+        F.size(F.array_distinct("sh")).cast("long").alias("n_distinct_shingles"),
     )
 
 
@@ -1825,7 +1825,7 @@ def q34_top_skills_per_city(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = skill_hot_scores(clean, min_jobs=1).select("skill", "job_count")
     w = Window.orderBy(F.desc("job_count"), F.asc("skill"))
     return (
-        agg.select("skill", "job_count", F.row_number().over(w).alias("rnk"))
+        agg.select("skill", "job_count", F.row_number().over(w).cast("long").alias("rnk"))
         .filter(F.col("rnk") <= 15)
     )
 
