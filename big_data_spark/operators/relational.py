@@ -67,3 +67,26 @@ def broadcast_salted_join(
         "_salt", (F.monotonically_increasing_id() % salt).cast("int")
     )
     return big_salted.join(small_rep, [key, "_salt"]).drop("_salt")
+
+
+def clip_outliers(
+    df: DataFrame,
+    col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    relative_error: float = 0.25,
+) -> DataFrame:
+    """approxQuantile-based outlier clipping — A9 parity
+    (ml_train_from_cassandra_pyspark.pyc:177 preprocess_data uses
+    exactly (0.01, 0.99, 0.25)).
+
+    approxQuantile (Greenwald-Khanna) runs in one pass with bounded
+    memory — the only viable form at 100 TB; q37 is the exact-
+    percentile twin used for oracle checking. Tighten
+    ``relative_error`` to trade memory for accuracy.
+    """
+    lo_v, hi_v = df.approxQuantile(col, [lo, hi], relative_error)
+    c = F.col(col)
+    return df.withColumn(
+        col, F.when(c < lo_v, lo_v).when(c > hi_v, hi_v).otherwise(c)
+    )

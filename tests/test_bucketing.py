@@ -84,3 +84,50 @@ def test_salted_join_equals_plain(spark):
     assert salted.count() == o.join(c, "o_custkey").count()
     one = salted.filter(F.col("o_orderkey") == 1).collect()
     assert len(one) == 1 and one[0]["c_mktsegment"] is not None
+
+
+def test_clip_outliers_within_tolerance(spark):
+    from big_data_spark.operators.relational import clip_outliers
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    clipped = clip_outliers(o, "o_totalprice", relative_error=0.01)
+    lo_e, hi_e = (
+        o.selectExpr(
+            "percentile(o_totalprice, 0.01) AS lo",
+            "percentile(o_totalprice, 0.99) AS hi",
+        ).first()
+    )
+    got = clipped.selectExpr(
+        "min(o_totalprice) AS mn", "max(o_totalprice) AS mx"
+    ).first()
+    # approx bounds land within a few percentile ranks of exact
+    n = o.count()
+    lo_rank = o.filter(o.o_totalprice <= got["mn"]).count() / n
+    hi_rank = o.filter(o.o_totalprice <= got["mx"]).count() / n
+    assert lo_rank <= 0.05
+    assert hi_rank >= 0.95
+    assert clipped.count() == n  # clipping never drops rows
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    from big_data_spark.fixtures import jobs_corpus_df
+    from big_data_spark.sources import write_parquet
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df = jobs_corpus_df(spark).na.fill({"city": "Unknown"})
+        out = str(tmp_path / "dyn")
+        write_parquet(df, out, partition_by=["city"])
+        before = spark.read.parquet(out)
+        n_total = before.count()
+        n_hcm = before.filter(F.col("city") == "HCM").count()
+        # overwrite ONLY the HCM partition with a single replacement row
+        repl = df.filter(F.col("city") == "HCM").limit(1)
+        write_parquet(repl, out, mode="overwrite", partition_by=["city"])
+        after = spark.read.parquet(out)
+        assert after.filter(F.col("city") == "HCM").count() == 1
+        # all other partitions untouched
+        assert after.count() == n_total - n_hcm + 1
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")

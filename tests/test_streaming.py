@@ -170,3 +170,32 @@ def test_stream_static_join(spark, tmp_path):
     got = {r["event_type"]: r["weight"] for r in out.select("event_type", "weight").distinct().collect()}
     assert got["click"] == 1.0 and got["purchase"] == 5.0
     assert got["error"] is None  # left join keeps unmatched stream rows
+
+
+def test_foreach_batch_upsert_idempotent(spark, tmp_path, jobs_json_dir):
+    from big_data_spark.schemas import JOB_POSTING_RAW_SCHEMA
+    from big_data_spark.streaming.sinks import start_upsert_stream
+
+    stream = (
+        spark.readStream.schema(JOB_POSTING_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(jobs_json_dir)
+    )
+    sink = str(tmp_path / "sink")
+    q = start_upsert_stream(stream, sink, str(tmp_path / "c1"), key="job_title")
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(sink).count()
+    # null key counts as one distinct key in the sink too
+    distinct_titles = (
+        spark.read.schema(JOB_POSTING_RAW_SCHEMA)
+        .json(jobs_json_dir)
+        .select("job_title")
+        .distinct()
+        .count()
+    )
+    # one row per key even though keys repeat across micro-batches
+    assert n1 == distinct_titles
+    # replay the same source on a FRESH checkpoint: still no dupes
+    q2 = start_upsert_stream(stream, sink, str(tmp_path / "c2"), key="job_title")
+    q2.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == n1
