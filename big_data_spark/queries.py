@@ -1849,6 +1849,94 @@ def q52_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q53_lsh_verified_pairs",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents
+    ), th AS (
+      SELECT doc_id, md5(token) AS h FROM tok
+    ), sig AS (
+      SELECT doc_id,
+             md5(MIN(substring(h, 1, 8)) || MIN(substring(h, 9, 8))) AS band0,
+             md5(MIN(substring(h, 17, 8)) || MIN(substring(h, 25, 8))) AS band1
+      FROM th GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, 0 AS band_idx, band0 AS band FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band_idx, band1 AS band FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN tok ta ON ta.doc_id = c.doc_a
+      JOIN tok tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) >= 0.9
+    """,
+    "dedup",
+    "minhash",
+    "lsh",
+    "jaccard",
+)
+def q53_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production near-dup pipeline: MinHash-LSH candidate
+    generation (q46) -> exact Jaccard verification ONLY on candidates
+    -> threshold 0.9. This is how exact-quality dedup scales: the
+    quadratic verify runs on the LSH-filtered pair set instead of the
+    corpus square (q45's bounded slice is the unfiltered baseline)."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+    bands = _lsh_bands(spark, sf_dir)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ta, tb = tok.alias("ta"), tok.alias("tb")
+    inter = (
+        cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
+        .join(
+            tb,
+            (F.col("tb.doc_id") == F.col("doc_b"))
+            & (F.col("tb.token") == F.col("ta.token")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.9)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 # =========================================================================
 # Similarity search over embeddings (north-star; SURVEY §7)
 # =========================================================================

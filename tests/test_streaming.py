@@ -199,3 +199,94 @@ def test_foreach_batch_upsert_idempotent(spark, tmp_path, jobs_json_dir):
     q2 = start_upsert_stream(stream, sink, str(tmp_path / "c2"), key="job_title")
     q2.awaitTermination(120)
     assert spark.read.parquet(sink).count() == n1
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data semantics, as Spark actually guarantees them: a late
+    row arriving AFTER its window's state was evicted (watermark
+    passed the window end and the append-mode result was emitted) is
+    dropped — the finalized window is emitted exactly once and never
+    reopened. (A late row whose window state still exists is merged;
+    eviction happens at end-of-batch.)"""
+    import datetime
+    import glob as _glob
+    import time as _time
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+
+    def row(i, hour, minute):
+        return (i, datetime.datetime(2024, 1, 1, hour, minute), 1, "click", 1.0, "{}")
+
+    def write_one(rows, name):
+        tmp = tmp_path / f"_stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp))
+        part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.copy(part, src_dir / f"{name}.parquet")
+
+    # f1 seeds the 00:00 window and pushes event time to 10:00;
+    # f2 advances the watermark past 01:00 -> 00:00 window emitted
+    # and evicted; f3 is a late replay into the evicted window;
+    # f4 advances time again so any (wrong) reopened state would emit.
+    write_one([row(1, 0, 10), row(2, 0, 20), row(3, 10, 0)], "f1")
+    _time.sleep(1.1)
+    write_one([row(4, 12, 0)], "f2")
+    _time.sleep(1.1)
+    write_one([row(5, 0, 40)], "f3")
+    _time.sleep(1.1)
+    write_one([row(6, 14, 0)], "f4")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("ws"), "cnt")
+    )
+    sink = str(tmp_path / "out")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark") or 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    rows = spark.read.parquet(sink).collect()
+    h0 = datetime.datetime(2024, 1, 1, 0, 0)
+    emitted_h0 = [r for r in rows if r["ws"] == h0]
+    assert len(emitted_h0) == 1, rows  # finalized window emitted exactly once
+    assert emitted_h0[0]["cnt"] == 2, rows  # late replay not merged
+    assert dropped >= 1  # the engine reported the watermark drop
