@@ -20,9 +20,6 @@ TYPE_MAP = {
     "timestamp": {"TIMESTAMP"},
     "boolean": {"BOOLEAN"},
     "date": {"DATE"},
-    "array<string>": {"VARCHAR[]"},
-    "array<bigint>": {"BIGINT[]"},
-    "array<int>": {"INTEGER[]"},
 }
 
 
@@ -44,6 +41,12 @@ def test_all_oracle_dtypes_align(spark):
             rel = con.sql(spec.oracle)
             dd = dict(zip(rel.columns, [str(t) for t in rel.types]))
             for c, st in sd.items():
+                if st.startswith(("array<", "map<", "struct<")):
+                    # The external gate's pandas canonicalizer cannot
+                    # sort nested values (unhashable) — serialize with
+                    # array_join/to_json before returning.
+                    mismatches.append(f"{name}.{c}: nested type {st} in oracle query")
+                    continue
                 allowed = TYPE_MAP.get(st)
                 if allowed is None:
                     mismatches.append(f"{name}.{c}: unmapped spark type {st}")
