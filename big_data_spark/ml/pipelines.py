@@ -24,21 +24,87 @@ from pyspark.ml.feature import (
     IDF,
     CountVectorizer,
     HashingTF,
+    Normalizer,
     OneHotEncoder,
     RegexTokenizer,
     StandardScaler,
     StopWordsRemover,
     StringIndexer,
+    Tokenizer,
     VectorAssembler,
     Word2Vec,
 )
 from pyspark.ml.classification import LogisticRegression
 from pyspark.ml.regression import GBTRegressor, RandomForestRegressor
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .features import CLUSTERING_FEATURES
 
 SEED = 42
+
+# Vietnamese stop-word lists recovered verbatim from the ghost-pipeline
+# artifacts (models/*/stages/05_StopWordsRemover_*/metadata) — each
+# saved model pins its own list.
+VN_STOP_WORDS_LR = [  # job_attractiveness_lr_v1 (22 words)
+    "của", "và", "các", "có", "làm", "tại", "trong", "được", "với", "là",
+    "người", "những", "cho", "về", "nhân viên", "công ty", "tuyển",
+    "lương", "tháng", "mô tả", "yêu cầu", "chi nhánh",
+]
+VN_STOP_WORDS_GBT = [  # gbt_salary_model (23 words)
+    "của", "và", "các", "có", "làm", "tại", "trong", "được", "với", "là",
+    "người", "nhân viên", "công ty", "tuyển", "hcm", "hn", "lương",
+    "tháng", "yêu cầu", "mô tả", "chi nhánh", "trách nhiệm", "quyền lợi",
+]
+
+# Stage-08 assembler inputs, shared by every ghost pipeline
+# (models/gbt_salary_model/stages/08_VectorAssembler_*/metadata).
+GHOST_FEATURE_COLS = ["experience_years", "city_vec", "pos_vec", "text_vec"]
+
+
+def ghost_prep_stages(stop_words: list[str]) -> list:
+    """Stages 00-08 shared by the ghost pipelines
+    (job_attractiveness_lr_v1 / job_attractiveness_v1 /
+    gbt_salary_model all persist this exact prep chain —
+    models/gbt_salary_model/stages/00_-08_*/metadata): indexed+one-hot
+    city and position_level, tokenized full_text_features with a
+    Vietnamese stop-word filter, 3000-bucket hashed TF-IDF, assembled
+    with experience_years."""
+    return [
+        StringIndexer(inputCol="city", outputCol="city_idx", handleInvalid="keep"),
+        OneHotEncoder(inputCols=["city_idx"], outputCols=["city_vec"]),
+        StringIndexer(
+            inputCol="position_level", outputCol="pos_idx", handleInvalid="keep"
+        ),
+        OneHotEncoder(inputCols=["pos_idx"], outputCols=["pos_vec"]),
+        Tokenizer(inputCol="full_text_features", outputCol="words_raw"),
+        StopWordsRemover(
+            inputCol="words_raw", outputCol="words_clean", stopWords=list(stop_words)
+        ),
+        HashingTF(inputCol="words_clean", outputCol="tf_features", numFeatures=3000),
+        IDF(inputCol="tf_features", outputCol="text_vec"),
+        VectorAssembler(inputCols=GHOST_FEATURE_COLS, outputCol="features"),
+    ]
+
+
+def with_ghost_text_features(featured: DataFrame) -> DataFrame:
+    """Adds the ghost pipelines' input columns to a job_features frame:
+    full_text_features (F19 concat_ws text assembly consumed by
+    Tokenizer.inputCol, models/gbt_salary_model/stages/04_*/metadata)
+    and experience_years / avg_salary aliases."""
+    return (
+        featured.withColumn(
+            "full_text_features",
+            F.concat_ws(
+                " ",
+                F.coalesce(F.col("job_title"), F.lit("")),
+                F.coalesce(F.col("skills"), F.lit("")),
+                F.coalesce(F.col("job_fields"), F.lit("")),
+            ),
+        )
+        .withColumn("experience_years", F.col("exp_final").cast("double"))
+        .withColumn("avg_salary", F.col("salary_final").cast("double"))
+    )
 
 
 @dataclass
@@ -123,8 +189,23 @@ def fit_salary_rf(
     from .features import RF_FEATURES
 
     feature_cols = feature_cols or RF_FEATURES
+    prep_stages: list = []
     if adaptive:
         n_trees, depth = adaptive_rf_params(featured.count())
+        # The bytecode-only trainer (ml_train_from_cassandra_pyspark
+        # .pyc:215) StringIndexes all four string categoricals with
+        # handleInvalid="keep" and feeds the indices to the RF (M11).
+        cat_cols = ["city", "job_type", "position_level", "experience"]
+        for c in cat_cols:
+            if c not in featured.columns:
+                featured = featured.withColumn(c, F.lit(""))
+        prep_stages = [
+            StringIndexer(
+                inputCol=c, outputCol=f"{c}_cat_idx", handleInvalid="keep"
+            )
+            for c in cat_cols
+        ]
+        feature_cols = feature_cols + [f"{c}_cat_idx" for c in cat_cols]
     else:
         n_trees, depth = 100, 10
     assembler = VectorAssembler(inputCols=feature_cols, outputCol="features_raw")
@@ -140,7 +221,7 @@ def fit_salary_rf(
         seed=SEED,
     )
     train, test = featured.randomSplit([0.8, 0.2], seed=SEED)
-    model = Pipeline(stages=[assembler, scaler, rf]).fit(train)
+    model = Pipeline(stages=[*prep_stages, assembler, scaler, rf]).fit(train)
     pred = model.transform(test)
     metrics = _regression_metrics(pred, "salary_final")
     rf_model = model.stages[-1]
@@ -149,65 +230,73 @@ def fit_salary_rf(
 
 
 def fit_attractiveness_lr(featured: DataFrame) -> FitResult:
-    """Ghost-pipeline reconstruction (M11-M14, M17): indexed/encoded
-    categoricals + tokenized text -> TF-IDF -> LogisticRegression
-    (stage params recovered from models/job_attractiveness_lr_v1 and
-    gbt_salary_model metadata)."""
-    from pyspark.sql import functions as F
+    """Ghost-pipeline reconstruction (M11-M14, M17): the exact
+    10-stage job_attractiveness_lr_v1 chain —
+    StringIndexer(city)+OHE, StringIndexer(position_level)+OHE,
+    Tokenizer/StopWordsRemover(22-word VN list)/HashingTF(3000)/IDF,
+    VectorAssembler([experience_years, city_vec, pos_vec, text_vec]),
+    LogisticRegression(label=is_attractive, regParam=0.01,
+    elasticNetParam=0.8) — stage params verbatim from
+    models/job_attractiveness_lr_v1/stages/00_-09_*/metadata."""
+    from .features import attractiveness_rule
 
-    df = featured.withColumn(
-        "full_text_features",
-        F.concat_ws(
-            " ",
-            F.coalesce(F.col("job_title"), F.lit("")),
-            F.coalesce(F.col("skills"), F.lit("")),
-            F.coalesce(F.col("job_fields"), F.lit("")),
-        ),
-    ).withColumn(
-        "is_hot",
-        F.when(
-            ((F.col("salary_final") >= 15) & (F.col("exp_final") <= 2))
-            | (F.col("salary_final") >= 30),
-            1.0,
-        ).otherwise(0.0),
-    )
-    city_idx = StringIndexer(
-        inputCol="city", outputCol="city_idx", handleInvalid="keep"
-    )
-    city_vec = OneHotEncoder(inputCol="city_idx", outputCol="city_vec")
-    tokenizer = RegexTokenizer(
-        inputCol="full_text_features", outputCol="tokens", pattern=r"\s+"
-    )
-    stop = StopWordsRemover(
-        inputCol="tokens",
-        outputCol="tokens_clean",
-        stopWords=["của", "và", "lương", "tháng", "the", "a", "an"],
-    )
-    tf = HashingTF(inputCol="tokens_clean", outputCol="tf", numFeatures=3000)
-    idf = IDF(inputCol="tf", outputCol="text_vec")
-    assembler = VectorAssembler(
-        inputCols=["salary_final", "exp_final", "city_vec", "text_vec"],
-        outputCol="features",
+    df = with_ghost_text_features(featured).withColumn(
+        "is_attractive",
+        attractiveness_rule(F.col("salary_final"), F.col("exp_final")),
     )
     lr = LogisticRegression(
-        labelCol="is_hot", featuresCol="features", regParam=0.01, elasticNetParam=0.8
+        labelCol="is_attractive",
+        featuresCol="features",
+        regParam=0.01,
+        elasticNetParam=0.8,
     )
-    model = Pipeline(
-        stages=[city_idx, city_vec, tokenizer, stop, tf, idf, assembler, lr]
-    ).fit(df)
+    model = Pipeline(stages=[*ghost_prep_stages(VN_STOP_WORDS_LR), lr]).fit(df)
     pred = model.transform(df)
-    from pyspark.sql import functions as F2
-
     acc = pred.select(
-        F2.avg((F2.col("prediction") == F2.col("is_hot")).cast("double")).alias("a")
+        F.avg((F.col("prediction") == F.col("is_attractive")).cast("double")).alias("a")
     ).first()["a"]
     return FitResult(model, pred, {"accuracy": acc})
+
+
+def fit_gbt_salary(featured: DataFrame, max_iter: int = 100) -> FitResult:
+    """Text-features GBT salary model (M18): the gbt_salary_model
+    ghost pipeline — shared 9-stage prep (23-word VN stop list) +
+    GBTRegressor(label=avg_salary, maxIter=100, maxDepth=8,
+    stepSize=0.05), matching
+    models/gbt_salary_model/stages/00_-09_*/metadata (saved model
+    reports numFeatures=3489 = 1 + |city|+1 + |pos|+1 + 3000).
+    max_iter is a knob so tests stay fast; the reference value 100 is
+    the default."""
+    df = with_ghost_text_features(featured)
+    gbt = GBTRegressor(
+        labelCol="avg_salary",
+        featuresCol="features",
+        maxIter=max_iter,
+        maxDepth=8,
+        stepSize=0.05,
+        seed=SEED,
+    )
+    train, test = df.randomSplit([0.8, 0.2], seed=SEED)
+    model = Pipeline(stages=[*ghost_prep_stages(VN_STOP_WORDS_GBT), gbt]).fit(train)
+    pred = model.transform(test)
+    return FitResult(model, pred, _regression_metrics(pred, "avg_salary"))
+
+
+def regex_tokenize(df: DataFrame, input_col: str, output_col: str = "tokens") -> DataFrame:
+    """Whitespace RegexTokenizer (M19) — the reference's tokenizer for
+    the skills-recommendation corpus (ml_skills_recommendation.pyc
+    header imports RegexTokenizer alongside Normalizer)."""
+    return RegexTokenizer(
+        inputCol=input_col, outputCol=output_col, pattern=r"\s+"
+    ).transform(df)
 
 
 def fit_skill_word2vec(token_df: DataFrame, vector_size: int = 50) -> FitResult:
     """Word2Vec skill embeddings (M15): vectorSize=100, minCount=5,
     windowSize=10 in the reference (ml_skills_recommendation.pyc:66);
-    vector_size is a knob so tests run fast."""
+    vector_size is a knob so tests run fast. Embeddings are
+    L2-normalized (M19 Normalizer, same .pyc header import) so cosine
+    similarity reduces to a dot product downstream."""
     w2v = Word2Vec(
         vectorSize=vector_size,
         minCount=5,
@@ -216,7 +305,8 @@ def fit_skill_word2vec(token_df: DataFrame, vector_size: int = 50) -> FitResult:
         outputCol="doc_vec",
         seed=SEED,
     )
-    model = w2v.fit(token_df)
+    norm = Normalizer(inputCol="doc_vec", outputCol="doc_vec_norm", p=2.0)
+    model = Pipeline(stages=[w2v, norm]).fit(token_df)
     return FitResult(model, model.transform(token_df), {})
 
 

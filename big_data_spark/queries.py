@@ -2266,7 +2266,7 @@ def m04_similar_tokens_w2v(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split("text", " ").alias("tokens")
     )
     res = fit_skill_word2vec(docs, vector_size=16)
-    return res.model.findSynonyms("table", 5).select(
+    return res.model.stages[0].findSynonyms("table", 5).select(
         "word", F.round("similarity", 4).alias("similarity")
     )
 

@@ -13,8 +13,11 @@ from pyspark.sql import functions as F
 from big_data_spark.fixtures import synthetic_postings
 from big_data_spark.ml.features import attractiveness_rule, job_features
 from big_data_spark.ml.pipelines import (
+    VN_STOP_WORDS_GBT,
+    VN_STOP_WORDS_LR,
     adaptive_rf_params,
     fit_attractiveness_lr,
+    fit_gbt_salary,
     fit_job_clustering,
     fit_salary_rf,
     fit_skill_hot_gbt,
@@ -94,6 +97,48 @@ def test_attractiveness_rule_and_lr(featured):
     sample = labeled.limit(2000)
     res = fit_attractiveness_lr(sample)
     assert res.metrics["accuracy"] > 0.85, res.metrics
+    # Exact 10-stage ghost-pipeline structure
+    # (models/job_attractiveness_lr_v1/stages/00_-09_*/metadata)
+    names = [type(s).__name__ for s in res.model.stages]
+    assert names == [
+        "StringIndexerModel", "OneHotEncoderModel", "StringIndexerModel",
+        "OneHotEncoderModel", "Tokenizer", "StopWordsRemover",
+        "HashingTF", "IDFModel", "VectorAssembler", "LogisticRegressionModel",
+    ], names
+    stop = res.model.stages[5]
+    assert stop.getStopWords() == VN_STOP_WORDS_LR
+    assert len(VN_STOP_WORDS_LR) == 22
+    assert res.model.stages[6].getNumFeatures() == 3000
+    assert res.model.stages[8].getInputCols() == [
+        "experience_years", "city_vec", "pos_vec", "text_vec",
+    ]
+    lr_stage = res.model.stages[9]
+    assert lr_stage.getRegParam() == 0.01 and lr_stage.getElasticNetParam() == 0.8
+
+
+def test_gbt_salary_ghost_pipeline(featured):
+    # M18: gbt_salary_model reconstruction — full stage list + params
+    # (models/gbt_salary_model/stages/00_-09_*/metadata). max_iter
+    # lowered from the reference's 100 to keep the test fast; the
+    # persisted param default is asserted separately.
+    res = fit_gbt_salary(featured.limit(1500), max_iter=20)
+    names = [type(s).__name__ for s in res.model.stages]
+    assert names == [
+        "StringIndexerModel", "OneHotEncoderModel", "StringIndexerModel",
+        "OneHotEncoderModel", "Tokenizer", "StopWordsRemover",
+        "HashingTF", "IDFModel", "VectorAssembler", "GBTRegressionModel",
+    ], names
+    assert res.model.stages[5].getStopWords() == VN_STOP_WORDS_GBT
+    assert len(VN_STOP_WORDS_GBT) == 23
+    gbt = res.model.stages[9]
+    assert gbt.getMaxDepth() == 8 and gbt.getStepSize() == 0.05
+    # reference default is the published maxIter=100
+    import inspect
+
+    assert inspect.signature(fit_gbt_salary).parameters["max_iter"].default == 100
+    # assembled width = 1 + (|city|+1) + (|pos|+1) + 3000 hashing buckets
+    assert gbt.numFeatures > 3000
+    assert res.metrics["rmse"] > 0 and res.metrics["r2"] > -1.0, res.metrics
 
 
 def test_word2vec_and_lda(spark):
@@ -101,8 +146,11 @@ def test_word2vec_and_lda(spark):
         "doc_id", F.split("text", " ").alias("tokens")
     )
     w2v = fit_skill_word2vec(docs, vector_size=16)
-    syns = w2v.model.findSynonyms("table", 3).collect()
+    syns = w2v.model.stages[0].findSynonyms("table", 3).collect()
     assert len(syns) == 3
+    # M19 Normalizer: doc vectors are L2-normalized for cosine use
+    vec = w2v.predictions.select("doc_vec_norm").first()[0]
+    assert math.isclose(float(vec.norm(2)), 1.0, rel_tol=1e-6)
     lda = fit_topic_lda(docs, k=5, max_iter=10)
     assert lda.metrics["log_perplexity"] > 0
     topics = lda.model.stages[-1].describeTopics(5)

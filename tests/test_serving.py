@@ -37,7 +37,10 @@ def test_clamp_golden(raw, pos, is_it, want):
 def test_single_row_inference_roundtrip(spark, tmp_path):
     clean = clean_job_postings(synthetic_postings(spark, 1500), deterministic_id=True)
     featured = job_features(clean)
-    res = fit_salary_rf(featured, adaptive=True)
+    # non-adaptive = the 16-numeric-feature model streamlit serves
+    # (the adaptive Cassandra-trainer variant adds StringIndexed
+    # categoricals and is exercised in test_ml)
+    res = fit_salary_rf(featured, adaptive=False)
     path = str(tmp_path / "salary_rf")
     res.model.write().overwrite().save(path)
 
