@@ -51,15 +51,16 @@ def write_parquet(
     """Parquet sink (S5 overwrite / S6 append).
 
     ``partition_by`` buys partition pruning for every downstream
-    reader; ``target_file_rows`` repartitions so each output file has
-    a sane size (the small-files problem is the #1 operational issue
-    of high-frequency appends at scale).
+    reader; ``target_file_rows`` caps rows per output file via
+    ``spark.sql.files.maxRecordsPerFile`` so file sizes stay sane (the
+    small-files problem is the #1 operational issue of high-frequency
+    appends at scale). The conf-based cap is a per-write option on the
+    writer — unlike a count()-based repartition it adds no extra
+    evaluation of the input plan and no shuffle.
     """
-    out = df
+    writer = df.write.mode(mode)
     if target_file_rows:
-        n = max(1, df.count() // target_file_rows)
-        out = df.repartition(n, *(partition_by or []))
-    writer = out.write.mode(mode)
+        writer = writer.option("maxRecordsPerFile", target_file_rows)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)

@@ -40,6 +40,33 @@ def read_postings_stream(spark: SparkSession, source_dir: str, fmt: str = "json"
     )
 
 
+def read_postings_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int = 1000,
+) -> DataFrame:
+    """Real Kafka source (S1, job_streaming.py:47-53): value bytes ->
+    from_json with the posting schema (S2) -> same downstream pipeline
+    as the file stand-in. Needs the spark-sql-kafka connector on the
+    classpath and a reachable broker; the env-gated smoke test
+    exercises this path when KAFKA_BOOTSTRAP is set and otherwise
+    pins the config-swap shape up to the connector boundary.
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+        .load()
+    )
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), JOB_POSTING_RAW_SCHEMA).alias("j")
+    ).select("j.*")
+
+
 def stream_clean_postings(
     spark: SparkSession,
     source_dir: str,

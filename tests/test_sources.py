@@ -70,3 +70,18 @@ def test_csv_single_file_export(spark, tmp_path):
     parts = glob.glob(f"{out}/part-*.csv")
     assert len(parts) == 1  # coalesce(1): exactly one part file (S9)
     assert open(parts[0]).readline().startswith("job_title")
+
+
+def test_write_parquet_target_file_rows(spark, tmp_path):
+    """maxRecordsPerFile splits output without re-evaluating the plan
+    (the old count()-based repartition ran the input twice)."""
+    import glob
+
+    from big_data_spark.sources.io import write_parquet
+
+    df = spark.range(1000).coalesce(1)
+    out = str(tmp_path / "sized")
+    write_parquet(df, out, target_file_rows=100)
+    files = glob.glob(f"{out}/*.parquet")
+    assert len(files) >= 10  # 1000 rows / 100-row cap
+    assert spark.read.parquet(out).count() == 1000

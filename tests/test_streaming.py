@@ -290,3 +290,56 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert len(emitted_h0) == 1, rows  # finalized window emitted exactly once
     assert emitted_h0[0]["cnt"] == 2, rows  # late replay not merged
     assert dropped >= 1  # the engine reported the watermark drop
+
+
+def test_upsert_probe_prunes_to_touched_buckets(spark, tmp_path, jobs_json_dir):
+    """The existing-keys probe must read only the key buckets the
+    batch touches — a partition filter on _kb, not a full sink scan
+    (the unbucketed design re-scanned every key ever landed)."""
+    from big_data_spark.plans import formatted_plan
+    from big_data_spark.schemas import JOB_POSTING_RAW_SCHEMA
+    from big_data_spark.streaming.sinks import (
+        pruned_existing_keys,
+        start_upsert_stream,
+        touched_key_buckets,
+    )
+
+    stream = (
+        spark.readStream.schema(JOB_POSTING_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(jobs_json_dir)
+    )
+    sink = str(tmp_path / "sink")
+    q = start_upsert_stream(stream, sink, str(tmp_path / "c1"), key="job_title")
+    q.awaitTermination(120)
+
+    batch = spark.read.schema(JOB_POSTING_RAW_SCHEMA).json(jobs_json_dir).limit(2)
+    buckets = touched_key_buckets(batch, "job_title", 64)
+    assert 0 < len(buckets) <= 2
+    probe = pruned_existing_keys(spark, sink, "job_title", buckets)
+    plan = formatted_plan(probe)
+    # _kb is a partition column and the isin filter lands as a
+    # partition filter -> untouched bucket dirs are never opened
+    assert "PartitionFilters" in plan and "_kb" in plan.split("PartitionFilters", 1)[1]
+    # probe returns only keys from the touched buckets
+    all_kb = spark.read.parquet(sink).select("_kb").distinct().count()
+    assert all_kb > len(buckets)  # sink spans more buckets than the probe reads
+
+
+def test_kafka_source_config_swap(spark):
+    """S1: the Kafka source is a config swap on the same pipeline.
+    With a broker (KAFKA_BOOTSTRAP set) this builds and starts the
+    real source; without one, the builder must fail at the connector
+    boundary — i.e. the swap path is syntactically exercised all the
+    way to format('kafka').load()."""
+    import os
+
+    from big_data_spark.streaming import read_postings_kafka
+
+    bootstrap = os.environ.get("KAFKA_BOOTSTRAP")
+    if bootstrap:
+        df = read_postings_kafka(spark, bootstrap, "job_postings")
+        assert df.isStreaming and "job_title" in df.columns
+    else:
+        with pytest.raises(Exception, match="(?i)kafka"):
+            read_postings_kafka(spark, "localhost:9092", "job_postings")
