@@ -31,6 +31,21 @@ def l2_norm(a: Column) -> Column:
     )
 
 
+def l2_sq(a: Column, b: Column) -> Column:
+    """Squared Euclidean distance of two array<numeric> columns
+    (JVM-side fold in array order — deterministic, no shuffle)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity of two array columns.
 

@@ -37,7 +37,7 @@ from .fixtures import (
     multi_values_clause,
     values_clause,
 )
-from .functions import cosine_similarity, minhash, minhash_slices, shingles
+from .functions import cosine_similarity, l2_sq, minhash, minhash_slices, shingles
 from .operators.job_etl import (
     EXPERIENCE_ORACLE_SQL,
     JOBS_ETL_ORACLE_SQL,
@@ -1729,6 +1729,93 @@ def q47_lsh_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q66_lsh_dedup_components",
+    """
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents
+    ), th AS (
+      SELECT doc_id, md5(token) AS h FROM tok
+    ), sig AS (
+      SELECT doc_id,
+             md5(MIN(substring(h, 1, 8)) || MIN(substring(h, 9, 8))) AS band0,
+             md5(MIN(substring(h, 17, 8)) || MIN(substring(h, 25, 8))) AS band1
+      FROM th GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, 0 AS band_idx, band0 AS band FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band_idx, band1 AS band FROM sig
+    ), reps AS (
+      SELECT band_idx, band, MIN(doc_id) AS rep
+      FROM bands GROUP BY band_idx, band
+    ), dr AS (
+      SELECT DISTINCT b.doc_id AS a, r.rep AS b
+      FROM bands b JOIN reps r ON b.band_idx = r.band_idx AND b.band = r.band
+    ), edges AS (
+      SELECT a, b FROM dr UNION SELECT b AS a, a AS b FROM dr
+    ), reach AS (
+      SELECT DISTINCT doc_id, doc_id AS r FROM bands
+      UNION
+      SELECT e.a AS doc_id, reach.r
+      FROM edges e JOIN reach ON reach.doc_id = e.b
+    )
+    SELECT doc_id, MIN(r) AS rep,
+           CASE WHEN doc_id = MIN(r) THEN 1 ELSE 0 END AS is_kept
+    FROM reach GROUP BY doc_id
+    """,
+    "dedup",
+    "lsh",
+    "iterative",
+)
+def q66_lsh_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q47 taken to its fixpoint: true connected components over the
+    docs-share-a-band graph, so chains (A~B via band0, B~C via band1)
+    collapse to ONE representative — q47's single min-propagation
+    round can keep several members of such a chain. Implemented as
+    iterative label propagation on the bipartite doc↔band graph
+    (labels flow doc -> band-min -> doc each round; converges in
+    O(component diameter) rounds, each round two hash-shuffles linear
+    in docs x bands — never materializes doc-doc pairs, so bucket
+    skew cannot go quadratic). The oracle replays it as a recursive
+    CTE over connectivity-preserving star edges (doc -> band rep).
+    """
+    bands = _lsh_bands(spark, sf_dir).cache()
+    labels = bands.select("doc_id").distinct().withColumn("label", F.col("doc_id"))
+    for _ in range(50):
+        bmin = (
+            bands.join(labels, "doc_id")
+            .groupBy("band_idx", "band")
+            .agg(F.min("label").alias("bmin"))
+        )
+        doc_min = (
+            bands.join(bmin, ["band_idx", "band"])
+            .groupBy("doc_id")
+            .agg(F.min("bmin").alias("nl"))
+        )
+        merged = labels.join(doc_min, "doc_id").select(
+            "doc_id",
+            "label",
+            F.least(F.col("label"), F.col("nl")).alias("new_label"),
+        )
+        new_labels = merged.select(
+            "doc_id", F.col("new_label").alias("label")
+        ).cache()
+        changed = (
+            merged.filter(F.col("new_label") != F.col("label")).limit(1).count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    bands.unpersist()
+    return labels.select(
+        F.col("doc_id"),
+        F.col("label").alias("rep"),
+        F.when(F.col("doc_id") == F.col("label"), 1).otherwise(0).alias("is_kept"),
+    )
+
+
+@register(
     "q48_simhash_signatures",
     """
     WITH tok AS (
@@ -2037,6 +2124,150 @@ def q61_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q64_ivf_ann",
+    """
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    exp_e AS (
+      SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings WHERE vec_id >= 8
+    ),
+    exp_c AS (
+      SELECT cid, unnest(cv)::DOUBLE AS c, generate_subscripts(cv, 1) AS pos
+      FROM cent
+    ),
+    d2 AS (
+      SELECT e.vec_id, c.cid, ROUND(SUM((e.v - c.c) * (e.v - c.c)), 6) AS d
+      FROM exp_e e JOIN exp_c c USING (pos) GROUP BY e.vec_id, c.cid
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d2
+      ) WHERE rn = 1
+    ),
+    qd AS (
+      SELECT c.cid, ROUND(SUM((c.c - qx.v) * (c.c - qx.v)), 6) AS d
+      FROM exp_c c JOIN (
+        SELECT unnest(qv)::DOUBLE AS v, generate_subscripts(qv, 1) AS pos FROM q
+      ) qx USING (pos)
+      GROUP BY c.cid
+    ),
+    probe AS (SELECT cid FROM qd ORDER BY d, cid LIMIT 2),
+    sims AS (
+      SELECT x.vec_id, ANY_VALUE(x.label) AS label,
+             SUM(x.a * x.b) / (sqrt(SUM(x.a * x.a)) * sqrt(SUM(x.b * x.b))) AS cos
+      FROM (
+        SELECT e.vec_id, e.label,
+               unnest(e.embedding)::DOUBLE AS a, unnest(q.qv)::DOUBLE AS b
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id IN (
+          SELECT a.vec_id FROM assign a JOIN probe p ON a.cid = p.cid
+        )
+      ) x GROUP BY x.vec_id
+    )
+    SELECT vec_id, label, ROUND(cos, 6) AS cosine
+    FROM sims ORDER BY ROUND(cos, 6) DESC, vec_id LIMIT 10
+    """,
+    "similarity",
+    "ann",
+)
+def q64_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN probe, oracle-checkable end to end: coarse
+    quantizer -> inverted-list assignment -> nprobe=2 probe -> exact
+    top-k inside the probed lists only. Centroids here are a
+    deterministic first-K seeding (vec_id < 8) so DuckDB can replay
+    the exact index; the production variant swaps in KMeans centroids
+    (operators/similarity.py IVFIndex) with identical plumbing. At
+    scale the assignment is a broadcast join + per-row argmin (no
+    shuffle), candidates are partition-pruned by list id, and only
+    ~nprobe/K of the corpus is scanned per query."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    vecs = emb.filter(F.col("vec_id") >= 8)
+    pairs = vecs.join(F.broadcast(cent)).withColumn(
+        "d", F.round(l2_sq(F.col("embedding"), F.col("cv")), 6)
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "cid")
+    assign = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "embedding", "cid")
+    )
+    qd = cent.join(F.broadcast(qv)).withColumn(
+        "d", F.round(l2_sq(F.col("cv"), F.col("qv")), 6)
+    )
+    probe = qd.orderBy("d", "cid").limit(2).select("cid")
+    return (
+        assign.join(F.broadcast(probe), "cid")
+        .join(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "q65_bucketed_segment_orders",
+    """
+    SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    "join",
+    "bucketing",
+)
+def q65_bucketed_segment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-bucketed fact⋈dim join: both sides are written
+    bucketBy(8, key) so the join planning needs NO exchange on either
+    side (asserted zero-shuffle in tests/test_bucketing.py) — the
+    100-TB strategy for repeated joins on one key. External table
+    locations live under /tmp so the query is self-contained under
+    any caller session; results are identical to the plain join the
+    oracle runs."""
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    base = tempfile.mkdtemp(prefix="bds_bucketed_")
+    for name, df in (("bds_orders_b", o), ("bds_customer_b", c)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .option("path", f"{base}/{name}")
+            .bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .saveAsTable(name)
+        )
+    ob = spark.table("bds_orders_b")
+    cb = spark.table("bds_customer_b")
+    return (
+        ob.join(cb, "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dsum(F.col("o_totalprice"), "revenue", 2),
+        )
+    )
+
+
 # =========================================================================
 # Recommender query flows (SURVEY §3.4) and ML entries (§2.10).
 # m-prefixed queries have no SQL oracle (iterative MLlib fits) -> the
@@ -2307,9 +2538,8 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q39_customer_order_lists",
     "q50_cube_type_size",
     "q70_shipping_priority",
-    "q71_forecast_revenue",
-    "q72_priority_shipmode",
     "q73_promo_revenue_share",
+    "q65_bucketed_segment_orders",
     # -- ETL / domain chains --
     "q32_job_etl_full",
     "q33_skill_hot_scores",
@@ -2325,6 +2555,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q44_minhash_signatures",
     "q46_lsh_candidate_pairs",
     "q47_lsh_dedup_groups",
+    "q66_lsh_dedup_components",
     "q48_simhash_signatures",
     "q49_bpe_token_stats",
     "q52_shingle_stats",
@@ -2334,9 +2565,12 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q61_centroid_distance",
     "q62_embedding_near_dup",
     "q63_embedding_sign_buckets",
+    "q64_ivf_ann",
     "q35_skill_match_scores",
-    "q34_top_skills_per_city",
     # ---- window boundary (position 50) ----
+    "q34_top_skills_per_city",
+    "q71_forecast_revenue",
+    "q72_priority_shipmode",
     "m01_kmeans_embedding_clusters",
     "m02_skill_hot_gbt_top",
     "m04_similar_tokens_w2v",

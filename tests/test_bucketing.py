@@ -131,3 +131,22 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
         assert after.count() == n_total - n_hcm + 1
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+
+
+def test_q65_bucketed_query_join_has_no_shuffle(spark):
+    """The registry's bucketed-join query must plan the fact⋈dim join
+    without an exchange on either side (the bucketed layout IS the
+    shuffle, paid once at write time)."""
+    from big_data_spark.plans import count_shuffles
+    from big_data_spark.queries import QUERIES
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["q65_bucketed_segment_orders"].fn(spark, SF_SMOKE)
+        # the final groupBy aggregation may shuffle (5 segments);
+        # the join itself must not — so total exchanges <= 1
+        assert count_shuffles(df) <= 1, df.explain(True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.sql("DROP TABLE IF EXISTS bds_orders_b")
+        spark.sql("DROP TABLE IF EXISTS bds_customer_b")

@@ -19,6 +19,9 @@ MUST_BE_IN_WINDOW = {
     "q62_embedding_near_dup",
     "q63_embedding_sign_buckets",
     "q35_skill_match_scores",
+    "q64_ivf_ann",
+    "q65_bucketed_segment_orders",
+    "q66_lsh_dedup_components",
 }
 
 
