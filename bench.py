@@ -34,7 +34,9 @@ BENCH_QUERIES = [
     "q40_token_hot_score",
     "q43_fingerprint_dedup",
     "q47_lsh_dedup_groups",
+    "q66_lsh_dedup_components",
     "q60_cosine_topk",
+    "q64_ivf_ann",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

@@ -1779,7 +1779,12 @@ def q66_lsh_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew cannot go quadratic). The oracle replays it as a recursive
     CTE over connectivity-preserving star edges (doc -> band rep).
     """
-    bands = _lsh_bands(spark, sf_dir).cache()
+    # localCheckpoint (eager) after every round: truncates the lineage
+    # so iteration i never re-evaluates rounds 0..i-1, and one cached
+    # `merged` serves both the convergence probe and the next round's
+    # input — without it the loop recomputes the whole history each
+    # round (measured 20x slower at sf0.1).
+    bands = _lsh_bands(spark, sf_dir).localCheckpoint(eager=True)
     labels = bands.select("doc_id").distinct().withColumn("label", F.col("doc_id"))
     for _ in range(50):
         bmin = (
@@ -1792,22 +1797,36 @@ def q66_lsh_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.min("bmin").alias("nl"))
         )
-        merged = labels.join(doc_min, "doc_id").select(
+        prop = labels.join(doc_min, "doc_id").select(
             "doc_id",
             "label",
             F.least(F.col("label"), F.col("nl")).alias("new_label"),
         )
-        new_labels = merged.select(
-            "doc_id", F.col("new_label").alias("label")
-        ).cache()
+        # pointer jump (label <- label's label): squares the distance
+        # covered per round, so rounds ~ log2(diameter) instead of
+        # diameter. Exact — the propagation fixpoint test below is
+        # unaffected (jumping never changes a converged labeling).
+        x, y = prop.alias("x"), prop.select(
+            F.col("doc_id").alias("p_doc"), F.col("new_label").alias("p_label")
+        ).alias("y")
+        merged = (
+            x.join(y, F.col("x.new_label") == F.col("y.p_doc"), "left")
+            .select(
+                F.col("x.doc_id").alias("doc_id"),
+                F.col("x.label").alias("label"),
+                F.least(
+                    F.col("x.new_label"),
+                    F.coalesce(F.col("y.p_label"), F.col("x.new_label")),
+                ).alias("new_label"),
+            )
+            .localCheckpoint(eager=True)
+        )
         changed = (
             merged.filter(F.col("new_label") != F.col("label")).limit(1).count()
         )
-        labels.unpersist()
-        labels = new_labels
+        labels = merged.select("doc_id", F.col("new_label").alias("label"))
         if changed == 0:
             break
-    bands.unpersist()
     return labels.select(
         F.col("doc_id"),
         F.col("label").alias("rep"),
