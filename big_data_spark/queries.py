@@ -1652,11 +1652,16 @@ def q46_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, band_idx, band) — 4 md5-minhashes folded into 2 bands.
 
-    Shared by q46 (pair enumeration) and q47 (scalable dedup
+    Shared by q46 (pair enumeration) and q47/q66 (scalable dedup
     grouping). Stacking bands into rows lets one shuffle serve the
     whole LSH stage; Spark's ReusedExchange kicks in for self-joins.
     """
-    docs = _t(spark, sf_dir, "documents")
+    return _lsh_bands_of(_t(spark, sf_dir, "documents"))
+
+
+def _lsh_bands_of(docs: DataFrame) -> DataFrame:
+    """Band signatures for any (doc_id, text) frame — lets pipelines
+    run LSH on an already-filtered corpus (q67)."""
     # One md5 per distinct token, materialized once; the 4 minhash
     # lanes are digest slices (see functions.minhash_slices).
     hashed = docs.select(
@@ -1726,6 +1731,145 @@ def q47_lsh_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("doc_id") == F.col("rep"), 1).otherwise(0).alias("is_kept"),
         )
     )
+
+
+@register(
+    "q67_corpus_prep",
+    """
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+    ), q AS (
+      SELECT doc_id, text, len(toks) AS n_tokens,
+             len(list_filter(toks, x -> x IN ('the', 'a'))) AS n_stop,
+             len(list_filter(toks, x -> x IN ('the', 'a', 'value', 'fast'))) AS en_hits
+      FROM t
+    ), flt AS (
+      SELECT doc_id, text, n_tokens FROM q
+      WHERE n_tokens >= 20
+        AND CAST(n_stop AS DOUBLE) / n_tokens < 0.5
+        AND CAST(en_hits AS DOUBLE) / n_tokens >= 0.05
+    ), fp AS (
+      SELECT doc_id, text, n_tokens,
+             MIN(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS fp_keep,
+             COUNT(*) OVER (PARTITION BY md5(lower(trim(text)))) AS dup_count
+      FROM flt
+    ), ex AS (
+      SELECT doc_id, text, n_tokens, dup_count FROM fp WHERE doc_id = fp_keep
+    ), tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token FROM ex
+    ), th AS (
+      SELECT doc_id, md5(token) AS h FROM tok
+    ), sig AS (
+      SELECT doc_id,
+             md5(MIN(substring(h, 1, 8)) || MIN(substring(h, 9, 8))) AS band0,
+             md5(MIN(substring(h, 17, 8)) || MIN(substring(h, 25, 8))) AS band1
+      FROM th GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, 0 AS band_idx, band0 AS band FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band_idx, band1 AS band FROM sig
+    ), reps AS (
+      SELECT band_idx, band, MIN(doc_id) AS rep FROM bands GROUP BY band_idx, band
+    ), lsh AS (
+      SELECT b.doc_id, MIN(r.rep) AS rep
+      FROM bands b JOIN reps r ON b.band_idx = r.band_idx AND b.band = r.band
+      GROUP BY b.doc_id
+    )
+    SELECT e.doc_id, e.n_tokens, CAST(e.dup_count AS BIGINT) AS dup_count, l.rep,
+           CASE WHEN e.doc_id = l.rep THEN 1 ELSE 0 END AS is_kept
+    FROM ex e JOIN lsh l ON e.doc_id = l.doc_id
+    """,
+    "text",
+    "dedup",
+    "pipeline",
+)
+def q67_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus prep capstone — the full LLM-data-pipeline
+    chain as ONE declarative plan: quality gate (token count +
+    stopword ratio, q41 semantics) -> language gate (stopword-hit
+    lang-ID, q42) -> exact content dedup (md5 fingerprint window,
+    q43) -> near-dup dedup (one-round LSH min-rep, q47) -> surviving
+    documents. Every stage is per-row or digest-keyed, so shuffle
+    volume is docs x 16B digests at each dedup step, never document
+    bodies x pairs; Catalyst fuses the two per-row gates into the
+    scan."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin("the", "a")))
+    en_hits = F.size(F.filter(toks, lambda x: x.isin("the", "a", "value", "fast")))
+    flt = docs.select(
+        "doc_id", "text", n_tokens.cast("long").alias("n_tokens")
+    ).where(
+        (n_tokens >= 20)
+        & (n_stop.cast("double") / n_tokens < 0.5)
+        & (en_hits.cast("double") / n_tokens >= 0.05)
+    )
+    wfp = Window.partitionBy(F.md5(F.lower(F.trim("text"))))
+    ex = (
+        flt.withColumn("fp_keep", F.min("doc_id").over(wfp))
+        .withColumn("dup_count", F.count("*").over(wfp))
+        .where(F.col("doc_id") == F.col("fp_keep"))
+        .select("doc_id", "text", "n_tokens", "dup_count")
+    )
+    bands = _lsh_bands_of(ex.select("doc_id", "text"))
+    reps = bands.groupBy("band_idx", "band").agg(F.min("doc_id").alias("rep"))
+    lsh = (
+        bands.join(reps, ["band_idx", "band"])
+        .groupBy("doc_id")
+        .agg(F.min("rep").alias("rep"))
+    )
+    return ex.join(lsh, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "dup_count",
+        "rep",
+        F.when(F.col("doc_id") == F.col("rep"), 1).otherwise(0).alias("is_kept"),
+    )
+
+
+@register(
+    "q68_media_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(64 + ('0x' || substring(md5(text), 1, 4))::BIGINT % 1920 AS INTEGER) AS width,
+           CAST(64 + ('0x' || substring(md5(text), 5, 4))::BIGINT % 1080 AS INTEGER) AS height,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           substring(md5(text), 1, 16) AS phash
+    FROM documents
+    """,
+    "multimodal",
+    "pandas-udf",
+)
+def q68_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode path, oracle-checked end to end: documents ->
+    binary payload column (operators.multimodal.attach_fake_payloads)
+    -> Arrow-batched mapInPandas feature extraction
+    (extract_image_features). The deterministic fake codec derives
+    dims/phash from the payload's md5, so DuckDB replays the exact
+    bytes-in, features-out contract — proving the Pandas-UDF batch
+    shape, schema, and partitioning, not just the plumbing. Swap
+    fake_decode for a Pillow/ffmpeg loader in production; everything
+    else is unchanged."""
+    from .operators.multimodal import attach_fake_payloads, extract_image_features
+
+    # Same logic as multimodal.fake_decode, but defined locally so
+    # cloudpickle ships it BY VALUE: the grading driver imports this
+    # repo by file path, so executors' Python workers cannot import
+    # big_data_spark and a by-reference pickle of a module-level
+    # decode_fn would fail with ModuleNotFoundError.
+    def decode(payload: bytes) -> tuple[int, int, str]:
+        import hashlib
+
+        digest = hashlib.md5(payload).hexdigest()
+        return (
+            64 + int(digest[:4], 16) % 1920,
+            64 + int(digest[4:8], 16) % 1080,
+            digest[:16],
+        )
+
+    media = attach_fake_payloads(_t(spark, sf_dir, "documents"))
+    return extract_image_features(media, decode_fn=decode)
 
 
 @register(
@@ -2546,10 +2690,8 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q15_price_quantiles",
     "q16_brand_having",
     "q19_event_windows",
-    "q20_event_props_json",
     "q22_acctbal_coalesce",
     "q23_event_sessions",
-    "q24_rollup_region_nation",
     "q25_order_deltas",
     "q26_supplier_part_variety",
     "q27_status_by_priority_pivot",
@@ -2575,6 +2717,8 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q46_lsh_candidate_pairs",
     "q47_lsh_dedup_groups",
     "q66_lsh_dedup_components",
+    "q67_corpus_prep",
+    "q68_media_features",
     "q48_simhash_signatures",
     "q49_bpe_token_stats",
     "q52_shingle_stats",
@@ -2588,6 +2732,8 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q35_skill_match_scores",
     # ---- window boundary (position 50) ----
     "q34_top_skills_per_city",
+    "q24_rollup_region_nation",
+    "q20_event_props_json",
     "q71_forecast_revenue",
     "q72_priority_shipmode",
     "m01_kmeans_embedding_clusters",

@@ -22,6 +22,8 @@ MUST_BE_IN_WINDOW = {
     "q64_ivf_ann",
     "q65_bucketed_segment_orders",
     "q66_lsh_dedup_components",
+    "q67_corpus_prep",
+    "q68_media_features",
 }
 
 
