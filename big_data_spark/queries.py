@@ -1141,6 +1141,60 @@ def q73_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q69_small_quantity_revenue",
+    """
+    WITH pq AS (
+      SELECT l_partkey,
+             0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE)
+                    / COUNT(l_quantity)) AS qty_threshold
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#4'
+    JOIN pq ON pq.l_partkey = l.l_partkey
+    WHERE l.l_quantity < pq.qty_threshold
+    """,
+    "tpch",
+    "join",
+    "agg",
+)
+def q69_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: per-group scalar threshold computed by an
+    aggregate, joined back against the detail rows (the
+    agg-then-join-back pattern a correlated scalar subquery decorrelates
+    to). The brand dim filter broadcasts; the thresholds join stays a
+    hash join on l_partkey — at scale the per-part table is millions of
+    rows (too big to broadcast), and both its aggregation and the join
+    shuffle on the same key, so the exchange is reused. Thresholds are
+    exact decimal-sum/count so the row filter is deterministic across
+    engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    pq = li.groupBy("l_partkey").agg(
+        (
+            0.2
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(27,2)")).cast("double")
+                / F.count("l_quantity")
+            )
+        ).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pq, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(27,2)")).cast("double")
+                / 7.0
+            ).alias("avg_yearly")
+        )
+    )
+
+
 # =========================================================================
 # Job-domain ETL parity (SURVEY §2.3, §3.1) — golden corpus via VALUES
 # =========================================================================
@@ -2736,6 +2790,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q20_event_props_json",
     "q71_forecast_revenue",
     "q72_priority_shipmode",
+    "q69_small_quantity_revenue",
     "m01_kmeans_embedding_clusters",
     "m02_skill_hot_gbt_top",
     "m04_similar_tokens_w2v",

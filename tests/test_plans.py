@@ -96,3 +96,54 @@ def test_cosine_topk_broadcasts_query_vector(spark):
     assert "TakeOrderedAndProject" in plan
     # single-row query vector joins via broadcast, never a shuffle join
     assert "SortMergeJoin" not in plan
+
+
+def test_ivf_ann_broadcasts_index_structures(spark):
+    """q64: centroids, probe list, and query vector all ride
+    broadcast joins (hash for the keyed probe join, nested-loop for
+    the 1-row query-vector attach) — the corpus side never shuffles
+    for assignment, and nothing degenerates to a cartesian product."""
+    df = q(spark, "q64_ivf_ann")
+    plan = formatted_plan(df)
+    n_bcast = sum(
+        plan.count(node)
+        for node in ("BroadcastHashJoin", "BroadcastNestedLoopJoin")
+    )
+    assert n_bcast >= 3, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_corpus_prep_no_python_and_digest_shuffles(spark):
+    """q67: the whole prep chain stays JVM-side (no Python eval
+    nodes), and the quality/lang gates fuse into the scan stage."""
+    df = q(spark, "q67_corpus_prep")
+    plan = formatted_plan(df)
+    assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
+    # every shuffle keys on a 16B digest or doc_id — and there are
+    # few of them (fingerprint window, band agg, doc agg, join-backs)
+    assert count_shuffles(df) <= 6, plan
+
+
+def test_media_features_is_arrow_batched(spark):
+    """q68: the decode step is a MapInPandas (Arrow-batched) node —
+    never a row-at-a-time Python UDF."""
+    df = q(spark, "q68_media_features")
+    plan = formatted_plan(df)
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan  # row-at-a-time path
+
+
+def test_small_quantity_revenue_broadcasts_dim_only(spark):
+    """q69: with auto-broadcast off (the 100-TB situation — the
+    per-part thresholds table is parts-sized, unbroadcastable), the
+    hinted brand dim STILL broadcasts while the thresholds join falls
+    back to a keyed shuffle join, never a nested-loop."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q(spark, "q69_small_quantity_revenue")
+        plan = formatted_plan(df)
+        assert count_broadcast_joins(df) == 1, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
