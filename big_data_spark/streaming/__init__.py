@@ -151,3 +151,39 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def join_event_streams(
+    left: DataFrame,
+    right: DataFrame,
+    watermark: str = "2 hours",
+    max_delay: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval bound
+    (SURVEY §2.9 lists every stream-join shape as absent in the
+    reference; stream-static is `enriched_event_stream`, this is the
+    symmetric case).
+
+    Both sides carry watermarks and the join condition bounds the
+    event-time distance, so each side's buffered state is limited to
+    watermark + max_delay of data — without the time bound Spark
+    would have to buffer both streams forever. Keyed on user_id, so
+    state is hash-partitioned and per-key bounded at any input rate.
+    """
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    return l.join(
+        r,
+        F.expr(
+            f"""
+            l.user_id = r.user_id
+            AND r.ts BETWEEN l.ts AND l.ts + INTERVAL {max_delay}
+            """
+        ),
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_type").alias("left_type"),
+        F.col("r.event_type").alias("right_type"),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.ts").alias("right_ts"),
+    )

@@ -150,3 +150,14 @@ def test_q65_bucketed_query_join_has_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
         spark.sql("DROP TABLE IF EXISTS bds_orders_b")
         spark.sql("DROP TABLE IF EXISTS bds_customer_b")
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """HLL++ sketch (the 100-TB form of q26's exact COUNT DISTINCT):
+    bounded-memory one-pass, rsd-bounded error vs the exact count."""
+    o = load_table(spark, SF_SMOKE, "orders")
+    row = o.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+        F.count_distinct("o_custkey").alias("exact"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05

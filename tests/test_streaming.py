@@ -343,3 +343,50 @@ def test_kafka_source_config_swap(spark):
     else:
         with pytest.raises(Exception, match="(?i)kafka"):
             read_postings_kafka(spark, "localhost:9092", "job_postings")
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream inner join with watermarks + event-time bound:
+    the streamed result must equal the identical batch join (same
+    interval condition) once both sources drain under availableNow."""
+    import pyspark.sql.functions as F
+
+    from big_data_spark.streaming import join_event_streams, read_events_stream
+
+    left_dir, right_dir = tmp_path / "left", tmp_path / "right"
+    left_dir.mkdir()
+    right_dir.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", left_dir / "events.parquet")
+    shutil.copy(f"{SF_SMOKE}/events.parquet", right_dir / "events.parquet")
+
+    clicks = read_events_stream(spark, str(left_dir)).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = read_events_stream(spark, str(right_dir)).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = join_event_streams(clicks, purchases, max_delay="1 hour")
+    sink, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(sink).count()
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("CAST(ts AS LONG) div 1000"))
+    )
+    c = ev.filter(F.col("event_type") == "click").alias("l")
+    p = ev.filter(F.col("event_type") == "purchase").alias("r")
+    want = c.join(
+        p,
+        F.expr(
+            "l.user_id = r.user_id AND r.ts BETWEEN l.ts AND l.ts + INTERVAL 1 hour"
+        ),
+    ).count()
+    assert got == want and got > 0
