@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "q43_fingerprint_dedup",
     "q47_lsh_dedup_groups",
     "q66_lsh_dedup_components",
+    "q67_corpus_prep",
+    "q68_media_features",
     "q60_cosine_topk",
     "q64_ivf_ann",
 ]

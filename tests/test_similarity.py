@@ -54,3 +54,67 @@ def test_ivf_candidate_fraction(emb, query_vec):
     probe_cells = {r["cell"] for r in probed.select("cell").distinct().collect()}
     cand = idx.assigned.filter(idx.assigned.cell.isin(list(probe_cells))).count()
     assert cand < emb.count() * 0.75, (cand, emb.count())
+
+
+def test_mllib_brp_lsh_recall(spark, emb, query_vec):
+    """MLlib BucketedRandomProjectionLSH (SURVEY §7 step 7): the
+    stock estimator's approxNearestNeighbors must agree with exact
+    brute force on most of the top-k — validates the bucketed ANN
+    path we also hand-roll in q63/q64."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.linalg import Vectors
+    from pyspark.sql import functions as F
+
+    df = emb.select(
+        "vec_id",
+        array_to_vector(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "features"
+        ),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
+    )
+    model = lsh.fit(df)
+    key = Vectors.dense(query_vec)
+    approx = [
+        r["vec_id"] for r in model.approxNearestNeighbors(df, key, 10).collect()
+    ]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, query_vec, k=10).collect()]
+    # BRP-LSH ranks by euclidean, brute force by cosine; on this
+    # fixture the neighborhoods overlap heavily
+    assert len(set(approx) & set(exact)) >= 5, (approx, exact)
+
+
+def test_mllib_minhash_lsh_similarity_join(spark):
+    """MLlib MinHashLSH approxSimilarityJoin over token sets — the
+    stock counterpart of the hand-rolled md5 MinHash banding
+    (q44/q46): every pair it returns at distance < 0.4 must truly
+    have Jaccard >= 0.6, checked exactly."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+    from pyspark.sql import functions as F
+
+    docs = (
+        load_table(spark, SF_ORACLE, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+    )
+    cv = CountVectorizer(inputCol="toks", outputCol="features", binary=True).fit(docs)
+    feat = cv.transform(docs).filter(F.expr("size(toks) > 0"))
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = mh.fit(feat)
+    pairs = (
+        model.approxSimilarityJoin(feat, feat, 0.4, distCol="jdist")
+        .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("a"),
+            F.col("datasetB.doc_id").alias("b"),
+            "jdist",
+        )
+        .collect()
+    )
+    assert pairs, "expected near-dup pairs in the fixture corpus"
+    toks = {r["doc_id"]: set(r["toks"]) for r in docs.collect()}
+    for r in pairs:
+        ja = len(toks[r["a"]] & toks[r["b"]]) / len(toks[r["a"]] | toks[r["b"]])
+        assert ja >= 0.55, (r["a"], r["b"], ja, r["jdist"])
