@@ -2161,6 +2161,70 @@ def q52_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q54_winnowing_fingerprints",
+    """
+    WITH pos AS (
+      SELECT doc_id, text, unnest(range(1, length(text) - 8 + 2)) AS i
+      FROM documents
+    ), kg AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i, md5(substring(text, i::INT, 8)) AS h
+      FROM pos
+    ), win AS (
+      SELECT doc_id, i,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n
+      FROM kg
+    ), sel AS (
+      SELECT DISTINCT doc_id, wmin FROM win WHERE i <= n - 3
+    )
+    SELECT doc_id, COUNT(*) AS n_fingerprints, MIN(wmin) AS min_fp
+    FROM sel GROUP BY doc_id
+    """,
+    "text",
+    "fingerprint",
+)
+def q54_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting by winnowing (Schleimer/Wilkerson/
+    Aiken, SIGMOD'03): hash every 8-char k-gram (the rolling-hash
+    family — md5 stands in for Rabin-Karp so the oracle can replay
+    it), then keep the minimum hash of each 4-gram window. Winnowing
+    guarantees any shared substring of length >= w+k-1 = 11 yields a
+    shared fingerprint — the plagiarism/overlap-detection primitive.
+    Per-doc work is linear in text length and windows sort WITHIN the
+    doc_id partition, so the plan is one hash-shuffle on doc_id plus
+    per-row expressions — no cross-doc data movement."""
+    docs = _t(spark, sf_dir, "documents")
+    kg = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - F.lit(7))
+        ).alias("i"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        F.col("i").cast("long").alias("i"),
+        F.md5(F.expr("substring(text, i, 8)")).alias("h"),
+    )
+    wmin = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
+    wcnt = Window.partitionBy("doc_id")
+    sel = (
+        kg.select(
+            "doc_id",
+            "i",
+            F.min("h").over(wmin).alias("wmin"),
+            F.count("*").over(wcnt).alias("n"),
+        )
+        .filter(F.col("i") <= F.col("n") - 3)
+        .select("doc_id", "wmin")
+        .distinct()
+    )
+    return sel.groupBy("doc_id").agg(
+        F.count("*").alias("n_fingerprints"), F.min("wmin").alias("min_fp")
+    )
+
+
+@register(
     "q53_lsh_verified_pairs",
     """
     WITH tok AS (
@@ -2742,7 +2806,6 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q13_setops_customers",
     "q14_priority_filter_isin",
     "q15_price_quantiles",
-    "q16_brand_having",
     "q19_event_windows",
     "q22_acctbal_coalesce",
     "q23_event_sessions",
@@ -2777,6 +2840,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q49_bpe_token_stats",
     "q52_shingle_stats",
     "q53_lsh_verified_pairs",
+    "q54_winnowing_fingerprints",
     # -- embedding similarity --
     "q60_cosine_topk",
     "q61_centroid_distance",
@@ -2786,6 +2850,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q35_skill_match_scores",
     # ---- window boundary (position 50) ----
     "q34_top_skills_per_city",
+    "q16_brand_having",
     "q24_rollup_region_nation",
     "q20_event_props_json",
     "q71_forecast_revenue",

@@ -24,6 +24,7 @@ MUST_BE_IN_WINDOW = {
     "q66_lsh_dedup_components",
     "q67_corpus_prep",
     "q68_media_features",
+    "q54_winnowing_fingerprints",
 }
 
 
