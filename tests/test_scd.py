@@ -1,0 +1,81 @@
+"""SCD-2 merge: version chains, no-ops, new keys, batch dedup."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+TS = datetime.datetime
+
+
+def _dim(spark, rows):
+    return spark.createDataFrame(
+        rows, "cust_id long, segment string, valid_from timestamp, valid_to timestamp, is_current boolean"
+    )
+
+
+def _upd(spark, rows):
+    return spark.createDataFrame(rows, "cust_id long, segment string, ts timestamp")
+
+
+def test_scd2_closes_opens_and_passes_through(spark):
+    from big_data_spark.operators.scd import scd2_apply
+
+    t0, t1, t2 = TS(2026, 1, 1), TS(2026, 2, 1), TS(2026, 3, 1)
+    dim = _dim(
+        spark,
+        [
+            (1, "BUILDING", t0, t1, False),   # history row
+            (1, "MACHINERY", t1, None, True),  # current, will change
+            (2, "AUTOMOBILE", t0, None, True),  # current, identical update
+            (3, "HOUSEHOLD", t0, None, True),  # current, no update
+        ],
+    )
+    upd = _upd(
+        spark,
+        [
+            (1, "FURNITURE", t2),
+            (2, "AUTOMOBILE", t2),  # no-op
+            (4, "BUILDING", t2),    # brand-new key
+        ],
+    )
+    out = scd2_apply(dim, upd, key="cust_id", tracked=["segment"]).cache()
+
+    assert out.count() == 6  # 4 originals + 1 new version + 1 new key
+    cur = {r["cust_id"]: r for r in out.filter("is_current").collect()}
+    assert set(cur) == {1, 2, 3, 4}
+    assert cur[1]["segment"] == "FURNITURE" and cur[1]["valid_from"] == t2
+    assert cur[2]["valid_from"] == t0  # no-op kept the old interval
+    closed = out.filter(
+        (F.col("cust_id") == 1) & (F.col("segment") == "MACHINERY")
+    ).first()
+    assert closed["valid_to"] == t2 and not closed["is_current"]
+    # reapplying the same batch is idempotent (all updates are no-ops)
+    again = scd2_apply(out, upd, key="cust_id", tracked=["segment"])
+    assert again.count() == 6
+
+
+def test_scd2_latest_update_per_key_wins(spark):
+    from big_data_spark.operators.scd import scd2_apply
+
+    t0, t1, t2 = TS(2026, 1, 1), TS(2026, 2, 1), TS(2026, 3, 1)
+    dim = _dim(spark, [(1, "BUILDING", t0, None, True)])
+    upd = _upd(spark, [(1, "MACHINERY", t1), (1, "FURNITURE", t2)])
+    out = scd2_apply(dim, upd, key="cust_id", tracked=["segment"])
+    cur = out.filter("is_current").collect()
+    assert len(cur) == 1 and cur[0]["segment"] == "FURNITURE"
+    assert out.count() == 2  # old closed at t2, one new version
+
+
+def test_scd2_null_safe_comparison(spark):
+    from big_data_spark.operators.scd import scd2_apply
+
+    t0, t1 = TS(2026, 1, 1), TS(2026, 2, 1)
+    dim = _dim(spark, [(1, None, t0, None, True)])
+    # null -> null is a no-op; null -> value opens a version
+    out1 = scd2_apply(dim, _upd(spark, [(1, None, t1)]), "cust_id", ["segment"])
+    assert out1.count() == 1 and out1.first()["valid_from"] == t0
+    out2 = scd2_apply(dim, _upd(spark, [(1, "BUILDING", t1)]), "cust_id", ["segment"])
+    assert out2.count() == 2
+    assert out2.filter("is_current").first()["segment"] == "BUILDING"
