@@ -90,3 +90,59 @@ def clip_outliers(
     return df.withColumn(
         col, F.when(c < lo_v, lo_v).when(c > hi_v, hi_v).otherwise(c)
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_cols: list[str],
+    right_ts_alias: str = "right_ts",
+) -> DataFrame:
+    """As-of join: each left row picks the most recent right row of
+    the same key with ``right.ts <= left.ts`` (inner semantics — left
+    rows with no prior right row drop).
+
+    Implementation is the scalable union-window form: tag both sides,
+    union, and take ``last(right_struct, ignorenulls)`` over a
+    (key, ts, side)-ordered running window. ONE hash shuffle on the
+    key and a within-partition sort — never a per-pair join, so a hot
+    key costs O(its rows log its rows), not O(rows^2). Ties at equal
+    ts order the right side first, matching the `<=` bound. Callers
+    should pre-dedup right rows per (key, ts) for determinism.
+    """
+    left_payload = [c for c in left.columns if c not in (key, ts)]
+    r_struct = F.struct(
+        *[F.col(c) for c in right_cols], F.col(ts).alias(right_ts_alias)
+    )
+    r_u = right.select(
+        F.col(key),
+        F.col(ts),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_payload
+        ],
+        r_struct.alias("_rs"),
+        F.lit(0).alias("_side"),
+    )
+    l_u = left.select(
+        F.col(key),
+        F.col(ts),
+        *left_payload,
+        F.lit(None).cast(r_u.schema["_rs"].dataType).alias("_rs"),
+        F.lit(1).alias("_side"),
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        l_u.unionByName(r_u)
+        .withColumn("_m", F.last("_rs", ignorenulls=True).over(w))
+        .filter((F.col("_side") == 1) & F.col("_m").isNotNull())
+        .select(key, ts, *left_payload, F.col("_m.*"))
+    )

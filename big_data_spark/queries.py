@@ -2161,6 +2161,56 @@ def q52_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q55_purchase_attribution_asof",
+    """
+    WITH c AS (
+      SELECT user_id, ts, MAX(value) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ), p AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts, p.value AS purchase_value,
+           c.ts AS click_ts, c.click_value
+    FROM p ASOF JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+    "join",
+    "asof",
+    "timeseries",
+)
+def q55_purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (the classic operator Spark lacks natively, named
+    in the instructions' custom-operator list): every purchase is
+    attributed to the same user's most recent prior-or-simultaneous
+    click. Spark side uses operators.relational.asof_join — the
+    union-window form (one shuffle on user_id, per-partition sort,
+    never a pair join) — checked value-for-value against DuckDB's
+    native ASOF JOIN. Clicks are pre-deduped per (user_id, ts) so
+    exact-tie resolution is identical in both engines."""
+    from .operators.relational import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_join(
+        purchases, clicks, key="user_id", ts="ts", right_cols=["click_value"],
+        right_ts_alias="click_ts",
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+        F.col("click_ts"),
+        "click_value",
+    )
+
+
+@register(
     "q54_winnowing_fingerprints",
     """
     WITH pos AS (
@@ -2805,7 +2855,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q11_nation_segments",
     "q13_setops_customers",
     "q14_priority_filter_isin",
-    "q15_price_quantiles",
+    "q55_purchase_attribution_asof",
     "q19_event_windows",
     "q22_acctbal_coalesce",
     "q23_event_sessions",
@@ -2850,6 +2900,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q35_skill_match_scores",
     # ---- window boundary (position 50) ----
     "q34_top_skills_per_city",
+    "q15_price_quantiles",
     "q16_brand_having",
     "q24_rollup_region_nation",
     "q20_event_props_json",
