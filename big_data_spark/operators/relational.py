@@ -146,3 +146,44 @@ def asof_join(
         .filter((F.col("_side") == 1) & F.col("_m").isNotNull())
         .select(key, ts, *left_payload, F.col("_m.*"))
     )
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts: str,
+    start: str,
+    end: str,
+    bin_seconds: int,
+) -> DataFrame:
+    """Point-in-interval range join via time binning.
+
+    A naive range join is a nested-loop (every point x every
+    interval). Binning makes it an equi-join: each interval explodes
+    to the time buckets it overlaps, each point maps to its single
+    bucket, the join runs on the bucket key, and the exact range
+    predicate filters the survivors. With ``bin_seconds`` >= the max
+    interval length each interval lands in <= 2 buckets, so the
+    blow-up factor is bounded by 2 and the shuffle is an ordinary
+    hash partition on the bucket — the standard distributed interval
+    join. Each matched point appears once per containing interval
+    (its bucket matches each interval at most once).
+    """
+    b = F.lit(bin_seconds)
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start)) / b),
+                F.floor(F.unix_timestamp(F.col(end)) / b),
+            )
+        ),
+    )
+    pt = points.withColumn(
+        "_bucket", F.floor(F.unix_timestamp(F.col(ts)) / b)
+    )
+    return (
+        pt.join(iv, "_bucket")
+        .filter((F.col(ts) >= F.col(start)) & (F.col(ts) <= F.col(end)))
+        .drop("_bucket")
+    )

@@ -2211,6 +2211,54 @@ def q55_purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "q56_incident_click_range_join",
+    """
+    WITH i AS (
+      SELECT event_id AS incident_id, ts AS t0, ts + INTERVAL 10 MINUTE AS t1
+      FROM events WHERE event_type = 'error'
+    ), c AS (
+      SELECT ts, value FROM events WHERE event_type = 'click'
+    )
+    SELECT i.incident_id, COUNT(*) AS n_clicks,
+           CAST(SUM(CAST(c.value AS DECIMAL(27,2))) AS DOUBLE) AS click_value
+    FROM i JOIN c ON c.ts >= i.t0 AND c.ts <= i.t1
+    GROUP BY i.incident_id
+    """,
+    "join",
+    "range",
+    "timeseries",
+)
+def q56_incident_click_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (the second custom operator Spark lacks natively):
+    clicks landing inside each error event's 10-minute incident
+    window, aggregated per incident. Spark side uses
+    operators.relational.range_join_binned — intervals explode to
+    their <=2 overlapping time buckets, points map to one bucket, and
+    the join is an ordinary hash equi-join on the bucket (never a
+    nested loop over points x intervals). Oracle is the plain range
+    predicate."""
+    from .operators.relational import range_join_binned
+
+    ev = _t(spark, sf_dir, "events")
+    incidents = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("t1"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("ts", "value")
+    return (
+        range_join_binned(
+            clicks, incidents, ts="ts", start="t0", end="t1", bin_seconds=600
+        )
+        .groupBy("incident_id")
+        .agg(
+            F.count("*").alias("n_clicks"),
+            _dsum(F.col("value"), "click_value", 2),
+        )
+    )
+
+
+@register(
     "q54_winnowing_fingerprints",
     """
     WITH pos AS (
@@ -2854,8 +2902,8 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q09_running_revenue",
     "q11_nation_segments",
     "q13_setops_customers",
-    "q14_priority_filter_isin",
     "q55_purchase_attribution_asof",
+    "q56_incident_click_range_join",
     "q19_event_windows",
     "q22_acctbal_coalesce",
     "q23_event_sessions",
@@ -2900,6 +2948,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q35_skill_match_scores",
     # ---- window boundary (position 50) ----
     "q34_top_skills_per_city",
+    "q14_priority_filter_isin",
     "q15_price_quantiles",
     "q16_brand_having",
     "q24_rollup_region_nation",

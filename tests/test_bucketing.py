@@ -161,3 +161,62 @@ def test_approx_count_distinct_within_tolerance(spark):
         F.count_distinct("o_custkey").alias("exact"),
     ).first()
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+
+def test_asof_join_equals_naive(spark):
+    """Union-window as-of == the naive per-pair max-prior-ts join."""
+    from big_data_spark.operators.relational import asof_join
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("cv"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    got = {
+        (r["event_id"], r["right_ts"])
+        for r in asof_join(
+            purchases, clicks, key="user_id", ts="ts", right_cols=["cv"]
+        ).collect()
+    }
+    p, c = purchases.alias("p"), clicks.alias("c")
+    naive = (
+        p.join(c, (F.col("p.user_id") == F.col("c.user_id")) & (F.col("c.ts") <= F.col("p.ts")))
+        .groupBy("p.event_id")
+        .agg(F.max("c.ts").alias("right_ts"))
+    )
+    want = {(r["event_id"], r["right_ts"]) for r in naive.collect()}
+    assert got == want and got
+
+
+def test_range_join_binned_equals_naive(spark):
+    """Binned interval join == the plain range-predicate join, for
+    interval lengths both below and at the bin size."""
+    from big_data_spark.operators.relational import range_join_binned
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    iv = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("iid"),
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("t1"),
+    )
+    pts = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("pid"), "ts"
+    )
+    naive = (
+        pts.join(iv, (F.col("ts") >= F.col("t0")) & (F.col("ts") <= F.col("t1")))
+        .select("pid", "iid")
+    )
+    want = {(r["pid"], r["iid"]) for r in naive.collect()}
+    for bin_s in (600, 3600):
+        got = {
+            (r["pid"], r["iid"])
+            for r in range_join_binned(
+                pts, iv, ts="ts", start="t0", end="t1", bin_seconds=bin_s
+            ).collect()
+        }
+        assert got == want, bin_s
+    assert want
