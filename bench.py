@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "q68_media_features",
     "q60_cosine_topk",
     "q64_ivf_ann",
+    "q55_purchase_attribution_asof",
+    "q56_incident_click_range_join",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))
