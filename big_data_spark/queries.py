@@ -2259,6 +2259,43 @@ def q56_incident_click_range_join(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "q57_cascaded_rollup",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    "agg",
+    "timeseries",
+    "rollup",
+)
+def q57_cascaded_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: the DAILY rollup is
+    computed FROM the hourly rollup (sum of sums / sum of counts),
+    not from raw events — the cascade a time-series store maintains
+    incrementally. The oracle aggregates raw events directly, so the
+    hash match proves re-aggregation losslessness (decimal partials
+    make the two-level sum exact). At scale the hourly layer is what
+    lands in storage; each coarser resolution reads the layer below
+    (hours-per-day rows, not raw events)."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(27,2)")).alias("_v"),
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", "hour").alias("day"), "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("_v").cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
     "q54_winnowing_fingerprints",
     """
     WITH pos AS (
@@ -2947,6 +2984,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q64_ivf_ann",
     "q35_skill_match_scores",
     # ---- window boundary (position 50) ----
+    "q57_cascaded_rollup",
     "q34_top_skills_per_city",
     "q14_priority_filter_isin",
     "q15_price_quantiles",
