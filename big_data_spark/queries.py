@@ -2296,6 +2296,106 @@ def q57_cascaded_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q58_cohort_retention",
+    """
+    WITH firstday AS (
+      SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS cohort_day
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day,
+                          CAST(date_trunc('day', e.ts) AS TIMESTAMP)) AS BIGINT)
+             AS day_offset,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN firstday f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    "agg",
+    "cohort",
+    "timeseries",
+)
+def q58_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day,
+    activity counted per day offset — the standard product-analytics
+    rollup. The first-seen table is users-sized (aggregate, then
+    join back on user_id — same exchange both times, so the join
+    reuses the aggregation's partitioning at scale)."""
+    ev = _t(spark, sf_dir, "events")
+    fd = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    return (
+        ev.join(fd, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+@register(
+    "q59_conversion_funnel",
+    """
+    WITH m AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CASE
+             WHEN t_signup IS NOT NULL AND t_click > t_signup
+                  AND t_purchase > t_click THEN 'signup>click>purchase'
+             WHEN t_signup IS NOT NULL AND t_click > t_signup THEN 'signup>click'
+             WHEN t_signup IS NOT NULL THEN 'signup'
+             ELSE 'none'
+           END AS funnel_stage,
+           COUNT(*) AS n_users
+    FROM m GROUP BY 1
+    """,
+    "agg",
+    "funnel",
+)
+def q59_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup -> click -> purchase): one
+    pass computes each user's first timestamp per stage via
+    conditional MIN (map-side combinable — no per-user event lists,
+    no window sort), then classifies the furthest in-order stage.
+    Null timestamps fall through identically under both engines'
+    three-valued comparison semantics."""
+    ev = _t(spark, sf_dir, "events")
+    m = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    stage = (
+        F.when(
+            F.col("t_signup").isNotNull()
+            & (F.col("t_click") > F.col("t_signup"))
+            & (F.col("t_purchase") > F.col("t_click")),
+            "signup>click>purchase",
+        )
+        .when(
+            F.col("t_signup").isNotNull() & (F.col("t_click") > F.col("t_signup")),
+            "signup>click",
+        )
+        .when(F.col("t_signup").isNotNull(), "signup")
+        .otherwise("none")
+    )
+    return m.select(stage.alias("funnel_stage")).groupBy("funnel_stage").agg(
+        F.count("*").alias("n_users")
+    )
+
+
+@register(
     "q54_winnowing_fingerprints",
     """
     WITH pos AS (
@@ -2985,6 +3085,8 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q35_skill_match_scores",
     # ---- window boundary (position 50) ----
     "q57_cascaded_rollup",
+    "q58_cohort_retention",
+    "q59_conversion_funnel",
     "q34_top_skills_per_city",
     "q14_priority_filter_isin",
     "q15_price_quantiles",
