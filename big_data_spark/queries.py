@@ -3002,6 +3002,102 @@ def q63_embedding_sign_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q75_pq_adc_topk",
+    """
+    WITH exp AS (
+      SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ), sub AS (
+      SELECT vec_id, label, CAST((pos - 1) // 16 AS INT) AS s, v, pos FROM exp
+    ), cent AS (
+      SELECT vec_id AS cid, s, pos, v FROM sub WHERE vec_id < 8
+    ), d AS (
+      SELECT a.vec_id, a.s, c.cid, ROUND(SUM((a.v - c.v) * (a.v - c.v)), 6) AS dd
+      FROM sub a JOIN cent c ON a.pos = c.pos
+      WHERE a.vec_id >= 8 GROUP BY 1, 2, 3
+    ), code AS (
+      SELECT vec_id, s, cid FROM (
+        SELECT vec_id, s, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dd, cid) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ), qd AS (
+      SELECT c.s, c.cid, ROUND(SUM((q.v - c.v) * (q.v - c.v)), 6) AS dd
+      FROM cent c JOIN (SELECT v, pos FROM sub WHERE vec_id = 0) q ON c.pos = q.pos
+      GROUP BY 1, 2
+    ), adc AS (
+      SELECT code.vec_id, ROUND(SUM(qd.dd), 5) AS approx_d2
+      FROM code JOIN qd ON code.s = qd.s AND code.cid = qd.cid
+      GROUP BY 1
+    )
+    SELECT vec_id, approx_d2 FROM adc ORDER BY approx_d2, vec_id LIMIT 10
+    """,
+    "similarity",
+    "quantization",
+)
+def q75_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization with asymmetric distance (PQ/ADC, the
+    billion-vector memory-compression path): 64-dim vectors split
+    into 4 subspaces of 16 dims, each subvector encoded as its
+    nearest of 8 deterministic codebook entries (subvectors of
+    vec_id < 8, so the oracle can replay the codebook exactly; the
+    production variant trains per-subspace KMeans). A query scores a
+    vector by summing precomputed query-to-centroid distances per
+    subspace — 4 table lookups instead of 64 multiplies, and the
+    encoded corpus stores 4 bytes/vector instead of 256. Distances
+    round before argmin/sum so grouped-double accumulation order
+    can't flip ranks across engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sub = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("pos0", "v"),
+    ).select(
+        "vec_id",
+        (F.col("pos0") / 16).cast("int").alias("s"),
+        F.col("pos0").alias("pos"),
+        F.col("v").cast("double").alias("v"),
+    )
+    cent = sub.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "s", "pos", F.col("v").alias("cv")
+    )
+    d = (
+        sub.filter(F.col("vec_id") >= 8)
+        .select("vec_id", "pos", "v")  # drop s: cent's s is the join's
+        .join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "s", "cid")
+        .agg(
+            F.round(
+                F.sum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))), 6
+            ).alias("dd")
+        )
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy("dd", "cid")
+    code = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "cid")
+    )
+    q = sub.filter(F.col("vec_id") == 0).select("pos", F.col("v").alias("qv"))
+    qd = (
+        cent.join(F.broadcast(q), "pos")
+        .groupBy("s", "cid")
+        .agg(
+            F.round(
+                F.sum((F.col("qv") - F.col("cv")) * (F.col("qv") - F.col("cv"))), 6
+            ).alias("dd")
+        )
+    )
+    return (
+        code.join(F.broadcast(qd), ["s", "cid"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("dd"), 5).alias("approx_d2"))
+        .orderBy("approx_d2", "vec_id")
+        .limit(10)
+    )
+
+
 @register("m04_similar_tokens_w2v", None, "ml", "similarity", "text")
 def m04_similar_tokens_w2v(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word2Vec token similarity (M15 findSynonyms, the
@@ -3087,6 +3183,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q57_cascaded_rollup",
     "q58_cohort_retention",
     "q59_conversion_funnel",
+    "q75_pq_adc_topk",
     "q34_top_skills_per_city",
     "q14_priority_filter_isin",
     "q15_price_quantiles",

@@ -187,3 +187,25 @@ def join_event_streams(
         F.col("l.ts").alias("left_ts"),
         F.col("r.ts").alias("right_ts"),
     )
+
+
+def dedup_stream_within_watermark(
+    events: DataFrame,
+    keys: list[str],
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact-dedup: drops rows whose ``keys`` repeat within
+    the watermark horizon (`dropDuplicatesWithinWatermark`) — the
+    ingestion-dedup stage of a streaming corpus pipeline (duplicate
+    submissions, at-least-once sources, replayed webhooks).
+
+    Unlike plain streaming dropDuplicates, whose state grows with
+    every key ever seen, the within-watermark form evicts key state
+    once the watermark passes it — state is bounded by keys-per-
+    watermark-window at any input rate, the only form that survives
+    an unbounded stream. Exactly-once per key within the horizon;
+    duplicates farther apart than the watermark are the batch dedup
+    path's job (q43/q47).
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

@@ -390,3 +390,44 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         ),
     ).count()
     assert got == want and got > 0
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate keys arriving across micro-batches inside the
+    watermark horizon land exactly once; state is evictable (the
+    within-watermark variant), unlike unbounded dropDuplicates."""
+    import pyspark.sql.functions as F
+
+    from big_data_spark.streaming import dedup_stream_within_watermark
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # two files -> two micro-batches (maxFilesPerTrigger=1), with
+    # overlapping fingerprints across them
+    rows1 = [(i, f"doc-{i % 4}", "2024-01-01 10:0%d:00" % (i % 6)) for i in range(8)]
+    rows2 = [(i + 8, f"doc-{i % 4}", "2024-01-01 10:1%d:00" % (i % 6)) for i in range(8)]
+    for name, rows in (("a", rows1), ("b", rows2)):
+        spark.createDataFrame(rows, "event_id long, fingerprint string, ts_s string") \
+            .coalesce(1).write.mode("overwrite").json(str(src / name))
+    stream = (
+        spark.readStream.schema("event_id long, fingerprint string, ts_s string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src / "*"))
+        .withColumn("ts", F.to_timestamp("ts_s"))
+        .drop("ts_s")
+    )
+    deduped = dedup_stream_within_watermark(stream, ["fingerprint"], watermark="2 hours")
+    sink, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(sink)
+    fps = [r["fingerprint"] for r in out.select("fingerprint").collect()]
+    assert sorted(set(fps)) == ["doc-0", "doc-1", "doc-2", "doc-3"]
+    assert len(fps) == 4  # each fingerprint exactly once across batches
