@@ -118,3 +118,34 @@ def test_mllib_minhash_lsh_similarity_join(spark):
     for r in pairs:
         ja = len(toks[r["a"]] & toks[r["b"]]) / len(toks[r["a"]] | toks[r["b"]])
         assert ja >= 0.55, (r["a"], r["b"], ja, r["jdist"])
+
+
+def test_pq_adc_recall_vs_exact(spark, emb, query_vec):
+    """PQ/ADC (q75) is lossy by design — but its top-10 must overlap
+    the exact L2 top-10 well (compression shouldn't scramble the
+    neighborhood)."""
+    from pyspark.sql import functions as F
+
+    from big_data_spark.functions import l2_sq
+    from big_data_spark.queries import QUERIES
+
+    approx = [
+        r["vec_id"]
+        for r in QUERIES["q75_pq_adc_topk"].fn(spark, SF_ORACLE).collect()
+    ]
+    qlit = F.array(*[F.lit(v) for v in query_vec])
+    exact = [
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") >= 8)
+        .select("vec_id", l2_sq(F.col("embedding"), qlit).alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    overlap = len(set(approx) & set(exact))
+    # the q75 codebook is deliberately tiny (8 codes x 4 subspaces =
+    # 12 bits/vector, vs 256 codes/subspace in production PQ), so
+    # recall is coarse — but deterministic, and the exact top-1 must
+    # survive the compression
+    assert overlap >= 3, (overlap, approx, exact)
+    assert exact[0] == approx[0]
