@@ -220,3 +220,67 @@ def test_range_join_binned_equals_naive(spark):
         }
         assert got == want, bin_s
     assert want
+
+
+def test_asof_and_range_join_randomized_equivalence(spark):
+    """Seeded random timelines (dense duplicates, clustered keys) —
+    the scalable forms must match the naive forms on data far uglier
+    than the fixture."""
+    import numpy as np
+
+    from big_data_spark.operators.relational import asof_join, range_join_binned
+
+    rng = np.random.RandomState(42)
+    for round_ in range(2):
+        n = 400
+        base = 1_700_000_000
+        rows = [
+            (
+                int(i),
+                int(rng.randint(0, 12)),  # few keys -> heavy per-key traffic
+                base + int(rng.randint(0, 7200)),  # 2h span, many ties
+            )
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "rid long, k long, epoch long").withColumn(
+            "ts", F.col("epoch").cast("timestamp")
+        )
+        left = df.filter(F.col("rid") % 2 == 0).select("rid", "k", "ts")
+        # right side deduped per (k, ts) like real usage
+        right = (
+            df.filter(F.col("rid") % 2 == 1)
+            .groupBy("k", "ts")
+            .agg(F.max("rid").alias("rv"))
+        )
+        got = {
+            (r["rid"], r["right_ts"])
+            for r in asof_join(left, right, key="k", ts="ts", right_cols=["rv"]).collect()
+        }
+        l, rr = left.alias("l"), right.alias("r")
+        naive = (
+            l.join(rr, (F.col("l.k") == F.col("r.k")) & (F.col("r.ts") <= F.col("l.ts")))
+            .groupBy("l.rid")
+            .agg(F.max("r.ts").alias("right_ts"))
+        )
+        want = {(r["rid"], r["right_ts"]) for r in naive.collect()}
+        assert got == want and got, round_
+
+        iv = df.filter(F.col("rid") % 5 == 0).select(
+            F.col("rid").alias("iid"),
+            F.col("ts").alias("t0"),
+            (F.col("ts") + F.expr("INTERVAL 13 MINUTES")).alias("t1"),
+        )
+        pts = df.filter(F.col("rid") % 5 != 0).select(F.col("rid").alias("pid"), "ts")
+        want_rj = {
+            (r["pid"], r["iid"])
+            for r in pts.join(
+                iv, (F.col("ts") >= F.col("t0")) & (F.col("ts") <= F.col("t1"))
+            ).collect()
+        }
+        got_rj = {
+            (r["pid"], r["iid"])
+            for r in range_join_binned(
+                pts, iv, ts="ts", start="t0", end="t1", bin_seconds=780
+            ).collect()
+        }
+        assert got_rj == want_rj and got_rj, round_
