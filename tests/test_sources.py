@@ -85,3 +85,53 @@ def test_write_parquet_target_file_rows(spark, tmp_path):
     files = glob.glob(f"{out}/*.parquet")
     assert len(files) >= 10  # 1000 rows / 100-row cap
     assert spark.read.parquet(out).count() == 1000
+
+
+def test_observe_metrics_on_etl_chain(spark):
+    """df.observe: pipeline health metrics collected DURING the job
+    (no second pass) — the idiomatic replacement for separate
+    count()/agg() monitoring queries at 100 TB."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from big_data_spark.fixtures import synthetic_postings
+    from big_data_spark.operators.job_etl import clean_job_postings
+
+    obs = Observation("etl_health")
+    clean = clean_job_postings(
+        synthetic_postings(spark, 500), deterministic_id=True
+    ).observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("salary_avg").isNull().cast("long")).alias("null_salary"),
+        F.avg("exp_avg_year").alias("avg_exp"),
+    )
+    n = clean.count()
+    got = obs.get
+    assert got["rows"] == n == 500
+    assert 0 <= got["null_salary"] <= n
+    assert got["avg_exp"] is None or got["avg_exp"] >= 0
+
+
+def test_freq_items_heavy_hitters(spark):
+    """stat.freqItems: the heavy-hitters sketch (one pass, bounded
+    memory) — support 1% must surface every token whose true share
+    exceeds it; verified against exact counts."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    tok = docs.select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    n = tok.count()
+    [freq] = tok.stat.freqItems(["token"], support=0.01).collect()
+    surfaced = set(freq["token_freqItems"])
+    exact_heavy = {
+        r["token"]
+        for r in tok.groupBy("token")
+        .count()
+        .filter(F.col("count") > n * 0.01)
+        .collect()
+    }
+    # sketch guarantee: no false negatives above the support threshold
+    assert exact_heavy <= surfaced, exact_heavy - surfaced
