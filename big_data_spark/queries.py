@@ -3098,6 +3098,60 @@ def q75_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q76_priority_price_mad",
+    """
+    WITH med AS (
+      SELECT o_orderpriority, median(o_totalprice) AS m
+      FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderpriority,
+           ROUND(ANY_VALUE(med.m), 6) AS median_price,
+           ROUND(median(ABS(o.o_totalprice - med.m)), 6) AS mad,
+           COUNT(*) AS n
+    FROM orders o JOIN med ON o.o_orderpriority = med.o_orderpriority
+    GROUP BY 1
+    """,
+    "agg",
+    "pandas-udf",
+    "robust-stats",
+)
+def q76_priority_price_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped applyInPandas, oracle-checked: per-priority median
+    absolute deviation — a genuinely two-pass-per-group statistic
+    (median of deviations from the median) that built-in aggregates
+    can't fuse, computed with numpy inside an Arrow-shipped group.
+    Completes the Python-boundary triad (mapInPandas q68,
+    applyInPandasWithState sessionizer, grouped applyInPandas here).
+    Scale contract: each GROUP must fit one executor's memory — right
+    for bounded-cardinality keys like priority/city; unbounded keys
+    go through approxQuantile instead (q37). numpy's and the oracle
+    engine's medians interpolate identically ((a+b)/2), rounded to
+    absorb summation-free ulp noise."""
+    o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+
+    # closure-local so cloudpickle ships it by value (executors can't
+    # import this package under a file-path driver import; see q68)
+    def mad(pdf):
+        import numpy as np
+        import pandas as pd
+
+        med = float(np.median(pdf["o_totalprice"]))
+        dev = float(np.median(np.abs(pdf["o_totalprice"].to_numpy() - med)))
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [pdf["o_orderpriority"].iloc[0]],
+                "median_price": [round(med, 6)],
+                "mad": [round(dev, 6)],
+                "n": [len(pdf)],
+            }
+        )
+
+    return o.groupBy("o_orderpriority").applyInPandas(
+        mad, "o_orderpriority string, median_price double, mad double, n bigint"
+    )
+
+
 @register("m04_similar_tokens_w2v", None, "ml", "similarity", "text")
 def m04_similar_tokens_w2v(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word2Vec token similarity (M15 findSynonyms, the
@@ -3184,6 +3238,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q58_cohort_retention",
     "q59_conversion_funnel",
     "q75_pq_adc_topk",
+    "q76_priority_price_mad",
     "q34_top_skills_per_city",
     "q14_priority_filter_isin",
     "q15_price_quantiles",
