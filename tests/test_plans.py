@@ -147,3 +147,24 @@ def test_small_quantity_revenue_broadcasts_dim_only(spark):
         assert "BroadcastNestedLoopJoin" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+
+
+def test_asof_join_single_shuffle_no_pairs(spark):
+    """q55: the union-window as-of form must plan as window-over-sort
+    with NO join node at all — the whole point is that no pair join
+    (hash, sort-merge, or nested-loop) ever materializes."""
+    df = q(spark, "q55_purchase_attribution_asof")
+    plan = formatted_plan(df)
+    assert "Window" in plan
+    for node in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan, node
+
+
+def test_range_join_binned_is_hash_join(spark):
+    """q56: the binned interval join must be a keyed join on the time
+    bucket, never the nested-loop a raw range predicate would plan."""
+    df = q(spark, "q56_incident_click_range_join")
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
