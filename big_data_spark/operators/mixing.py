@@ -1,0 +1,80 @@
+"""Weighted corpus mixing — deterministic source-proportional sampling.
+
+The standard training-data mixing step: each source in a corpus gets a
+weight in basis points (10_000 bp = 1.0 epoch). Weights below 10_000
+downsample the source, weights above upsample it (full repeat copies
+plus a hash-selected fractional remainder). Selection is a pure hash
+predicate on (salt, source, key) — deterministic, seedless, replayable
+by any engine, and stable under reshuffles/retries, which per-partition
+RNG sampling is not.
+
+Scale notes (100 TB):
+- The weights table is tiny (one row per source) and broadcast; the
+  docs side is never shuffled — mixing is a map-only stage fused into
+  the scan, so it composes with downstream ops at zero extra cost.
+- The hash bucket is md5-derived (cross-engine reproducible; see the
+  determinism rules in ``queries.py``). In a Spark-only pipeline
+  ``xxhash64`` would be ~4x cheaper per row — the operator takes a
+  ``bucket_expr`` hook for that swap.
+- Upsampled copies materialize as an exploded ``copy_id`` so that a
+  downstream global shuffle (e.g. repartition by random key for
+  training-order mixing) spreads repeats across partitions.
+
+Reference anchor: the reference's only sampling surface is
+``randomSplit`` (train_gbt.py:139); source-weighted mixing is the
+scale generalization a corpus pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000
+
+
+def mix_bucket(source: Column, key: Column, salt: str = "mix") -> Column:
+    """Deterministic bucket in [0, 10000) from (salt, source, key).
+
+    md5 -> first 4 hex chars -> int % 10000; identical in DuckDB as
+    ``('0x' || substring(md5(...), 1, 4))::BIGINT % 10000``.
+    """
+    h = F.md5(F.concat_ws(":", F.lit(salt), source, key.cast("string")))
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % BUCKETS
+
+
+def weighted_mix(
+    docs: DataFrame,
+    weights: DataFrame,
+    *,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    weight_col: str = "weight_bp",
+    salt: str = "mix",
+    bucket_expr: Column | None = None,
+) -> DataFrame:
+    """Sample/repeat ``docs`` per-source according to ``weights``.
+
+    ``weights`` has one row per source: (source_col, weight_col in
+    basis points). A doc with weight w gets ``w // 10000`` full copies
+    plus one more iff ``bucket < w % 10000``. Emits the input columns
+    plus ``copy_id`` (1..n, long).
+    """
+    bucket = (
+        bucket_expr
+        if bucket_expr is not None
+        else mix_bucket(F.col(source_col), F.col(key_col), salt)
+    )
+    n_copies = (
+        F.floor(F.col(weight_col) / BUCKETS)
+        + F.when(bucket < F.col(weight_col) % BUCKETS, 1).otherwise(0)
+    ).cast("long")
+    one = F.lit(1).cast("long")
+    copies = F.when(
+        n_copies >= one, F.sequence(one, n_copies)
+    ).otherwise(F.array().cast("array<long>"))
+    return (
+        docs.join(F.broadcast(weights), on=source_col, how="inner")
+        .withColumn("copy_id", F.explode(copies))
+        .drop(weight_col)
+    )

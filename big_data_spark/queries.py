@@ -38,6 +38,7 @@ from .fixtures import (
     values_clause,
 )
 from .functions import cosine_similarity, l2_sq, minhash, minhash_slices, shingles
+from .operators.mixing import weighted_mix
 from .operators.job_etl import (
     EXPERIENCE_ORACLE_SQL,
     JOBS_ETL_ORACLE_SQL,
@@ -2400,7 +2401,7 @@ def q59_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH pos AS (
       SELECT doc_id, text, unnest(range(1, length(text) - 8 + 2)) AS i
-      FROM documents
+      FROM documents WHERE length(text) >= 8
     ), kg AS (
       SELECT doc_id, CAST(i AS BIGINT) AS i, md5(substring(text, i::INT, 8)) AS h
       FROM pos
@@ -2428,8 +2429,13 @@ def q54_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared fingerprint — the plagiarism/overlap-detection primitive.
     Per-doc work is linear in text length and windows sort WITHIN the
     doc_id partition, so the plan is one hash-shuffle on doc_id plus
-    per-row expressions — no cross-doc data movement."""
-    docs = _t(spark, sf_dir, "documents")
+    per-row expressions — no cross-doc data movement.
+
+    Docs shorter than k chars carry no k-gram: both sides pre-filter
+    length >= 8 (Spark's sequence(1, len-7) would otherwise generate a
+    DESCENDING 1,0,... sequence while the oracle's range() is empty —
+    a divergence on degenerate inputs)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") >= 8)
     kg = docs.select(
         "doc_id",
         F.explode(
@@ -2457,6 +2463,60 @@ def q54_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.groupBy("doc_id").agg(
         F.count("*").alias("n_fingerprints"), F.min("wmin").alias("min_fp")
     )
+
+
+# Source weights in basis points (10000 = 1 epoch): the 20 synthetic
+# sources cycle through downsample x2, keep-all, and upsample x2 rates
+# so q77 exercises every branch of the mixing operator.
+_MIX_WEIGHTS_BP = (2500, 5000, 10000, 15000, 25000)
+_MIX_WEIGHTS_VALUES = ", ".join(
+    f"('src{i}', {_MIX_WEIGHTS_BP[i % len(_MIX_WEIGHTS_BP)]})" for i in range(20)
+)
+
+
+@register(
+    "q77_corpus_mixing",
+    f"""
+    WITH w(source, weight_bp) AS (VALUES {_MIX_WEIGHTS_VALUES}),
+    b AS (
+      SELECT d.source, d.doc_id,
+             ('0x' || substring(md5('mix:' || d.source || ':' ||
+                                    CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+               % 10000 AS bucket,
+             w.weight_bp
+      FROM documents d JOIN w ON d.source = w.source
+    ), n AS (
+      SELECT source, doc_id,
+             CAST(weight_bp // 10000
+                  + CASE WHEN bucket < weight_bp % 10000 THEN 1 ELSE 0 END
+                  AS BIGINT) AS n_copies
+      FROM b
+    )
+    SELECT source, doc_id,
+           unnest(generate_series(1, n_copies)) AS copy_id
+    FROM n
+    """,
+    "mixing",
+    "sampling",
+)
+def q77_corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing (north-star training-data step): each
+    source is down-/up-sampled to its basis-point weight by a pure
+    hash predicate — `operators/mixing.weighted_mix`. Deterministic
+    and retry-stable (unlike RNG `sample()`), broadcast-joined against
+    the tiny weights dim, map-only over the corpus: at 100 TB this
+    fuses into the scan with zero shuffle. Upsampled docs explode into
+    copy_id rows. Reference anchor: randomSplit (train_gbt.py:139) is
+    the reference's only sampler; this is its corpus-scale form."""
+    docs = _t(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(
+        [
+            (f"src{i}", _MIX_WEIGHTS_BP[i % len(_MIX_WEIGHTS_BP)])
+            for i in range(20)
+        ],
+        "source string, weight_bp int",
+    )
+    return weighted_mix(docs, weights).select("source", "doc_id", "copy_id")
 
 
 @register(
@@ -3192,14 +3252,15 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q55_purchase_attribution_asof",
     "q56_incident_click_range_join",
     "q19_event_windows",
-    "q22_acctbal_coalesce",
     "q23_event_sessions",
     "q25_order_deltas",
-    "q26_supplier_part_variety",
-    "q27_status_by_priority_pivot",
     "q28_json_struct_unwrap",
     "q39_customer_order_lists",
     "q50_cube_type_size",
+    "q57_cascaded_rollup",
+    "q58_cohort_retention",
+    "q59_conversion_funnel",
+    "q69_small_quantity_revenue",
     "q70_shipping_priority",
     "q73_promo_revenue_share",
     "q65_bucketed_segment_orders",
@@ -3210,36 +3271,37 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q37_price_outlier_clip",
     "q38_city_value_counts",
     "q51_salted_event_agg",
+    "q34_top_skills_per_city",
+    "q76_priority_price_mad",
     # -- text / dedup scale path --
     "q40_token_hot_score",
     "q41_doc_quality",
     "q42_lang_id",
     "q43_fingerprint_dedup",
-    "q44_minhash_signatures",
     "q46_lsh_candidate_pairs",
     "q47_lsh_dedup_groups",
     "q66_lsh_dedup_components",
     "q67_corpus_prep",
     "q68_media_features",
-    "q48_simhash_signatures",
-    "q49_bpe_token_stats",
-    "q52_shingle_stats",
     "q53_lsh_verified_pairs",
     "q54_winnowing_fingerprints",
+    "q77_corpus_mixing",
     # -- embedding similarity --
     "q60_cosine_topk",
-    "q61_centroid_distance",
     "q62_embedding_near_dup",
     "q63_embedding_sign_buckets",
     "q64_ivf_ann",
+    "q75_pq_adc_topk",
     "q35_skill_match_scores",
     # ---- window boundary (position 50) ----
-    "q57_cascaded_rollup",
-    "q58_cohort_retention",
-    "q59_conversion_funnel",
-    "q75_pq_adc_topk",
-    "q76_priority_price_mad",
-    "q34_top_skills_per_city",
+    "q22_acctbal_coalesce",
+    "q26_supplier_part_variety",
+    "q27_status_by_priority_pivot",
+    "q44_minhash_signatures",
+    "q48_simhash_signatures",
+    "q49_bpe_token_stats",
+    "q52_shingle_stats",
+    "q61_centroid_distance",
     "q14_priority_filter_isin",
     "q15_price_quantiles",
     "q16_brand_having",
@@ -3247,7 +3309,6 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q20_event_props_json",
     "q71_forecast_revenue",
     "q72_priority_shipmode",
-    "q69_small_quantity_revenue",
     "m01_kmeans_embedding_clusters",
     "m02_skill_hot_gbt_top",
     "m04_similar_tokens_w2v",

@@ -1,0 +1,77 @@
+"""weighted_mix semantics: exact copy counts per branch, determinism,
+and the empty-sequence guard for weight 0."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_spark.operators.mixing import BUCKETS, mix_bucket, weighted_mix
+
+
+def _docs(spark, n=200):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("source"),
+    )
+
+
+def _weights(spark, mapping):
+    return spark.createDataFrame(
+        list(mapping.items()), "source string, weight_bp int"
+    )
+
+
+def test_full_copies_exact(spark):
+    # weight 20000 = exactly 2 copies of every doc, no hash involved
+    out = weighted_mix(_docs(spark), _weights(spark, {"s0": 20000}))
+    per_doc = out.groupBy("doc_id").count().collect()
+    assert per_doc and all(r["count"] == 2 for r in per_doc)
+    copy_ids = {r["copy_id"] for r in out.collect()}
+    assert copy_ids == {1, 2}
+
+
+def test_weight_zero_drops_source_entirely(spark):
+    out = weighted_mix(_docs(spark), _weights(spark, {"s1": 0, "s2": 10000}))
+    srcs = {r["source"] for r in out.select("source").distinct().collect()}
+    assert srcs == {"s2"}
+
+
+def test_fractional_weight_matches_bucket_predicate(spark):
+    # weight 2500: kept docs are exactly those with bucket < 2500
+    docs = _docs(spark)
+    out = weighted_mix(docs, _weights(spark, {"s3": 2500}))
+    kept = {r["doc_id"] for r in out.collect()}
+    expected = {
+        r["doc_id"]
+        for r in docs.filter(F.col("source") == "s3")
+        .withColumn("b", mix_bucket(F.col("source"), F.col("doc_id")))
+        .filter(F.col("b") < 2500)
+        .collect()
+    }
+    assert kept == expected and 0 < len(kept) < 50
+
+
+def test_deterministic_across_runs(spark):
+    w = _weights(spark, {"s0": 7500, "s1": 15000, "s2": 0, "s3": 25000})
+    a = sorted(map(tuple, weighted_mix(_docs(spark), w).collect()))
+    b = sorted(map(tuple, weighted_mix(_docs(spark), w).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_expected_rate_roughly_holds(spark):
+    # hash buckets are uniform-ish: 5000bp over 1000 docs ~ 500 +- 20%
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit("s0").alias("source")
+    )
+    n = weighted_mix(docs, _weights(spark, {"s0": 5000})).count()
+    assert 380 <= n <= 620, n
+
+
+def test_bucket_range(spark):
+    rows = (
+        spark.range(500)
+        .select(mix_bucket(F.lit("x"), F.col("id")).alias("b"))
+        .agg(F.min("b"), F.max("b"))
+        .collect()[0]
+    )
+    assert rows[0] >= 0 and rows[1] < BUCKETS

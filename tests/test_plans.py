@@ -168,3 +168,14 @@ def test_range_join_binned_is_hash_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_corpus_mixing_is_broadcast_map_only(spark):
+    """q77: mixing must fuse into the scan — one broadcast join with
+    the tiny weights dim, no shuffle of the corpus side at all."""
+    df = q(spark, "q77_corpus_mixing")
+    plan = formatted_plan(df)
+    assert count_broadcast_joins(df) == 1, plan
+    assert count_shuffles(df) == 0, plan
+    for node in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan, node

@@ -9,13 +9,24 @@ from big_data_spark.queries import QUERIES
 
 DRIVER_WINDOW = 50
 
-# The scale-critical dedup/similarity tail (round-1 verdict: these had
-# no hard correctness signal because they registered past the window).
+# Queries that have never had a hard driver CORRECTNESS row, plus the
+# scale-critical dedup/similarity tail. Rotation rule (round-3): a
+# query may leave the window only once it has a green driver row in
+# some round; never-checked oracle queries take priority for slots.
 MUST_BE_IN_WINDOW = {
+    # never driver-checked before round 3
+    "q57_cascaded_rollup",
+    "q58_cohort_retention",
+    "q59_conversion_funnel",
+    "q69_small_quantity_revenue",
+    "q75_pq_adc_topk",
+    "q76_priority_price_mad",
+    "q34_top_skills_per_city",
+    "q77_corpus_mixing",
+    # scale path (round-1 verdict: unverified because past the window)
     "q47_lsh_dedup_groups",
     "q53_lsh_verified_pairs",
     "q60_cosine_topk",
-    "q61_centroid_distance",
     "q62_embedding_near_dup",
     "q63_embedding_sign_buckets",
     "q35_skill_match_scores",
