@@ -39,25 +39,41 @@ def scd2_apply(
     tracked values differ (null-safe) from the update is closed at
     the update timestamp and a new current version opens; unseen keys
     insert; identical updates are no-ops. History rows pass through.
+
+    Join-side presence is tracked with explicit marker columns, never
+    inferred from data columns — a current row with a NULL valid_from
+    or an update with a NULL ts is still *present* and merges
+    normally.
+
+    Contract (documented, not scanned-for — checking would cost a
+    pass over the batch): ``ts`` should be non-null (a null-ts update
+    wins the per-key dedup last and opens a version with a null
+    valid_from) and at-or-after the key's current valid_from; a late
+    out-of-order update yields a version with valid_to < valid_from,
+    faithfully recording the out-of-order arrival. Streams needing
+    that guarantee should watermark+sort upstream.
     """
     out_cols = [key, *tracked, from_col, to_col, current_col]
 
     hist = dim.filter(~F.col(current_col)).select(*out_cols)
-    cur = dim.filter(F.col(current_col)).select(*out_cols)
+    cur = dim.filter(F.col(current_col)).select(*out_cols).withColumn(
+        "_in_dim", F.lit(True)
+    )
 
     latest = Window.partitionBy(key).orderBy(F.desc(ts_col))
     upd = (
         updates.withColumn("_rn", F.row_number().over(latest))
         .filter(F.col("_rn") == 1)
         .select(key, *[F.col(c).alias(f"_u_{c}") for c in tracked], ts_col)
+        .withColumn("_in_upd", F.lit(True))
     )
 
     joined = cur.join(upd, key, "full_outer")
     differs = F.lit(False)
     for c in tracked:
         differs = differs | ~F.col(c).eqNullSafe(F.col(f"_u_{c}"))
-    has_cur = F.col(from_col).isNotNull()
-    has_upd = F.col(ts_col).isNotNull()
+    has_cur = F.col("_in_dim").isNotNull()
+    has_upd = F.col("_in_upd").isNotNull()
 
     # current rows that survive as-is: no update, or identical update
     unchanged = joined.filter(has_cur & (~has_upd | ~differs)).select(*out_cols)

@@ -21,6 +21,7 @@ parquet.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -48,13 +49,17 @@ def pruned_existing_keys(
     """Key column of sink rows in the given buckets only — the ``_kb``
     filter is a partition filter, so untouched bucket directories are
     never read (asserted in tests/test_streaming.py via the scan's
-    partition-filter plan node)."""
-    return (
-        spark.read.parquet(sink_dir)
-        .filter(F.col("_kb").isin(buckets))
-        .select(key)
-        .withColumnRenamed(key, "_k")
-    )
+    partition-filter plan node).
+
+    A sink directory written by an external/legacy layout may lack the
+    ``_kb`` partition column; fall back to the full-scan probe (still
+    correct, just unpruned) instead of failing column resolution
+    mid-batch.
+    """
+    existing = spark.read.parquet(sink_dir)
+    if "_kb" in existing.columns:
+        existing = existing.filter(F.col("_kb").isin(buckets))
+    return existing.select(key).withColumnRenamed(key, "_k")
 
 
 def start_upsert_stream(
@@ -101,6 +106,28 @@ def start_upsert_stream(
     return writer.start()
 
 
+SCD2_MANIFEST = "_CURRENT"
+
+
+def _scd2_current_version(dim_dir: str) -> str | None:
+    """Snapshot subdirectory the manifest points at, or None."""
+    manifest = os.path.join(dim_dir, SCD2_MANIFEST)
+    if not os.path.exists(manifest):
+        return None
+    with open(manifest) as f:
+        version = f.read().strip()
+    path = os.path.join(dim_dir, version)
+    return path if version and os.path.exists(path) else None
+
+
+def read_scd2_dim(spark, dim_dir: str) -> DataFrame:
+    """Current dimension snapshot (resolves the version manifest)."""
+    path = _scd2_current_version(dim_dir)
+    if path is None:
+        raise FileNotFoundError(f"no SCD-2 snapshot manifest under {dim_dir}")
+    return spark.read.parquet(path)
+
+
 def start_scd2_stream(
     stream: DataFrame,
     dim_dir: str,
@@ -111,25 +138,28 @@ def start_scd2_stream(
     available_now: bool = True,
 ) -> StreamingQuery:
     """Streaming SCD-2 dimension maintenance: each micro-batch of
-    updates merges into the versioned dimension snapshot via
-    operators.scd.scd2_apply and the snapshot is atomically replaced.
+    updates merges into the dimension via operators.scd.scd2_apply.
 
-    The read-merge-overwrite per batch is correct because foreachBatch
-    serializes batches; the checkpoint WAL replays a crashed batch
-    onto the prior snapshot. Scope: DIMENSION tables (bounded,
-    versions included) — the merged snapshot round-trips through the
-    driver to break the read-then-overwrite cycle on the same path,
-    which is fine at dimension scale and exactly where a production
-    deployment swaps in a table format's MERGE INTO (no rewrite, no
-    driver round-trip) with identical close-changed / open-new /
-    pass-history semantics.
+    Snapshot layout: every batch writes the merged snapshot to a fresh
+    ``v-{batch_id}`` subdirectory (reading from the previous version's
+    directory, so there is no read-then-overwrite cycle and NO driver
+    round-trip — the merge stays entirely on executors), then
+    atomically repoints the ``_CURRENT`` manifest via os.replace and
+    prunes superseded versions. A crash before the repoint leaves the
+    old snapshot live and intact; checkpoint replay rewrites the same
+    version directory idempotently. Readers resolve the manifest with
+    ``read_scd2_dim``. This reproduces table-format MERGE semantics
+    (Delta/Iceberg ``MERGE INTO`` + snapshot isolation) on plain
+    parquet; a production deployment swaps the sink for MERGE with
+    identical close-changed / open-new / pass-history semantics.
     """
     from ..operators.scd import scd2_apply
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        if os.path.exists(dim_dir):
-            dim = spark.read.parquet(dim_dir)
+        prev = _scd2_current_version(dim_dir)
+        if prev is not None:
+            dim = spark.read.parquet(prev)
         else:
             dim = (
                 batch.select(
@@ -142,11 +172,15 @@ def start_scd2_stream(
                 .limit(0)
             )
         merged = scd2_apply(dim, batch, key=key, tracked=tracked, ts_col=ts_col)
-        # materialize before overwriting the input's source files
-        rows = merged.collect()
-        spark.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(
-            dim_dir
-        )
+        version = f"v-{batch_id}"
+        merged.write.mode("overwrite").parquet(os.path.join(dim_dir, version))
+        tmp = os.path.join(dim_dir, SCD2_MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, os.path.join(dim_dir, SCD2_MANIFEST))
+        for name in os.listdir(dim_dir):
+            if name.startswith("v-") and name != version:
+                shutil.rmtree(os.path.join(dim_dir, name), ignore_errors=True)
 
     writer = (
         stream.writeStream.foreachBatch(merge)

@@ -81,11 +81,35 @@ def test_scd2_null_safe_comparison(spark):
     assert out2.filter("is_current").first()["segment"] == "BUILDING"
 
 
-def test_streaming_scd2_dimension_maintenance(spark, tmp_path):
+def test_scd2_presence_not_inferred_from_data_columns(spark):
+    """A current row with NULL valid_from and an update with NULL ts
+    are still *present* on their join side (explicit markers): the
+    null-from row keeps its history instead of being rewritten as a
+    fresh insert, and the null-ts update still applies."""
+    from big_data_spark.operators.scd import scd2_apply
+
+    t1 = TS(2026, 2, 1)
+    dim = _dim(spark, [(1, "BUILDING", None, None, True)])
+    # identical update: must be a no-op even though valid_from is NULL
+    out = scd2_apply(dim, _upd(spark, [(1, "BUILDING", t1)]), "cust_id", ["segment"])
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["valid_from"] is None
+    assert rows[0]["is_current"]
+    # differing update with NULL ts: closes the old version, opens new
+    out2 = scd2_apply(dim, _upd(spark, [(1, "MACHINERY", None)]), "cust_id", ["segment"])
+    cur = out2.filter("is_current").collect()
+    assert len(cur) == 1 and cur[0]["segment"] == "MACHINERY"
+    assert out2.count() == 2
+
+
+def test_streaming_scd2_dimension_maintenance(spark, tmp_path, monkeypatch):
     """Updates streamed across micro-batches maintain a versioned
     dimension: later batches close earlier versions, history
-    accumulates, exactly one current row per key."""
-    from big_data_spark.streaming.sinks import start_scd2_stream
+    accumulates, exactly one current row per key. The merge path must
+    never materialize the snapshot on the driver."""
+    from pyspark.sql import DataFrame
+
+    from big_data_spark.streaming.sinks import read_scd2_dim, start_scd2_stream
 
     src = tmp_path / "updates"
     src.mkdir()
@@ -102,11 +126,18 @@ def test_streaming_scd2_dimension_maintenance(spark, tmp_path):
         .drop("ts_s")
     )
     dim_dir, ckpt = str(tmp_path / "dim"), str(tmp_path / "ckpt")
+    collects = []
+    real_collect = DataFrame.collect
+    monkeypatch.setattr(
+        DataFrame, "collect", lambda self: (collects.append(1), real_collect(self))[1]
+    )
     q = start_scd2_stream(
         stream, dim_dir, ckpt, key="cust_id", tracked=["segment"]
     )
     q.awaitTermination(120)
-    dim = spark.read.parquet(dim_dir)
+    monkeypatch.undo()
+    assert not collects, "SCD-2 merge path materialized data on the driver"
+    dim = read_scd2_dim(spark, dim_dir)
     cur = {r["cust_id"]: r["segment"] for r in dim.filter("is_current").collect()}
     assert cur == {1: "MACHINERY", 2: "AUTOMOBILE", 3: "HOUSEHOLD"}
     # key 1 has a closed BUILDING version if batches arrived in order,
@@ -117,3 +148,12 @@ def test_streaming_scd2_dimension_maintenance(spark, tmp_path):
     closed = [r for r in one if not r["is_current"]]
     for r in closed:
         assert r["valid_to"] is not None
+    # snapshot layout: manifest + exactly the current version directory
+    # (superseded versions pruned after the atomic repoint)
+    import os
+
+    names = sorted(os.listdir(dim_dir))
+    versions = [n for n in names if n.startswith("v-")]
+    assert "_CURRENT" in names and len(versions) == 1, names
+    with open(os.path.join(dim_dir, "_CURRENT")) as f:
+        assert f.read().strip() == versions[0]

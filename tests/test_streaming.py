@@ -431,3 +431,16 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     fps = [r["fingerprint"] for r in out.select("fingerprint").collect()]
     assert sorted(set(fps)) == ["doc-0", "doc-1", "doc-2", "doc-3"]
     assert len(fps) == 4  # each fingerprint exactly once across batches
+
+
+def test_upsert_probe_falls_back_without_kb_column(spark, tmp_path):
+    """A legacy/external sink without the _kb partition column must
+    still probe (full scan), not die on column resolution."""
+    from big_data_spark.streaming.sinks import pruned_existing_keys
+
+    sink = str(tmp_path / "legacy_sink")
+    spark.createDataFrame(
+        [("a", 1), ("b", 2)], "job_title string, n int"
+    ).write.parquet(sink)
+    probe = pruned_existing_keys(spark, sink, "job_title", [0, 1])
+    assert {r["_k"] for r in probe.collect()} == {"a", "b"}
