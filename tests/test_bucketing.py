@@ -140,16 +140,35 @@ def test_q65_bucketed_query_join_has_no_shuffle(spark):
     from big_data_spark.plans import count_shuffles
     from big_data_spark.queries import QUERIES
 
+    import hashlib
+    import os
+    import tempfile
+
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sfx = hashlib.md5(SF_SMOKE.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"bds_bucketed_{sfx}")
     try:
         df = QUERIES["q65_bucketed_segment_orders"].fn(spark, SF_SMOKE)
         # the final groupBy aggregation may shuffle (5 segments);
         # the join itself must not — so total exchanges <= 1
         assert count_shuffles(df) <= 1, df.explain(True)
+        first = {r["c_mktsegment"]: r for r in df.collect()}
+        # re-invocation reuses the fixed per-sf_dir location instead of
+        # writing a fresh temp dir (no orphaned-directory leak)
+        mtimes = {
+            n: os.path.getmtime(os.path.join(base, n))
+            for n in os.listdir(base)
+        }
+        df2 = QUERIES["q65_bucketed_segment_orders"].fn(spark, SF_SMOKE)
+        assert {r["c_mktsegment"]: r for r in df2.collect()} == first
+        assert {
+            n: os.path.getmtime(os.path.join(base, n))
+            for n in os.listdir(base)
+        } == mtimes, "second invocation rewrote the bucketed tables"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
-        spark.sql("DROP TABLE IF EXISTS bds_orders_b")
-        spark.sql("DROP TABLE IF EXISTS bds_customer_b")
+        for kind in ("orders", "customer"):
+            spark.sql(f"DROP TABLE IF EXISTS bds_{kind}_b_{sfx}")
 
 
 def test_approx_count_distinct_within_tolerance(spark):
