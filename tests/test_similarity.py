@@ -8,7 +8,9 @@ from big_data_spark.catalog import load_table
 from big_data_spark.operators.similarity import (
     brute_force_topk,
     build_ivf_index,
+    build_pq_index,
     ivf_search,
+    pq_adc_search,
 )
 
 from .conftest import SF_ORACLE
@@ -149,3 +151,52 @@ def test_pq_adc_recall_vs_exact(spark, emb, query_vec):
     # survive the compression
     assert overlap >= 3, (overlap, approx, exact)
     assert exact[0] == approx[0]
+
+
+def test_trained_pq_recall_vs_exact(spark, emb, query_vec):
+    """Trained-codebook PQ (per-subspace KMeans, the production form
+    q75's docstring points at): raw ADC recall@10 vs exact L2 must be
+    non-trivial, and the exact re-rank stage must recover (nearly)
+    the full exact top-10."""
+    from pyspark.sql import functions as F
+
+    from big_data_spark.functions import l2_sq
+    from big_data_spark.operators.similarity import pq_search_refined
+
+    idx = build_pq_index(emb, m=8, ksub=16)
+    assert len(idx.codebooks) == 8
+    assert all(len(cb) == 16 and len(cb[0]) == 8 for cb in idx.codebooks)
+
+    approx = [r["vec_id"] for r in pq_adc_search(idx, query_vec, k=10).collect()]
+    qlit = F.array(*[F.lit(v) for v in query_vec])
+    exact = [
+        r["vec_id"]
+        for r in emb.select("vec_id", l2_sq(F.col("embedding"), qlit).alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    overlap = len(set(approx) & set(exact))
+    assert overlap >= 3, (overlap, approx, exact)
+    # vec_id 0 IS the query vector (distance 0); trained codebooks
+    # must keep it on top even at 32-bit codes
+    assert approx[0] == exact[0] == 0
+
+    refined = [
+        r["vec_id"]
+        for r in pq_search_refined(idx, emb, query_vec, k=10).collect()
+    ]
+    assert len(set(refined) & set(exact)) >= 9, (refined, exact)
+    assert refined[0] == 0
+
+
+def test_pq_adc_search_is_map_only(spark, emb, query_vec):
+    """The ADC scan must be shuffle-free: LUT lookups are literal
+    arrays, top-k is TakeOrderedAndProject — one columnar pass."""
+    from big_data_spark.plans import count_shuffles
+
+    idx = build_pq_index(emb, m=8, ksub=16)
+    scored = pq_adc_search(idx, query_vec, k=10)
+    assert count_shuffles(scored) == 0, scored.explain(True)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
