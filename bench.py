@@ -131,6 +131,12 @@ def main() -> None:
         n = df.count()
         results[name] = round(time.perf_counter() - t0, 3)
         assert n >= 0
+        # q66 is iterative: report rounds-to-convergence so its wall
+        # time (~1 scheduler round-trip per round at small SF) isn't
+        # misread as a per-row plan cost.
+        rounds = getattr(getattr(fn, "__wrapped__", fn), "last_rounds", None)
+        if rounds is not None:
+            results[f"{name.split('_')[0]}_rounds"] = rounds
 
     total = round(
         etl_sec

@@ -88,6 +88,7 @@ def register(name: str, oracle: str | None, *tags: str):
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn
         QUERIES[name] = QuerySpec(fn=wrapped, oracle=oracle, tags=tags)
         return fn
 
@@ -1985,7 +1986,10 @@ def q66_lsh_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round (measured 20x slower at sf0.1).
     bands = _lsh_bands(spark, sf_dir).localCheckpoint(eager=True)
     labels = bands.select("doc_id").distinct().withColumn("label", F.col("doc_id"))
-    for _ in range(50):
+    # exposed for bench.py: rounds-to-convergence, so per-round job
+    # overhead at small SF isn't misread as a plan regression
+    q66_lsh_dedup_components.last_rounds = 0
+    for _round in range(50):
         bmin = (
             bands.join(labels, "doc_id")
             .groupBy("band_idx", "band")
@@ -2024,6 +2028,7 @@ def q66_lsh_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             merged.filter(F.col("new_label") != F.col("label")).limit(1).count()
         )
         labels = merged.select("doc_id", F.col("new_label").alias("label"))
+        q66_lsh_dedup_components.last_rounds = _round + 1
         if changed == 0:
             break
     return labels.select(

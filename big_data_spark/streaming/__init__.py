@@ -62,6 +62,16 @@ def read_postings_kafka(
         .option("maxOffsetsPerTrigger", max_offsets_per_trigger)
         .load()
     )
+    return parse_kafka_postings(raw)
+
+
+def parse_kafka_postings(raw: DataFrame) -> DataFrame:
+    """The S2 parse chain applied to Kafka's wire schema (key/value
+    binary + topic/partition/offset metadata): value bytes ->
+    from_json(posting schema) -> unwrap. Split out so schema parity
+    with the file stand-in is testable without a broker — the same
+    expression tree runs on any DataFrame carrying a binary ``value``
+    column, batch or stream."""
     return raw.select(
         F.from_json(F.col("value").cast("string"), JOB_POSTING_RAW_SCHEMA).alias("j")
     ).select("j.*")

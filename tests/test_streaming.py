@@ -345,6 +345,44 @@ def test_kafka_source_config_swap(spark):
             read_postings_kafka(spark, "localhost:9092", "job_postings")
 
 
+def test_kafka_parse_schema_parity(spark):
+    """S1/S2 builder-level parity without a broker: the Kafka parse
+    chain (value bytes -> from_json -> unwrap), run over a DataFrame
+    shaped like Kafka's wire schema, must yield EXACTLY the file
+    stand-in's schema and round-trip a sample record's values."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from big_data_spark.fixtures import JOBS_COLUMNS, JOBS_CORPUS
+    from big_data_spark.schemas import JOB_POSTING_RAW_SCHEMA
+    from big_data_spark.streaming import parse_kafka_postings
+
+    rec = dict(zip(JOBS_COLUMNS, JOBS_CORPUS[0]))
+    wire_schema = T.StructType(
+        [
+            T.StructField("key", T.BinaryType()),
+            T.StructField("value", T.BinaryType()),
+            T.StructField("topic", T.StringType()),
+            T.StructField("partition", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("timestamp", T.TimestampType()),
+            T.StructField("timestampType", T.IntegerType()),
+        ]
+    )
+    wire = spark.createDataFrame(
+        [(None, json.dumps(rec).encode(), "job_postings", 0, 0, None, 0)],
+        wire_schema,
+    )
+    parsed = parse_kafka_postings(wire)
+    assert parsed.schema == JOB_POSTING_RAW_SCHEMA
+    # and equals the file stand-in's declared schema (they are the
+    # same constant today; this pins the parity if either drifts)
+    row = parsed.first()
+    for col in ("job_title", "city", "skills"):
+        assert row[col] == rec[col]
+
+
 def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     """Stream-stream inner join with watermarks + event-time bound:
     the streamed result must equal the identical batch join (same
