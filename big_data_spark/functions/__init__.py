@@ -113,6 +113,31 @@ def minhash_slices(token_hashes: Column, k: int = 4) -> list[Column]:
     ]
 
 
+# PII patterns (corpus-scrub stage): RE2-safe subsets so the DuckDB
+# oracle replays them byte-identically (Java regex and RE2 agree on
+# these constructs).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found in a text column — native
+    regexp_extract_all, no Python in the scan."""
+    return (
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), F.lit(0))).cast("long"),
+        F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), F.lit(0))).cast("long"),
+    )
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every email/phone match with a typed placeholder —
+    the standard pre-training scrub step, as a pure column expression
+    (fuses into the scan; at 100 TB this is a zero-shuffle map)."""
+    return F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+
+
 def shingles(tokens: Column, k: int = 3) -> Column:
     """k-token shingles of an array<string> column (native, no UDF)."""
     n = F.size(tokens)

@@ -170,6 +170,36 @@ def test_range_join_binned_is_hash_join(spark):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
 
+def test_pii_redaction_is_map_only(spark):
+    """q78: the PII scrub is pure per-row regexp work — no shuffle,
+    no Python, stays in whole-stage codegen."""
+    df = q(spark, "q78_pii_redaction")
+    assert count_shuffles(df) == 0, formatted_plan(df)
+    assert "PythonUDF" not in formatted_plan(df)
+    assert has_wholestage_codegen(df)
+
+
+def test_decontamination_broadcasts_benchmark(spark):
+    """q80: the benchmark gram set rides a broadcast hash join — the
+    corpus never shuffles against the benchmark; at 100 TB the eval
+    suite is KBs while the corpus is the 100 TB."""
+    df = q(spark, "q80_decontamination")
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_late_sole_shippers_decorrelates_to_hash_joins(spark):
+    """q82: EXISTS / NOT EXISTS must decorrelate to keyed semi/anti
+    hash joins on l_orderkey — never a per-row subquery or
+    nested-loop over lineitem."""
+    df = q(spark, "q82_late_sole_shippers")
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_corpus_mixing_is_broadcast_map_only(spark):
     """q77: mixing must fuse into the scan — one broadcast join with
     the tiny weights dim, no shuffle of the corpus side at all."""
