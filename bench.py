@@ -41,6 +41,9 @@ BENCH_QUERIES = [
     "q64_ivf_ann",
     "q55_purchase_attribution_asof",
     "q56_incident_click_range_join",
+    "q77_corpus_mixing",
+    "q79_repetition_quality",
+    "q80_decontamination",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

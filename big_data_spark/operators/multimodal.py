@@ -145,3 +145,39 @@ def sample_frames(
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=FRAME_SAMPLE_SCHEMA
     )
+
+
+def sample_frames_via_udtf(
+    media: DataFrame,
+    every_n_bytes: int = 64,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Same frame sampling as ``sample_frames``, expressed as a real
+    Python UDTF + LATERAL join (Spark 4 table-function surface): one
+    input row fans out to N frame rows inside the join, so downstream
+    operators can filter/project frames before anything materializes.
+
+    The mapInPandas form stays the hot path (Arrow batches); this
+    variant exists for the table-function API surface — e.g. SQL users
+    calling ``LATERAL sample_frames(media_id, payload)`` — and is
+    pinned equal to it by tests/test_multimodal.py."""
+    from pyspark.sql.functions import udtf
+
+    spark = media.sparkSession
+    n, k = every_n_bytes, max_frames
+
+    @udtf(returnType=FRAME_SAMPLE_SCHEMA)
+    class SampleFrames:
+        def eval(self, media_id, payload):  # noqa: ANN001 -- UDTF contract
+            for i in range(min(k, max(1, len(payload) // n))):
+                yield media_id, i, bytes(payload[i * n : (i + 1) * n])
+
+    spark.udtf.register("sample_frames_udtf", SampleFrames)
+    media.select("media_id", "payload").createOrReplaceTempView("_media_for_udtf")
+    return spark.sql(
+        """
+        SELECT s.media_id, s.frame_idx, s.frame_bytes
+        FROM _media_for_udtf m,
+             LATERAL sample_frames_udtf(m.media_id, m.payload) s
+        """
+    )

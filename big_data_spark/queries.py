@@ -2746,6 +2746,68 @@ def q80_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q84_sequence_packing",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), 0) AS BIGINT) AS cum_before
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens,
+           cum_before // 512 AS pack_id,
+           cum_before % 512 AS offset_in_pack,
+           CASE WHEN cum_before % 512 + n_tokens > 512 THEN 1 ELSE 0 END
+             AS spans_boundary
+    FROM c
+    """,
+    "text",
+    "packing",
+)
+def q84_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (north-star training-data step): GPT-style
+    concat-and-chunk — documents are concatenated in doc_id order and
+    chunked into 512-token context windows; each doc gets its pack id,
+    offset, and a spans-boundary flag. Packing is PER SOURCE
+    (window partitioned by source), which is the scale form: at 100 TB
+    a single global running sum would serialize on one ordered
+    partition, while per-source (or per-shard) packing runs every
+    stream in parallel and is exactly how real pipelines shard the
+    packing step. One hash shuffle on source + per-partition sort;
+    integer div/mod keep both engines bit-identical (DuckDB ``//``
+    ↔ Spark ``floor``)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = docs.select("doc_id", "source", n_tokens.alias("n_tokens")).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("cum_before"),
+    )
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(F.col("cum_before") / 512).alias("pack_id"),
+        (F.col("cum_before") % 512).alias("offset_in_pack"),
+        F.when(F.col("cum_before") % 512 + F.col("n_tokens") > 512, 1)
+        .otherwise(0)
+        .alias("spans_boundary"),
+    )
+
+
+@register(
     "q81_idle_rich_customers",
     """
     WITH avg_bal AS (
@@ -3645,7 +3707,6 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q05_nation_revenue",
     "q07_customers_with_open_orders",
     "q08_top3_orders_per_customer",
-    "q09_running_revenue",
     "q11_nation_segments",
     "q55_purchase_attribution_asof",
     "q56_incident_click_range_join",
@@ -3687,6 +3748,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q78_pii_redaction",
     "q79_repetition_quality",
     "q80_decontamination",
+    "q84_sequence_packing",
     # -- embedding similarity --
     "q60_cosine_topk",
     "q62_embedding_near_dup",
@@ -3697,6 +3759,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     # ---- window boundary (position 50) ----
     "q02_topk_orders",
     "q04_segment_revenue",
+    "q09_running_revenue",
     "q13_setops_customers",
     "q25_order_deltas",
     "q28_json_struct_unwrap",

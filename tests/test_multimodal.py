@@ -64,3 +64,16 @@ def test_frame_sampling_fanout(media):
     r = frames.filter(F.col("frame_idx") == 0).first()
     assert isinstance(r["frame_bytes"], (bytes, bytearray))
     assert len(r["frame_bytes"]) <= 64
+
+
+def test_frame_sampling_udtf_matches_mapinpandas(media):
+    """The LATERAL-join UDTF form must produce exactly the
+    mapInPandas form's rows — same fan-out, same bytes."""
+    from big_data_spark.operators.multimodal import sample_frames_via_udtf
+
+    base = sample_frames(media, every_n_bytes=64, max_frames=4)
+    via_udtf = sample_frames_via_udtf(media, every_n_bytes=64, max_frames=4)
+    assert via_udtf.schema == base.schema
+    a = {(r["media_id"], r["frame_idx"]): r["frame_bytes"] for r in base.collect()}
+    b = {(r["media_id"], r["frame_idx"]): r["frame_bytes"] for r in via_udtf.collect()}
+    assert a == b
