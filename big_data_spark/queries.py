@@ -2807,6 +2807,47 @@ def q84_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _profile_oracle_col(col: str, cast: str | None = None) -> str:
+    expr = f"CAST({col} AS DECIMAL(18,2))" if cast == "dec" else col
+    return f"""
+    SELECT '{col}' AS col_name,
+           CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+           CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           CAST(MIN({expr}) AS VARCHAR) AS min_s,
+           CAST(MAX({expr}) AS VARCHAR) AS max_s
+    FROM orders"""
+
+
+@register(
+    "q85_table_profile",
+    " UNION ALL ".join(
+        _profile_oracle_col(c, cast)
+        for c, cast in (
+            ("o_orderkey", None),
+            ("o_custkey", None),
+            ("o_orderstatus", None),
+            ("o_totalprice", "dec"),
+            ("o_orderdate", None),
+            ("o_orderpriority", None),
+        )
+    ),
+    "profile",
+    "quality",
+)
+def q85_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling (operators/profile.py): per-column null count,
+    exact distinct count, min/max over orders — the ingestion-time
+    data-quality summary, one aggregation pass then an array-of-
+    structs unpivot (no driver round-trip, no per-column scans).
+    Doubles render through DECIMAL(18,2) so both engines print the
+    same digits; `exact=False` switches to HLL++ approx distincts
+    for 100 TB profiles (tested separately — approximate results
+    can't hash-match an exact oracle)."""
+    from .operators.profile import profile_table
+
+    return profile_table(_t(spark, sf_dir, "orders"))
+
+
 @register(
     "q81_idle_rich_customers",
     """
@@ -3705,7 +3746,6 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     # -- relational core --
     "q01_pricing_summary",
     "q05_nation_revenue",
-    "q07_customers_with_open_orders",
     "q08_top3_orders_per_customer",
     "q11_nation_segments",
     "q55_purchase_attribution_asof",
@@ -3732,6 +3772,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q51_salted_event_agg",
     "q34_top_skills_per_city",
     "q76_priority_price_mad",
+    "q85_table_profile",
     # -- text / dedup scale path --
     "q40_token_hot_score",
     "q41_doc_quality",
@@ -3759,6 +3800,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     # ---- window boundary (position 50) ----
     "q02_topk_orders",
     "q04_segment_revenue",
+    "q07_customers_with_open_orders",
     "q09_running_revenue",
     "q13_setops_customers",
     "q25_order_deltas",
