@@ -1,0 +1,94 @@
+"""Runtime scale behaviors the engine relies on at 100 TB, pinned as
+tests: runtime bloom-filter semi-join reduction (a selective dim
+filter prunes the fact scan without a broadcast) and AQE skew-join
+splitting (a hot key cannot straggle a stage)."""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_ORACLE
+
+
+@contextmanager
+def _confs(spark, **kv):
+    old = {}
+    for k, v in kv.items():
+        key = k.replace("__", ".")
+        try:
+            old[key] = spark.conf.get(key)
+        except Exception:
+            old[key] = None
+        spark.conf.set(key, v)
+    try:
+        yield
+    finally:
+        for key, v in old.items():
+            if v is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, v)
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """With broadcast off (the 100-TB big-join situation), a selective
+    filter on the build side must still reach the probe side as a
+    runtime bloom filter — the fact scan drops non-joining rows before
+    the shuffle instead of shuffling all of them."""
+    sf_bench = SF_ORACLE.replace("sf0.01", "sf0.1")
+    with _confs(
+        spark,
+        **{
+            "spark__sql__optimizer__runtime__bloomFilter__enabled": "true",
+            "spark__sql__optimizer__runtime__bloomFilter__applicationSideScanSizeThreshold": "0",
+            "spark__sql__optimizer__runtime__bloomFilter__creationSideThreshold": "100MB",
+            "spark__sql__autoBroadcastJoinThreshold": "-1",
+        },
+    ):
+        li = spark.read.parquet(f"{sf_bench}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_bench}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan  # probe-side runtime filter
+        assert "bloom_filter_agg" in plan, plan  # build-side aggregate
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """A join keyed on a hot key (97% of rows share one value) must
+    not straggle: AQE detects the oversized shuffle partition and
+    splits it (SortMergeJoin(skew=true) + AQEShuffleRead skewed) so
+    the hot key's work spreads across tasks."""
+    with _confs(
+        spark,
+        **{
+            "spark__sql__adaptive__skewJoin__skewedPartitionFactor": "2",
+            "spark__sql__adaptive__skewJoin__skewedPartitionThresholdInBytes": "1m",
+            "spark__sql__adaptive__advisoryPartitionSizeInBytes": "1m",
+            "spark__sql__autoBroadcastJoinThreshold": "-1",
+        },
+    ):
+        left = (
+            spark.range(0, 300_000)
+            .withColumn(
+                "k",
+                F.when(F.col("id") < 290_000, F.lit(0)).otherwise(
+                    F.col("id") % 997
+                ),
+            )
+            .withColumn("pad", F.repeat(F.lit("x"), 120))
+        )
+        right = (
+            spark.range(0, 1000)
+            .withColumnRenamed("id", "k2")
+            .withColumn("v", F.col("k2") * 2)
+        )
+        j = left.join(right, left.k == right.k2)
+        rows = j.collect()  # must run THIS plan so AQE finalizes it
+        assert len(rows) == 300_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
