@@ -2807,6 +2807,60 @@ def q84_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q86_vocabulary_idf",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), v AS (
+      SELECT token,
+             CAST(COUNT(*) AS BIGINT) AS term_freq,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+      FROM tok GROUP BY 1
+    )
+    SELECT token, term_freq, doc_freq,
+           ROUND(ln(CAST(n.n_docs AS DOUBLE) / doc_freq), 6) AS idf,
+           CASE WHEN doc_freq >= 5 AND doc_freq <= n.n_docs * 0.3
+                THEN 1 ELSE 0 END AS kept
+    FROM v, n
+    """,
+    "text",
+    "vocabulary",
+)
+def q86_vocabulary_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction with document frequencies and IDF —
+    the tokenizer-/feature-vocab step of a text pipeline (HashingTF's
+    exact-counted sibling; reference anchor: CountVectorizer in the
+    LDA recommender, ml_skills_recommendation.pyc). One shuffle keyed
+    by token (bounded by vocabulary size, not corpus size); the 1-row
+    corpus count broadcasts. ``kept`` applies the classic df floor +
+    df-ceiling stopword band; ln() is rounded (libm vs JVM last-ulp)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    v = toks.groupBy("token").agg(
+        F.count("*").alias("term_freq"),
+        F.count_distinct("doc_id").alias("doc_freq"),
+    )
+    return v.crossJoin(F.broadcast(n)).select(
+        "token",
+        "term_freq",
+        "doc_freq",
+        F.round(
+            F.log(F.col("n_docs").cast("double") / F.col("doc_freq")), 6
+        ).alias("idf"),
+        F.when(
+            (F.col("doc_freq") >= 5)
+            & (F.col("doc_freq") <= F.col("n_docs") * 0.3),
+            1,
+        )
+        .otherwise(0)
+        .alias("kept"),
+    )
+
+
 def _profile_oracle_col(col: str, cast: str | None = None) -> str:
     expr = f"CAST({col} AS DECIMAL(18,2))" if cast == "dec" else col
     return f"""
@@ -3751,7 +3805,6 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q55_purchase_attribution_asof",
     "q56_incident_click_range_join",
     "q19_event_windows",
-    "q23_event_sessions",
     "q39_customer_order_lists",
     "q50_cube_type_size",
     "q57_cascaded_rollup",
@@ -3790,6 +3843,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q79_repetition_quality",
     "q80_decontamination",
     "q84_sequence_packing",
+    "q86_vocabulary_idf",
     # -- embedding similarity --
     "q60_cosine_topk",
     "q62_embedding_near_dup",
@@ -3799,6 +3853,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q35_skill_match_scores",
     # ---- window boundary (position 50) ----
     "q02_topk_orders",
+    "q23_event_sessions",
     "q04_segment_revenue",
     "q07_customers_with_open_orders",
     "q09_running_revenue",

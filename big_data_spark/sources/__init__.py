@@ -11,8 +11,17 @@ returns/accepts DataFrames so operators stay storage-agnostic.
 from .io import (
     read_csv,
     read_json,
+    read_orc,
     write_csv_single,
+    write_orc,
     write_parquet,
 )
 
-__all__ = ["read_csv", "read_json", "write_csv_single", "write_parquet"]
+__all__ = [
+    "read_csv",
+    "read_json",
+    "read_orc",
+    "write_csv_single",
+    "write_orc",
+    "write_parquet",
+]

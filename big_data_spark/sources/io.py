@@ -66,6 +66,33 @@ def write_parquet(
     writer.parquet(path)
 
 
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | None = None, **options: str
+) -> DataFrame:
+    """ORC source — the other columnar interchange format warehouses
+    hand us. Schema optional: ORC files self-describe, but passing one
+    keeps the contract-first guarantee (and skips the footer pass)."""
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink with the same partition-pruning conventions as
+    write_parquet (zlib default codec; predicate pushdown works the
+    same way on the read side)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_csv_single(df: DataFrame, path: str, header: bool = True) -> None:
     """Single-file CSV export (S9: coalesce(1) + header).
 

@@ -168,6 +168,7 @@ def join_event_streams(
     right: DataFrame,
     watermark: str = "2 hours",
     max_delay: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join with an event-time interval bound
     (SURVEY §2.9 lists every stream-join shape as absent in the
@@ -179,6 +180,11 @@ def join_event_streams(
     watermark + max_delay of data — without the time bound Spark
     would have to buffer both streams forever. Keyed on user_id, so
     state is hash-partitioned and per-key bounded at any input rate.
+
+    ``how="left_outer"`` (or right/full) emits the null-padded row
+    once the watermark proves no match can still arrive — outer
+    stream joins REQUIRE the watermark + time bound for exactly this
+    reason (the engine must know when to give up on a match).
     """
     l = left.withWatermark("ts", watermark).alias("l")
     r = right.withWatermark("ts", watermark).alias("r")
@@ -190,6 +196,7 @@ def join_event_streams(
             AND r.ts BETWEEN l.ts AND l.ts + INTERVAL {max_delay}
             """
         ),
+        how,
     ).select(
         F.col("l.user_id").alias("user_id"),
         F.col("l.event_type").alias("left_type"),

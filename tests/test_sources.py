@@ -10,7 +10,9 @@ from big_data_spark.schemas import JOB_POSTING_RAW_SCHEMA
 from big_data_spark.sources import (
     read_csv,
     read_json,
+    read_orc,
     write_csv_single,
+    write_orc,
     write_parquet,
 )
 
@@ -53,6 +55,27 @@ def test_partitioned_parquet_write_and_pruning(spark, tmp_path):
 
     assert one.count() == df.filter(df.city == "HCM").count()
     assert "PartitionFilters: [isnotnull(city" in formatted_plan(one)
+
+
+def test_orc_roundtrip_partitioned_with_pushdown(spark, tmp_path):
+    """ORC sink/source: partitioned write prunes on read, value
+    filters push down to the ORC scan, and the roundtrip is exact."""
+    df = jobs_corpus_df(spark).na.fill({"city": "Unknown"})
+    out = str(tmp_path / "orc_by_city")
+    write_orc(df, out, partition_by=["city"])
+    dirs = {p.split("=")[-1] for p in glob.glob(f"{out}/city=*")}
+    assert len(dirs) >= 3
+    back = read_orc(spark, out)
+    assert back.count() == df.count()
+    one = back.filter(back.city == "HCM").filter(back.salary.isNotNull())
+    from big_data_spark.plans import formatted_plan
+
+    plan = formatted_plan(one)
+    assert "PartitionFilters: [isnotnull(city" in plan
+    assert "PushedFilters: [IsNotNull(salary" in plan
+    assert one.count() == df.filter(
+        (df.city == "HCM") & df.salary.isNotNull()
+    ).count()
 
 
 def test_append_mode_accumulates(spark, tmp_path):

@@ -430,6 +430,72 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     assert got == want and got > 0
 
 
+def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
+    """Watermarked LEFT OUTER stream-stream join: rows with a match
+    join as usual; rows the watermark proves unmatched emit
+    null-padded. Every emitted row must match the batch left-outer
+    join, matched rows must all arrive, and a nonzero number of
+    null-padded rows must appear (the outer semantics actually
+    firing)."""
+    import pyspark.sql.functions as F
+
+    from big_data_spark.streaming import join_event_streams, read_events_stream
+
+    left_dir, right_dir = tmp_path / "left", tmp_path / "right"
+    left_dir.mkdir()
+    right_dir.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", left_dir / "events.parquet")
+    shutil.copy(f"{SF_SMOKE}/events.parquet", right_dir / "events.parquet")
+
+    clicks = read_events_stream(spark, str(left_dir)).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = read_events_stream(spark, str(right_dir)).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = join_event_streams(
+        clicks, purchases, max_delay="1 hour", how="left_outer"
+    )
+    sink, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(sink)
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("CAST(ts AS LONG) div 1000"))
+    )
+    c = ev.filter(F.col("event_type") == "click").alias("l")
+    p = ev.filter(F.col("event_type") == "purchase").alias("r")
+    want = c.join(
+        p,
+        F.expr(
+            "l.user_id = r.user_id AND r.ts BETWEEN l.ts AND l.ts + INTERVAL 1 hour"
+        ),
+        "left_outer",
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.ts").alias("right_ts"),
+    )
+    key = lambda r: (r["user_id"], r["left_ts"], r["right_ts"])  # noqa: E731
+    got_rows = {key(r) for r in got.select("user_id", "left_ts", "right_ts").collect()}
+    want_rows = {key(r) for r in want.collect()}
+    assert got_rows <= want_rows
+    # all MATCHED rows emit (inner part is watermark-independent here)
+    matched = {k for k in want_rows if k[2] is not None}
+    assert matched <= got_rows
+    # and the outer semantics fired: null-padded rows were emitted
+    nulls_emitted = {k for k in got_rows if k[2] is None}
+    assert nulls_emitted, "no unmatched rows emitted"
+
+
 def test_stream_dedup_within_watermark(spark, tmp_path):
     """Duplicate keys arriving across micro-batches inside the
     watermark horizon land exactly once; state is evictable (the
