@@ -172,12 +172,18 @@ def sample_frames_via_udtf(
             for i in range(min(k, max(1, len(payload) // n))):
                 yield media_id, i, bytes(payload[i * n : (i + 1) * n])
 
-    spark.udtf.register("sample_frames_udtf", SampleFrames)
-    media.select("media_id", "payload").createOrReplaceTempView("_media_for_udtf")
+    # per-call names so concurrent callers in one session can't
+    # clobber each other's view/function registration
+    import uuid
+
+    tag = uuid.uuid4().hex[:12]
+    fn_name, view_name = f"sample_frames_{tag}", f"media_for_udtf_{tag}"
+    spark.udtf.register(fn_name, SampleFrames)
+    media.select("media_id", "payload").createOrReplaceTempView(view_name)
     return spark.sql(
-        """
+        f"""
         SELECT s.media_id, s.frame_idx, s.frame_bytes
-        FROM _media_for_udtf m,
-             LATERAL sample_frames_udtf(m.media_id, m.payload) s
+        FROM {view_name} m,
+             LATERAL {fn_name}(m.media_id, m.payload) s
         """
     )
