@@ -157,3 +157,36 @@ def test_streaming_scd2_dimension_maintenance(spark, tmp_path, monkeypatch):
     assert "_CURRENT" in names and len(versions) == 1, names
     with open(os.path.join(dim_dir, "_CURRENT")) as f:
         assert f.read().strip() == versions[0]
+
+
+def test_scd2_crash_window_leaves_old_snapshot_live(spark, tmp_path):
+    """Atomicity contract: a snapshot directory written WITHOUT the
+    manifest repoint (the crash window) must be invisible to readers —
+    the previous version stays live until os.replace lands."""
+    import os
+
+    from big_data_spark.streaming.sinks import read_scd2_dim
+
+    dim_dir = str(tmp_path / "dim")
+    os.makedirs(dim_dir)
+    good = spark.createDataFrame(
+        [(1, "BUILDING", True)], "cust_id long, segment string, is_current boolean"
+    )
+    good.write.parquet(os.path.join(dim_dir, "v-1"))
+    with open(os.path.join(dim_dir, "_CURRENT"), "w") as f:
+        f.write("v-1")
+    # simulate a crash: v-2 fully written, manifest never repointed
+    spark.createDataFrame(
+        [(1, "MACHINERY", True)], "cust_id long, segment string, is_current boolean"
+    ).write.parquet(os.path.join(dim_dir, "v-2"))
+
+    dim = read_scd2_dim(spark, dim_dir)
+    assert [r["segment"] for r in dim.collect()] == ["BUILDING"]
+
+    # manifest pointing at a missing dir is a hard error, not silence
+    with open(os.path.join(dim_dir, "_CURRENT"), "w") as f:
+        f.write("v-404")
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_scd2_dim(spark, dim_dir)
