@@ -118,3 +118,40 @@ def test_adaptive_rf_monotone(n):
     trees2, depth2 = adaptive_rf_params(n + 1)
     assert trees2 >= trees and depth2 >= depth  # monotone in data size
     assert (trees, depth) in {(30, 8), (40, 10), (50, 12), (60, 15), (75, 18)}
+
+
+def test_redact_pii_complete_and_idempotent(spark):
+    """After one redaction pass no PII pattern matches remain, counts
+    agree with Python re over the same RE2-safe patterns, and a second
+    pass is a no-op (idempotence — placeholders contain no matchable
+    text)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from big_data_spark.functions import EMAIL_RE, PHONE_RE, pii_counts, redact_pii
+
+    texts = [
+        "plain text no pii at all",
+        "mail me at alice.smith+spam@example.co.uk today",
+        "two mails a@b.io c.d@e-f.org and a phone +1-555-0199",
+        "+1-555-1234 +1-555-9999",
+        "almost@an @email .com +1-555-12 not matches",
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    n_e, n_p = pii_counts(F.col("t"))
+    once = df.select(
+        "i",
+        "t",
+        n_e.alias("ne"),
+        n_p.alias("np"),
+        redact_pii(F.col("t")).alias("r1"),
+    )
+    twice = once.select("i", "t", "ne", "np", "r1", redact_pii(F.col("r1")).alias("r2"))
+    for row in twice.collect():
+        assert row["ne"] == len(re.findall(EMAIL_RE, row["t"])), row["t"]
+        assert row["np"] == len(re.findall(PHONE_RE, row["t"])), row["t"]
+        assert not re.search(EMAIL_RE, row["r1"]), row["r1"]
+        assert not re.search(PHONE_RE, row["r1"]), row["r1"]
+        assert row["r2"] == row["r1"]
