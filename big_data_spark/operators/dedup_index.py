@@ -1,0 +1,69 @@
+"""Incremental dedup against a persistent fingerprint index — the
+daily-ingest form of exact dedup.
+
+The batch queries dedup a corpus against itself (q43 fingerprint,
+q66 fixpoint LSH); a production pipeline also needs "is this NEW
+batch a duplicate of anything we already ingested?" without
+rescanning the corpus. The index holds one 16-byte md5 per kept
+document (~10^9 rows per 100 TB of docs — a few GB of digests, i.e.
+0.01% of the corpus), so the check is a digest-keyed anti-join that
+never touches historical document bodies.
+
+Flow per ingest batch:
+  survivors = dedup_against_index(batch, index)   # anti-join + self-dedup
+  append_fingerprints(survivors, index_dir)       # index grows by the kept set
+
+Shuffle cost: one hash shuffle of the batch's digests against the
+index digests (sort-merge or shuffled-hash on 16-byte keys). The
+index side is pre-shuffle-free if bucketed by fingerprint
+(operators/relational.write_bucketed) — then only the new batch moves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FINGERPRINT_COL = "fingerprint"
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalize -> md5 content digest (same normalization as q43 so
+    batch and incremental dedup agree on what "identical" means)."""
+    return df.withColumn(
+        FINGERPRINT_COL, F.md5(F.lower(F.trim(F.col(text_col))))
+    )
+
+
+def dedup_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rows of ``batch`` that duplicate neither the index nor each
+    other. Within-batch ties keep the smallest id (deterministic,
+    retry-stable). Returns the surviving rows WITH their fingerprint
+    column so the caller can append them to the index."""
+    fp = fingerprint(batch, text_col)
+    fresh = fp.join(
+        index.select(FINGERPRINT_COL), FINGERPRINT_COL, "left_anti"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(FINGERPRINT_COL).orderBy(id_col)
+    return (
+        fresh.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def append_fingerprints(survivors: DataFrame, index_dir: str) -> None:
+    """Grow the index by the kept set (append-only: a fingerprint is
+    written once, by the batch that first kept it)."""
+    survivors.select(FINGERPRINT_COL).write.mode("append").parquet(index_dir)
+
+
+def read_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(index_dir)

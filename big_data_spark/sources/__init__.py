@@ -9,6 +9,7 @@ returns/accepts DataFrames so operators stay storage-agnostic.
 """
 
 from .io import (
+    compact_parquet,
     read_csv,
     read_json,
     read_orc,
@@ -18,6 +19,7 @@ from .io import (
 )
 
 __all__ = [
+    "compact_parquet",
     "read_csv",
     "read_json",
     "read_orc",

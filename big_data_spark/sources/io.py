@@ -93,6 +93,35 @@ def write_orc(
     writer.orc(path)
 
 
+def compact_parquet(
+    spark: SparkSession, path: str, target_files: int
+) -> int:
+    """Rewrite a parquet directory into ``target_files`` files — the
+    small-files compaction every high-frequency append sink needs
+    (thousands of KB-files turn a 100 TB scan into a metadata storm
+    and starve the scheduler).
+
+    coalesce (not repartition): merging files needs no shuffle.
+    The rewrite lands in a sibling temp dir first, then the directory
+    swap is rename-based (old -> .bak, new -> live, drop .bak): a
+    crash before the final rename leaves the original intact; the
+    .bak survives a crash after it, so recovery is re-running the
+    compaction. Returns the new file count."""
+    import glob as _glob
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    tmp, bak = f"{path}__compact_tmp", f"{path}__compact_bak"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(bak, ignore_errors=True)
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+    return len(_glob.glob(f"{path}/part-*.parquet"))
+
+
 def write_csv_single(df: DataFrame, path: str, header: bool = True) -> None:
     """Single-file CSV export (S9: coalesce(1) + header).
 

@@ -158,3 +158,22 @@ def test_freq_items_heavy_hitters(spark):
     }
     # sketch guarantee: no false negatives above the support threshold
     assert exact_heavy <= surfaced, exact_heavy - surfaced
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from big_data_spark.sources import compact_parquet
+
+    out = str(tmp_path / "many_files")
+    df = jobs_corpus_df(spark)
+    df.repartition(16).write.parquet(out)
+    before = glob.glob(f"{out}/part-*.parquet")
+    assert len(before) > 4  # empty partitions write no file
+    rows_before = sorted(map(tuple, spark.read.parquet(out).collect()), key=repr)
+
+    n = compact_parquet(spark, out, target_files=2)
+    after = glob.glob(f"{out}/part-*.parquet")
+    assert n == len(after) <= 2
+    rows_after = sorted(map(tuple, spark.read.parquet(out).collect()), key=repr)
+    assert rows_after == rows_before
+    # no stray temp/backup dirs left behind
+    assert not glob.glob(f"{out}__compact_*")
