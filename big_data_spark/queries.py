@@ -2861,6 +2861,94 @@ def q86_vocabulary_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q87_large_volume_customers",
+    """
+    WITH big AS (
+      SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY 1
+      HAVING SUM(CAST(l_quantity AS DECIMAL(27,2))) > 250
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice, b.sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+    "subquery",
+    "having",
+)
+def q87_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold, joined back to customer — the groupBy-HAVING-join-back
+    pattern. The aggregate runs FIRST (shrinks lineitem to qualifying
+    orderkeys — a tiny set), so the joins move almost nothing; at
+    100 TB the HAVING filter is the whole optimization."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dsum(F.col("l_quantity"), "sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q88_order_priority_fulfillment",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    "subquery",
+    "semijoin",
+)
+def q88_order_priority_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (shipdate standing in for commitdate): count
+    orders per priority having at least one line shipped after the
+    order date — correlated EXISTS decorrelated to a left_semi hash
+    join on l_orderkey with the date predicate as a join filter.
+    Lineitem never aggregates; the semi join dedups matches for
+    free."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    o, l = orders.alias("o"), li.alias("l")
+    return (
+        o.join(
+            l,
+            (F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+            & (F.col("l.l_shipdate") > F.col("o.o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
 def _profile_oracle_col(col: str, cast: str | None = None) -> str:
     expr = f"CAST({col} AS DECIMAL(18,2))" if cast == "dec" else col
     return f"""
@@ -3890,6 +3978,8 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q30_salary_parse",
     "q31_experience_parse",
     "q45_jaccard_near_dup",
+    "q87_large_volume_customers",
+    "q88_order_priority_fulfillment",
 ]
 
 
