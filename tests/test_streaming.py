@@ -548,3 +548,45 @@ def test_upsert_probe_falls_back_without_kb_column(spark, tmp_path):
     ).write.parquet(sink)
     probe = pruned_existing_keys(spark, sink, "job_title", [0, 1])
     assert {r["_k"] for r in probe.collect()} == {"a", "b"}
+
+
+def test_progress_listener_captures_batches(spark, tmp_path):
+    """The progress listener must see every micro-batch of a drained
+    availableNow stream: total input rows across events equals the
+    source row count, and batch ids are distinct."""
+    import time
+
+    from big_data_spark.streaming.observability import attach_progress_listener
+
+    src = tmp_path / "events"
+    src.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", src / "events.parquet")
+    n_src = spark.read.parquet(str(src)).count()
+
+    rec, listener = attach_progress_listener(spark)
+    try:
+        stream = read_events_stream(spark, str(src))
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(tmp_path / "sink"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener events are delivered async; give the bus a moment
+        for _ in range(40):
+            if rec.total_rows() >= n_src:
+                break
+            time.sleep(0.25)
+    finally:
+        spark.streams.removeListener(listener)
+
+    mine = [e for e in rec.events if e.num_input_rows > 0]
+    assert sum(e.num_input_rows for e in mine) == n_src
+    ids = [(e.query_id, e.batch_id) for e in mine]
+    assert len(ids) == len(set(ids))
+    assert all(
+        e.batch_duration_ms is None or e.batch_duration_ms >= 0 for e in mine
+    )
