@@ -38,18 +38,27 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing physical quirks.
 
-    events.ts is written as parquet timestamp[ns], which Spark reads
-    as long nanos (session sets legacy.parquet.nanosAsLong); convert
-    to a proper microsecond TimestampType here so downstream plans
-    see a clean schema.
+    Timestamp physical types have varied across testdata generations:
+    timestamp[ns] (Spark reads as long nanos under
+    legacy.parquet.nanosAsLong) and timestamp[us] with
+    isAdjustedToUTC=false (Spark reads as TIMESTAMP_NTZ). Normalize
+    both to session-tz TimestampType here — the session runs UTC, so
+    an NTZ→LTZ cast preserves wall-clock values and every downstream
+    plan/schema is identical regardless of the file generation.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    dtypes = dict(df.dtypes)
+    if name == "events" and dtypes.get("ts") == "bigint":
         # integer div, not /: float division of ~1e18 nanos loses the
         # low microsecond digits (double has 53 mantissa bits)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ntz_cols = [c for c, t in dtypes.items() if t == "timestamp_ntz"]
+    if ntz_cols:
+        df = df.withColumns(
+            {c: F.col(c).cast("timestamp") for c in ntz_cols}
+        )
     return df
 
 
