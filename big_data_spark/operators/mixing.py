@@ -78,3 +78,39 @@ def weighted_mix(
         .withColumn("copy_id", F.explode(copies))
         .drop(weight_col)
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    *,
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    splits: tuple[tuple[str, int], ...] = (
+        ("train", 8000),
+        ("valid", 1000),
+        ("test", 1000),
+    ),
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic stratified train/valid/test assignment.
+
+    The corpus generalization of the reference's ``randomSplit``
+    (train_gbt.py:139): every row gets a named split, with the given
+    basis-point proportions holding *within each stratum* (hash
+    buckets are uniform per (stratum, key)), not just globally.
+    Pure column expression — map-only, fuses into the scan, stable
+    under retries, and any engine can replay the assignment from the
+    same md5 predicate (no RNG state).
+    """
+    total = sum(bp for _, bp in splits)
+    if total != BUCKETS:
+        raise ValueError(f"split fractions must sum to {BUCKETS} bp, got {total}")
+    bucket = mix_bucket(F.col(stratum_col), F.col(key_col), salt)
+    col = None
+    acc = 0
+    for name, bp in splits[:-1]:
+        acc += bp
+        col = (F.when if col is None else col.when)(bucket < acc, name)
+    col = col.otherwise(splits[-1][0])
+    return df.withColumn(split_col, col)

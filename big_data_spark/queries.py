@@ -3874,6 +3874,405 @@ def m04_similar_tokens_w2v(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q89_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS ship_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(27,4))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+       OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+    "join",
+    "tpch",
+)
+def q89_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral shipping volume between two nations
+    by ship year. The nation filter is applied to each nation dim
+    BEFORE any join, so supplier and customer shrink to ~2/25 of their
+    size ahead of the two big shuffles (lineitem⋈orders on orderkey,
+    orders⋈customer on custkey); nation and the pre-filtered supplier
+    side are broadcast — at 100 TB only the two fact shuffles move
+    real data."""
+    pair = ("NATION_3", "NATION_7")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nat.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(nat.select("n_nationkey", F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "cust_nation")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+                scale=4,
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+@register(
+    "q90_product_type_profit",
+    """
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         - 0.6 * p.p_retailprice * l.l_quantity
+                         AS DECIMAL(27,4))) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    "join",
+    "tpch",
+)
+def q90_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: per-nation, per-order-year profit for one
+    product family. The testdata has no partsupp, so supply cost is
+    proxied as 0.6·retailprice·quantity (deterministic per-row IEEE
+    math, oracle replays it exactly). The p_name LIKE filter prunes
+    part before its join (pushed to the parquet scan), the pruned part
+    and supplier⋈nation dims broadcast, and lineitem⋈orders is the
+    only large shuffle."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(_t(spark, sf_dir, "nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    profit_term = F.col("l_extendedprice") * (1 - F.col("l_discount")) - (
+        F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(_dsum(profit_term, "profit", scale=4))
+        .orderBy("nation", "o_year")
+    )
+
+
+# (brand, max size, min qty, max qty) arms of the q91 disjunction.
+_Q91_ARMS = (("Brand#12", 5, 1, 11), ("Brand#23", 10, 10, 20), ("Brand#34", 15, 20, 30))
+
+
+@register(
+    "q91_brand_size_disjunction",
+    """
+    SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(27,4))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE {arms}
+    """.format(
+        arms=" OR ".join(
+            f"(p.p_brand = '{b}' AND p.p_size BETWEEN 1 AND {sz}"
+            f" AND l.l_quantity BETWEEN {lo} AND {hi})"
+            for b, sz, lo, hi in _Q91_ARMS
+        )
+    ),
+    "filter",
+    "tpch",
+)
+def q91_brand_size_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning
+    both join sides. Part is pre-filtered to the union of the per-arm
+    part conditions (brand ∈ 3 values, size ≤ max) — that filter pushes
+    into the parquet scan and shrinks part to a broadcastable sliver —
+    and the full disjunction is evaluated after the broadcast join,
+    where each arm pairs its brand with its quantity band. Single
+    global aggregate, no shuffle beyond the final reduce."""
+    part = _t(spark, sf_dir, "part")
+    pre = None
+    for b, sz, _, _ in _Q91_ARMS:
+        arm = (F.col("p_brand") == b) & F.col("p_size").between(1, sz)
+        pre = arm if pre is None else (pre | arm)
+    part = part.filter(pre)
+    li = _t(spark, sf_dir, "lineitem")
+    full = None
+    for b, sz, lo, hi in _Q91_ARMS:
+        arm = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(1, sz)
+            & F.col("l_quantity").between(lo, hi)
+        )
+        full = arm if full is None else (full | arm)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(full)
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+                scale=4,
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+_Q92_SUMS = ",\n             ".join(
+    f"SUM(CASE WHEN substring(h, {i + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(32)
+)
+_Q92_SIG = " + ".join(
+    f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+    for i in range(32)
+)
+
+
+@register(
+    "q92_simhash_hamming_pairs",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents
+    ), bits AS (
+      SELECT doc_id, md5(token) AS h FROM tok
+    ), sums AS (
+      SELECT doc_id,
+             {_Q92_SUMS}
+      FROM bits GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id, {_Q92_SIG} AS sig FROM sums
+    ), bands AS (
+      SELECT s.doc_id, s.sig, k.band_id, (s.sig >> (8 * k.band_id)) & 255 AS band_val
+      FROM sig s CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(band_id)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    ORDER BY doc_a, doc_b
+    """,
+    "dedup",
+    "simhash",
+    "lsh",
+)
+def q92_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-ball near-dup pairs — the bitwise sibling of
+    the MinHash LSH path (q46/q47). 32-bit signature per doc (sign of
+    per-bit ±1 token votes, like q48 but 32 md5 nibbles), split into
+    4 bands of 8 bits; docs agreeing on any band become candidates
+    and survive iff popcount(sig_a XOR sig_b) <= 3.
+
+    EXACT, not approximate: 3 differing bits can touch at most 3 of
+    the 4 bands (pigeonhole), so every pair within Hamming distance 3
+    shares at least one intact band — banding loses nothing. At
+    100 TB the band join is a hash equi-join on (band_id, 8-bit
+    value) carrying only (doc_id, sig) — never an all-pairs compare;
+    bucket sizes are corpus/256 per band and the XOR verify is a
+    cheap register op."""
+    docs = _t(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(F.split("text", " ")), lambda t: F.md5(t)
+        ).alias("th"),
+    )
+    bit_sums = [
+        F.aggregate(
+            "th",
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.substring(h, i + 1, 1) >= "8", 1).otherwise(-1),
+        ).alias(f"b{i}")
+        for i in range(32)
+    ]
+    sums = hashed.select("doc_id", *bit_sums)
+    sig_expr = None
+    for i in range(32):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig_expr = term if sig_expr is None else sig_expr + term
+    sigs = sums.select("doc_id", sig_expr.alias("sig"))
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("sig", 8 * k).bitwiseAND(F.lit(255))
+                    for k in range(4)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.bit_count(
+        F.col("a.sig").bitwiseXOR(F.col("b.sig"))
+    ).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "q93_stratified_split",
+    """
+    WITH s AS (
+      SELECT lang, n_chars,
+             ('0x' || substring(md5('split:' || lang || ':' ||
+                                    CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+               % 10000 AS b
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'valid'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(27,4))) AS DOUBLE)
+             / COUNT(n_chars) AS avg_chars
+    FROM s
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    "sampling",
+    "split",
+)
+def q93_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/valid/test split
+    (operators/mixing.stratified_split) — the corpus-scale form of the
+    reference's randomSplit (train_gbt.py:139): 80/10/10 held within
+    each language stratum by a pure md5 bucket on (salt, lang,
+    doc_id). Map-only assignment fused into the scan; the only
+    shuffle is the reporting groupBy, bounded by strata x splits.
+    Retry-stable and replayable by any engine, unlike RNG sampling."""
+    from .operators.mixing import stratified_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        stratified_split(docs)
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            _davg(F.col("n_chars"), "avg_chars"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+@register(
+    "q94_length_curriculum",
+    """
+    WITH tc AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, n_chars
+      FROM documents
+    ), hist AS (
+      SELECT n_tokens, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tc GROUP BY n_tokens
+    ), cum AS (
+      SELECT n_tokens,
+             COALESCE(SUM(cnt) OVER (ORDER BY n_tokens
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_before,
+             SUM(cnt) OVER () AS total
+      FROM hist
+    ), bmap AS (
+      SELECT n_tokens, CAST((10 * n_before) // total AS INT) AS bucket
+      FROM cum
+    )
+    SELECT b.bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(t.n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(t.n_tokens) AS BIGINT) AS max_tokens,
+           CAST(SUM(CAST(t.n_chars AS DECIMAL(27,4))) AS DOUBLE)
+             / COUNT(t.n_chars) AS avg_chars
+    FROM tc t JOIN bmap b USING (n_tokens)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    "curriculum",
+    "binning",
+)
+def q94_length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency length deciles for curriculum ordering — EXACT
+    distributed quantile binning without a global sort. The corpus
+    reduces to a token-count histogram (bounded by distinct lengths,
+    not rows); the cumulative window that assigns decile boundaries
+    runs over that tiny histogram only; the per-doc bucket comes back
+    via a broadcast join. Equal lengths always land in the same
+    bucket (boundaries at value granularity) — deterministic where
+    NTILE's row-level tie-breaking is not, and the 100 TB plan is one
+    bounded groupBy + a broadcast join instead of a single-partition
+    window over the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    tc = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens"), "n_chars"
+    )
+    hist = tc.groupBy("n_tokens").agg(F.count("*").alias("cnt"))
+    w_cum = Window.orderBy("n_tokens").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "n_tokens",
+        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("n_before"),
+        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+    )
+    bmap = cum.select(
+        "n_tokens",
+        F.expr("CAST((10 * n_before) DIV total AS INT)").alias("bucket"),
+    )
+    return (
+        tc.join(F.broadcast(bmap), "n_tokens")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+            _davg(F.col("n_chars"), "avg_chars"),
+        )
+        .orderBy("bucket")
+    )
+
+
 # =========================================================================
 # Registry ordering (driver check-window priority)
 # =========================================================================
@@ -3901,6 +4300,8 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q69_small_quantity_revenue",
     "q70_shipping_priority",
     "q73_promo_revenue_share",
+    "q87_large_volume_customers",
+    "q88_order_priority_fulfillment",
     "q65_bucketed_segment_orders",
     "q81_idle_rich_customers",
     "q82_late_sole_shippers",
@@ -3919,7 +4320,6 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q41_doc_quality",
     "q42_lang_id",
     "q43_fingerprint_dedup",
-    "q46_lsh_candidate_pairs",
     "q47_lsh_dedup_groups",
     "q66_lsh_dedup_components",
     "q67_corpus_prep",
@@ -3934,12 +4334,13 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q86_vocabulary_idf",
     # -- embedding similarity --
     "q60_cosine_topk",
-    "q62_embedding_near_dup",
     "q63_embedding_sign_buckets",
     "q64_ivf_ann",
     "q75_pq_adc_topk",
     "q35_skill_match_scores",
     # ---- window boundary (position 50) ----
+    "q46_lsh_candidate_pairs",
+    "q62_embedding_near_dup",
     "q02_topk_orders",
     "q23_event_sessions",
     "q04_segment_revenue",
@@ -3978,8 +4379,14 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q30_salary_parse",
     "q31_experience_parse",
     "q45_jaccard_near_dup",
-    "q87_large_volume_customers",
-    "q88_order_priority_fulfillment",
+    # round-3 additions past the window: local oracle parity only this
+    # round; rotation candidates for round 4.
+    "q89_volume_shipping",
+    "q90_product_type_profit",
+    "q91_brand_size_disjunction",
+    "q92_simhash_hamming_pairs",
+    "q93_stratified_split",
+    "q94_length_curriculum",
 ]
 
 

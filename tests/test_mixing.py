@@ -5,7 +5,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from big_data_spark.operators.mixing import BUCKETS, mix_bucket, weighted_mix
+from big_data_spark.operators.mixing import (
+    BUCKETS,
+    mix_bucket,
+    stratified_split,
+    weighted_mix,
+)
 
 
 def _docs(spark, n=200):
@@ -75,3 +80,49 @@ def test_bucket_range(spark):
         .collect()[0]
     )
     assert rows[0] >= 0 and rows[1] < BUCKETS
+
+
+def _strata(spark, n=3000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("lang"), (F.col("id") % 3).cast("string")).alias("lang"),
+    )
+
+
+def test_stratified_split_partitions_every_row_once(spark):
+    out = stratified_split(_strata(spark))
+    assert out.count() == 3000
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits == {"train", "valid", "test"}
+
+
+def test_stratified_split_proportions_within_each_stratum(spark):
+    # 80/10/10 holds per stratum (1000 rows each), not just globally
+    counts = {
+        (r["lang"], r["split"]): r["count"]
+        for r in stratified_split(_strata(spark)).groupBy("lang", "split").count().collect()
+    }
+    for lang in ("lang0", "lang1", "lang2"):
+        train = counts.get((lang, "train"), 0)
+        assert 700 <= train <= 900, (lang, train)
+        for s in ("valid", "test"):
+            assert 50 <= counts.get((lang, s), 0) <= 160, (lang, s, counts)
+
+
+def test_stratified_split_deterministic_and_key_only(spark):
+    a = {
+        (r["doc_id"], r["split"])
+        for r in stratified_split(_strata(spark)).collect()
+    }
+    b = {
+        (r["doc_id"], r["split"])
+        for r in stratified_split(_strata(spark)).collect()
+    }
+    assert a == b
+
+
+def test_stratified_split_rejects_bad_fractions(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        stratified_split(_strata(spark), splits=(("train", 9000), ("test", 500)))

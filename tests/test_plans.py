@@ -209,3 +209,49 @@ def test_corpus_mixing_is_broadcast_map_only(spark):
     assert count_shuffles(df) == 0, plan
     for node in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert node not in plan, node
+
+
+def test_volume_shipping_broadcasts_prefiltered_dims(spark):
+    """q89 (Q7 shape): nation filters must reach the dims BEFORE the
+    fact joins, and nation/supplier sides broadcast — the only real
+    shuffles are lineitem⋈orders(⋈customer) and the final agg."""
+    df = q(spark, "q89_volume_shipping")
+    plan = formatted_plan(df)
+    assert count_broadcast_joins(df) >= 3, plan
+    assert "CartesianProduct" not in plan
+    # the n_name IN filter is applied at the nation scans, not post-join
+    assert has_pushed_filters(df, "n_name"), plan
+
+
+def test_brand_disjunction_prunes_part_scan(spark):
+    """q91 (Q19 shape): the OR-of-ANDs part predicate must push into
+    the part parquet scan, and the pruned part side must broadcast —
+    lineitem is never shuffled for the join."""
+    df = q(spark, "q91_brand_size_disjunction")
+    plan = formatted_plan(df)
+    assert count_broadcast_joins(df) == 1, plan
+    assert has_pushed_filters(df, "p_brand"), plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_length_curriculum_window_runs_on_histogram(spark):
+    """q94: the cumulative window must consume the token-count
+    HISTOGRAM (post-aggregation), never the raw corpus — i.e. the
+    Window sits above a HashAggregate, and the bucket map joins back
+    via broadcast."""
+    df = q(spark, "q94_length_curriculum")
+    plan = formatted_plan(df)
+    assert "Window" in plan, plan
+    assert count_broadcast_joins(df) >= 1, plan
+    # corpus rows flow through exactly one aggregate before the window:
+    # histogram agg (+ final bucket agg) — no corpus-wide sort feeds it
+    assert plan.index("Window") > plan.index("HashAggregate"), plan
+
+
+def test_simhash_hamming_band_join_no_cartesian(spark):
+    """q92: candidate generation must be a keyed equi-join on
+    (band_id, band_val) — never a nested-loop/cartesian all-pairs."""
+    df = q(spark, "q92_simhash_hamming_pairs")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -23,11 +23,14 @@ MUST_BE_IN_WINDOW = {
     "q76_priority_price_mad",
     "q34_top_skills_per_city",
     "q77_corpus_mixing",
+    "q87_large_volume_customers",
+    "q88_order_priority_fulfillment",
     # scale path (round-1 verdict: unverified because past the window)
+    # (q46/q62 rotated out round-3: twice driver-green, machinery
+    # redundantly covered by q47/q53/q66 and q60/q63/q64)
     "q47_lsh_dedup_groups",
     "q53_lsh_verified_pairs",
     "q60_cosine_topk",
-    "q62_embedding_near_dup",
     "q63_embedding_sign_buckets",
     "q35_skill_match_scores",
     "q64_ivf_ann",
