@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "q77_corpus_mixing",
     "q79_repetition_quality",
     "q80_decontamination",
+    "q89_volume_shipping",
+    "q96_tfidf_cosine_pairs",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

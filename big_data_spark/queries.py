@@ -3449,10 +3449,11 @@ def q65_bucketed_segment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-TB strategy for repeated joins on one key. The bucketed tables
     live at a fixed per-sf_dir /tmp location and are written ONCE,
     then reused by later invocations in the same session (table names
-    carry the sf_dir hash, so different scale factors or sessions
-    sharing a metastore never collide and reruns don't leak
-    directories); results are identical to the plain join the oracle
-    runs."""
+    carry the sf_dir hash AND the pid: metastores are per-process, so
+    a shared fixed path would let a second process overwrite the
+    directory mid-read of the first — per-process paths make reuse
+    session-local and concurrent runs race-free); results are
+    identical to the plain join the oracle runs."""
     import hashlib
     import os
     import tempfile
@@ -3461,7 +3462,7 @@ def q65_bucketed_segment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
     )
-    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8] + f"_{os.getpid()}"
     base = os.path.join(tempfile.gettempdir(), f"bds_bucketed_{sfx}")
     names = {}
     for kind, df in (("orders", o), ("customer", c)):
@@ -4273,6 +4274,147 @@ def q94_length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q95_group_topk_sample",
+    """
+    WITH ranked AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('samp:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT source, doc_id, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 5
+    ORDER BY source, rn
+    """,
+    "sampling",
+    "window",
+)
+def q95_group_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group subsample: rank docs within each
+    source by a salted md5 of the key (a seedless uniform order) and
+    keep the first 5 — the 'inspect k examples per source' /
+    bounded-eval-set step. Retry-stable unlike RNG sampling, and
+    Catalyst pushes the rn<=5 into WindowGroupLimit so each partition
+    keeps at most k rows per group BEFORE the shuffle — per-group
+    top-k at 100 TB without a global sort (plan-asserted)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("samp:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .select("source", "doc_id", F.col("rn").cast("long").alias("rn"))
+        .orderBy("source", "rn")
+    )
+
+
+@register(
+    "q96_tfidf_cosine_pairs",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), dfq AS (
+      SELECT token, COUNT(*) AS doc_freq FROM tok GROUP BY 1
+    ), w AS (
+      SELECT t.doc_id, t.token,
+             ROUND(ln(CAST(n.n_docs AS DOUBLE) / d.doc_freq), 6) AS idf
+      FROM tok t JOIN dfq d ON t.token = d.token CROSS JOIN n
+      WHERE d.doc_freq BETWEEN 2 AND 50
+    ), norms AS (
+      SELECT doc_id,
+             sqrt(CAST(SUM(CAST(idf * idf AS DECIMAL(27,12))) AS DOUBLE)) AS nrm
+      FROM w GROUP BY 1
+    ), dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(SUM(CAST(a.idf * b.idf AS DECIMAL(27,12))) AS DOUBLE) AS dot
+      FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d.doc_a, d.doc_b, ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.doc_a
+    JOIN norms nb ON nb.doc_id = d.doc_b
+    WHERE d.dot / (na.nrm * nb.nrm) >= 0.5
+    ORDER BY 1, 2
+    """,
+    "similarity",
+    "tfidf",
+    "inverted-index",
+)
+def q96_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse tf-idf cosine similarity via an INVERTED-INDEX join —
+    the lexical sibling of the embedding near-dup path (q62/q63):
+    doc pairs meet only on shared tokens, never all-pairs. The df
+    band [2, 50] is the scale guarantee: a token joins at most
+    C(50,2) pairs, so hot stopwords (the quadratic blowup) are
+    excluded by construction and the token shuffle is bounded by
+    vocabulary, not corpus². idf is rounded before products (libm vs
+    JVM ln differs in the last ulp); dot/norm sums are decimal-exact;
+    sqrt/division are IEEE-identical."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    dfq = toks.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    w = (
+        toks.join(dfq, "token")
+        .filter(F.col("doc_freq").between(2, 50))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.log(F.col("n_docs").cast("double") / F.col("doc_freq")), 6
+            ).alias("idf"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum((F.col("idf") * F.col("idf")).cast("decimal(27,12)")).cast(
+                "double"
+            )
+        ).alias("nrm")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.sum(
+                (F.col("a.idf") * F.col("b.idf")).cast("decimal(27,12)")
+            )
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("nrm_a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nrm_b"))
+    cos = F.col("dot") / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(cos >= 0.5)
+        .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # =========================================================================
 # Registry ordering (driver check-window priority)
 # =========================================================================
@@ -4387,6 +4529,8 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q92_simhash_hamming_pairs",
     "q93_stratified_split",
     "q94_length_curriculum",
+    "q95_group_topk_sample",
+    "q96_tfidf_cosine_pairs",
 ]
 
 

@@ -104,26 +104,54 @@ def stream_clean_postings(
     return writer.start()
 
 
+def _events_ts_is_int64_nanos(source_dir: str) -> bool:
+    """Peek one parquet footer: older testdata generations wrote ts
+    as timestamp[ns] (only readable as long nanos), newer ones as
+    timestamp[us] (readable straight into TimestampType)."""
+    import glob
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+    except Exception:
+        return False
+    for p in sorted(glob.glob(os.path.join(source_dir, "*.parquet"))):
+        try:
+            return str(pq.read_schema(p).field("ts").type) == "timestamp[ns]"
+        except Exception:
+            continue
+    return False
+
+
 def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     """Parquet file-source stream over the events table layout.
 
-    The physical files carry timestamp[ns] (read as long nanos under
-    the session's nanosAsLong conf — see catalog.load_table); declare
-    ts as long and convert to a proper timestamp here.
+    The declared schema adapts to the physical generation (see
+    catalog.load_table for the batch twin): timestamp[ns] files are
+    declared long (session's nanosAsLong conf) and converted;
+    timestamp[us] files read directly into TimestampType — the
+    session runs UTC, so wall-clock values are identical either way.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = T.StructType(
-        [
-            f if f.name != "ts" else T.StructField("ts", T.LongType())
-            for f in EVENTS_SCHEMA.fields
-        ]
-    )
+    if _events_ts_is_int64_nanos(source_dir):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw_schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.LongType())
+                for f in EVENTS_SCHEMA.fields
+            ]
+        )
+        return (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 4)
+            .format("parquet")
+            .load(source_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
     return (
-        spark.readStream.schema(raw_schema)
+        spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 4)
         .format("parquet")
         .load(source_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
 
 

@@ -248,6 +248,23 @@ def test_length_curriculum_window_runs_on_histogram(spark):
     assert plan.index("Window") > plan.index("HashAggregate"), plan
 
 
+def test_group_topk_sample_uses_group_limit(spark):
+    """q95: the rn<=5 filter must push into WindowGroupLimit so each
+    partition keeps at most k rows per group before the shuffle."""
+    plan = formatted_plan(q(spark, "q95_group_topk_sample"))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_tfidf_pairs_inverted_index_join(spark):
+    """q96: doc pairs must meet through the token equi-join (inverted
+    index) — never an all-pairs nested loop; the 1-row corpus count
+    broadcasts."""
+    df = q(spark, "q96_tfidf_cosine_pairs")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert count_broadcast_joins(df) >= 1, plan
+
+
 def test_simhash_hamming_band_join_no_cartesian(spark):
     """q92: candidate generation must be a keyed equi-join on
     (band_id, band_val) — never a nested-loop/cartesian all-pairs."""

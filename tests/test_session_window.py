@@ -63,10 +63,10 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
     src.mkdir()
     shutil.copy(f"{SF_SMOKE}/events.parquet", src / "events.parquet")
 
-    batch_ev = (
-        spark.read.parquet(str(src))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .filter(F.col("user_id") < 50)
+    from big_data_spark.catalog import load_table
+
+    batch_ev = load_table(spark, str(src), "events").filter(
+        F.col("user_id") < 50
     )
     expected = sorted(
         (r["user_id"], r["session_window"]["start"], r["n_events"])

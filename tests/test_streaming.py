@@ -416,9 +416,9 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     q.awaitTermination(180)
     got = spark.read.parquet(sink).count()
 
-    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("CAST(ts AS LONG) div 1000"))
-    )
+    from big_data_spark.catalog import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
     c = ev.filter(F.col("event_type") == "click").alias("l")
     p = ev.filter(F.col("event_type") == "purchase").alias("r")
     want = c.join(
@@ -468,9 +468,9 @@ def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
     q.awaitTermination(180)
     got = spark.read.parquet(sink)
 
-    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("CAST(ts AS LONG) div 1000"))
-    )
+    from big_data_spark.catalog import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
     c = ev.filter(F.col("event_type") == "click").alias("l")
     p = ev.filter(F.col("event_type") == "purchase").alias("r")
     want = c.join(
