@@ -2629,8 +2629,17 @@ def q79_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     group on (doc_id, gram): the shuffle key is doc-local, skew is
     bounded by document length, and nothing cross-document moves.
     Tie-break for the top gram is (count desc, gram asc) in both
-    engines."""
+    engines. Plan note: the per-doc top gram is a struct-MIN over
+    (-cnt, gram) — an ordinary aggregate with map-side partial
+    combine — NOT a row_number window, which would add a full
+    per-doc sort after the shuffle for the same answer."""
     docs = _t(spark, sf_dir, "documents")
+    # The 2-gram explode inflates each doc ~wordcount×. Re-balancing
+    # the cheap PRE-explosion rows guarantees the inflated work is
+    # spread across the cluster even when the scan partitioning is
+    # coarse (single row-group files, post-filter skew) — corpus-size
+    # shuffle bytes buying gram-scale parallelism.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     toks = F.split("text", " ")
     grams = docs.select(
         "doc_id", "n_chars", F.explode(shingles(toks, 2)).alias("gram")
@@ -2638,28 +2647,21 @@ def q79_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = grams.groupBy("doc_id", "n_chars", "gram").agg(
         F.count("*").alias("cnt")
     )
-    wdoc = Window.partitionBy("doc_id")
-    wtop = wdoc.orderBy(F.col("cnt").desc(), "gram")
-    top = (
-        counts.select(
-            "doc_id",
-            "n_chars",
-            "gram",
-            "cnt",
-            F.row_number().over(wtop).alias("rn"),
-            F.sum("cnt").over(wdoc).alias("tot"),
-            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
-            .over(wdoc)
-            .alias("dup"),
-        )
-        .filter(F.col("rn") == 1)
+    top = counts.groupBy("doc_id", "n_chars").agg(
+        F.min(
+            F.struct((-F.col("cnt")).alias("neg_cnt"), F.col("gram").alias("g"))
+        ).alias("top"),
+        F.sum("cnt").alias("tot"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup"),
     )
-    top_frac = (F.col("cnt") * F.length("gram")) / F.col("n_chars").cast("double")
+    cnt = -F.col("top.neg_cnt")
+    gram = F.col("top.g")
+    top_frac = (cnt * F.length(gram)) / F.col("n_chars").cast("double")
     dup_frac = F.col("dup") / F.col("tot").cast("double")
     return top.select(
         "doc_id",
-        F.col("gram").alias("top_gram"),
-        F.col("cnt").alias("top_gram_count"),
+        gram.alias("top_gram"),
+        cnt.alias("top_gram_count"),
         top_frac.alias("top_gram_char_frac"),
         dup_frac.alias("dup_gram_frac"),
         F.when((top_frac <= 0.08) & (dup_frac <= 0.60), 1)

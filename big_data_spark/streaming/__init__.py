@@ -254,3 +254,43 @@ def dedup_stream_within_watermark(
     path's job (q43/q47).
     """
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def corpus_gate_stream(
+    docs: DataFrame,
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming corpus-prep front end: the STATELESS gates of the
+    batch capstone (queries.q67 — token-count + stopword-ratio
+    quality gate, stopword-hit language gate; expression-identical,
+    so stream==batch by construction) followed by exact-fingerprint
+    ingestion dedup.
+
+    With ``ts_col`` the dedup is ``dropDuplicatesWithinWatermark`` on
+    the md5 fingerprint — state bounded by fingerprints-per-watermark
+    at any rate. Without a time column it falls back to plain
+    ``dropDuplicates`` (state grows with distinct fingerprints —
+    bounded-backfill use only). Near-dup LSH stays batch-side (q47/
+    q66): its min-representative fixpoint needs corpus-wide state no
+    stream should hold.
+    """
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin("the", "a")))
+    en_hits = F.size(F.filter(toks, lambda x: x.isin("the", "a", "value", "fast")))
+    cols = ["doc_id", "text"] + ([ts_col] if ts_col else [])
+    gated = docs.select(
+        *cols,
+        n_tokens.cast("long").alias("n_tokens"),
+        F.md5(F.lower(F.trim("text"))).alias("fp"),
+    ).where(
+        (n_tokens >= 20)
+        & (n_stop.cast("double") / n_tokens < 0.5)
+        & (en_hits.cast("double") / n_tokens >= 0.05)
+    )
+    if ts_col is not None:
+        return gated.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["fp"]
+        )
+    return gated.dropDuplicates(["fp"])

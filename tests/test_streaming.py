@@ -590,3 +590,50 @@ def test_progress_listener_captures_batches(spark, tmp_path):
     assert all(
         e.batch_duration_ms is None or e.batch_duration_ms >= 0 for e in mine
     )
+
+
+def test_corpus_gate_stream_matches_batch(spark, tmp_path):
+    """corpus_gate_stream mounted on a documents file-stream must keep
+    exactly the batch gates' fingerprint set: same survivors, one row
+    per distinct fingerprint (watermarked ingestion dedup)."""
+    from pyspark.sql import functions as F
+
+    from big_data_spark.catalog import load_table
+    from big_data_spark.streaming import corpus_gate_stream
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    shutil.copy(f"{SF_SMOKE}/documents.parquet", src / "documents.parquet")
+
+    docs_batch = load_table(spark, str(src), "documents")
+    schema = docs_batch.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .format("parquet")
+        .load(str(src))
+        # +1 day: a ts of exactly epoch 0 (doc_id=0) would sit at the
+        # stream's initial watermark and be dropped as late
+        .withColumn(
+            "ts", F.timestamp_micros((F.col("doc_id") + 86_400) * 1_000_000)
+        )
+    )
+    sink, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        corpus_gate_stream(stream, ts_col="ts")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink)
+
+    want = corpus_gate_stream(docs_batch)  # batch fallback path, same exprs
+    got_fps = {r["fp"] for r in got.select("fp").collect()}
+    want_fps = {r["fp"] for r in want.select("fp").collect()}
+    assert got_fps == want_fps
+    assert got.count() == len(want_fps)  # exactly one survivor per fp
+    assert got.count() > 0
