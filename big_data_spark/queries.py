@@ -4417,6 +4417,66 @@ def q96_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q97_shuffle_shards",
+    """
+    WITH b AS (
+      SELECT doc_id, source,
+             ('0x' || substring(md5('ord:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+               % 64 AS shard,
+             md5('pos:' || CAST(doc_id AS VARCHAR)) AS pos_key
+      FROM documents
+    )
+    SELECT doc_id, source, shard,
+           ROW_NUMBER() OVER (PARTITION BY shard
+                              ORDER BY pos_key, doc_id) AS pos_in_shard
+    FROM b
+    ORDER BY shard, pos_in_shard
+    """,
+    "sampling",
+    "training-order",
+)
+def q97_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle for training order — the
+    shard-then-intra-shard-order layout every distributed data loader
+    consumes (shards round-robin, positions sequential within each).
+    A single global ROW_NUMBER would serialize the corpus through one
+    partition; 64 hash shards make it 64 parallel sorts of corpus/64
+    each, and the (shard, pos_in_shard) composite is still a total,
+    seedless, retry-stable order. Both the shard and the sort key are
+    salted md5 of the doc key — replayable by any engine, stable
+    under re-partitioning (RNG orderings are neither)."""
+    docs = _t(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ord:"), F.col("doc_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 64
+    )
+    pos_key = F.md5(F.concat(F.lit("pos:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("shard").orderBy("pos_key", "doc_id")
+    return (
+        docs.select(
+            "doc_id", "source", shard.alias("shard"), pos_key.alias("pos_key")
+        )
+        .select(
+            "doc_id",
+            "source",
+            "shard",
+            F.row_number().over(w).cast("long").alias("pos_in_shard"),
+        )
+        # no global orderBy: (shard, pos_in_shard) IS the order; a
+        # presentation sort would reintroduce the range-partition pass
+        # this layout exists to avoid
+    )
+
+
 # =========================================================================
 # Registry ordering (driver check-window priority)
 # =========================================================================
@@ -4533,6 +4593,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q94_length_curriculum",
     "q95_group_topk_sample",
     "q96_tfidf_cosine_pairs",
+    "q97_shuffle_shards",
 ]
 
 

@@ -265,6 +265,14 @@ def test_tfidf_pairs_inverted_index_join(spark):
     assert count_broadcast_joins(df) >= 1, plan
 
 
+def test_shuffle_shards_no_global_sort(spark):
+    """q97: the training-order shuffle must be 64 parallel per-shard
+    sorts (hash partitioning), never a corpus-wide range sort."""
+    plan = formatted_plan(q(spark, "q97_shuffle_shards"))
+    assert "rangepartitioning" not in plan, plan
+    assert "hashpartitioning" in plan, plan
+
+
 def test_simhash_hamming_band_join_no_cartesian(spark):
     """q92: candidate generation must be a keyed equi-join on
     (band_id, band_val) — never a nested-loop/cartesian all-pairs."""
