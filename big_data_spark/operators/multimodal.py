@@ -113,9 +113,16 @@ def extract_image_features(
                 }
             )
 
-    return media.select("media_id", "payload", "n_bytes").mapInPandas(
-        batches, schema=IMAGE_FEATURES_SCHEMA
-    )
+    src = media.select("media_id", "payload", "n_bytes")
+    # Decode cost dominates payload-shuffle cost, so starve no core:
+    # when the scan yields fewer partitions than the cluster has slots
+    # (single-file inputs, heavily filtered scans), rebalance BEFORE
+    # the Python stage — otherwise one Arrow worker decodes everything
+    # serially. No-op when the scan is already wide (the 100 TB case).
+    sc = media.sparkSession.sparkContext
+    if src.rdd.getNumPartitions() < sc.defaultParallelism:
+        src = src.repartition(sc.defaultParallelism)
+    return src.mapInPandas(batches, schema=IMAGE_FEATURES_SCHEMA)
 
 
 def sample_frames(

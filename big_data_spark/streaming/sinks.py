@@ -120,8 +120,27 @@ def _scd2_current_version(dim_dir: str) -> str | None:
     return path if version and os.path.exists(path) else None
 
 
-def read_scd2_dim(spark, dim_dir: str) -> DataFrame:
-    """Current dimension snapshot (resolves the version manifest)."""
+def list_scd2_versions(dim_dir: str) -> list[str]:
+    """Retained snapshot versions, oldest first (``v-{batch_id}``)."""
+    if not os.path.isdir(dim_dir):
+        return []
+    versions = [n for n in os.listdir(dim_dir) if n.startswith("v-")]
+    return sorted(versions, key=lambda n: int(n.split("-", 1)[1]))
+
+
+def read_scd2_dim(spark, dim_dir: str, version: str | None = None) -> DataFrame:
+    """Dimension snapshot read: the manifest's current version, or —
+    time travel — any still-retained named version (see
+    ``start_scd2_stream(keep_versions=...)``), the plain-parquet form
+    of Iceberg/Delta snapshot reads."""
+    if version is not None:
+        path = os.path.join(dim_dir, version)
+        if not os.path.isdir(path):
+            raise FileNotFoundError(
+                f"version {version!r} not retained under {dim_dir}; "
+                f"have {list_scd2_versions(dim_dir)}"
+            )
+        return spark.read.parquet(path)
     path = _scd2_current_version(dim_dir)
     if path is None:
         raise FileNotFoundError(f"no SCD-2 snapshot manifest under {dim_dir}")
@@ -136,6 +155,7 @@ def start_scd2_stream(
     tracked: list[str],
     ts_col: str = "ts",
     available_now: bool = True,
+    keep_versions: int = 1,
 ) -> StreamingQuery:
     """Streaming SCD-2 dimension maintenance: each micro-batch of
     updates merges into the dimension via operators.scd.scd2_apply.
@@ -145,9 +165,12 @@ def start_scd2_stream(
     directory, so there is no read-then-overwrite cycle and NO driver
     round-trip — the merge stays entirely on executors), then
     atomically repoints the ``_CURRENT`` manifest via os.replace and
-    prunes superseded versions. A crash before the repoint leaves the
-    old snapshot live and intact; checkpoint replay rewrites the same
-    version directory idempotently. Readers resolve the manifest with
+    prunes all but the newest ``keep_versions`` snapshots (>1 keeps a
+    time-travel window readable via ``read_scd2_dim(..., version=)``,
+    the plain-parquet form of Iceberg/Delta snapshot retention). A
+    crash before the repoint leaves the old snapshot live and intact;
+    checkpoint replay rewrites the same version directory
+    idempotently. Readers resolve the manifest with
     ``read_scd2_dim``. This reproduces table-format MERGE semantics
     (Delta/Iceberg ``MERGE INTO`` + snapshot isolation) on plain
     parquet; a production deployment swaps the sink for MERGE with
@@ -178,9 +201,8 @@ def start_scd2_stream(
         with open(tmp, "w") as f:
             f.write(version)
         os.replace(tmp, os.path.join(dim_dir, SCD2_MANIFEST))
-        for name in os.listdir(dim_dir):
-            if name.startswith("v-") and name != version:
-                shutil.rmtree(os.path.join(dim_dir, name), ignore_errors=True)
+        for name in list_scd2_versions(dim_dir)[: -max(1, keep_versions)]:
+            shutil.rmtree(os.path.join(dim_dir, name), ignore_errors=True)
 
     writer = (
         stream.writeStream.foreachBatch(merge)

@@ -177,3 +177,17 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     assert rows_after == rows_before
     # no stray temp/backup dirs left behind
     assert not glob.glob(f"{out}__compact_*")
+
+
+def test_catalog_normalizes_timestamp_generations(spark):
+    """load_table must present session-tz TimestampType regardless of
+    the physical parquet generation (timestamp[ns]-as-long vs
+    timestamp[us]/NTZ) — downstream schemas and the external gate's
+    schema compare depend on it."""
+    from big_data_spark.catalog import load_table
+
+    from .conftest import SF_SMOKE
+
+    for table, col in (("events", "ts"), ("orders", "o_orderdate"), ("lineitem", "l_shipdate")):
+        dt = dict(load_table(spark, SF_SMOKE, table).dtypes)[col]
+        assert dt == "timestamp", (table, col, dt)
