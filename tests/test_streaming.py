@@ -637,3 +637,55 @@ def test_corpus_gate_stream_matches_batch(spark, tmp_path):
     assert got_fps == want_fps
     assert got.count() == len(want_fps)  # exactly one survivor per fp
     assert got.count() > 0
+
+
+def test_weighted_mix_mounts_on_stream(spark, tmp_path):
+    """weighted_mix is a broadcast-join + explode map-only operator,
+    so the SAME call mounts unchanged on readStream and yields exactly
+    the batch result — the operator works for backfill and ingestion
+    alike."""
+    from pyspark.sql import functions as F
+
+    from big_data_spark.catalog import load_table
+    from big_data_spark.operators.mixing import weighted_mix
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    shutil.copy(f"{SF_SMOKE}/documents.parquet", src / "documents.parquet")
+    docs_batch = load_table(spark, str(src), "documents")
+    weights = spark.createDataFrame(
+        [(s, 5000 + 10000 * (i % 2)) for i, s in enumerate(
+            sorted(r["source"] for r in docs_batch.select("source").distinct().collect())
+        )],
+        "source string, weight_bp int",
+    )
+
+    stream = (
+        spark.readStream.schema(docs_batch.schema)
+        .option("maxFilesPerTrigger", 2)
+        .format("parquet")
+        .load(str(src))
+    )
+    sink, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        weighted_mix(stream, weights)
+        .select("source", "doc_id", "copy_id")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    want = sorted(
+        map(
+            tuple,
+            weighted_mix(docs_batch, weights)
+            .select("source", "doc_id", "copy_id")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
