@@ -4477,6 +4477,98 @@ def q97_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q98_returned_item_customers",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(27,4))) AS DOUBLE) AS revenue,
+           c.c_acctbal
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-01-01'
+    GROUP BY 1, 2, 3, 5
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    "join",
+    "tpch",
+)
+def q98_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+    one year. The returnflag and orderdate filters push into the two
+    fact scans BEFORE the orderkey shuffle; nation broadcasts; the
+    top-20 is TakeOrderedAndProject over the grouped result, never a
+    global sort of all customers."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+                scale=4,
+            )
+        )
+        .select("c_custkey", "c_name", "n_name", "revenue", "c_acctbal")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q99_customer_order_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust
+    GROUP BY 1
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    "join",
+    "tpch",
+    "histogram",
+)
+def q99_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of orders-per-customer,
+    INCLUDING zero-order customers — the double aggregation (left
+    outer join -> per-key count -> histogram of counts). Both
+    aggregations have map-side partial combine; the second one's input
+    is one row per customer and its output is bounded by the distinct
+    count values, so the expensive side is exactly one orderkey-less
+    shuffle of orders keyed by custkey."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
 # =========================================================================
 # Registry ordering (driver check-window priority)
 # =========================================================================
@@ -4584,7 +4676,11 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q31_experience_parse",
     "q45_jaccard_near_dup",
     # round-3 additions past the window: local oracle parity only this
-    # round; rotation candidates for round 4.
+    # round. ROUND-4 ROTATION PLAN: promote q89–q99 (never
+    # driver-checked) by demoting 11 of the twice-green in-window
+    # entries whose machinery is redundantly covered (candidates:
+    # q41–q43 ⊂ q67; q63 ⊂ q64; q54/q48 gate shapes ⊂ q67/q92;
+    # q19/q39/q50 single-primitive rows proven twice).
     "q89_volume_shipping",
     "q90_product_type_profit",
     "q91_brand_size_disjunction",
@@ -4594,6 +4690,8 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q95_group_topk_sample",
     "q96_tfidf_cosine_pairs",
     "q97_shuffle_shards",
+    "q98_returned_item_customers",
+    "q99_customer_order_distribution",
 ]
 
 

@@ -265,6 +265,17 @@ def test_tfidf_pairs_inverted_index_join(spark):
     assert count_broadcast_joins(df) >= 1, plan
 
 
+def test_returned_items_pushdown_and_topk(spark):
+    """q98 (Q10 shape): returnflag + orderdate filters reach the fact
+    scans, nation broadcasts, and the top-20 is TakeOrderedAndProject
+    — no global sort of the grouped result."""
+    df = q(spark, "q98_returned_item_customers")
+    plan = formatted_plan(df)
+    assert has_pushed_filters(df, "l_returnflag", "o_orderdate"), plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert count_broadcast_joins(df) >= 1, plan
+
+
 def test_shuffle_shards_no_global_sort(spark):
     """q97: the training-order shuffle must be 64 parallel per-shard
     sorts (hash partitioning), never a corpus-wide range sort."""
