@@ -4569,6 +4569,68 @@ def q99_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@register(
+    "q100_batch_ann_topk",
+    """
+    WITH probes AS (
+      SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+    ), expanded AS (
+      SELECT p.q_id, e.vec_id, e.label,
+             unnest(e.embedding)::DOUBLE AS a,
+             unnest(p.qv)::DOUBLE AS b
+      FROM embeddings e CROSS JOIN probes p
+      WHERE e.vec_id >= 5
+    ), sims AS (
+      SELECT q_id, vec_id, ANY_VALUE(label) AS label,
+             SUM(a * b) / (sqrt(SUM(a * a)) * sqrt(SUM(b * b))) AS cos
+      FROM expanded GROUP BY 1, 2
+    ), ranked AS (
+      SELECT q_id, vec_id, label, ROUND(cos, 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, vec_id) AS rnk
+      FROM sims
+    )
+    SELECT q_id, vec_id, label, cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 10
+    ORDER BY q_id, rnk
+    """,
+    "similarity",
+    "topk",
+    "batch",
+)
+def q100_batch_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched similarity serving: top-10 neighbors for a whole PROBE
+    SET in one plan — the realistic ANN request shape (q60 is the
+    single-probe baseline). The probe batch broadcasts (requests are
+    KB-sized), cosine stays a JVM higher-order expression over the
+    fanned-out pairs, and the per-probe top-k is a WindowGroupLimit —
+    each scan task keeps at most k rows per probe before the shuffle,
+    so the shuffle carries probes x k rows, not probes x corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    cand = emb.filter(F.col("vec_id") >= 5)
+    sims = cand.join(F.broadcast(probes)).select(
+        "q_id",
+        "vec_id",
+        "label",
+        cosine_similarity(F.col("embedding"), F.col("qv")).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        sims.select(
+            "q_id",
+            "vec_id",
+            "label",
+            F.round("cos", 6).alias("cosine"),
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 10)
+        .orderBy("q_id", "rnk")
+    )
+
+
 # =========================================================================
 # Registry ordering (driver check-window priority)
 # =========================================================================
@@ -4676,7 +4738,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q31_experience_parse",
     "q45_jaccard_near_dup",
     # round-3 additions past the window: local oracle parity only this
-    # round. ROUND-4 ROTATION PLAN: promote q89–q99 (never
+    # round. ROUND-4 ROTATION PLAN: promote q89–q100 (never
     # driver-checked) by demoting 11 of the twice-green in-window
     # entries whose machinery is redundantly covered (candidates:
     # q41–q43 ⊂ q67; q63 ⊂ q64; q54/q48 gate shapes ⊂ q67/q92;
@@ -4692,6 +4754,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q97_shuffle_shards",
     "q98_returned_item_customers",
     "q99_customer_order_distribution",
+    "q100_batch_ann_topk",
 ]
 
 

@@ -265,6 +265,19 @@ def test_tfidf_pairs_inverted_index_join(spark):
     assert count_broadcast_joins(df) >= 1, plan
 
 
+def test_batch_ann_uses_group_limit_and_broadcast(spark):
+    """q100: the probe set broadcasts and the per-probe top-k pushes
+    into WindowGroupLimit — the shuffle carries probes x k rows."""
+    df = q(spark, "q100_batch_ann_topk")
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    # the probe fanout is an intentional broadcast nested-loop (5-row
+    # build side, no join key) — the corpus side must never shuffle
+    # for it and the plan must never fall back to a cartesian product
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_returned_items_pushdown_and_topk(spark):
     """q98 (Q10 shape): returnflag + orderdate filters reach the fact
     scans, nation broadcasts, and the top-20 is TakeOrderedAndProject
