@@ -187,3 +187,37 @@ def range_join_binned(
         .filter((F.col(ts) >= F.col(start)) & (F.col(ts) <= F.col(end)))
         .drop("_bucket")
     )
+
+
+def equi_frequency_buckets(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """EXACT equal-frequency binning without a global sort.
+
+    The scale-correct alternative to ``ntile()`` over a global window
+    (which serializes the dataset through one partition): reduce to a
+    value histogram (bounded by DISTINCT values, not rows), run the
+    cumulative window over that tiny histogram, and broadcast the
+    value->bucket map back onto the rows. Equal values always share a
+    bucket — deterministic where ntile's row-level tie-breaking is
+    not. Intended for bounded-cardinality numeric columns (lengths,
+    counts, grades); for unbounded continuous values use
+    approxQuantile boundaries instead (see clip_outliers).
+    """
+    from pyspark.sql.window import Window
+
+    hist = df.groupBy(value_col).agg(F.count("*").alias("_cnt"))
+    w_cum = Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        value_col,
+        F.coalesce(F.sum("_cnt").over(w_cum), F.lit(0)).alias("_before"),
+        F.sum("_cnt").over(Window.partitionBy()).alias("_total"),
+    )
+    bmap = cum.select(
+        value_col,
+        F.expr(f"CAST(({n_buckets} * _before) DIV _total AS INT)").alias(out_col),
+    )
+    return df.join(F.broadcast(bmap), value_col)

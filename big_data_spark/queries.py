@@ -4248,23 +4248,14 @@ def q94_length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     NTILE's row-level tie-breaking is not, and the 100 TB plan is one
     bounded groupBy + a broadcast join instead of a single-partition
     window over the corpus."""
+    from .operators.relational import equi_frequency_buckets
+
     docs = _t(spark, sf_dir, "documents")
     tc = docs.select(
         "doc_id", F.size(F.split("text", " ")).alias("n_tokens"), "n_chars"
     )
-    hist = tc.groupBy("n_tokens").agg(F.count("*").alias("cnt"))
-    w_cum = Window.orderBy("n_tokens").rowsBetween(Window.unboundedPreceding, -1)
-    cum = hist.select(
-        "n_tokens",
-        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("n_before"),
-        F.sum("cnt").over(Window.partitionBy()).alias("total"),
-    )
-    bmap = cum.select(
-        "n_tokens",
-        F.expr("CAST((10 * n_before) DIV total AS INT)").alias("bucket"),
-    )
     return (
-        tc.join(F.broadcast(bmap), "n_tokens")
+        equi_frequency_buckets(tc, "n_tokens", n_buckets=10)
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n_docs"),
