@@ -256,6 +256,30 @@ def dedup_stream_within_watermark(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def corpus_quality_gates(
+    docs: DataFrame, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """The stateless corpus gates of queries.q67 — token-count +
+    stopword-ratio quality gate and stopword-hit language gate —
+    plus the md5 content fingerprint, as pure column expressions that
+    mount identically on batch and streaming inputs."""
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin("the", "a")))
+    en_hits = F.size(F.filter(toks, lambda x: x.isin("the", "a", "value", "fast")))
+    return docs.select(
+        "doc_id",
+        "text",
+        *extra_cols,
+        n_tokens.cast("long").alias("n_tokens"),
+        F.md5(F.lower(F.trim("text"))).alias("fp"),
+    ).where(
+        (n_tokens >= 20)
+        & (n_stop.cast("double") / n_tokens < 0.5)
+        & (en_hits.cast("double") / n_tokens >= 0.05)
+    )
+
+
 def corpus_gate_stream(
     docs: DataFrame,
     ts_col: str | None = None,
@@ -275,20 +299,7 @@ def corpus_gate_stream(
     q66): its min-representative fixpoint needs corpus-wide state no
     stream should hold.
     """
-    toks = F.split("text", " ")
-    n_tokens = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda x: x.isin("the", "a")))
-    en_hits = F.size(F.filter(toks, lambda x: x.isin("the", "a", "value", "fast")))
-    cols = ["doc_id", "text"] + ([ts_col] if ts_col else [])
-    gated = docs.select(
-        *cols,
-        n_tokens.cast("long").alias("n_tokens"),
-        F.md5(F.lower(F.trim("text"))).alias("fp"),
-    ).where(
-        (n_tokens >= 20)
-        & (n_stop.cast("double") / n_tokens < 0.5)
-        & (en_hits.cast("double") / n_tokens >= 0.05)
-    )
+    gated = corpus_quality_gates(docs, extra_cols=(ts_col,) if ts_col else ())
     if ts_col is not None:
         return gated.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
             ["fp"]

@@ -212,3 +212,74 @@ def start_scd2_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_corpus_ingest_stream(
+    docs_stream: DataFrame,
+    out_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming corpus ingestion: stateless quality/lang gates on the
+    stream (streaming.corpus_quality_gates — q67's expressions), then
+    each micro-batch exact-dedups against the PERSISTENT fingerprint
+    index (operators.dedup_index) before appending survivors.
+
+    The index IS the dedup state: cross-batch and cross-RESTART
+    duplicates drop without any in-stream state store, and state size
+    is 16 bytes per kept document ever (not per watermark window —
+    this is the unbounded-horizon complement of
+    dropDuplicatesWithinWatermark). Replay safety: survivors are
+    written to the sink BEFORE their fingerprints are indexed, so a
+    replayed batch re-emits at most the rows whose digests missed the
+    index write (at-least-once on the sink, never data loss); a fully
+    committed batch replays as a no-op because every fingerprint
+    already hits the index.
+    """
+    from ..operators.dedup_index import (
+        FINGERPRINT_COL,
+        append_fingerprints,
+        read_index,
+    )
+    from . import corpus_quality_gates
+
+    gated = corpus_quality_gates(docs_stream)
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            index = read_index(spark, index_dir)
+        except Exception:  # first batch: no index yet
+            index = batch.select(
+                F.md5(F.lit("")).alias(FINGERPRINT_COL)
+            ).limit(0)
+        fp = batch.withColumnRenamed("fp", FINGERPRINT_COL)
+        fresh = fp.join(
+            index.select(FINGERPRINT_COL), FINGERPRINT_COL, "left_anti"
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(FINGERPRINT_COL).orderBy("doc_id")
+        survivors = (
+            fresh.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        survivors.persist()
+        try:
+            if survivors.limit(1).count() == 0:
+                return
+            survivors.write.mode("append").parquet(out_dir)
+            append_fingerprints(survivors, index_dir)
+        finally:
+            survivors.unpersist()
+
+    writer = (
+        gated.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -65,3 +65,54 @@ def test_dedup_against_index_is_digest_keyed(spark):
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_streaming_corpus_ingest_dedups_via_index(spark, tmp_path):
+    """Gates + persistent-index dedup as a streaming sink: duplicates
+    drop across micro-batches AND across a full source replay on a
+    fresh checkpoint (the index is the state, not the stream)."""
+    from big_data_spark.catalog import load_table
+    from big_data_spark.streaming.sinks import start_corpus_ingest_stream
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch a: docs 0..249; batch b: 200..299 (dupes) + shifted ids of
+    # the same texts (content dupes under new ids) + docs 300..449
+    a = docs.filter("doc_id < 250")
+    b = docs.filter("doc_id >= 200 AND doc_id < 450").union(
+        docs.filter("doc_id < 50").selectExpr("doc_id + 10000 AS doc_id", "text")
+    )
+    a.coalesce(1).write.parquet(str(src / "a"))
+    b.coalesce(1).write.parquet(str(src / "b"))
+
+    out_dir, index_dir = str(tmp_path / "out"), str(tmp_path / "index")
+
+    def run(ckpt: str):
+        stream = (
+            spark.readStream.schema(a.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = start_corpus_ingest_stream(stream, out_dir, index_dir, ckpt)
+        q.awaitTermination(180)
+
+    run(str(tmp_path / "c1"))
+    out = spark.read.parquet(out_dir)
+    n1 = out.count()
+    # every fingerprint exactly once, and the gated batch equivalent
+    # (self-dedup of a+b) has the same fingerprint set
+    from big_data_spark.streaming import corpus_quality_gates
+
+    want_fps = {
+        r["fp"]
+        for r in corpus_quality_gates(a.union(b)).select("fp").collect()
+    }
+    assert {r["fingerprint"] for r in out.collect()} == want_fps
+    assert n1 == len(want_fps)
+
+    # full replay on a FRESH checkpoint: the index makes it a no-op
+    run(str(tmp_path / "c2"))
+    assert spark.read.parquet(out_dir).count() == n1
