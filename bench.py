@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "q80_decontamination",
     "q89_volume_shipping",
     "q96_tfidf_cosine_pairs",
+    "q94_length_curriculum",
+    "q97_shuffle_shards",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

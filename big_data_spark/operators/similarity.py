@@ -235,3 +235,70 @@ def brute_force_topk(
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def save_ivf_index(index: IVFIndex, path: str) -> None:
+    """Persist the index in its production layout: vectors partitioned
+    by cell (each probe's read is directory-pruned to its cells — the
+    module-docstring promise made physical), centroids + metadata as
+    tiny side tables."""
+    import json
+    import os
+
+    index.assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "assigned")
+    )
+    index.centroids.write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"nlist": index.nlist}, f)
+
+
+def load_ivf_index(spark: SparkSession, path: str) -> IVFIndex:
+    """Reload a saved index; searches against it are partition-pruned
+    by the cell directories written at save time."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    return IVFIndex(
+        assigned=spark.read.parquet(os.path.join(path, "assigned")),
+        centroids=spark.read.parquet(os.path.join(path, "centroids")),
+        nlist=int(meta["nlist"]),
+    )
+
+
+def save_pq_index(index: PQIndex, path: str) -> None:
+    """Persist PQ codes (m bytes/vector) as parquet and the codebooks
+    (m x ksub x dsub floats — KBs) as JSON metadata."""
+    import json
+    import os
+
+    index.codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(
+            {
+                "m": index.m,
+                "ksub": index.ksub,
+                "dsub": index.dsub,
+                "codebooks": index.codebooks,
+            },
+            f,
+        )
+
+
+def load_pq_index(spark: SparkSession, path: str) -> PQIndex:
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    return PQIndex(
+        codes=spark.read.parquet(os.path.join(path, "codes")),
+        codebooks=meta["codebooks"],
+        m=int(meta["m"]),
+        ksub=int(meta["ksub"]),
+        dsub=int(meta["dsub"]),
+    )

@@ -200,3 +200,40 @@ def test_pq_adc_search_is_map_only(spark, emb, query_vec):
     assert count_shuffles(scored) == 0, scored.explain(True)
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ivf_index_save_load_roundtrip(spark, emb, query_vec, tmp_path):
+    """A reloaded IVF index returns the exact same search results, and
+    the probe scan over the saved layout is pruned to the probed cell
+    DIRECTORIES (PartitionFilters on cell), not a full-corpus read."""
+    from big_data_spark.operators.similarity import load_ivf_index, save_ivf_index
+
+    idx = build_ivf_index(emb, nlist=8)
+    want = [tuple(r) for r in ivf_search(idx, query_vec, k=10, nprobe=4).collect()]
+
+    path = str(tmp_path / "ivf")
+    save_ivf_index(idx, path)
+    idx2 = load_ivf_index(spark, path)
+    got = [tuple(r) for r in ivf_search(idx2, query_vec, k=10, nprobe=4).collect()]
+    assert got == want
+
+    from pyspark.sql import functions as F
+
+    pruned = idx2.assigned.filter(F.col("cell").isin([0, 1]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan.split("PartitionFilters:")[1][:80], plan
+
+
+def test_pq_index_save_load_roundtrip(spark, emb, query_vec, tmp_path):
+    """A reloaded PQ index reproduces ADC search results exactly —
+    codes + codebooks survive the parquet/JSON roundtrip."""
+    from big_data_spark.operators.similarity import load_pq_index, save_pq_index
+
+    idx = build_pq_index(emb, m=4, ksub=8)
+    want = [tuple(r) for r in pq_adc_search(idx, query_vec, k=10).collect()]
+
+    path = str(tmp_path / "pq")
+    save_pq_index(idx, path)
+    idx2 = load_pq_index(spark, path)
+    got = [tuple(r) for r in pq_adc_search(idx2, query_vec, k=10).collect()]
+    assert got == want
