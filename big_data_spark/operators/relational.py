@@ -221,3 +221,29 @@ def equi_frequency_buckets(
         F.expr(f"CAST(({n_buckets} * _before) DIV _total AS INT)").alias(out_col),
     )
     return df.join(F.broadcast(bmap), value_col)
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    key: str,
+    n_buckets: int = 8,
+    sorted_by_key: bool = True,
+) -> DataFrame:
+    """Persist ``df`` hash-bucketed (and optionally sorted) by ``key``
+    at an explicit path, returning the re-read table.
+
+    Two tables written this way with the same key and bucket count
+    join with NO exchange on either side (the shuffle was paid once at
+    write time — see tests/test_bucketing.py and q65). This is the
+    layout the incremental-dedup index docstring assumes: a bucketed
+    index side means only each new batch moves at probe time.
+    """
+    writer = (
+        df.write.mode("overwrite").option("path", path).bucketBy(n_buckets, key)
+    )
+    if sorted_by_key:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(name)
+    return df.sparkSession.table(name)

@@ -303,3 +303,30 @@ def test_asof_and_range_join_randomized_equivalence(spark):
             ).collect()
         }
         assert got_rj == want_rj and got_rj, round_
+
+
+def test_write_bucketed_helper_zero_exchange_join(spark, tmp_path):
+    """Two tables persisted via write_bucketed on the same key join
+    with zero exchanges — the helper produces the q65 layout."""
+    from big_data_spark.operators.relational import write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    try:
+        orders = load_table(spark, SF_SMOKE, "orders")
+        customer = load_table(spark, SF_SMOKE, "customer").withColumnRenamed(
+            "c_custkey", "o_custkey"
+        )
+        ob = write_bucketed(
+            orders, "wb_orders", str(tmp_path / "o"), "o_custkey"
+        )
+        cb = write_bucketed(
+            customer, "wb_customer", str(tmp_path / "c"), "o_custkey"
+        )
+        joined = ob.join(cb, "o_custkey")
+        assert count_shuffles(joined) == 0
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS wb_orders")
+        spark.sql("DROP TABLE IF EXISTS wb_customer")
