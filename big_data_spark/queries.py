@@ -4622,6 +4622,83 @@ def q100_batch_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q101_corpus_health",
+    """
+    WITH g AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS n_tokens,
+             CASE WHEN len(string_split(text, ' ')) >= 20
+                   AND CAST(len(list_filter(string_split(text, ' '),
+                                            t -> t IN ('the', 'a'))) AS DOUBLE)
+                       / len(string_split(text, ' ')) < 0.5
+                   AND CAST(len(list_filter(string_split(text, ' '),
+                                            t -> t IN ('the', 'a', 'value', 'fast'))) AS DOUBLE)
+                       / len(string_split(text, ' ')) >= 0.05
+                  THEN 1 ELSE 0 END AS q_pass,
+             md5(lower(trim(text))) AS fp
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(q_pass) AS BIGINT) AS n_quality_pass,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+           ROUND(1.0 - COUNT(DISTINCT fp) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate,
+           CAST(SUM(CAST(n_tokens AS DECIMAL(27,4))) AS DOUBLE)
+             / COUNT(*) AS avg_tokens
+    FROM g
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    "quality",
+    "observability",
+)
+def q101_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health rollup — the operational dashboard a
+    pipeline team watches daily: volume, quality-gate pass count
+    (q67's gate as a FLAG, not a filter), exact-duplicate rate via
+    fingerprint count-distinct, and mean token length, in ONE pass.
+    Single shuffle keyed by source; the distinct-fingerprint count is
+    the only expansion and is digest-sized. At 100 TB swap
+    COUNT(DISTINCT fp) for approx_count_distinct when sources are
+    huge and a 2% error is acceptable (q85's HLL path)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin("the", "a")))
+    en_hits = F.size(F.filter(toks, lambda x: x.isin("the", "a", "value", "fast")))
+    q_pass = (
+        F.when(
+            (n_tokens >= 20)
+            & (n_stop.cast("double") / n_tokens < 0.5)
+            & (en_hits.cast("double") / n_tokens >= 0.05),
+            1,
+        )
+        .otherwise(0)
+    )
+    g = docs.select(
+        "source",
+        n_tokens.alias("n_tokens"),
+        q_pass.alias("q_pass"),
+        F.md5(F.lower(F.trim("text"))).alias("fp"),
+    )
+    return (
+        g.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("q_pass").cast("long").alias("n_quality_pass"),
+            F.count_distinct("fp").alias("n_unique"),
+            F.round(
+                F.lit(1.0)
+                - F.count_distinct("fp") / F.count("*").cast("double"),
+                6,
+            ).alias("dup_rate"),
+            _davg(F.col("n_tokens"), "avg_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 # =========================================================================
 # Registry ordering (driver check-window priority)
 # =========================================================================
@@ -4746,6 +4823,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q98_returned_item_customers",
     "q99_customer_order_distribution",
     "q100_batch_ann_topk",
+    "q101_corpus_health",
 ]
 
 
