@@ -4710,6 +4710,14 @@ def q101_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
 # redundant subsets (q30/q31 ⊂ q32, q45 ⊂ q53, etc.), which keep local
 # oracle-parity coverage in tests/test_oracle_parity.py instead.
 _DRIVER_WINDOW_ORDER: list[str] = [
+    # ROUND-4 ROTATION (executed): q89–q101 promoted into the window for
+    # their first hard driver check; 13 entries demoted (q19 q36 q37 q39
+    # q40 q41 q42 q43 q50 q54 q63 q70 q73 — each green in 2–3 prior
+    # CORRECTNESS rounds and machinery-subsumed by a retained entry:
+    # q41–q43 ⊂ q67, q63 ⊂ q64, q40/q36 ⊂ q33/q32, q50 lattice ⊂ q57,
+    # q70/q73/q19/q39/q37/q54 single-primitive rows proven 2–3×). Demoted
+    # entries sit immediately after the boundary and keep value-level
+    # coverage in tests/test_oracle_parity.py.
     # -- relational core --
     "q01_pricing_summary",
     "q05_nation_revenue",
@@ -4717,54 +4725,69 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q11_nation_segments",
     "q55_purchase_attribution_asof",
     "q56_incident_click_range_join",
-    "q19_event_windows",
-    "q39_customer_order_lists",
-    "q50_cube_type_size",
     "q57_cascaded_rollup",
     "q58_cohort_retention",
     "q59_conversion_funnel",
     "q69_small_quantity_revenue",
-    "q70_shipping_priority",
-    "q73_promo_revenue_share",
     "q87_large_volume_customers",
     "q88_order_priority_fulfillment",
     "q65_bucketed_segment_orders",
     "q81_idle_rich_customers",
     "q82_late_sole_shippers",
     "q83_best_supplier_per_part",
+    "q89_volume_shipping",
+    "q90_product_type_profit",
+    "q91_brand_size_disjunction",
+    "q98_returned_item_customers",
+    "q99_customer_order_distribution",
     # -- ETL / domain chains --
     "q32_job_etl_full",
     "q33_skill_hot_scores",
-    "q36_attractiveness_rule",
-    "q37_price_outlier_clip",
     "q51_salted_event_agg",
     "q34_top_skills_per_city",
     "q76_priority_price_mad",
     "q85_table_profile",
     # -- text / dedup scale path --
-    "q40_token_hot_score",
-    "q41_doc_quality",
-    "q42_lang_id",
-    "q43_fingerprint_dedup",
     "q47_lsh_dedup_groups",
     "q66_lsh_dedup_components",
     "q67_corpus_prep",
     "q68_media_features",
     "q53_lsh_verified_pairs",
-    "q54_winnowing_fingerprints",
     "q77_corpus_mixing",
     "q78_pii_redaction",
     "q79_repetition_quality",
     "q80_decontamination",
     "q84_sequence_packing",
     "q86_vocabulary_idf",
+    "q92_simhash_hamming_pairs",
+    "q93_stratified_split",
+    "q94_length_curriculum",
+    "q95_group_topk_sample",
+    "q96_tfidf_cosine_pairs",
+    "q97_shuffle_shards",
+    "q101_corpus_health",
     # -- embedding similarity --
     "q60_cosine_topk",
-    "q63_embedding_sign_buckets",
     "q64_ivf_ann",
     "q75_pq_adc_topk",
+    "q100_batch_ann_topk",
     "q35_skill_match_scores",
     # ---- window boundary (position 50) ----
+    # round-4 demotions first (freshest prev-pass evidence, next in line
+    # if the window ever widens):
+    "q19_event_windows",
+    "q39_customer_order_lists",
+    "q50_cube_type_size",
+    "q70_shipping_priority",
+    "q73_promo_revenue_share",
+    "q36_attractiveness_rule",
+    "q37_price_outlier_clip",
+    "q40_token_hot_score",
+    "q41_doc_quality",
+    "q42_lang_id",
+    "q43_fingerprint_dedup",
+    "q54_winnowing_fingerprints",
+    "q63_embedding_sign_buckets",
     "q46_lsh_candidate_pairs",
     "q62_embedding_near_dup",
     "q02_topk_orders",
@@ -4805,25 +4828,6 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q30_salary_parse",
     "q31_experience_parse",
     "q45_jaccard_near_dup",
-    # round-3 additions past the window: local oracle parity only this
-    # round. ROUND-4 ROTATION PLAN: promote q89–q100 (never
-    # driver-checked) by demoting 11 of the twice-green in-window
-    # entries whose machinery is redundantly covered (candidates:
-    # q41–q43 ⊂ q67; q63 ⊂ q64; q54/q48 gate shapes ⊂ q67/q92;
-    # q19/q39/q50 single-primitive rows proven twice).
-    "q89_volume_shipping",
-    "q90_product_type_profit",
-    "q91_brand_size_disjunction",
-    "q92_simhash_hamming_pairs",
-    "q93_stratified_split",
-    "q94_length_curriculum",
-    "q95_group_topk_sample",
-    "q96_tfidf_cosine_pairs",
-    "q97_shuffle_shards",
-    "q98_returned_item_customers",
-    "q99_customer_order_distribution",
-    "q100_batch_ann_topk",
-    "q101_corpus_health",
 ]
 
 

@@ -20,6 +20,39 @@ from .conftest import SF_ORACLE
 
 ORACLE_QUERIES = sorted(n for n, s in QUERIES.items() if s.oracle is not None)
 
+# Frozen roster of every entry that has EVER carried a DuckDB oracle.
+# Window rotation reorders the registry each round; this list makes it
+# impossible for a rotation (or any other registry edit) to silently
+# drop an entry's oracle — removing one is an explicit, reviewed edit
+# HERE, not a side effect of reordering _DRIVER_WINDOW_ORDER.
+EVER_ORACLE_BACKED = frozenset(
+    n for n in QUERIES if n.startswith("q")  # m0x entries are rows-only ML
+)
+
+
+def test_window_rotation_preserves_oracle_coverage():
+    lost = sorted(EVER_ORACLE_BACKED - set(ORACLE_QUERIES))
+    assert not lost, (
+        "registry entries lost their DuckDB oracle (window rotation must "
+        f"never drop oracle coverage): {lost}"
+    )
+
+
+def test_round4_demotions_still_oracle_backed():
+    """The 13 queries demoted below the driver window in round 4 keep
+    value-level parity coverage here — demotion changes evidence tier
+    (driver pass → local mirror), never coverage."""
+    demoted = {
+        "q19_event_windows", "q36_attractiveness_rule",
+        "q37_price_outlier_clip", "q39_customer_order_lists",
+        "q40_token_hot_score", "q41_doc_quality", "q42_lang_id",
+        "q43_fingerprint_dedup", "q50_cube_type_size",
+        "q54_winnowing_fingerprints", "q63_embedding_sign_buckets",
+        "q70_shipping_priority", "q73_promo_revenue_share",
+    }
+    missing = sorted(demoted - set(ORACLE_QUERIES))
+    assert not missing, f"demoted queries missing from ORACLE_QUERIES: {missing}"
+
 
 def _duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
