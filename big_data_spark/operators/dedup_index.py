@@ -67,3 +67,25 @@ def append_fingerprints(survivors: DataFrame, index_dir: str) -> None:
 
 def read_index(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(index_dir)
+
+
+def read_index_or_empty(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The index, or an empty one iff the index genuinely does not
+    exist yet (first batch: directory absent, or present with no
+    committed data files — a killed first ``append_fingerprints`` can
+    leave only ``_temporary``).
+
+    Deliberately narrow: any OTHER failure (transient IO error,
+    corrupt/truncated part file) propagates so the caller's batch
+    fails and checkpoint replay retries. Swallowing those would
+    silently disable dedup for the batch and permanently ingest
+    duplicates — the index IS the dedup state.
+    """
+    import os
+
+    has_data = os.path.isdir(index_dir) and any(
+        not n.startswith(("_", ".")) for n in os.listdir(index_dir)
+    )
+    if not has_data:
+        return spark.createDataFrame([], f"{FINGERPRINT_COL} string")
+    return read_index(spark, index_dir)

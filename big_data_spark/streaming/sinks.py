@@ -240,7 +240,7 @@ def start_corpus_ingest_stream(
     from ..operators.dedup_index import (
         FINGERPRINT_COL,
         append_fingerprints,
-        read_index,
+        read_index_or_empty,
     )
     from . import corpus_quality_gates
 
@@ -248,12 +248,10 @@ def start_corpus_ingest_stream(
 
     def ingest(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        try:
-            index = read_index(spark, index_dir)
-        except Exception:  # first batch: no index yet
-            index = batch.select(
-                F.md5(F.lit("")).alias(FINGERPRINT_COL)
-            ).limit(0)
+        # Empty fallback ONLY when the index genuinely doesn't exist
+        # yet; a read failure on a later batch must fail the batch so
+        # checkpoint replay retries instead of ingesting duplicates.
+        index = read_index_or_empty(spark, index_dir)
         fp = batch.withColumnRenamed("fp", FINGERPRINT_COL)
         fresh = fp.join(
             index.select(FINGERPRINT_COL), FINGERPRINT_COL, "left_anti"

@@ -118,6 +118,77 @@ def test_streaming_corpus_ingest_dedups_via_index(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == n1
 
 
+def test_read_index_or_empty_narrow_fallback(spark, tmp_path):
+    """Empty-index fallback fires ONLY when the index genuinely does
+    not exist (absent dir, or dir with no committed data files); a
+    corrupt part file must raise, never read as empty."""
+    from big_data_spark.operators.dedup_index import read_index_or_empty
+
+    # absent directory -> empty frame with the index schema
+    missing = read_index_or_empty(spark, str(tmp_path / "nope"))
+    assert missing.columns == ["fingerprint"]
+    assert missing.count() == 0
+
+    # dir with only uncommitted/hidden entries (killed first append)
+    partial = tmp_path / "partial"
+    (partial / "_temporary").mkdir(parents=True)
+    assert read_index_or_empty(spark, str(partial)).count() == 0
+
+    # committed-looking but corrupt data file -> propagate, don't
+    # silently disable dedup
+    corrupt = tmp_path / "corrupt"
+    corrupt.mkdir()
+    (corrupt / "part-00000.parquet").write_bytes(b"not a parquet file")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_index_or_empty(spark, str(corrupt)).count()
+
+
+def test_streaming_corpus_ingest_fails_on_corrupt_index(spark, tmp_path):
+    """A later batch whose index read fails must FAIL the batch (so
+    checkpoint replay retries) instead of treating the index as empty
+    and permanently ingesting duplicates."""
+    from big_data_spark.streaming.sinks import start_corpus_ingest_stream
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    docs.filter("doc_id < 100").coalesce(1).write.parquet(str(src / "a"))
+
+    out_dir, index_dir = str(tmp_path / "out"), str(tmp_path / "index")
+
+    def run(ckpt: str):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = start_corpus_ingest_stream(stream, out_dir, index_dir, ckpt)
+        q.awaitTermination(180)
+
+    run(str(tmp_path / "c1"))
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 > 0
+
+    # corrupt every committed index file, then replay the same source
+    # on a fresh checkpoint: with a swallowed read error this would
+    # re-ingest all n1 docs; with the narrow fallback it must raise
+    import os
+
+    for name in os.listdir(index_dir):
+        if not name.startswith(("_", ".")):
+            with open(os.path.join(index_dir, name), "wb") as f:
+                f.write(b"garbage")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        run(str(tmp_path / "c2"))
+    assert spark.read.parquet(out_dir).count() == n1  # nothing re-ingested
+
+
 def test_streaming_corpus_ingest_resumes_incrementally(spark, tmp_path):
     """New files arriving after a checkpointed run are processed
     incrementally on resume: only genuinely new content lands, and
