@@ -28,11 +28,13 @@ FINGERPRINT_COL = "fingerprint"
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Normalize -> md5 content digest (same normalization as q43 so
-    batch and incremental dedup agree on what "identical" means)."""
-    return df.withColumn(
-        FINGERPRINT_COL, F.md5(F.lower(F.trim(F.col(text_col))))
-    )
+    """Normalize -> md5 content digest (built from the shared
+    corpus_gates.content_fingerprint expression, so batch dedup,
+    incremental dedup, and the streaming ingest sink agree on what
+    "identical" means)."""
+    from .corpus_gates import content_fingerprint
+
+    return df.withColumn(FINGERPRINT_COL, content_fingerprint(text_col))
 
 
 def dedup_against_index(

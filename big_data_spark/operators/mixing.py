@@ -31,6 +31,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 BUCKETS = 10_000
+# Hashed in place of a NULL stratum/key so null rows split
+# proportionally instead of funneling into one split (collision with a
+# real value of the same spelling is accepted and documented).
+NULL_SENTINEL = "__NULL__"
 
 
 def mix_bucket(source: Column, key: Column, salt: str = "mix") -> Column:
@@ -102,11 +106,23 @@ def stratified_split(
     Pure column expression — map-only, fuses into the scan, stable
     under retries, and any engine can replay the assignment from the
     same md5 predicate (no RNG state).
+
+    NULL handling: a NULL stratum or key is hashed as the sentinel
+    ``__NULL__`` (so null-stratum rows still split 80/10/10 among
+    themselves instead of all landing in the last split). An oracle
+    replaying the assignment must apply the same
+    ``COALESCE(col, '__NULL__')`` — plain SQL ``||`` propagates NULL
+    while Spark's concat_ws skips it, so un-guarded expressions
+    diverge between engines.
     """
     total = sum(bp for _, bp in splits)
     if total != BUCKETS:
         raise ValueError(f"split fractions must sum to {BUCKETS} bp, got {total}")
-    bucket = mix_bucket(F.col(stratum_col), F.col(key_col), salt)
+    if len(splits) == 1:
+        return df.withColumn(split_col, F.lit(splits[0][0]))
+    stratum = F.coalesce(F.col(stratum_col).cast("string"), F.lit(NULL_SENTINEL))
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit(NULL_SENTINEL))
+    bucket = mix_bucket(stratum, key, salt)
     col = None
     acc = 0
     for name, bp in splits[:-1]:

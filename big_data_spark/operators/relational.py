@@ -206,6 +206,12 @@ def equi_frequency_buckets(
     not. Intended for bounded-cardinality numeric columns (lengths,
     counts, grades); for unbounded continuous values use
     approxQuantile boundaries instead (see clip_outliers).
+
+    NULL policy: every row is bucketed, including NULL values — NULL
+    forms its own histogram group and sorts first (Spark's ascending
+    default), so null rows land in the lowest bucket. The map join is
+    null-safe (``eqNullSafe``); a plain equi-join would silently drop
+    null rows from the output.
     """
     from pyspark.sql.window import Window
 
@@ -217,10 +223,13 @@ def equi_frequency_buckets(
         F.sum("_cnt").over(Window.partitionBy()).alias("_total"),
     )
     bmap = cum.select(
-        value_col,
+        F.col(value_col).alias("_v"),
         F.expr(f"CAST(({n_buckets} * _before) DIV _total AS INT)").alias(out_col),
     )
-    return df.join(F.broadcast(bmap), value_col)
+    return (
+        df.join(F.broadcast(bmap), F.col(value_col).eqNullSafe(F.col("_v")))
+        .drop("_v")
+    )
 
 
 def write_bucketed(

@@ -1856,20 +1856,20 @@ def q67_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents. Every stage is per-row or digest-keyed, so shuffle
     volume is docs x 16B digests at each dedup step, never document
     bodies x pairs; Catalyst fuses the two per-row gates into the
-    scan."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n_tokens = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda x: x.isin("the", "a")))
-    en_hits = F.size(F.filter(toks, lambda x: x.isin("the", "a", "value", "fast")))
-    flt = docs.select(
-        "doc_id", "text", n_tokens.cast("long").alias("n_tokens")
-    ).where(
-        (n_tokens >= 20)
-        & (n_stop.cast("double") / n_tokens < 0.5)
-        & (en_hits.cast("double") / n_tokens >= 0.05)
+    scan. Gate expressions come from operators.corpus_gates — the
+    shared source q101 and streaming.corpus_quality_gates also build
+    from."""
+    from .operators.corpus_gates import (
+        content_fingerprint,
+        quality_lang_predicate,
+        token_count,
     )
-    wfp = Window.partitionBy(F.md5(F.lower(F.trim("text"))))
+
+    docs = _t(spark, sf_dir, "documents")
+    flt = docs.select(
+        "doc_id", "text", token_count("text").cast("long").alias("n_tokens")
+    ).where(quality_lang_predicate("text"))
+    wfp = Window.partitionBy(content_fingerprint("text"))
     ex = (
         flt.withColumn("fp_keep", F.min("doc_id").over(wfp))
         .withColumn("dup_count", F.count("*").over(wfp))
@@ -3433,6 +3433,53 @@ def q64_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUCKETED_TMP_CLEANED = False
+
+
+def _cleanup_bucketed_tmp_dirs() -> None:
+    """Bound the /tmp footprint of q65's pid-scoped bucketed tables:
+    remove THIS process's directories at exit, and prune stale
+    ``bds_bucketed_<hash>_<pid>`` siblings whose writer process is no
+    longer alive (a crashed run can't clean up after itself). A live
+    foreign pid's directory is never touched — that's exactly the
+    concurrent-process case the pid suffix exists to protect."""
+    global _BUCKETED_TMP_CLEANED
+    import atexit
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    mine = f"_{os.getpid()}"
+    for d in glob.glob(
+        os.path.join(tempfile.gettempdir(), "bds_bucketed_*")
+    ):
+        if d.endswith(mine):
+            continue
+        try:
+            pid = int(d.rsplit("_", 1)[1])
+        except ValueError:
+            continue
+        try:
+            os.kill(pid, 0)  # signal 0: existence probe only
+        except ProcessLookupError:
+            shutil.rmtree(d, ignore_errors=True)
+        except PermissionError:
+            pass  # alive under another uid — leave it
+    if not _BUCKETED_TMP_CLEANED:
+        _BUCKETED_TMP_CLEANED = True
+        atexit.register(
+            lambda: [
+                shutil.rmtree(d, ignore_errors=True)
+                for d in glob.glob(
+                    os.path.join(
+                        tempfile.gettempdir(), f"bds_bucketed_*{mine}"
+                    )
+                )
+            ]
+        )
+
+
 @register(
     "q65_bucketed_segment_orders",
     """
@@ -3455,10 +3502,15 @@ def q65_bucketed_segment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     a shared fixed path would let a second process overwrite the
     directory mid-read of the first — per-process paths make reuse
     session-local and concurrent runs race-free); results are
-    identical to the plain join the oracle runs."""
+    identical to the plain join the oracle runs. Lifecycle: this
+    process's directories are removed at interpreter exit, and stale
+    sibling directories whose writer pid is dead are pruned before
+    each write, so crashed runs don't accumulate /tmp copies."""
     import hashlib
     import os
     import tempfile
+
+    _cleanup_bucketed_tmp_dirs()
 
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = _t(spark, sf_dir, "customer").select(
@@ -4164,8 +4216,9 @@ def q92_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH s AS (
       SELECT lang, n_chars,
-             ('0x' || substring(md5('split:' || lang || ':' ||
-                                    CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+             ('0x' || substring(md5('split:' ||
+                 COALESCE(lang, '__NULL__') || ':' ||
+                 COALESCE(CAST(doc_id AS VARCHAR), '__NULL__')), 1, 4))::BIGINT
                % 10000 AS b
       FROM documents
     )
@@ -4661,26 +4714,22 @@ def q101_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     Single shuffle keyed by source; the distinct-fingerprint count is
     the only expansion and is digest-sized. At 100 TB swap
     COUNT(DISTINCT fp) for approx_count_distinct when sources are
-    huge and a 2% error is acceptable (q85's HLL path)."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n_tokens = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda x: x.isin("the", "a")))
-    en_hits = F.size(F.filter(toks, lambda x: x.isin("the", "a", "value", "fast")))
-    q_pass = (
-        F.when(
-            (n_tokens >= 20)
-            & (n_stop.cast("double") / n_tokens < 0.5)
-            & (en_hits.cast("double") / n_tokens >= 0.05),
-            1,
-        )
-        .otherwise(0)
+    huge and a 2% error is acceptable (q85's HLL path). Gate
+    expressions come from operators.corpus_gates — the shared source
+    q67 and streaming.corpus_quality_gates also build from, so the
+    health numbers measure exactly the gate the pipeline enforces."""
+    from .operators.corpus_gates import (
+        content_fingerprint,
+        quality_lang_predicate,
+        token_count,
     )
+
+    docs = _t(spark, sf_dir, "documents")
     g = docs.select(
         "source",
-        n_tokens.alias("n_tokens"),
-        q_pass.alias("q_pass"),
-        F.md5(F.lower(F.trim("text"))).alias("fp"),
+        token_count("text").alias("n_tokens"),
+        F.when(quality_lang_predicate("text"), 1).otherwise(0).alias("q_pass"),
+        content_fingerprint("text").alias("fp"),
     )
     return (
         g.groupBy("source")

@@ -262,22 +262,23 @@ def corpus_quality_gates(
     """The stateless corpus gates of queries.q67 — token-count +
     stopword-ratio quality gate and stopword-hit language gate —
     plus the md5 content fingerprint, as pure column expressions that
-    mount identically on batch and streaming inputs."""
-    toks = F.split("text", " ")
-    n_tokens = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda x: x.isin("the", "a")))
-    en_hits = F.size(F.filter(toks, lambda x: x.isin("the", "a", "value", "fast")))
+    mount identically on batch and streaming inputs. The expressions
+    are BUILT FROM operators.corpus_gates (the single source of
+    truth q67 and q101 also use), so stream==batch holds by
+    construction, not by parallel maintenance."""
+    from ..operators.corpus_gates import (
+        content_fingerprint,
+        quality_lang_predicate,
+        token_count,
+    )
+
     return docs.select(
         "doc_id",
         "text",
         *extra_cols,
-        n_tokens.cast("long").alias("n_tokens"),
-        F.md5(F.lower(F.trim("text"))).alias("fp"),
-    ).where(
-        (n_tokens >= 20)
-        & (n_stop.cast("double") / n_tokens < 0.5)
-        & (en_hits.cast("double") / n_tokens >= 0.05)
-    )
+        token_count("text").cast("long").alias("n_tokens"),
+        content_fingerprint("text").alias("fp"),
+    ).where(quality_lang_predicate("text"))
 
 
 def corpus_gate_stream(

@@ -44,6 +44,29 @@ def test_ties_share_a_bucket(spark):
     assert per_value.filter(F.col("nb") > 1).count() == 0
 
 
+def test_null_values_keep_their_rows_and_get_lowest_bucket(spark):
+    """NULL values must not vanish (null-safe map join) and must land
+    together in the lowest bucket (NULL sorts first ascending)."""
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 != 0, F.col("id") % 100).alias("v"),
+    )  # 100 NULL rows
+    out = equi_frequency_buckets(df, "v", n_buckets=10)
+    assert out.count() == 1000  # every row bucketed, none dropped
+    null_buckets = {
+        r["bucket"]
+        for r in out.filter(F.col("v").isNull()).select("bucket").distinct().collect()
+    }
+    assert null_buckets == {0}
+    # the 100 nulls are exactly one bucket's frequency share here, so
+    # they fill bucket 0 and non-null values start at bucket 1 —
+    # equal-frequency semantics treat NULL as the lowest value group
+    non_null_min = (
+        out.filter(F.col("v").isNotNull()).agg(F.min("bucket")).collect()[0][0]
+    )
+    assert non_null_min == 1
+
+
 def test_near_equal_sizes_on_uniform_values(spark):
     uniform = spark.range(10_000).select((F.col("id") % 1000).alias("v"))
     sizes = [

@@ -126,3 +126,27 @@ def test_stratified_split_rejects_bad_fractions(spark):
 
     with pytest.raises(ValueError):
         stratified_split(_strata(spark), splits=(("train", 9000), ("test", 500)))
+
+
+def test_stratified_split_single_split_assigns_all(spark):
+    out = stratified_split(_strata(spark, 100), splits=(("all", 10000),))
+    assert out.count() == 100
+    assert {r["split"] for r in out.select("split").distinct().collect()} == {"all"}
+
+
+def test_stratified_split_null_stratum_splits_proportionally(spark):
+    """NULL strata must hash via the sentinel and split ~80/10/10
+    among themselves — not all funnel into the last split (which is
+    what an unguarded concat_ws/|| divergence produces)."""
+    df = _strata(spark, 2000).withColumn(
+        "lang", F.when(F.col("doc_id") % 2 == 0, F.col("lang"))
+    )  # half the rows have NULL lang
+    out = stratified_split(df)
+    counts = {
+        r["split"]: r["count"]
+        for r in out.filter(F.col("lang").isNull()).groupBy("split").count().collect()
+    }
+    assert sum(counts.values()) == 1000
+    assert 700 <= counts.get("train", 0) <= 900, counts
+    for s in ("valid", "test"):
+        assert 40 <= counts.get(s, 0) <= 170, counts
