@@ -21,7 +21,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..functions import set_overlap_ratio
 from .skills import explode_skills
@@ -45,6 +44,10 @@ def recommend_skills_for_job(
 
     Ownership exclusion is a broadcast LEFT ANTI join instead of
     NOT-isin: same semantics, but the owned set can itself be a table.
+    Top-n is ``orderBy().limit()`` — a TakeOrderedAndProject that
+    keeps n rows per partition before the single-result gather,
+    never funneling the whole frequency table through one task the
+    way row_number over an unpartitioned window does.
     """
     matching = postings.filter(
         F.lower(F.col("job_title")).contains(job_title_substr.lower())
@@ -57,12 +60,10 @@ def recommend_skills_for_job(
     owned = postings.sparkSession.createDataFrame(
         [(s.lower().strip(),) for s in current_skills], ["skill"]
     )
-    w = Window.orderBy(F.desc("frequency"), F.asc("skill"))
     return (
         counts.join(F.broadcast(owned), "skill", "left_anti")
-        .select("skill", "frequency", F.row_number().over(w).alias("rnk"))
-        .filter(F.col("rnk") <= n)
-        .drop("rnk")
+        .orderBy(F.desc("frequency"), F.asc("skill"))
+        .limit(n)
     )
 
 
@@ -72,17 +73,22 @@ def analyze_skill_gap(
     current_skills: list[str],
     n: int = 10,
 ) -> dict:
-    """Gap report: missing top skills + readiness = |owned ∩ top| / |top|."""
+    """Gap report: missing top skills + readiness = |owned ∩ top| / |top|.
+
+    The top-n is a TakeOrderedAndProject (``orderBy().limit(n)``) —
+    each partition keeps its n best rows, so nothing serializes
+    through a single-partition window; the collect is the bounded
+    n-row report, not a data-plane read.
+    """
     matching = postings.filter(
         F.lower(F.col("job_title")).contains(job_title_substr.lower())
     )
-    w = Window.orderBy(F.desc("frequency"), F.asc("skill"))
     top = (
         explode_skills(matching)
         .groupBy("skill")
         .agg(F.count("*").alias("frequency"))
-        .select("skill", F.row_number().over(w).alias("rnk"))
-        .filter(F.col("rnk") <= n)
+        .orderBy(F.desc("frequency"), F.asc("skill"))
+        .limit(n)
     )
     top_skills = [r["skill"] for r in top.collect()]
     owned = {s.lower().strip() for s in current_skills}
@@ -126,7 +132,6 @@ def career_path_recommendations(
         if "position_level" in postings.columns
         else F.lit("unknown")
     )
-    w = Window.orderBy(F.desc("avg_match"), F.asc("job_title"))
     return (
         scored.groupBy(F.col("job_title"), pos.alias("position_level"))
         .agg(
@@ -135,22 +140,20 @@ def career_path_recommendations(
             F.avg("salary_avg").alias("avg_salary"),
         )
         .filter(F.col("avg_match") > min_match)
-        .select("*", F.row_number().over(w).alias("rnk"))
-        .filter(F.col("rnk") <= n)
-        .drop("rnk")
+        .orderBy(F.desc("avg_match"), F.asc("job_title"))
+        .limit(n)
     )
 
 
 def suggest_skills(postings: DataFrame, prefix: str, n: int = 10) -> DataFrame:
     """Autocomplete: skills starting with ``prefix``, by frequency
-    (P10 startswith, parity ml_skills_recommendation.pyc:382)."""
-    w = Window.orderBy(F.desc("frequency"), F.asc("skill"))
+    (P10 startswith, parity ml_skills_recommendation.pyc:382).
+    Top-n via TakeOrderedAndProject, not an unpartitioned window."""
     return (
         explode_skills(postings)
         .filter(F.col("skill").startswith(prefix.lower()))
         .groupBy("skill")
         .agg(F.count("*").alias("frequency"))
-        .select("skill", "frequency", F.row_number().over(w).alias("rnk"))
-        .filter(F.col("rnk") <= n)
-        .drop("rnk")
+        .orderBy(F.desc("frequency"), F.asc("skill"))
+        .limit(n)
     )

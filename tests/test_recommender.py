@@ -67,3 +67,20 @@ def test_suggest_skills_prefix(postings):
         assert r["skill"].startswith("skill1")
     freqs = [r["frequency"] for r in sug]
     assert freqs == sorted(freqs, reverse=True)
+
+
+def test_topk_plans_have_no_unpartitioned_window(postings):
+    """Every recommender top-n must plan as TakeOrderedAndProject —
+    a per-partition partial top-k — never row_number over a global
+    Window.orderBy, which funnels the whole table through one task."""
+    from big_data_spark.operators.recommender import suggest_skills
+
+    frames = [
+        recommend_skills_for_job(postings, "Engineer", ["Python"], n=5),
+        career_path_recommendations(postings, ["Python", "SQL"], n=5),
+        suggest_skills(postings, "skill1", n=5),
+    ]
+    for df in frames:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "Window" not in plan, plan
