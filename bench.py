@@ -48,6 +48,15 @@ BENCH_QUERIES = [
     "q96_tfidf_cosine_pairs",
     "q94_length_curriculum",
     "q97_shuffle_shards",
+    # round-4 additions: the remaining LLM-pipeline entries that had
+    # oracle coverage but no bench row (q92 is output-bound by design
+    # at small SF — ~30% of the synthetic docs are true near-dups, see
+    # SCALING.md — its number tracks pair-output volume, not plan cost)
+    "q92_simhash_hamming_pairs",
+    "q93_stratified_split",
+    "q95_group_topk_sample",
+    "q100_batch_ann_topk",
+    "q101_corpus_health",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

@@ -4206,8 +4206,11 @@ def q92_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= 3)
+        # distinct collapses pairs caught by several bands; no output
+        # sort — the result is a pair SET (driver/oracle compare
+        # order-insensitively) and a global range-sort of millions of
+        # pairs would be pure overhead at scale
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
 
 

@@ -174,7 +174,9 @@ def start_scd2_stream(
     ``read_scd2_dim``. This reproduces table-format MERGE semantics
     (Delta/Iceberg ``MERGE INTO`` + snapshot isolation) on plain
     parquet; a production deployment swaps the sink for MERGE with
-    identical close-changed / open-new / pass-history semantics.
+    identical close-changed / open-new / pass-history semantics —
+    pinned executably by tests/test_delta_merge.py where a
+    delta-spark wheel exists (env-gated; the sandbox has none).
     """
     from ..operators.scd import scd2_apply
 

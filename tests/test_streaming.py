@@ -292,6 +292,145 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert dropped >= 1  # the engine reported the watermark drop
 
 
+@pytest.mark.parametrize("seed", [7, 21, 42])
+def test_watermark_lateness_property_fuzz(spark, tmp_path, seed):
+    """Property fuzz of windowed_event_counts' late-data semantics:
+    random out-of-order event times streamed one file per micro-batch
+    must respect a Python model of Spark's ONE-SIDED watermark
+    contract (rows less than `delay` late are never dropped; older
+    rows MAY be dropped, and the engine may apply the watermark with
+    a batch of lag) —
+    (1) every emitted (window, event_type) appears exactly once,
+    (2) its count/sum lie between the model's minimum-kept rows
+        (prompt-drop model) and all arrivals for that window,
+    (3) emitted windows ⊇ those finalized ≥2 batches before stream
+        end and ⊆ those finalized by the final watermark
+        (availableNow may withhold end-of-stream finalizations)."""
+    import datetime
+    import glob as _glob
+    import random
+    import time as _time
+
+    from collections import defaultdict
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    rng = random.Random(seed)
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    base = datetime.datetime(2024, 1, 1)
+    n_batches, per_batch = 4, 25
+    batches = []
+    eid = 0
+    for k in range(n_batches):
+        rows = []
+        for _ in range(per_batch):
+            # out-of-order: any hour 0..11, but drift forward so the
+            # watermark actually advances between batches
+            hour = rng.randint(0, 5) + 2 * k
+            ts = base + datetime.timedelta(
+                hours=hour, minutes=rng.randint(0, 59)
+            )
+            rows.append(
+                (eid, ts, rng.randint(1, 3), rng.choice(["click", "view"]), 1.0, "{}")
+            )
+            eid += 1
+        batches.append(rows)
+
+    # --- Python model of the watermark contract (delay=2h, window=1h)
+    delay = datetime.timedelta(hours=2)
+    one_h = datetime.timedelta(hours=1)
+
+    def wstart(ts):
+        return ts.replace(minute=0, second=0, microsecond=0)
+
+    wm = None  # watermark before the current batch (-inf initially)
+    min_cnt: dict = defaultdict(int)  # prompt-drop model: minimum kept
+    min_val: dict = defaultdict(float)
+    all_cnt: dict = defaultdict(int)  # every arrival: maximum kept
+    all_val: dict = defaultdict(float)
+    wm_after = []  # watermark value after each batch
+    for rows in batches:
+        for _, ts, _, et, val, _ in rows:
+            k = (wstart(ts), et)
+            all_cnt[k] += 1
+            all_val[k] += val
+            wend = wstart(ts) + one_h
+            if wm is not None and wend <= wm:
+                continue  # MAY be dropped (more than `delay` late)
+            min_cnt[k] += 1  # less than `delay` late: never dropped
+            min_val[k] += val
+        batch_wm = max(r[1] for r in rows) - delay
+        wm = batch_wm if wm is None else max(wm, batch_wm)
+        wm_after.append(wm)
+
+    # two batches of slack on the lower bound: the engine may apply
+    # watermark updates with a batch of lag
+    surely_emitted = {
+        k for k in min_cnt if k[0] + one_h <= wm_after[-3]
+    }
+    may_emit = {k for k in all_cnt if k[0] + one_h <= wm_after[-1]}
+
+    # --- stream the same batches, one file per trigger, in order
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    for k, rows in enumerate(batches):
+        tmp = tmp_path / f"_stage_{k}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp))
+        part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.copy(part, src_dir / f"f{k}.parquet")
+        if k < n_batches - 1:
+            _time.sleep(1.1)  # file-source ordering is by mtime
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    sink = str(tmp_path / "out")
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    emitted = spark.read.parquet(sink).collect()
+    got = {}
+    for r in emitted:
+        k = (r["window_start"], r["event_type"])
+        assert k not in got, f"window emitted twice: {k}"  # (1) exactly once
+        got[k] = (r["cnt"], r["total_value"])
+
+    for k, (cnt, tv) in got.items():  # (2) one-sided count bounds
+        assert min_cnt[k] <= cnt <= all_cnt[k], (k, cnt, min_cnt[k], all_cnt[k])
+        assert min_val[k] - 1e-6 <= tv <= all_val[k] + 1e-6, (k, tv)
+    gk = set(got)
+    assert surely_emitted <= gk, surely_emitted - gk  # (3) lower bound
+    assert gk <= may_emit, gk - may_emit  # (3) upper bound
+
+
 def test_upsert_probe_prunes_to_touched_buckets(spark, tmp_path, jobs_json_dir):
     """The existing-keys probe must read only the key buckets the
     batch touches — a partition filter on _kb, not a full sink scan
