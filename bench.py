@@ -57,6 +57,14 @@ BENCH_QUERIES = [
     "q95_group_topk_sample",
     "q100_batch_ann_topk",
     "q101_corpus_health",
+    # round-4 additions: remaining TPC-H shapes + two corpus operators
+    "q102_market_share",
+    "q103_top_supplier",
+    "q104_part_supplier_variety",
+    "q105_excess_shippers",
+    "q106_segment_dedup",
+    "q107_overlap_chunks",
+    "q108_source_shingle_overlap",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

@@ -145,7 +145,8 @@ def test_q65_bucketed_query_join_has_no_shuffle(spark):
     import tempfile
 
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    sfx = hashlib.md5(SF_SMOKE.encode()).hexdigest()[:8]
+    # q65's layout is per-sf_dir AND per-process (see its docstring)
+    sfx = hashlib.md5(SF_SMOKE.encode()).hexdigest()[:8] + f"_{os.getpid()}"
     base = os.path.join(tempfile.gettempdir(), f"bds_bucketed_{sfx}")
     try:
         df = QUERIES["q65_bucketed_segment_orders"].fn(spark, SF_SMOKE)

@@ -304,3 +304,75 @@ def test_simhash_hamming_band_join_no_cartesian(spark):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_market_share_broadcasts_all_dims(spark):
+    """q102 (TPC-H Q8 shape): part/supplier/nation/region all arrive
+    via broadcast — the only shuffles are the two fact joins
+    (lineitem⋈orders, orders⋈customer-semi) plus the year agg."""
+    df = q(spark, "q102_market_share")
+    plan = formatted_plan(df)
+    assert count_broadcast_joins(df) >= 3, plan
+    assert "CartesianProduct" not in plan
+    # part filter must reach the part scan, not post-join
+    assert has_pushed_filters(df, "p_type"), plan
+
+
+def test_top_supplier_max_is_broadcast_not_rescan(spark):
+    """q103 (TPC-H Q15 shape): the MAX 'scalar subquery' must come
+    back as a broadcast join, and lineitem is scanned with the
+    ship-date filter pushed down."""
+    df = q(spark, "q103_top_supplier")
+    plan = formatted_plan(df)
+    assert count_broadcast_joins(df) >= 1, plan
+    assert has_pushed_filters(df, "l_shipdate"), plan
+
+
+def test_part_variety_anti_join_is_broadcast(spark):
+    """q104 (TPC-H Q16 shape): the supplier deny-list NOT IN must plan
+    as a broadcast LEFT ANTI hash join; the part attribute filters
+    reach the part scan."""
+    df = q(spark, "q104_part_supplier_variety")
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert has_pushed_filters(df, "p_size"), plan
+    assert "CartesianProduct" not in plan
+
+
+def test_excess_shippers_semi_joins_no_fact_rescan(spark):
+    """q105 (TPC-H Q20 shape): both IN subqueries plan as (broadcast)
+    semi joins; the part name prefix filter is pushed to the part
+    scan so lineitem shrinks before any aggregation."""
+    df = q(spark, "q105_excess_shippers")
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert has_pushed_filters(df, "p_name"), plan
+    assert "CartesianProduct" not in plan
+
+
+def test_segment_dedup_winner_is_digest_agg_not_window(spark):
+    """q106: the first-occurrence election must be a hash aggregate
+    over (digest → min struct) with map-side partial combine — never
+    a corpus-wide window sort partitioned by digest."""
+    df = q(spark, "q106_segment_dedup")
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan or "min(" in plan.lower(), plan
+    assert "CartesianProduct" not in plan
+
+
+def test_overlap_chunks_is_map_only(spark):
+    """q107: stride chunking is explode+project — zero exchanges, so
+    it fuses into the parquet scan."""
+    df = q(spark, "q107_overlap_chunks")
+    assert count_shuffles(df) == 0, formatted_plan(df)
+
+
+def test_source_overlap_join_is_keyed_not_cartesian(spark):
+    """q108: the source×source overlap join must key on the shingle
+    digest (SortMergeJoin/ShuffledHashJoin on h), with the inequality
+    as a post-join filter — never a nested loop over doc pairs."""
+    df = q(spark, "q108_source_shingle_overlap")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
