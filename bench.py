@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "q106_segment_dedup",
     "q107_overlap_chunks",
     "q108_source_shingle_overlap",
+    "q109_gap_fill",
+    "q110_unigram_quality",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

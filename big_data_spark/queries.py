@@ -4763,7 +4763,7 @@ def q101_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q102_market_share",
     """
     WITH vol AS (
-      SELECT year(o.o_orderdate) AS o_year,
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
              CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,4)) AS volume,
              sn.n_name AS supp_nation
       FROM lineitem l
@@ -5095,8 +5095,8 @@ def q106_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks
     ),
     idx AS (SELECT doc_id, t, unnest(generate_series(0, n_chunks - 1)) AS k FROM n)
-    SELECT doc_id, k AS chunk_idx,
-           len(t[(k*20+1):(k*20+30)]) AS n_chunk_tokens,
+    SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+           CAST(len(t[(k*20+1):(k*20+30)]) AS INT) AS n_chunk_tokens,
            md5(array_to_string(t[(k*20+1):(k*20+30)], ' ')) AS chunk_hash
     FROM idx ORDER BY doc_id, chunk_idx
     """,
@@ -5190,6 +5190,136 @@ def q108_source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q109_gap_fill",
+    """
+    WITH ev AS (SELECT date_trunc('day', ts) AS day, event_type, value
+                FROM events),
+    daily AS (
+      SELECT event_type, day, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sum_value
+      FROM ev WHERE value > 300 GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+    days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+             FROM bounds),
+    grid AS (SELECT t.event_type, d.day
+             FROM (SELECT DISTINCT event_type FROM ev) t, days d)
+    SELECT g.event_type, g.day,
+           COALESCE(daily.n_events, 0) AS n_events,
+           daily.sum_value AS sum_value,
+           last_value(daily.sum_value IGNORE NULLS)
+             OVER (PARTITION BY g.event_type ORDER BY g.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS sum_value_locf
+    FROM grid g LEFT JOIN daily
+      ON daily.event_type = g.event_type AND daily.day = g.day
+    ORDER BY 1, 2
+    """,
+    "timeseries",
+    "window",
+)
+def q109_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-fill + LOCF: daily sums of high-value
+    events (value > 300 — sparse, 23/150 cells at sf0.01) reported
+    over the COMPLETE (event_type × day) grid of the observation
+    window, missing days emitted with n_events=0 and
+    last-observation-carried-forward fill. The grid is dimension-
+    sized (types × days), built by exploding a broadcast 1-row
+    min/max bound — the fact table is touched exactly once by the
+    daily aggregation (one shuffle). The LOCF window partitions by
+    event_type over at most #days rows per partition: bounded state,
+    no corpus-wide sort. The deliberate grid cross join is
+    dim×dim (plan-asserted to stay off the fact side)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type", "value"
+    )
+    daily = (
+        ev.filter(F.col("value") > 300)
+        .groupBy("event_type", "day")
+        .agg(
+            F.count("*").alias("n_events"),
+            _dsum(F.col("value"), "sum_value", scale=4),
+        )
+    )
+    bounds = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    days = bounds.select(
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(days))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            "sum_value",
+            F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_locf"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "q110_unigram_quality",
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    vocab AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab),
+    lp AS (SELECT token, round(ln(cnt / total), 8) AS logp FROM vocab, tot)
+    SELECT t.doc_id, COUNT(*) AS n_tokens,
+           round(CAST(SUM(CAST(lp.logp AS DECIMAL(27,8))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_logprob
+    FROM tok t JOIN lp ON t.token = lp.token
+    GROUP BY 1 ORDER BY 1
+    """,
+    "text",
+    "quality",
+)
+def q110_unigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality score with a corpus-trained unigram
+    model: per-doc mean token log-probability (low = gibberish /
+    off-distribution, the standard perplexity-filter proxy). Pass 1
+    trains the model — token counts, one digest-light shuffle keyed
+    by token with map-side combine; the normalizing total comes back
+    as a broadcast 1-row cross join, never a collect. Pass 2 scores —
+    exploded tokens join the BROADCAST vocab (the model is vocab-
+    sized; at 100 TB keep top-K tokens + an OOV floor so it stays
+    broadcastable) and aggregate per doc. Log-probs are rounded to 8
+    decimals before the exact-decimal mean so last-ulp ln()
+    differences between engines cannot surface."""
+    tok = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").cast("double").alias("total"))
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "token", F.round(F.log(F.col("cnt") / F.col("total")), 8).alias("logp")
+    )
+    return (
+        tok.join(F.broadcast(lp), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("logp").cast("decimal(27,8)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # =========================================================================
 # Registry ordering (driver check-window priority)
 # =========================================================================
@@ -5273,10 +5403,12 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q100_batch_ann_topk",
     "q35_skill_match_scores",
     # ---- window boundary (position 50) ----
-    # never driver-checked round-4 addition — first in line for the
-    # round-5 rotation (its posting-list join machinery is represented
-    # in-window by q96):
+    # never driver-checked round-4 additions — first in line for the
+    # round-5 rotation (q108's posting-list join machinery is
+    # represented in-window by q96; q109/q110 by q57/q101):
     "q108_source_shingle_overlap",
+    "q109_gap_fill",
+    "q110_unigram_quality",
     # round-4 demotions next (freshest prev-pass evidence):
     "q05_nation_revenue",
     "q08_top3_orders_per_customer",

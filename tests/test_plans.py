@@ -376,3 +376,23 @@ def test_source_overlap_join_is_keyed_not_cartesian(spark):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_gap_fill_window_is_partitioned_and_filter_pushed(spark):
+    """q109: the sparse-event filter must reach the events scan, and
+    the LOCF window must partition by event_type (bounded per-key
+    state), never run unpartitioned."""
+    df = q(spark, "q109_gap_fill")
+    plan = formatted_plan(df)
+    assert has_pushed_filters(df, "value"), plan
+    assert "Window" in plan, plan
+    assert "partitionBy=[]" not in plan and "SinglePartition, Window" not in plan, plan
+
+
+def test_unigram_quality_model_is_broadcast(spark):
+    """q110: the scoring join (tokens ⋈ vocab log-probs) must be a
+    broadcast hash join — the model ships to executors, the exploded
+    token stream never shuffles for the lookup."""
+    df = q(spark, "q110_unigram_quality")
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan

@@ -10,35 +10,44 @@ from big_data_spark.queries import QUERIES
 DRIVER_WINDOW = 50
 
 # Queries that have never had a hard driver CORRECTNESS row, plus the
-# scale-critical dedup/similarity tail. Rotation rule (round-3): a
-# query may leave the window only once it has a green driver row in
-# some round; never-checked oracle queries take priority for slots.
+# scale-critical dedup/similarity tail. Rotation rule (round-3, still
+# in force): a query may leave the window only once it has a green
+# driver row in some round; never-checked oracle queries take priority
+# for slots. Round-4 update: q34/q47/q53/q54/q60/q63 earned their
+# rows (1-3 greens each) and rotated out for the round-4 additions;
+# the never-checked set below is exactly what round 4's window must
+# hard-check for the first time.
 MUST_BE_IN_WINDOW = {
-    # never driver-checked before round 3
-    "q57_cascaded_rollup",
-    "q58_cohort_retention",
-    "q59_conversion_funnel",
-    "q69_small_quantity_revenue",
-    "q75_pq_adc_topk",
-    "q76_priority_price_mad",
-    "q34_top_skills_per_city",
-    "q77_corpus_mixing",
-    "q87_large_volume_customers",
-    "q88_order_priority_fulfillment",
-    # scale path (round-1 verdict: unverified because past the window)
-    # (q46/q62 rotated out round-3: twice driver-green, machinery
-    # redundantly covered by q47/q53/q66 and q60/q63/q64)
-    "q47_lsh_dedup_groups",
-    "q53_lsh_verified_pairs",
-    "q60_cosine_topk",
-    "q63_embedding_sign_buckets",
+    # never driver-checked before round 4 (round-3 additions)
+    "q89_volume_shipping",
+    "q90_product_type_profit",
+    "q91_brand_size_disjunction",
+    "q92_simhash_hamming_pairs",
+    "q93_stratified_split",
+    "q94_length_curriculum",
+    "q95_group_topk_sample",
+    "q96_tfidf_cosine_pairs",
+    "q97_shuffle_shards",
+    "q98_returned_item_customers",
+    "q99_customer_order_distribution",
+    "q100_batch_ann_topk",
+    "q101_corpus_health",
+    # never driver-checked round-4 additions promoted this round
+    "q102_market_share",
+    "q103_top_supplier",
+    "q104_part_supplier_variety",
+    "q105_excess_shippers",
+    "q106_segment_dedup",
+    "q107_overlap_chunks",
+    # scale-family anchors that stay until the family is multi-green
     "q35_skill_match_scores",
     "q64_ivf_ann",
     "q65_bucketed_segment_orders",
     "q66_lsh_dedup_components",
     "q67_corpus_prep",
     "q68_media_features",
-    "q54_winnowing_fingerprints",
+    "q75_pq_adc_topk",
+    "q77_corpus_mixing",
 }
 
 
