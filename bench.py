@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "q108_source_shingle_overlap",
     "q109_gap_fill",
     "q110_unigram_quality",
+    "q111_important_stock",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

@@ -5045,43 +5045,14 @@ def q106_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a window sort over the corpus. Bodies move exactly once, in
     the per-doc reassembly shuffle that any reconstruction must pay.
     A doc whose every segment lost its election disappears (C4 drops
-    emptied docs)."""
+    emptied docs). Operator: operators.chunking.segment_dedup (edge
+    cases pinned in tests/test_chunking.py)."""
+    from .operators.chunking import segment_dedup
+
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("t")
     )
-    nseg = F.ceil(F.size("t") / F.lit(10.0)).cast("int")
-    segs = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), nseg - 1),
-                lambda i: F.concat_ws(
-                    " ", F.slice("t", (i * 10 + 1).cast("int"), 10)
-                ),
-            )
-        ).alias("seg_idx", "seg"),
-    )
-    winners = (
-        segs.select(F.md5("seg").alias("h"), "doc_id", "seg_idx")
-        .groupBy("h")
-        .agg(F.min(F.struct("doc_id", "seg_idx")).alias("w"))
-        .select(F.col("w.doc_id").alias("doc_id"), F.col("w.seg_idx").alias("seg_idx"))
-    )
-    kept = segs.join(winners, ["doc_id", "seg_idx"], "left_semi")
-    return (
-        kept.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_segs_kept"),
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
-                    lambda x: x["seg"],
-                ),
-            ).alias("clean_text"),
-        )
-        .orderBy("doc_id")
-    )
+    return segment_dedup(docs, "doc_id", "t", seg_len=10).orderBy("doc_id")
 
 
 @register(
@@ -5110,25 +5081,20 @@ def q107_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk index set is computed per row and exploded; no shuffle, no
     sort (plan-asserted zero exchanges), so it fuses into the parquet
     scan and scales with input bytes. Emits content hashes (the
-    downstream dedup/retrieval key), not duplicated bodies."""
+    downstream dedup/retrieval key), not duplicated bodies.
+    Operator: operators.chunking.stride_chunks (coverage/overlap
+    invariants pinned in tests/test_chunking.py)."""
+    from .operators.chunking import stride_chunks
+
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("t")
     )
-    sz = F.size("t")
-    n_chunks = F.when(sz <= 30, F.lit(1)).otherwise(
-        F.ceil((sz - 30) / F.lit(20.0)).cast("int") + 1
-    )
-    exploded = docs.select(
-        "doc_id",
-        "t",
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
-    )
-    chunk = F.slice("t", (F.col("chunk_idx") * 20 + 1).cast("int"), 30)
-    return exploded.select(
+    chunks = stride_chunks(docs, "doc_id", "t", window=30, stride=20)
+    return chunks.select(
         "doc_id",
         "chunk_idx",
-        F.size(chunk).alias("n_chunk_tokens"),
-        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+        F.size("chunk").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", "chunk")).alias("chunk_hash"),
     )
 
 
@@ -5187,6 +5153,69 @@ def q108_source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("shared_shingles"))
         .orderBy("source_a", "source_b")
+    )
+
+
+@register(
+    "q111_important_stock",
+    """
+    WITH supply AS (
+      SELECT l.l_partkey,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,2))) AS DOUBLE)
+               AS value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+                   AND n.n_name = 'NATION_1'
+      GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS total
+      FROM supply
+    )
+    SELECT supply.l_partkey AS p_partkey, supply.value
+    FROM supply, tot
+    WHERE supply.value > 0.001 * tot.total
+    ORDER BY supply.value DESC, p_partkey
+    """,
+    "join",
+    "tpch",
+)
+def q111_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (supply value from lineitem — the fixture has
+    no partsupp): parts representing a significant share of NATION_1's
+    total supply value. Completes the 22/22 TPC-H shape coverage.
+    Nation (1 row) and the pre-filtered supplier side broadcast into
+    the fact scan; one hash agg keyed by partkey; the HAVING-fraction
+    'scalar subquery' total re-aggregates the |parts|-sized supply
+    table and comes back as a 1-row broadcast; AQE plans the second
+    reference to the supply subplan as a ReusedExchange
+    (plan-asserted), so the fact is physically scanned once."""
+    nat = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_1"
+    ).select("n_nationkey")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    supply = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(_dsum(F.col("l_extendedprice"), "value", scale=2))
+    )
+    tot = supply.agg(_dsum(F.col("value"), "total", scale=2))
+    return (
+        supply.crossJoin(F.broadcast(tot))
+        .filter(F.col("value") > 0.001 * F.col("total"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value")
+        .orderBy(F.desc("value"), "p_partkey")
     )
 
 
@@ -5409,6 +5438,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q108_source_shingle_overlap",
     "q109_gap_fill",
     "q110_unigram_quality",
+    "q111_important_stock",
     # round-4 demotions next (freshest prev-pass evidence):
     "q05_nation_revenue",
     "q08_top3_orders_per_customer",

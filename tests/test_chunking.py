@@ -1,0 +1,119 @@
+"""Edge-case invariants for operators.chunking (q106/q107 back ends).
+
+The oracle-parity tests prove value equality with DuckDB on the real
+corpus; these pin the *semantic contracts* on crafted inputs where the
+formulas have corners (doc length exactly at / one past the window,
+all-duplicate docs, single-segment docs).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from big_data_spark.operators.chunking import segment_dedup, stride_chunks
+
+W, S = 30, 20
+
+
+def _docs(spark, lengths):
+    rows = [
+        (i, [f"d{i}w{j}" for j in range(n)]) for i, n in enumerate(lengths)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, t array<string>")
+
+
+@pytest.mark.parametrize(
+    "length", [1, 10, 29, 30, 31, 49, 50, 51, 70, 71, 100]
+)
+def test_stride_chunks_coverage_and_overlap(spark, length):
+    out = (
+        stride_chunks(_docs(spark, [length]), "doc_id", "t", W, S)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    # chunk count formula: 1 for short docs, else ceil((n-W)/S)+1
+    expected_n = 1 if length <= W else -((length - W) // -S) + 1
+    assert len(out) == expected_n
+    # every chunk starts at stride boundaries; all but the last are
+    # full-window; the last ends exactly at the document end
+    for r in out:
+        start = r["chunk_idx"] * S
+        assert r["chunk"] == [f"d0w{j}" for j in range(start, min(start + W, length))]
+    last = out[-1]
+    assert last["chunk_idx"] * S + len(last["chunk"]) == length
+    # full coverage: the union of chunk spans is [0, length)
+    covered = set()
+    for r in out:
+        covered.update(range(r["chunk_idx"] * S, r["chunk_idx"] * S + len(r["chunk"])))
+    assert covered == set(range(length))
+    # neighbors overlap by exactly W - S tokens (when a neighbor exists
+    # and the doc is long enough for the window)
+    if expected_n > 1:
+        for a, b in zip(out, out[1:]):
+            overlap = a["chunk_idx"] * S + len(a["chunk"]) - b["chunk_idx"] * S
+            assert overlap >= W - S or b is out[-1]
+
+
+def test_segment_dedup_first_occurrence_wins(spark):
+    # A: s1 s2 | B: s1 s3 | C: s1 s2  (segments of 2 tokens each)
+    s1, s2, s3 = ["a", "b"], ["c", "d"], ["e", "f"]
+    rows = [(0, s1 + s2), (1, s1 + s3), (2, s1 + s2)]
+    df = spark.createDataFrame(rows, "doc_id long, t array<string>")
+    out = {
+        r["doc_id"]: r
+        for r in segment_dedup(df, "doc_id", "t", seg_len=2).collect()
+    }
+    # doc 0 is first everywhere: keeps both segments
+    assert out[0]["n_segs_kept"] == 2 and out[0]["clean_text"] == "a b c d"
+    # doc 1 loses s1 (seen in doc 0), keeps s3
+    assert out[1]["n_segs_kept"] == 1 and out[1]["clean_text"] == "e f"
+    # doc 2 is a full duplicate: dropped entirely
+    assert 2 not in out
+
+
+def test_segment_dedup_output_segments_are_globally_unique(spark):
+    df = _docs(spark, [20, 20, 35])
+    # make doc 1 a copy of doc 0 and doc 2 share doc 0's first segment
+    df = df.withColumn(
+        "t",
+        F.when(F.col("doc_id") == 1, F.array([F.lit(f"d0w{j}") for j in range(20)]))
+        .when(
+            F.col("doc_id") == 2,
+            F.concat(
+                F.array([F.lit(f"d0w{j}") for j in range(10)]),
+                F.array([F.lit(f"d2w{j}") for j in range(25)]),
+            ),
+        )
+        .otherwise(F.col("t")),
+    )
+    out = segment_dedup(df, "doc_id", "t", seg_len=10)
+    segs = (
+        out.select(
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(
+                            F.size(F.split("clean_text", " ")) / F.lit(10.0)
+                        ).cast("int")
+                        - 1,
+                    ),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.slice(
+                            F.split("clean_text", " "),
+                            (i * 10 + 1).cast("int"),
+                            10,
+                        ),
+                    ),
+                )
+            ).alias("seg")
+        )
+        .collect()
+    )
+    texts = [r["seg"] for r in segs]
+    assert len(texts) == len(set(texts)), "duplicate segment survived dedup"
+    # duplicate doc vanished
+    assert out.filter("doc_id = 1").count() == 0

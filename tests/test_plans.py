@@ -396,3 +396,18 @@ def test_unigram_quality_model_is_broadcast(spark):
     df = q(spark, "q110_unigram_quality")
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_important_stock_single_fact_scan(spark):
+    """q111 (TPC-H Q11 shape): nation/supplier broadcast into the
+    fact; the HAVING-fraction total re-aggregates the same supply
+    subplan, so AQE must plan a ReusedExchange — the lineitem scan +
+    partial agg physically executes once, and the total branch reads
+    the reused shuffle output."""
+    df = q(spark, "q111_important_stock")
+    plan = formatted_plan(df)
+    assert count_broadcast_joins(df) >= 2, plan
+    assert "CartesianProduct" not in plan
+    df.collect()  # AQE finalizes reuse at execution time
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed, executed
