@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "q109_gap_fill",
     "q110_unigram_quality",
     "q111_important_stock",
+    "q112_knn_join",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

@@ -5248,6 +5248,87 @@ def q111_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q112_knn_join",
+    """
+    WITH b AS (
+      SELECT vec_id, embedding,
+             concat(
+               CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END
+             ) AS bucket
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS vec_id, bb.vec_id AS neighbor_id,
+             a.embedding AS ea, bb.embedding AS eb
+      FROM b a JOIN b bb
+        ON a.bucket = bb.bucket AND a.vec_id <> bb.vec_id
+    ), expanded AS (
+      SELECT vec_id, neighbor_id,
+             unnest(ea)::DOUBLE AS x, unnest(eb)::DOUBLE AS y
+      FROM pairs
+    ), sims AS (
+      SELECT vec_id, neighbor_id,
+             ROUND(SUM(x*y) / (sqrt(SUM(x*x)) * sqrt(SUM(y*y))), 6) AS cosine
+      FROM expanded GROUP BY 1, 2
+    )
+    SELECT vec_id, neighbor_id, cosine, rank FROM (
+      SELECT vec_id, neighbor_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cosine DESC, neighbor_id)
+                  AS INT) AS rank
+      FROM sims
+    ) WHERE rank <= 3 ORDER BY vec_id, rank
+    """,
+    "similarity",
+    "join",
+)
+def q112_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self k-NN join — every vector's top-3 cosine neighbors among
+    vectors sharing its sign-LSH bucket (q63's 256-way axis-sign
+    bucketing, deterministic so the oracle replays it). This is the
+    table-to-table ANN shape the broadcast-probe paths (q60/q100)
+    can't cover: BOTH sides are corpus-sized, so the join keys on the
+    bucket — a hash equi-join whose per-bucket work is (corpus/256)²
+    instead of corpus², and the per-vector top-3 compiles to
+    WindowGroupLimit (plan-asserted) so only 3 rows per vector
+    survive the window shuffle. The embedding-near-dup/cluster-seed
+    primitive for training-data curation at scale; recall follows
+    sign-LSH (raise bands or add 1-bit-neighbor probes for more)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bucket = F.concat(
+        *[
+            F.when(F.element_at("embedding", i + 1) >= 0, "1").otherwise("0")
+            for i in range(8)
+        ]
+    )
+    keyed = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    sims = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        F.round(
+            cosine_similarity(F.col("a.embedding"), F.col("b.embedding")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .orderBy("vec_id", "rank")
+    )
+
+
+@register(
     "q109_gap_fill",
     """
     WITH ev AS (SELECT date_trunc('day', ts) AS day, event_type, value
@@ -5467,6 +5548,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q109_gap_fill",
     "q110_unigram_quality",
     "q111_important_stock",
+    "q112_knn_join",
     # round-4 demotions next (freshest prev-pass evidence):
     "q05_nation_revenue",
     "q08_top3_orders_per_customer",

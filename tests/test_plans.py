@@ -411,3 +411,15 @@ def test_important_stock_single_fact_scan(spark):
     df.collect()  # AQE finalizes reuse at execution time
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed, executed
+
+
+def test_knn_join_is_bucket_keyed_with_group_limit(spark):
+    """q112: the self-join must key on the LSH bucket (hash join, no
+    cartesian) and the per-vector top-3 must compile to
+    WindowGroupLimit so only k rows per vector survive the window
+    shuffle."""
+    df = q(spark, "q112_knn_join")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
