@@ -283,3 +283,78 @@ def start_corpus_ingest_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_chunk_ingest_stream(
+    docs_stream: DataFrame,
+    out_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    window: int = 30,
+    stride: int = 20,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming chunk-store ingestion: stateless stride chunking
+    (operators.chunking.stride_chunks — q107's operator) on each
+    micro-batch, then chunk CONTENT dedup against the persistent
+    fingerprint index before appending (doc_id, chunk_idx,
+    chunk_hash, chunk_text) — the continuously-fed store a
+    RAG/pretraining pipeline reads.
+
+    Same contract as start_corpus_ingest_stream: the index is the
+    dedup state (16 bytes per kept chunk ever, no in-stream state
+    store, unbounded horizon), survivors are written to the sink
+    BEFORE their hashes are indexed (at-least-once, replay of a fully
+    committed batch is a no-op), and an index read failure on a later
+    batch fails the batch so checkpoint replay retries.
+    """
+    from ..operators.chunking import stride_chunks
+    from ..operators.dedup_index import (
+        FINGERPRINT_COL,
+        append_fingerprints,
+        read_index_or_empty,
+    )
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        chunks = stride_chunks(
+            batch.select("doc_id", F.split("text", " ").alias("t")),
+            "doc_id",
+            "t",
+            window,
+            stride,
+        ).select(
+            "doc_id",
+            "chunk_idx",
+            F.concat_ws(" ", "chunk").alias("chunk_text"),
+        )
+        keyed = chunks.withColumn(FINGERPRINT_COL, F.md5("chunk_text"))
+        index = read_index_or_empty(spark, index_dir)
+        fresh = keyed.join(
+            index.select(FINGERPRINT_COL), FINGERPRINT_COL, "left_anti"
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(FINGERPRINT_COL).orderBy("doc_id", "chunk_idx")
+        survivors = (
+            fresh.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        survivors.persist()
+        try:
+            if survivors.limit(1).count() == 0:
+                return
+            survivors.write.mode("append").parquet(out_dir)
+            append_fingerprints(survivors, index_dir)
+        finally:
+            survivors.unpersist()
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -228,3 +228,53 @@ def test_streaming_corpus_ingest_resumes_incrementally(spark, tmp_path):
     assert n2 > n1  # the genuinely new docs landed
     fps = [r["fingerprint"] for r in out.collect()]
     assert len(fps) == len(set(fps))  # still exactly-once per content
+
+
+def test_streaming_chunk_ingest_dedups_chunk_content(spark, tmp_path):
+    """Stride chunking + persistent-index chunk dedup as a streaming
+    sink: duplicate chunk CONTENT drops across micro-batches (shared
+    segments between near-duplicate docs land once), and a full
+    source replay on a fresh checkpoint is a no-op — the chunk store
+    equals the batch chunker's distinct-content set."""
+    from pyspark.sql import functions as F
+
+    from big_data_spark.catalog import load_table
+    from big_data_spark.operators.chunking import stride_chunks
+    from big_data_spark.streaming.sinks import start_chunk_ingest_stream
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    a = docs.filter("doc_id < 150")
+    # batch b repeats 50 docs verbatim under new ids + brings new docs
+    b = docs.filter("doc_id >= 150 AND doc_id < 300").union(
+        docs.filter("doc_id < 50").selectExpr("doc_id + 9000 AS doc_id", "text")
+    )
+    a.coalesce(1).write.parquet(str(src / "a"))
+    b.coalesce(1).write.parquet(str(src / "b"))
+
+    out_dir, index_dir = str(tmp_path / "out"), str(tmp_path / "index")
+
+    def run(ckpt: str):
+        stream = (
+            spark.readStream.schema(a.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = start_chunk_ingest_stream(stream, out_dir, index_dir, ckpt)
+        q.awaitTermination(180)
+
+    run(str(tmp_path / "c1"))
+    out = spark.read.parquet(out_dir)
+    batch_chunks = stride_chunks(
+        a.union(b).select("doc_id", F.split("text", " ").alias("t")), "doc_id", "t"
+    ).select(F.md5(F.concat_ws(" ", "chunk")).alias("h"))
+    want = {r["h"] for r in batch_chunks.distinct().collect()}
+    got = [r["fingerprint"] for r in out.select("fingerprint").collect()]
+    assert set(got) == want and len(got) == len(want)
+
+    # replay on a fresh checkpoint: index makes it a no-op
+    run(str(tmp_path / "c2"))
+    assert spark.read.parquet(out_dir).count() == len(want)
