@@ -302,3 +302,84 @@ def load_pq_index(spark: SparkSession, path: str) -> PQIndex:
         ksub=int(meta["ksub"]),
         dsub=int(meta["dsub"]),
     )
+
+
+def _sign_bucket(vec, n_bits: int):
+    """q63's deterministic axis-sign bucket as an n_bits-char string."""
+    return F.concat(
+        *[
+            F.when(F.element_at(vec, i + 1) >= 0, "1").otherwise("0")
+            for i in range(n_bits)
+        ]
+    )
+
+
+def knn_join(
+    emb: DataFrame,
+    k: int = 3,
+    n_bits: int = 8,
+    multiprobe: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Self k-NN join via sign-LSH buckets — the operator form of
+    q112 (table-to-table ANN: both sides corpus-sized, nothing to
+    broadcast). Returns (id, neighbor_id, cosine, rank<=k).
+
+    ``multiprobe=True`` additionally probes each vector's ``n_bits``
+    1-bit-flip neighbor buckets on the QUERY side only (the index
+    side keeps exactly one bucket per vector, so a candidate pair is
+    generated at most once — no dedup pass needed). Recall rises
+    toward exact at (n_bits+1)x candidate cost, still a keyed hash
+    join; measured in tests/test_similarity.py against
+    brute_force_topk.
+
+    At 100 TB: per-bucket work is (corpus/2^n_bits)^2; raise n_bits
+    to keep buckets bounded, multiprobe to buy recall back.
+    """
+    from pyspark.sql.window import Window
+
+    vec = F.col(vec_col)
+    home = _sign_bucket(vec, n_bits)
+    index_side = emb.select(
+        F.col(id_col).alias("_nbr_id"),
+        vec.alias("_nbr_vec"),
+        home.alias("_bucket"),
+    )
+    if multiprobe:
+        flips = [home]
+        for j in range(n_bits):
+            flipped = F.concat(
+                *[
+                    F.when(
+                        F.element_at(vec, i + 1) >= 0,
+                        "0" if i == j else "1",
+                    ).otherwise("1" if i == j else "0")
+                    for i in range(n_bits)
+                ]
+            )
+            flips.append(flipped)
+        probes = F.array(*flips)
+    else:
+        probes = F.array(home)
+    query_side = emb.select(
+        F.col(id_col).alias("_qid"),
+        vec.alias("_qvec"),
+        F.explode(probes).alias("_probe"),
+    )
+    sims = query_side.join(
+        index_side,
+        (F.col("_probe") == F.col("_bucket"))
+        & (F.col("_qid") != F.col("_nbr_id")),
+    ).select(
+        F.col("_qid").alias(id_col),
+        F.col("_nbr_id").alias("neighbor_id"),
+        F.round(cosine_similarity(F.col("_qvec"), F.col("_nbr_vec")), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
