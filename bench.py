@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "q110_unigram_quality",
     "q111_important_stock",
     "q112_knn_join",
+    "q113_token_budget_mix",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

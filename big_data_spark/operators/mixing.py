@@ -130,3 +130,41 @@ def stratified_split(
         col = (F.when if col is None else col.when)(bucket < acc, name)
     col = col.otherwise(splits[-1][0])
     return df.withColumn(split_col, col)
+
+
+def token_budget_mix(
+    docs: DataFrame,
+    budget_tokens: int,
+    *,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    salt: str = "budget",
+) -> DataFrame:
+    """Budget-based corpus mixing: split a global token budget equally
+    across sources and keep each doc with its source's take fraction
+    ``min(1, (budget/#sources)/source_tokens)`` via the deterministic
+    hash bucket — the "give me N training tokens, balanced across
+    sources" complement of rate-based ``weighted_mix``.
+
+    Budget a source can't fill is NOT redistributed (single-pass
+    determinism; redistribution would make every source's sample
+    depend on every other source's size). Two tiny aggregates (per-
+    source token totals, source count) broadcast back as the fraction
+    dim; the corpus-side predicate is map-only and retry-stable.
+    """
+    totals = docs.groupBy(source_col).agg(F.sum(tokens_col).alias("_tot"))
+    ns = totals.agg(F.count("*").alias("_ns"))
+    fracs = totals.crossJoin(F.broadcast(ns)).select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(float(budget_tokens)) / F.col("_ns") / F.col("_tot"),
+        ).alias("_take_frac"),
+    )
+    bucket = mix_bucket(F.col(source_col), F.col(key_col), salt)
+    return (
+        docs.join(F.broadcast(fracs), source_col)
+        .filter(bucket < F.col("_take_frac") * BUCKETS)
+        .drop("_take_frac")
+    )

@@ -5248,6 +5248,51 @@ def q111_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q113_token_budget_mix",
+    """
+    WITH d AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), tot AS (
+      SELECT source, SUM(n_tokens) AS _tot FROM d GROUP BY 1
+    ), ns AS (SELECT COUNT(*) AS _ns FROM tot),
+    f AS (
+      SELECT source, LEAST(1.0, 10000.0 / _ns / _tot) AS take_frac
+      FROM tot, ns
+    )
+    SELECT d.source, d.doc_id, d.n_tokens
+    FROM d JOIN f ON d.source = f.source
+    WHERE ('0x' || substring(md5('budget:' || d.source || ':' ||
+                                 CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+          % 10000 < f.take_frac * 10000
+    ORDER BY d.source, d.doc_id
+    """,
+    "mixing",
+    "sampling",
+)
+def q113_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing — "give me ~10k training tokens,
+    balanced across sources": the global budget splits equally per
+    source, each source keeps docs at min(1, share/source_tokens) via
+    the same deterministic md5 bucket as q77/q93 (retry-stable, no
+    RNG). Two tiny aggregates (per-source totals + source count)
+    broadcast back as the fraction dim; the corpus-side keep
+    predicate is map-only. Operator: operators.mixing
+    .token_budget_mix; under-filled sources do NOT redistribute
+    budget (single-pass determinism, documented)."""
+    from .operators.corpus_gates import token_count
+    from .operators.mixing import token_budget_mix
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    return token_budget_mix(docs, 10_000).select(
+        "source", "doc_id", "n_tokens"
+    ).orderBy("source", "doc_id")
+
+
+@register(
     "q112_knn_join",
     """
     WITH b AS (
@@ -5549,6 +5594,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q110_unigram_quality",
     "q111_important_stock",
     "q112_knn_join",
+    "q113_token_budget_mix",
     # round-4 demotions next (freshest prev-pass evidence):
     "q05_nation_revenue",
     "q08_top3_orders_per_customer",

@@ -150,3 +150,33 @@ def test_stratified_split_null_stratum_splits_proportionally(spark):
     assert 700 <= counts.get("train", 0) <= 900, counts
     for s in ("valid", "test"):
         assert 40 <= counts.get(s, 0) <= 170, counts
+
+
+def test_token_budget_mix_contracts(spark):
+    """Budget >= corpus keeps everything; a tiny budget keeps roughly
+    its share per source; assignment is deterministic across calls."""
+    from big_data_spark.operators.mixing import token_budget_mix
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (f"s{i % 4}", i, 100) for i in range(400)
+    ]  # 4 sources x 100 docs x 100 tokens
+    docs = spark.createDataFrame(
+        rows, "source string, doc_id long, n_tokens long"
+    )
+    # budget covers the whole corpus -> take_frac clamps to 1
+    assert token_budget_mix(docs, 1_000_000).count() == 400
+    # tiny budget: each source targets 1000/4=250 tokens of its
+    # 10000 -> frac 0.025; kept counts should be near 2.5 per source
+    small = token_budget_mix(docs, 1_000)
+    per = {
+        r["source"]: r["n"]
+        for r in small.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(per) <= {"s0", "s1", "s2", "s3"}
+    assert 0 < sum(per.values()) <= 30
+    # deterministic: identical output on re-run
+    a = {(r["source"], r["doc_id"]) for r in small.collect()}
+    b = {(r["source"], r["doc_id"]) for r in token_budget_mix(docs, 1_000).collect()}
+    assert a == b

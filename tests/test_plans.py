@@ -423,3 +423,13 @@ def test_knn_join_is_bucket_keyed_with_group_limit(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_token_budget_mix_is_broadcast_map_only(spark):
+    """q113: the fraction dim joins via broadcast and the keep
+    predicate is per-row — the corpus side must not shuffle (the only
+    exchanges belong to the two tiny aggregates)."""
+    df = q(spark, "q113_token_budget_mix")
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
