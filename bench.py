@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "q111_important_stock",
     "q112_knn_join",
     "q113_token_budget_mix",
+    "q114_quality_percentile_cut",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

@@ -5293,6 +5293,76 @@ def q113_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q114_quality_percentile_cut",
+    """
+    WITH d AS (
+      SELECT source, doc_id,
+             round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')), 6) AS score
+      FROM documents
+    ), h AS (
+      SELECT source, score, COUNT(*) AS cnt FROM d GROUP BY 1, 2
+    ), c AS (
+      SELECT source, score,
+             SUM(cnt) OVER (PARTITION BY source ORDER BY score) AS cum,
+             SUM(cnt) OVER (PARTITION BY source) AS total
+      FROM h
+    ), thr AS (
+      SELECT source, MIN(score) AS p90 FROM c
+      WHERE cum >= 0.9 * total GROUP BY source
+    )
+    SELECT d.source, d.doc_id, d.score
+    FROM d JOIN thr ON d.source = thr.source
+    WHERE d.score > thr.p90
+    ORDER BY d.source, d.doc_id
+    """,
+    "text",
+    "quality",
+)
+def q114_quality_percentile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dynamic quality thresholding — keep each source's
+    top-decile docs by lexical diversity (distinct/total token
+    ratio), with the cut point computed from the data, not a fixed
+    constant (sources differ; a fixed threshold over- or under-prunes
+    per source). The exact per-source P90 comes from the score
+    HISTOGRAM (q94's trick): the cumulative window runs over
+    |distinct scores| rows per source, never over the docs — so no
+    billion-row single-source window partition exists at 100 TB. The
+    tiny threshold table broadcasts back and the keep predicate is
+    map-only. Contract: strictly-above-P90 where P90 = smallest score
+    with cumulative count fraction >= 0.9."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.round(
+            F.size(F.array_distinct(F.split("text", " "))).cast("double")
+            / F.size(F.split("text", " ")),
+            6,
+        ).alias("score"),
+    )
+    h = d.groupBy("source", "score").agg(F.count("*").alias("cnt"))
+    w_cum = Window.partitionBy("source").orderBy("score")
+    w_all = Window.partitionBy("source")
+    c = h.select(
+        "source",
+        "score",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    thr = (
+        c.filter(F.col("cum") >= 0.9 * F.col("total"))
+        .groupBy("source")
+        .agg(F.min("score").alias("p90"))
+    )
+    return (
+        d.join(F.broadcast(thr), "source")
+        .filter(F.col("score") > F.col("p90"))
+        .select("source", "doc_id", "score")
+        .orderBy("source", "doc_id")
+    )
+
+
+@register(
     "q112_knn_join",
     """
     WITH b AS (
@@ -5595,6 +5665,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q111_important_stock",
     "q112_knn_join",
     "q113_token_budget_mix",
+    "q114_quality_percentile_cut",
     # round-4 demotions next (freshest prev-pass evidence):
     "q05_nation_revenue",
     "q08_top3_orders_per_customer",

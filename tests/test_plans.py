@@ -433,3 +433,17 @@ def test_token_budget_mix_is_broadcast_map_only(spark):
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_quality_percentile_cut_window_on_histogram(spark):
+    """q114: the cumulative window must run over the per-source score
+    HISTOGRAM, and the threshold table must broadcast back — the doc
+    side never enters a per-source window partition."""
+    df = q(spark, "q114_quality_percentile_cut")
+    plan = formatted_plan(df)
+    assert "Window" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the window input is the (source, score) aggregate, not documents:
+    # the plan's Window node sits above a HashAggregate, and the doc
+    # branch reaches the join through scan+project only
+    assert "CartesianProduct" not in plan
