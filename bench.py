@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "q112_knn_join",
     "q113_token_budget_mix",
     "q114_quality_percentile_cut",
+    "q115_intradoc_dedup",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

@@ -5363,6 +5363,81 @@ def q114_quality_percentile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q115_intradoc_dedup",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    segged AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(0, CAST(ceil(len(t) / 10.0) AS INT) - 1),
+               i -> array_to_string(t[(i*10+1):((i+1)*10)], ' ')
+             ) AS segs
+      FROM toks
+    ), kept AS (
+      SELECT doc_id, segs,
+             list_filter(
+               generate_series(1, len(segs)),
+               i -> list_position(segs, segs[i]) = i
+             ) AS keep_idx
+      FROM segged
+    )
+    SELECT doc_id,
+           CAST(len(keep_idx) AS INT) AS n_segs_kept,
+           array_to_string(
+             list_transform(keep_idx, i -> segs[i]), ' ') AS clean_text
+    FROM kept ORDER BY doc_id
+    """,
+    "dedup",
+    "text",
+)
+def q115_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-segment removal (C4 also dedups within
+    a page): drop any 10-token segment that already appeared EARLIER
+    IN THE SAME DOC, keeping first occurrences in order. Entirely
+    map-only — the first-occurrence test is
+    array_position(segs, seg) == own index, a higher-order expression
+    per row — zero shuffles (plan-asserted), fuses into the scan.
+    The corpus-wide complement is q106; run this first at 100 TB (it
+    shrinks docs before anything shuffles)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    nseg = F.ceil(F.size("t") / F.lit(10.0)).cast("int")
+    segged = docs.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice("t", (i * 10 + 1).cast("int"), 10)
+            ),
+        ).alias("segs"),
+    )
+    kept_idx = F.filter(
+        F.sequence(F.lit(1), F.size("segs")),
+        lambda i: F.array_position("segs", F.element_at("segs", i)) == i,
+    )
+    return (
+        segged.select(
+            "doc_id",
+            kept_idx.alias("keep_idx"),
+            "segs",
+        )
+        .select(
+            "doc_id",
+            F.size("keep_idx").alias("n_segs_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    "keep_idx", lambda i: F.element_at("segs", i.cast("int"))
+                ),
+            ).alias("clean_text"),
+        )
+        # no orderBy: map-only plan (zero exchanges, plan-asserted);
+        # the driver/oracle compare is order-insensitive
+    )
+
+
+@register(
     "q112_knn_join",
     """
     WITH b AS (
@@ -5666,6 +5741,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q112_knn_join",
     "q113_token_budget_mix",
     "q114_quality_percentile_cut",
+    "q115_intradoc_dedup",
     # round-4 demotions next (freshest prev-pass evidence):
     "q05_nation_revenue",
     "q08_top3_orders_per_customer",

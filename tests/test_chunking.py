@@ -117,3 +117,51 @@ def test_segment_dedup_output_segments_are_globally_unique(spark):
     assert len(texts) == len(set(texts)), "duplicate segment survived dedup"
     # duplicate doc vanished
     assert out.filter("doc_id = 1").count() == 0
+
+
+def _py_segments(tokens, seg_len):
+    return [
+        " ".join(tokens[i : i + seg_len])
+        for i in range(0, len(tokens), seg_len)
+    ]
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_segment_dedup_fuzz_matches_python_reference(spark, seed):
+    """Randomized corpora (duplicate-heavy, ragged lengths) against a
+    pure-Python simulation of corpus-wide first-occurrence election —
+    guards the slice/ceil/min-struct plumbing beyond the crafted
+    cases."""
+    import random
+
+    rnd = random.Random(seed)
+    vocab = [f"w{j}" for j in range(6)]  # tiny vocab -> heavy dup rate
+    corpus = {
+        i: [rnd.choice(vocab) for _ in range(rnd.randint(1, 27))]
+        for i in range(rnd.randint(3, 12))
+    }
+    seg_len = rnd.choice([2, 3, 5])
+
+    # python reference: first (doc_id, seg_idx) wins per segment text
+    seen = {}
+    for did in sorted(corpus):
+        for si, seg in enumerate(_py_segments(corpus[did], seg_len)):
+            seen.setdefault(seg, (did, si))
+    expect = {}
+    for did in sorted(corpus):
+        kept = [
+            seg
+            for si, seg in enumerate(_py_segments(corpus[did], seg_len))
+            if seen[seg] == (did, si)
+        ]
+        if kept:
+            expect[did] = (len(kept), " ".join(kept))
+
+    df = spark.createDataFrame(
+        [(k, v) for k, v in corpus.items()], "doc_id long, t array<string>"
+    )
+    got = {
+        r["doc_id"]: (r["n_segs_kept"], r["clean_text"])
+        for r in segment_dedup(df, "doc_id", "t", seg_len=seg_len).collect()
+    }
+    assert got == expect

@@ -447,3 +447,10 @@ def test_quality_percentile_cut_window_on_histogram(spark):
     # the plan's Window node sits above a HashAggregate, and the doc
     # branch reaches the join through scan+project only
     assert "CartesianProduct" not in plan
+
+
+def test_intradoc_dedup_is_map_only(spark):
+    """q115: first-occurrence filtering is a higher-order expression
+    per row — zero exchanges, fuses into the scan."""
+    df = q(spark, "q115_intradoc_dedup")
+    assert count_shuffles(df) == 0, formatted_plan(df)
