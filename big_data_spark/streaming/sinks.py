@@ -358,3 +358,69 @@ def start_chunk_ingest_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_rollup_stream(
+    events_stream: DataFrame,
+    partials_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Incrementally maintained daily rollup (the streaming side of
+    q57's continuous-aggregate story): each micro-batch writes its
+    per-(event_type, day) partial aggregate into a batch_id-keyed
+    partition, and ``read_rollup`` re-aggregates the partials.
+
+    Exactly-once WITHOUT a state store: a replayed batch dynamically
+    OVERWRITES its own batch_id partition with identical content (no
+    double counting), and partial sums are exact decimals, so
+    re-aggregation is associative — the rollup read always equals the
+    batch recompute over everything ingested. Partials are
+    dimension-sized (days × types per batch), so the compaction read
+    is trivially cheap at any corpus scale; compact old partials into
+    a base partition offline if batch count ever matters.
+    """
+
+    def write_partial(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                batch.groupBy(
+                    F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+                )
+                .agg(
+                    F.count("*").alias("n_events"),
+                    F.sum(F.col("value").cast("decimal(27,4)")).alias("sum_value"),
+                )
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(partials_dir)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    writer = (
+        events_stream.writeStream.foreachBatch(write_partial)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_rollup(spark, partials_dir: str) -> DataFrame:
+    """The rollup view: re-aggregate the per-batch partials (exact
+    decimal sums — associative, so partial-of-partials equals the
+    direct aggregate)."""
+    return (
+        spark.read.parquet(partials_dir)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("sum_value").cast("double").alias("sum_value"),
+        )
+    )

@@ -828,3 +828,65 @@ def test_weighted_mix_mounts_on_stream(spark, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_incremental_rollup_equals_batch_and_survives_replay(spark, tmp_path):
+    """start_rollup_stream: the maintained daily rollup equals the
+    direct batch aggregate over everything ingested, across multiple
+    micro-batches; a full source replay on a fresh checkpoint
+    overwrites its own batch partitions — no double counting."""
+    from pyspark.sql import functions as F
+
+    from big_data_spark.catalog import load_table
+    from big_data_spark.streaming.sinks import read_rollup, start_rollup_stream
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "ts", "event_type", "value"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    ev.filter("event_id IS NULL OR TRUE").limit(0)  # no-op; keep schema
+    a = ev.limit(400)
+    b = ev.subtract(a)
+    a.coalesce(1).write.parquet(str(src / "a"))
+    b.coalesce(1).write.parquet(str(src / "b"))
+
+    partials = str(tmp_path / "partials")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(a.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = start_rollup_stream(stream, partials, ckpt)
+        q.awaitTermination(180)
+
+    run(str(tmp_path / "c1"))
+    want = {
+        (r["event_type"], r["day"]): (r["n_events"], r["sum_value"])
+        for r in ev.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .collect()
+    }
+    got = {
+        (r["event_type"], r["day"]): (r["n_events"], r["sum_value"])
+        for r in read_rollup(spark, partials).collect()
+    }
+    assert got == want
+
+    # replay everything on a fresh checkpoint: batch ids restart and
+    # overwrite their own partitions -> rollup unchanged
+    run(str(tmp_path / "c2"))
+    got2 = {
+        (r["event_type"], r["day"]): (r["n_events"], r["sum_value"])
+        for r in read_rollup(spark, partials).collect()
+    }
+    assert got2 == want
