@@ -50,12 +50,15 @@ def stride_chunks(
     possibly-short final chunk. Map-only (plan-asserted in
     tests/test_plans.py via q107)."""
     t = F.col(tokens_col)
+    # guard: F.sequence(0, -1) yields a DESCENDING [0, -1] — an empty
+    # tokens array must produce zero chunks, not two bogus ones
+    idx_seq = F.when(F.size(t) == 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(0), n_chunks_expr(t, window, stride) - 1)
+    )
     exploded = docs.select(
         id_col,
         tokens_col,
-        F.explode(
-            F.sequence(F.lit(0), n_chunks_expr(t, window, stride) - 1)
-        ).alias("chunk_idx"),
+        F.explode(idx_seq).alias("chunk_idx"),
     )
     return exploded.select(
         id_col,
@@ -83,16 +86,20 @@ def segment_dedup(
     (digest-only winner shuffle, bodies move once)."""
     t = F.col(tokens_col)
     nseg = F.ceil(F.size(t) / F.lit(float(seg_len))).cast("int")
+    # guard: sequence(0, -1) is DESCENDING — empty docs get no segments
+    seg_arr = F.when(
+        F.size(t) == 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(t, (i * seg_len + 1).cast("int"), seg_len)
+            ),
+        )
+    )
     segs = docs.select(
         id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), nseg - 1),
-                lambda i: F.concat_ws(
-                    " ", F.slice(t, (i * seg_len + 1).cast("int"), seg_len)
-                ),
-            )
-        ).alias("seg_idx", "seg"),
+        F.posexplode(seg_arr).alias("seg_idx", "seg"),
     )
     winners = (
         segs.select(F.md5("seg").alias("h"), id_col, "seg_idx")

@@ -165,3 +165,15 @@ def test_segment_dedup_fuzz_matches_python_reference(spark, seed):
         for r in segment_dedup(df, "doc_id", "t", seg_len=seg_len).collect()
     }
     assert got == expect
+
+
+def test_empty_token_arrays_produce_nothing(spark):
+    """F.sequence(0, -1) is DESCENDING in Spark — an empty tokens
+    array must yield zero chunks/segments, never bogus empties."""
+    df = spark.createDataFrame(
+        [(0, []), (1, ["a", "b", "c"])], "doc_id long, t array<string>"
+    )
+    chunks = stride_chunks(df, "doc_id", "t", W, S).collect()
+    assert {r["doc_id"] for r in chunks} == {1}
+    segs = segment_dedup(df, "doc_id", "t", seg_len=2).collect()
+    assert {r["doc_id"] for r in segs} == {1}
