@@ -5731,9 +5731,13 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q100_batch_ann_topk",
     "q35_skill_match_scores",
     # ---- window boundary (position 50) ----
-    # never driver-checked round-4 additions — first in line for the
-    # round-5 rotation (q108's posting-list join machinery is
-    # represented in-window by q96; q109/q110 by q57/q101):
+    # never driver-checked round-4 additions — FIRST IN LINE for the
+    # round-5 rotation (each one's machinery has an in-window
+    # representative this round: q108↔q96, q109↔q57/q19, q110↔q101,
+    # q111↔q89-q91, q112↔q100/q64, q113↔q77/q93, q114↔q94,
+    # q115↔q106). Round-5 plan: promote these eight, demoting
+    # twice-green singles (candidates: q57-q59, q69, q85, q87, q88,
+    # q76 after they go green again in round 4).
     "q108_source_shingle_overlap",
     "q109_gap_fill",
     "q110_unigram_quality",
