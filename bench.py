@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "q113_token_budget_mix",
     "q114_quality_percentile_cut",
     "q115_intradoc_dedup",
+    "q116_part_attr_unpivot",
+    "q117_grouping_sets",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

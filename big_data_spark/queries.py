@@ -5363,6 +5363,83 @@ def q114_quality_percentile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q116_part_attr_unpivot",
+    """
+    WITH melted AS (
+      SELECT p_brand, 'retailprice' AS attr, p_retailprice AS val FROM part
+      UNION ALL
+      SELECT p_brand, 'size', CAST(p_size AS DOUBLE) FROM part
+    )
+    SELECT p_brand, attr,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(val AS DECIMAL(27,4))) AS DOUBLE) / COUNT(*)
+             AS avg_val
+    FROM melted GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "reshape",
+    "agg",
+)
+def q116_part_attr_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long melt, the inverse of q27's pivot): part
+    attributes fold into (attr, value) rows via ``stack`` — a per-row
+    generator expression, map-only until the aggregate, so melting N
+    columns costs one scan, not N. The long form then aggregates per
+    (brand, attr) in one shuffle."""
+    part = _t(spark, sf_dir, "part")
+    melted = part.select(
+        "p_brand",
+        F.expr(
+            "stack(2, 'retailprice', p_retailprice,"
+            " 'size', CAST(p_size AS DOUBLE)) AS (attr, val)"
+        ),
+    )
+    return (
+        melted.groupBy("p_brand", "attr")
+        .agg(F.count("*").alias("n"), _davg(F.col("val"), "avg_val"))
+        .orderBy("p_brand", "attr")
+    )
+
+
+@register(
+    "q117_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    "agg",
+    "lattice",
+)
+def q117_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form of the lattice
+    family (q24 ROLLUP, q50 CUBE): exactly the requested cells
+    ((flag, status), (flag), ()), nothing more. One Expand + one hash
+    aggregate: the scan is read once and each input row contributes
+    to exactly |sets| cells — at 100 TB this beats three separate
+    aggregations by 3x scan cost."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            _dsum(F.col("l_quantity"), "sum_qty", scale=2),
+            F.count("*").alias("n"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
     "q115_intradoc_dedup",
     """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -5746,6 +5823,8 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q113_token_budget_mix",
     "q114_quality_percentile_cut",
     "q115_intradoc_dedup",
+    "q116_part_attr_unpivot",
+    "q117_grouping_sets",
     # round-4 demotions next (freshest prev-pass evidence):
     "q05_nation_revenue",
     "q08_top3_orders_per_customer",

@@ -454,3 +454,23 @@ def test_intradoc_dedup_is_map_only(spark):
     per row — zero exchanges, fuses into the scan."""
     df = q(spark, "q115_intradoc_dedup")
     assert count_shuffles(df) == 0, formatted_plan(df)
+
+
+def test_unpivot_is_single_scan(spark):
+    """q116: stack() melts N attributes in one pass — a generator
+    projection over a single part scan, no self-union of scans."""
+    df = q(spark, "q116_part_attr_unpivot")
+    plan = formatted_plan(df)
+    assert plan.lower().count("scan parquet") <= 1 or plan.count("Generate") >= 1, plan
+    assert "Union" not in plan, plan
+
+
+def test_grouping_sets_single_expand(spark):
+    """q117: GROUPING SETS compiles to one Expand + one aggregate —
+    the scan is read once, not once per cell set."""
+    df = q(spark, "q117_grouping_sets")
+    plan = formatted_plan(df)
+    # one Expand node (tree line "Expand (n)" + one detail heading)
+    assert plan.count("+- Expand") == 1, plan
+    assert plan.lower().count("scan parquet") <= 2, plan  # tree + detail
+    assert "Union" not in plan, plan
