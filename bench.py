@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "q115_intradoc_dedup",
     "q116_part_attr_unpivot",
     "q117_grouping_sets",
+    "q118_time_weighted_avg",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

@@ -5363,6 +5363,59 @@ def q114_quality_percentile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q118_time_weighted_avg",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, value,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+      FROM events
+    )
+    SELECT user_id, COUNT(*) AS n_intervals,
+           round(CAST(SUM(CAST(value * (nxt - us) AS DECIMAL(27,6)))
+                      AS DOUBLE)
+                 / CAST(SUM(nxt - us) AS DOUBLE), 6) AS twa
+    FROM e WHERE nxt IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+    "timeseries",
+    "window",
+)
+def q118_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user (the irregular-sampling correct
+    mean — a plain AVG over-weights bursts): each observation holds
+    until the next one, TWA = Σ value·Δt / Σ Δt over microsecond
+    epochs (exact integers both engines; the weighted products sum as
+    exact decimals). One lead-window + one aggregate, both keyed by
+    user_id, so the hash partitioning is computed once and reused
+    (q23's sessionization shape) — per-key window state is bounded
+    and keys hash-spread at any scale."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    e = ev.select(
+        "user_id",
+        us.alias("us"),
+        "value",
+        F.lead(us).over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    dt = F.col("nxt") - F.col("us")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.round(
+                F.sum((F.col("value") * dt).cast("decimal(27,6)")).cast("double")
+                / F.sum(dt).cast("double"),
+                6,
+            ).alias("twa"),
+        )
+        # no orderBy: the window exchange is the ONLY shuffle
+        # (plan-asserted); compare is order-insensitive
+    )
+
+
+@register(
     "q116_part_attr_unpivot",
     """
     WITH melted AS (
@@ -5825,6 +5878,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q115_intradoc_dedup",
     "q116_part_attr_unpivot",
     "q117_grouping_sets",
+    "q118_time_weighted_avg",
     # round-4 demotions next (freshest prev-pass evidence):
     "q05_nation_revenue",
     "q08_top3_orders_per_customer",

@@ -474,3 +474,10 @@ def test_grouping_sets_single_expand(spark):
     assert plan.count("+- Expand") == 1, plan
     assert plan.lower().count("scan parquet") <= 2, plan  # tree + detail
     assert "Union" not in plan, plan
+
+
+def test_time_weighted_avg_shares_partitioning(spark):
+    """q118: the lead window and the per-user aggregate share the
+    user_id hash partitioning — exactly one exchange (q23's shape)."""
+    df = q(spark, "q118_time_weighted_avg")
+    assert count_shuffles(df) == 1, formatted_plan(df)
