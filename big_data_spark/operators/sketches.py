@@ -1,0 +1,70 @@
+"""Mergeable-sketch rollups: the pre-aggregation pattern for
+interactive analytics over 100 TB.
+
+Build tiny per-(day, key) sketch rows ONCE (HLL for distinct counts,
+KLL for quantiles — Spark 4's built-in DataSketches functions, JVM
+native); answer any later range query by MERGING sketches instead of
+rescanning raw data. A year of daily sketches is ~KBs per key: the
+difference between a dashboard query touching gigabytes and touching
+the raw corpus. Sketches are associative, so daily → weekly → yearly
+rollups compose losslessly (within the sketch's error bound, ~2% for
+HLL at default lgConfigK).
+
+Generalizes q85's one-shot approx profiling into a persisted,
+incrementally-maintainable form (same spirit as the streaming rollup
+sink in streaming/sinks.py — partials once, merge on read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def build_daily_sketches(events: DataFrame) -> DataFrame:
+    """Per (day, event_type): HLL sketch of user_id (distinct users),
+    KLL sketch of value (quantiles), and exact row count. One shuffle
+    keyed by (day, type); output is dimension-sized."""
+    return (
+        events.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+        )
+        .agg(
+            F.hll_sketch_agg("user_id").alias("users_hll"),
+            F.kll_sketch_agg_double("value").alias("value_kll"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+def merge_range(daily: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Answer a range query from sketches alone: filter ``daily`` to
+    the wanted days upstream, then merge per ``group_cols`` (default:
+    one global row). Returns approx distinct users, exact event count,
+    and approx value quantiles (p50/p95) — no raw-data rescan."""
+    gb = daily.groupBy(*group_cols) if group_cols else daily.groupBy()
+    # KLL has no union AGGREGATE (only the binary kll_sketch_merge);
+    # fold the per-day sketches with a higher-order aggregate — the
+    # list is range-bounded (<= days in the range), never data-sized
+    kll_fold = F.expr(
+        "aggregate(slice(_klls, 2, size(_klls)), _klls[1],"
+        " (acc, x) -> kll_sketch_merge_double(acc, x))"
+    )
+    merged = gb.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("users_hll")).alias(
+            "approx_users"
+        ),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.collect_list("value_kll").alias("_klls"),
+    ).withColumn("_kll", kll_fold)
+    return merged.select(
+        *(group_cols or []),
+        "approx_users",
+        "n_events",
+        F.kll_sketch_get_quantile_double(F.col("_kll"), F.lit(0.5)).alias(
+            "value_p50"
+        ),
+        F.kll_sketch_get_quantile_double(F.col("_kll"), F.lit(0.95)).alias(
+            "value_p95"
+        ),
+    )
