@@ -152,6 +152,11 @@ def token_budget_mix(
     depend on every other source's size). Two tiny aggregates (per-
     source token totals, source count) broadcast back as the fraction
     dim; the corpus-side predicate is map-only and retry-stable.
+
+    NULL handling: a NULL source forms its own aggregate group but
+    the inner equi-join back drops those rows (NULL never equals
+    NULL) — identical in Spark and SQL replays, and pinned by test.
+    Coalesce to a sentinel upstream if NULL-source docs must sample.
     """
     totals = docs.groupBy(source_col).agg(F.sum(tokens_col).alias("_tot"))
     ns = totals.agg(F.count("*").alias("_ns"))

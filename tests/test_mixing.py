@@ -180,3 +180,18 @@ def test_token_budget_mix_contracts(spark):
     a = {(r["source"], r["doc_id"]) for r in small.collect()}
     b = {(r["source"], r["doc_id"]) for r in token_budget_mix(docs, 1_000).collect()}
     assert a == b
+
+
+def test_token_budget_mix_null_source_rows_drop_consistently(spark):
+    """NULL-source docs form their own totals group but the inner
+    join back drops them (NULL != NULL) — the documented contract; a
+    sentinel coalesce upstream opts them in."""
+    from big_data_spark.operators.mixing import token_budget_mix
+
+    rows = [("s0", 1, 100), (None, 2, 100), ("s0", 3, 100)]
+    docs = spark.createDataFrame(
+        rows, "source string, doc_id long, n_tokens long"
+    )
+    out = token_budget_mix(docs, 1_000_000)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 2 not in ids and ids <= {1, 3}
