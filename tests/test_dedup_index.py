@@ -278,3 +278,43 @@ def test_streaming_chunk_ingest_dedups_chunk_content(spark, tmp_path):
     # replay on a fresh checkpoint: index makes it a no-op
     run(str(tmp_path / "c2"))
     assert spark.read.parquet(out_dir).count() == len(want)
+
+
+def test_streaming_chunk_ingest_fails_on_corrupt_index(spark, tmp_path):
+    """Chunk-store sink mirror of the corpus-ingest guarantee: a
+    later batch whose chunk-index read fails must FAIL the batch so
+    checkpoint replay retries — never treat the index as empty and
+    re-ingest every chunk."""
+    import os
+
+    from big_data_spark.streaming.sinks import start_chunk_ingest_stream
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    docs.filter("doc_id < 60").coalesce(1).write.parquet(str(src / "a"))
+
+    out_dir, index_dir = str(tmp_path / "out"), str(tmp_path / "index")
+
+    def run(ckpt: str):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = start_chunk_ingest_stream(stream, out_dir, index_dir, ckpt)
+        q.awaitTermination(180)
+
+    run(str(tmp_path / "c1"))
+    assert spark.read.parquet(out_dir).count() > 0
+
+    for name in os.listdir(index_dir):
+        if not name.startswith(("_", ".")):
+            with open(os.path.join(index_dir, name), "wb") as f:
+                f.write(b"garbage")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        run(str(tmp_path / "c2"))
