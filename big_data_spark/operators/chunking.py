@@ -51,8 +51,9 @@ def stride_chunks(
     tests/test_plans.py via q107)."""
     t = F.col(tokens_col)
     # guard: F.sequence(0, -1) yields a DESCENDING [0, -1] — an empty
-    # tokens array must produce zero chunks, not two bogus ones
-    idx_seq = F.when(F.size(t) == 0, F.array().cast("array<int>")).otherwise(
+    # or NULL tokens array (size(NULL) is -1 with ANSI off) must
+    # produce zero chunks, not bogus ones
+    idx_seq = F.when(F.size(t) <= 0, F.array().cast("array<int>")).otherwise(
         F.sequence(F.lit(0), n_chunks_expr(t, window, stride) - 1)
     )
     exploded = docs.select(
@@ -86,9 +87,10 @@ def segment_dedup(
     (digest-only winner shuffle, bodies move once)."""
     t = F.col(tokens_col)
     nseg = F.ceil(F.size(t) / F.lit(float(seg_len))).cast("int")
-    # guard: sequence(0, -1) is DESCENDING — empty docs get no segments
+    # guard: sequence(0, -1) is DESCENDING — empty or NULL docs
+    # (size(NULL) is -1 with ANSI off) get no segments
     seg_arr = F.when(
-        F.size(t) == 0, F.array().cast("array<string>")
+        F.size(t) <= 0, F.array().cast("array<string>")
     ).otherwise(
         F.transform(
             F.sequence(F.lit(0), nseg - 1),

@@ -153,12 +153,18 @@ def token_budget_mix(
     source token totals, source count) broadcast back as the fraction
     dim; the corpus-side predicate is map-only and retry-stable.
 
-    NULL handling: a NULL source forms its own aggregate group but
-    the inner equi-join back drops those rows (NULL never equals
-    NULL) — identical in Spark and SQL replays, and pinned by test.
-    Coalesce to a sentinel upstream if NULL-source docs must sample.
+    NULL handling: NULL-source rows are excluded BEFORE the totals
+    aggregate (so they neither receive a budget slice that could
+    never be spent nor dilute real sources' shares) and the inner
+    equi-join back drops them from the output — identical in Spark
+    and SQL replays, pinned by test. Coalesce to a sentinel upstream
+    if NULL-source docs must sample.
     """
-    totals = docs.groupBy(source_col).agg(F.sum(tokens_col).alias("_tot"))
+    totals = (
+        docs.filter(F.col(source_col).isNotNull())
+        .groupBy(source_col)
+        .agg(F.sum(tokens_col).alias("_tot"))
+    )
     ns = totals.agg(F.count("*").alias("_ns"))
     fracs = totals.crossJoin(F.broadcast(ns)).select(
         source_col,

@@ -46,8 +46,12 @@ def merge_range(daily: DataFrame, group_cols: list[str] | None = None) -> DataFr
     # KLL has no union AGGREGATE (only the binary kll_sketch_merge);
     # fold the per-day sketches with a higher-order aggregate — the
     # list is range-bounded (<= days in the range), never data-sized
+    # NB: SQL bracket subscripts are 0-BASED while slice() is 1-based:
+    # init must be _klls[0] (first element) with the fold over
+    # slice(..., 2, ...) (second..last) — _klls[1] would drop the
+    # first sketch and NULL out single-sketch groups
     kll_fold = F.expr(
-        "aggregate(slice(_klls, 2, size(_klls)), _klls[1],"
+        "aggregate(slice(_klls, 2, size(_klls)), _klls[0],"
         " (acc, x) -> kll_sketch_merge_double(acc, x))"
     )
     merged = gb.agg(

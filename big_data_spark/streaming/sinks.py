@@ -216,6 +216,48 @@ def start_scd2_stream(
     return writer.start()
 
 
+
+def _dedup_commit(
+    batch_keyed, order_cols: list[str], out_dir: str, index_dir: str
+) -> None:
+    """Shared commit protocol for persistent-index ingest sinks
+    (corpus docs, chunk store): anti-join the batch against the
+    index, keep the FIRST row per fingerprint (ordered by
+    ``order_cols``), write survivors to the sink BEFORE indexing
+    their fingerprints — at-least-once on the sink, replay of a fully
+    committed batch is a no-op, and an index READ failure propagates
+    so checkpoint replay retries (the narrow empty fallback lives in
+    read_index_or_empty). One definition so the two sinks cannot
+    drift on the replay contract."""
+    from pyspark.sql.window import Window
+
+    from ..operators.dedup_index import (
+        FINGERPRINT_COL,
+        append_fingerprints,
+        read_index_or_empty,
+    )
+
+    spark = batch_keyed.sparkSession
+    index = read_index_or_empty(spark, index_dir)
+    fresh = batch_keyed.join(
+        index.select(FINGERPRINT_COL), FINGERPRINT_COL, "left_anti"
+    )
+    w = Window.partitionBy(FINGERPRINT_COL).orderBy(*order_cols)
+    survivors = (
+        fresh.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    survivors.persist()
+    try:
+        if survivors.limit(1).count() == 0:
+            return
+        survivors.write.mode("append").parquet(out_dir)
+        append_fingerprints(survivors, index_dir)
+    finally:
+        survivors.unpersist()
+
+
 def start_corpus_ingest_stream(
     docs_stream: DataFrame,
     out_dir: str,
@@ -239,41 +281,14 @@ def start_corpus_ingest_stream(
     committed batch replays as a no-op because every fingerprint
     already hits the index.
     """
-    from ..operators.dedup_index import (
-        FINGERPRINT_COL,
-        append_fingerprints,
-        read_index_or_empty,
-    )
+    from ..operators.dedup_index import FINGERPRINT_COL
     from . import corpus_quality_gates
 
     gated = corpus_quality_gates(docs_stream)
 
     def ingest(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        # Empty fallback ONLY when the index genuinely doesn't exist
-        # yet; a read failure on a later batch must fail the batch so
-        # checkpoint replay retries instead of ingesting duplicates.
-        index = read_index_or_empty(spark, index_dir)
         fp = batch.withColumnRenamed("fp", FINGERPRINT_COL)
-        fresh = fp.join(
-            index.select(FINGERPRINT_COL), FINGERPRINT_COL, "left_anti"
-        )
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy(FINGERPRINT_COL).orderBy("doc_id")
-        survivors = (
-            fresh.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        survivors.persist()
-        try:
-            if survivors.limit(1).count() == 0:
-                return
-            survivors.write.mode("append").parquet(out_dir)
-            append_fingerprints(survivors, index_dir)
-        finally:
-            survivors.unpersist()
+        _dedup_commit(fp, ["doc_id"], out_dir, index_dir)
 
     writer = (
         gated.writeStream.foreachBatch(ingest)
@@ -309,14 +324,9 @@ def start_chunk_ingest_stream(
     batch fails the batch so checkpoint replay retries.
     """
     from ..operators.chunking import stride_chunks
-    from ..operators.dedup_index import (
-        FINGERPRINT_COL,
-        append_fingerprints,
-        read_index_or_empty,
-    )
+    from ..operators.dedup_index import FINGERPRINT_COL
 
     def ingest(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
         chunks = stride_chunks(
             batch.select("doc_id", F.split("text", " ").alias("t")),
             "doc_id",
@@ -329,26 +339,7 @@ def start_chunk_ingest_stream(
             F.concat_ws(" ", "chunk").alias("chunk_text"),
         )
         keyed = chunks.withColumn(FINGERPRINT_COL, F.md5("chunk_text"))
-        index = read_index_or_empty(spark, index_dir)
-        fresh = keyed.join(
-            index.select(FINGERPRINT_COL), FINGERPRINT_COL, "left_anti"
-        )
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy(FINGERPRINT_COL).orderBy("doc_id", "chunk_idx")
-        survivors = (
-            fresh.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        survivors.persist()
-        try:
-            if survivors.limit(1).count() == 0:
-                return
-            survivors.write.mode("append").parquet(out_dir)
-            append_fingerprints(survivors, index_dir)
-        finally:
-            survivors.unpersist()
+        _dedup_commit(keyed, ["doc_id", "chunk_idx"], out_dir, index_dir)
 
     writer = (
         docs_stream.writeStream.foreachBatch(ingest)

@@ -168,10 +168,12 @@ def test_segment_dedup_fuzz_matches_python_reference(spark, seed):
 
 
 def test_empty_token_arrays_produce_nothing(spark):
-    """F.sequence(0, -1) is DESCENDING in Spark — an empty tokens
-    array must yield zero chunks/segments, never bogus empties."""
+    """F.sequence(0, -1) is DESCENDING in Spark and size(NULL) is -1
+    with ANSI off — empty AND NULL token arrays must yield zero
+    chunks/segments, never bogus empties or phantom docs."""
     df = spark.createDataFrame(
-        [(0, []), (1, ["a", "b", "c"])], "doc_id long, t array<string>"
+        [(0, []), (1, ["a", "b", "c"]), (2, None)],
+        "doc_id long, t array<string>",
     )
     chunks = stride_chunks(df, "doc_id", "t", W, S).collect()
     assert {r["doc_id"] for r in chunks} == {1}

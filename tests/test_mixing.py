@@ -195,3 +195,22 @@ def test_token_budget_mix_null_source_rows_drop_consistently(spark):
     out = token_budget_mix(docs, 1_000_000)
     ids = {r["doc_id"] for r in out.collect()}
     assert 2 not in ids and ids <= {1, 3}
+
+    # and the NULL group must NOT dilute real sources' budget: with 2
+    # real sources of 10000 tokens each and budget 10000, each real
+    # source's share is 5000 (frac 0.5) — if the NULL group counted
+    # toward _ns the share would drop to ~3333
+    import math
+
+    rows2 = (
+        [("a", i, 100) for i in range(100)]
+        + [("b", 1000 + i, 100) for i in range(100)]
+        + [(None, 9000 + i, 100) for i in range(50)]
+    )
+    docs2 = spark.createDataFrame(
+        rows2, "source string, doc_id long, n_tokens long"
+    )
+    kept = token_budget_mix(docs2, 10_000).count()
+    # frac=0.5 over 200 docs -> expect ~100 kept; frac=1/3 would give ~67.
+    # hash buckets are uniform, so allow a generous band around 100
+    assert 80 <= kept <= 120, kept

@@ -81,7 +81,7 @@ def test_sketches_survive_parquet_roundtrip_and_compose(spark, events, tmp_path)
         ).select(
             "users_hll",
             F.expr(
-                "aggregate(slice(_klls, 2, size(_klls)), _klls[1],"
+                "aggregate(slice(_klls, 2, size(_klls)), _klls[0],"
                 " (acc, x) -> kll_sketch_merge_double(acc, x))"
             ).alias("value_kll"),
             "n_events",
@@ -91,3 +91,16 @@ def test_sketches_survive_parquet_roundtrip_and_compose(spark, events, tmp_path)
     two_level = merge_range(halves).collect()[0]
     assert two_level["approx_users"] == direct["approx_users"]
     assert two_level["n_events"] == direct["n_events"]
+
+
+def test_single_sketch_range_has_quantiles(spark, events):
+    """Regression: a range holding exactly ONE daily sketch per group
+    must still produce quantiles (the fold init is the FIRST element;
+    an off-by-one here NULLs single-sketch groups and silently drops
+    the first sketch of every larger range)."""
+    daily = build_daily_sketches(events)
+    one_day = daily.filter(F.dayofmonth("day") == 1)
+    rows = merge_range(one_day, ["event_type"]).collect()
+    assert rows
+    for r in rows:
+        assert r["value_p50"] is not None and r["value_p95"] is not None

@@ -845,7 +845,6 @@ def test_incremental_rollup_equals_batch_and_survives_replay(spark, tmp_path):
     )
     src = tmp_path / "src"
     src.mkdir()
-    ev.filter("event_id IS NULL OR TRUE").limit(0)  # no-op; keep schema
     a = ev.limit(400)
     b = ev.subtract(a)
     a.coalesce(1).write.parquet(str(src / "a"))
