@@ -72,3 +72,41 @@ def merge_range(daily: DataFrame, group_cols: list[str] | None = None) -> DataFr
             "value_p95"
         ),
     )
+
+
+def build_daily_freq_sketches(
+    events: DataFrame,
+    key_col: str = "event_type",
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-day Count-Min sketch of ``key_col`` frequencies — the
+    heavy-hitter complement of the HLL/KLL rollups: answer "how often
+    did key k occur in this range" from KB-sized mergeable partials
+    with a one-sided error of at most eps x range_total."""
+    return events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.count_min_sketch(
+            key_col, F.lit(eps), F.lit(confidence), F.lit(seed)
+        ).alias("freq_cms"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def cms_merge_and_estimate(spark, cms_blobs, keys) -> dict:
+    """Merge serialized Count-Min sketches (driver-side, control
+    plane: one KB-sized blob per day in the range) and estimate each
+    key's frequency. Estimates are >= the true count and <= true +
+    eps x total with the sketch's confidence."""
+    jvm = spark.sparkContext._jvm
+    merged = None
+    for blob in cms_blobs:
+        bis = jvm.java.io.ByteArrayInputStream(bytes(blob))
+        cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
+        if merged is None:
+            merged = cms
+        else:
+            merged.mergeInPlace(cms)
+    return {k: merged.estimateCount(k) for k in keys}

@@ -104,3 +104,29 @@ def test_single_sketch_range_has_quantiles(spark, events):
     assert rows
     for r in rows:
         assert r["value_p50"] is not None and r["value_p95"] is not None
+
+
+def test_count_min_range_frequencies(spark, events):
+    """Per-day CMS partials merged over a range: estimates bound the
+    exact counts from above by at most eps x range_total (one-sided
+    CMS error), with day-level partials composing like the HLL/KLL
+    rollups."""
+    from big_data_spark.operators.sketches import (
+        build_daily_freq_sketches,
+        cms_merge_and_estimate,
+    )
+
+    daily = build_daily_freq_sketches(events, eps=0.001)
+    sub = daily.filter(F.dayofmonth("day") <= 10)
+    blobs = [r["freq_cms"] for r in sub.select("freq_cms").collect()]
+    total = sum(r["n_events"] for r in sub.select("n_events").collect())
+
+    raw_sub = events.filter(F.dayofmonth(F.date_trunc("day", "ts")) <= 10)
+    exact = {
+        r["event_type"]: r["count"]
+        for r in raw_sub.groupBy("event_type").count().collect()
+    }
+    est = cms_merge_and_estimate(spark, blobs, list(exact))
+    for k, true_n in exact.items():
+        assert est[k] >= true_n, (k, est[k], true_n)
+        assert est[k] <= true_n + 0.001 * total + 1, (k, est[k], true_n)
