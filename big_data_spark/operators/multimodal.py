@@ -194,3 +194,63 @@ def sample_frames_via_udtf(
              LATERAL {fn_name}(m.media_id, m.payload) s
         """
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def fake_resize(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """Deterministic resize stand-in with the same contract a real
+    transcoder has (payload -> payload at target dims): re-encode a
+    content-derived body whose length scales with the pixel count so
+    downstream byte accounting behaves realistically."""
+    digest = hashlib.md5(payload).hexdigest().encode()
+    body = digest * (1 + (target_w * target_h) // (16 * len(digest)))
+    return b"%dx%d|" % (target_w, target_h) + body[: max(8, (target_w * target_h) // 16)]
+
+
+def resize_images(
+    media: DataFrame,
+    target_w: int,
+    target_h: int,
+    resize_fn: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Arrow-batched image resize over the payload column — the
+    bandwidth-bound preprocessing step of a multimodal training
+    pipeline (thumbnails / fixed training resolution). Same codec
+    policy as extract_image_features: ``resize_fn`` is the pluggable
+    transcoder (Pillow resize+re-encode in production, fake_resize in
+    this environment); None raises so stubbed coverage can't be
+    mistaken for real decode. Map-only per batch; output bytes are
+    ~(target pixels / source pixels) of input, so running it early
+    shrinks every downstream shuffle."""
+    if resize_fn is None:
+        raise NotImplementedError(
+            "no image codec available in this environment; inject "
+            "resize_fn (e.g. a Pillow resize+encode) to enable real resizing"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = [resize_fn(p, target_w, target_h) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": target_w,
+                    "height": target_h,
+                    "payload": out,
+                }
+            )
+
+    src = media.select("media_id", "payload")
+    sc = media.sparkSession.sparkContext
+    if src.rdd.getNumPartitions() < sc.defaultParallelism:
+        src = src.repartition(sc.defaultParallelism)
+    return src.mapInPandas(batches, schema=RESIZED_SCHEMA)

@@ -77,3 +77,42 @@ def test_frame_sampling_udtf_matches_mapinpandas(media):
     a = {(r["media_id"], r["frame_idx"]): r["frame_bytes"] for r in base.collect()}
     b = {(r["media_id"], r["frame_idx"]): r["frame_bytes"] for r in via_udtf.collect()}
     assert a == b
+
+
+def test_resize_images_plumbing_and_codec_gate(spark):
+    """resize_images: Arrow-batched, deterministic with the fake
+    transcoder (same rows on re-run), output bytes scale with target
+    pixel count, and the no-codec gate raises instead of silently
+    stubbing."""
+    import pytest as _pytest
+
+    from big_data_spark.catalog import load_table
+    from big_data_spark.operators.multimodal import (
+        attach_fake_payloads,
+        fake_resize,
+        resize_images,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    media = attach_fake_payloads(docs)
+
+    with _pytest.raises(NotImplementedError):
+        resize_images(media, 64, 64).count()
+
+    small = resize_images(media, 64, 64, fake_resize)
+    big = resize_images(media, 256, 256, fake_resize)
+    s_rows = {r["media_id"]: r for r in small.collect()}
+    assert len(s_rows) == 50
+    assert all(r["width"] == 64 and r["height"] == 64 for r in s_rows.values())
+    # deterministic across runs
+    again = {r["media_id"]: r for r in resize_images(media, 64, 64, fake_resize).collect()}
+    assert {k: bytes(v["payload"]) for k, v in s_rows.items()} == {
+        k: bytes(v["payload"]) for k, v in again.items()
+    }
+    # bytes scale with pixel count (~16x here)
+    b_rows = {r["media_id"]: r for r in big.collect()}
+    for mid in s_rows:
+        assert len(b_rows[mid]["payload"]) > 4 * len(s_rows[mid]["payload"])
+    # Arrow plan, not row-at-a-time Python
+    plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan
