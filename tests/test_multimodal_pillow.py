@@ -62,3 +62,36 @@ def test_real_pillow_decode_reports_true_dimensions(spark):
         for r in extract_image_features(media, decode_fn=pil_decode).collect()
     }
     assert got == {i: wh for i, wh in enumerate(sizes)}
+
+
+def test_real_pillow_resize_through_arrow_path(spark):
+    """Where Pillow exists: genuine PNG payloads resize to the target
+    resolution through resize_images' Arrow path, and the outputs
+    decode back at exactly the target dimensions."""
+    from pyspark.sql import functions as F
+
+    from big_data_spark.operators.multimodal import resize_images
+
+    rows = [
+        (i, "image", "png", _png_bytes(w, h))
+        for i, (w, h) in enumerate([(64, 48), (320, 200), (17, 93)])
+    ]
+    media = spark.createDataFrame(
+        rows, ["media_id", "modality", "codec", "payload"]
+    ).withColumn("n_bytes", F.octet_length("payload").cast("long"))
+
+    def pil_resize(payload: bytes, tw: int, th: int) -> bytes:
+        import io as _io
+
+        from PIL import Image
+
+        img = Image.open(_io.BytesIO(payload)).resize((tw, th))
+        buf = _io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    out = resize_images(media, 32, 32, pil_resize).collect()
+    assert len(out) == 3
+    for r in out:
+        img = PIL_Image.open(io.BytesIO(bytes(r["payload"])))
+        assert (img.width, img.height) == (32, 32)
