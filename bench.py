@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "q116_part_attr_unpivot",
     "q117_grouping_sets",
     "q118_time_weighted_avg",
+    "q119_exact_percentiles",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

@@ -5363,6 +5363,44 @@ def q114_quality_percentile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q119_exact_percentiles",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+           round(quantile_cont(o_totalprice, 0.95), 6) AS p95,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "agg",
+    "quantiles",
+)
+def q119_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (SQL PERCENTILE_CONT
+    semantics, Spark's exact `percentile` aggregate) — the exactness
+    anchor of the quantile family: q15 is the approx sketch form,
+    q94 the histogram-exact form for billions of rows, KLL sketches
+    the mergeable form. Exact percentile buffers each group's values,
+    so at 100 TB reach for those scale paths; groups here are 5
+    priorities. Results rounded to absorb interpolation ulp."""
+    o = _t(spark, sf_dir, "orders")
+    pct = lambda q: F.round(  # noqa: E731
+        F.percentile("o_totalprice", F.lit(q)), 6
+    )
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            pct(0.25).alias("p25"),
+            pct(0.5).alias("p50"),
+            pct(0.95).alias("p95"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "q118_time_weighted_avg",
     """
     WITH e AS (
@@ -5879,6 +5917,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q116_part_attr_unpivot",
     "q117_grouping_sets",
     "q118_time_weighted_avg",
+    "q119_exact_percentiles",
     # round-4 demotions next (freshest prev-pass evidence):
     "q05_nation_revenue",
     "q08_top3_orders_per_customer",
