@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "q117_grouping_sets",
     "q118_time_weighted_avg",
     "q119_exact_percentiles",
+    "q120_containment_pairs",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

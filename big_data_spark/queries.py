@@ -5363,6 +5363,83 @@ def q114_quality_percentile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q120_containment_pairs",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+            FROM toks WHERE len(t) >= 5),
+    sh AS (SELECT DISTINCT doc_id,
+                  md5(array_to_string(t[i:(i+4)], ' ')) AS h FROM idx),
+    df AS (SELECT h FROM (SELECT h, COUNT(*) AS c FROM sh GROUP BY 1)
+           WHERE c <= 20),
+    sh2 AS (SELECT sh.doc_id, sh.h FROM sh JOIN df USING (h)),
+    n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh2 GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc,
+             COUNT(*) AS shared
+      FROM sh2 a JOIN sh2 b ON a.h = b.h AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT contained_doc, container_doc, shared,
+           round(shared / CAST(n.n_sh AS DOUBLE), 6) AS containment
+    FROM pairs JOIN n ON n.doc_id = contained_doc
+    WHERE shared / CAST(n.n_sh AS DOUBLE) >= 0.8
+    ORDER BY 1, 2
+    """,
+    "dedup",
+    "text",
+)
+def q120_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection — shingle containment
+    |sh(A)∩sh(B)| / |sh(A)| ≥ 0.8 finds docs swallowed by a larger
+    doc (boilerplate-wrapped articles, quoted reposts) that symmetric
+    Jaccard (q45/q53) misses when sizes differ. Inverted-index join
+    with a document-frequency cap (df ≤ 20 drops stop-shingles — the
+    q96 trick) bounds every posting list, so pair fanout is
+    df-bounded, never corpus-quadratic; plan-asserted no cartesian.
+    Direction matters: (contained, container) rows say which doc to
+    drop."""
+    from .functions import shingles as _shingles
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    sh = (
+        docs.select("doc_id", F.explode(_shingles(F.col("t"), k=5)).alias("s"))
+        .select("doc_id", F.md5("s").alias("h"))
+        .distinct()
+    )
+    df_ok = sh.groupBy("h").agg(F.count("*").alias("c")).filter(
+        F.col("c") <= 20
+    ).select("h")
+    sh2 = sh.join(df_ok, "h", "left_semi")
+    n = sh2.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh2.alias("a"), sh2.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("contained_doc"),
+            F.col("b.doc_id").alias("container_doc"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        pairs.join(n, pairs.contained_doc == n.doc_id)
+        .withColumn(
+            "containment",
+            F.round(F.col("shared") / F.col("n_sh").cast("double"), 6),
+        )
+        .filter(F.col("shared") / F.col("n_sh").cast("double") >= 0.8)
+        .select("contained_doc", "container_doc", "shared", "containment")
+        .orderBy("contained_doc", "container_doc")
+    )
+
+
+@register(
     "q119_exact_percentiles",
     """
     SELECT o_orderpriority,
@@ -5918,6 +5995,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q117_grouping_sets",
     "q118_time_weighted_avg",
     "q119_exact_percentiles",
+    "q120_containment_pairs",
     # round-4 demotions next (freshest prev-pass evidence):
     "q05_nation_revenue",
     "q08_top3_orders_per_customer",

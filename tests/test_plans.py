@@ -481,3 +481,13 @@ def test_time_weighted_avg_shares_partitioning(spark):
     user_id hash partitioning — exactly one exchange (q23's shape)."""
     df = q(spark, "q118_time_weighted_avg")
     assert count_shuffles(df) == 1, formatted_plan(df)
+
+
+def test_containment_pairs_df_bounded_no_cartesian(spark):
+    """q120: the shingle self-join must be keyed on the digest with
+    the df cap applied via semi join — no cartesian/nested-loop."""
+    df = q(spark, "q120_containment_pairs")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftSemi" in plan, plan
