@@ -5394,9 +5394,13 @@ def q120_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     |sh(A)∩sh(B)| / |sh(A)| ≥ 0.8 finds docs swallowed by a larger
     doc (boilerplate-wrapped articles, quoted reposts) that symmetric
     Jaccard (q45/q53) misses when sizes differ. Inverted-index join
-    with a document-frequency cap (df ≤ 20 drops stop-shingles — the
-    q96 trick) bounds every posting list, so pair fanout is
-    df-bounded, never corpus-quadratic; plan-asserted no cartesian.
+    with a document-frequency cap (df ≤ 20 — the q96 trick) bounding
+    every posting list, so pair fanout is df-bounded, never
+    corpus-quadratic. The cap is applied as a broadcast LEFT ANTI
+    against the HOT-shingle list (df > 20) — tiny by definition, so
+    stop-shingles are dropped map-side and their posting lists never
+    gather on one task (a keep-list semi join or a count window
+    would both funnel the hottest h through a single reducer).
     Direction matters: (contained, container) rows say which doc to
     drop."""
     from .functions import shingles as _shingles
@@ -5409,10 +5413,10 @@ def q120_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.md5("s").alias("h"))
         .distinct()
     )
-    df_ok = sh.groupBy("h").agg(F.count("*").alias("c")).filter(
-        F.col("c") <= 20
+    hot = sh.groupBy("h").agg(F.count("*").alias("c")).filter(
+        F.col("c") > 20
     ).select("h")
-    sh2 = sh.join(df_ok, "h", "left_semi")
+    sh2 = sh.join(F.broadcast(hot), "h", "left_anti")
     n = sh2.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh2.alias("a"), sh2.alias("b")
     pairs = (

@@ -485,9 +485,11 @@ def test_time_weighted_avg_shares_partitioning(spark):
 
 def test_containment_pairs_df_bounded_no_cartesian(spark):
     """q120: the shingle self-join must be keyed on the digest with
-    the df cap applied via semi join — no cartesian/nested-loop."""
+    the df cap applied as a broadcast LEFT ANTI against the tiny
+    hot-shingle list (map-side drop, no hot posting list ever
+    gathers) — no cartesian/nested-loop."""
     df = q(spark, "q120_containment_pairs")
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
