@@ -415,3 +415,96 @@ def read_rollup(spark, partials_dir: str) -> DataFrame:
             F.sum("sum_value").cast("double").alias("sum_value"),
         )
     )
+
+
+def start_corpus_health_stream(
+    docs_stream: DataFrame,
+    partials_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming twin of q101's per-source corpus health rollup: each
+    micro-batch writes a per-source partial (doc/gate-pass counts,
+    exact-decimal token sum, and an HLL sketch of the content
+    fingerprint — the distinct count is NOT additive, so the partial
+    carries the mergeable sketch instead) into its own batch_id
+    partition; ``read_corpus_health`` merges partials into the live
+    dashboard view. Gate expressions come from operators.corpus_gates
+    — the same single source q67/q101/corpus_quality_gates build
+    from — so the streaming health numbers measure exactly the gate
+    the batch pipeline enforces. Replay-safe like start_rollup_stream
+    (a replayed batch overwrites its own partition)."""
+    from ..operators.corpus_gates import (
+        content_fingerprint,
+        quality_lang_predicate,
+        token_count,
+    )
+
+    def write_partial(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        g = batch.select(
+            "source",
+            token_count("text").cast("long").alias("n_tokens"),
+            F.when(quality_lang_predicate("text"), 1)
+            .otherwise(0)
+            .alias("q_pass"),
+            content_fingerprint("text").alias("fp"),
+        )
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                g.groupBy("source")
+                .agg(
+                    F.count("*").alias("n_docs"),
+                    F.sum("q_pass").cast("long").alias("n_quality_pass"),
+                    F.sum(F.col("n_tokens").cast("decimal(27,0)")).alias(
+                        "sum_tokens"
+                    ),
+                    F.hll_sketch_agg("fp").alias("fp_hll"),
+                )
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(partials_dir)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(write_partial)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_corpus_health(spark, partials_dir: str) -> DataFrame:
+    """The live health view: merge per-batch partials — counts and
+    token sums add exactly, distinct fingerprints merge through the
+    HLL union (approximate, ~2%)."""
+    p = spark.read.parquet(partials_dir)
+    return (
+        p.groupBy("source")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_quality_pass").cast("long").alias("n_quality_pass"),
+            F.hll_sketch_estimate(F.hll_union_agg("fp_hll")).alias(
+                "approx_unique"
+            ),
+            (
+                F.sum("sum_tokens").cast("double")
+                / F.sum("n_docs").cast("double")
+            ).alias("avg_tokens"),
+        )
+        .withColumn(
+            "approx_dup_rate",
+            F.round(
+                1 - F.col("approx_unique") / F.col("n_docs").cast("double"), 4
+            ),
+        )
+    )

@@ -889,3 +889,78 @@ def test_incremental_rollup_equals_batch_and_survives_replay(spark, tmp_path):
         for r in read_rollup(spark, partials).collect()
     }
     assert got2 == want
+
+
+def test_streaming_corpus_health_matches_batch(spark, tmp_path):
+    """start_corpus_health_stream: the merged health view equals the
+    batch computation — counts/token means exactly, distinct
+    fingerprints within HLL tolerance — across micro-batches, and a
+    full replay on a fresh checkpoint changes nothing."""
+    from pyspark.sql import functions as F
+
+    from big_data_spark.catalog import load_table
+    from big_data_spark.operators.corpus_gates import (
+        content_fingerprint,
+        quality_lang_predicate,
+        token_count,
+    )
+    from big_data_spark.streaming.sinks import (
+        read_corpus_health,
+        start_corpus_health_stream,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "source", "text"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    docs.filter("doc_id < 250").coalesce(1).write.parquet(str(src / "a"))
+    docs.filter("doc_id >= 250").coalesce(1).write.parquet(str(src / "b"))
+
+    partials = str(tmp_path / "partials")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = start_corpus_health_stream(stream, partials, ckpt)
+        q.awaitTermination(180)
+
+    run(str(tmp_path / "c1"))
+
+    exact = {
+        r["source"]: r
+        for r in docs.select(
+            "source",
+            token_count("text").cast("long").alias("n_tokens"),
+            F.when(quality_lang_predicate("text"), 1).otherwise(0).alias("qp"),
+            content_fingerprint("text").alias("fp"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("qp").cast("long").alias("n_quality_pass"),
+            F.count_distinct("fp").alias("n_unique"),
+            (
+                F.sum(F.col("n_tokens").cast("decimal(27,0)")).cast("double")
+                / F.count("*")
+            ).alias("avg_tokens"),
+        )
+        .collect()
+    }
+    got = {r["source"]: r for r in read_corpus_health(spark, partials).collect()}
+    assert set(got) == set(exact)
+    for src_name, e in exact.items():
+        g = got[src_name]
+        assert g["n_docs"] == e["n_docs"]
+        assert g["n_quality_pass"] == e["n_quality_pass"]
+        assert abs(g["avg_tokens"] - e["avg_tokens"]) < 1e-9
+        assert abs(g["approx_unique"] - e["n_unique"]) / e["n_unique"] < 0.05
+
+    run(str(tmp_path / "c2"))  # replay: batch ids restart, overwrite
+    got2 = {r["source"]: r for r in read_corpus_health(spark, partials).collect()}
+    assert {k: v["n_docs"] for k, v in got2.items()} == {
+        k: v["n_docs"] for k, v in got.items()
+    }
