@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "q118_time_weighted_avg",
     "q119_exact_percentiles",
     "q120_containment_pairs",
+    "q121_bpe_pair_counts",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

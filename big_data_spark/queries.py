@@ -5363,6 +5363,59 @@ def q114_quality_percentile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q121_bpe_pair_counts",
+    """
+    WITH words AS (
+      SELECT token AS w, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      WHERE token <> '' GROUP BY 1
+    ),
+    idx AS (
+      SELECT w, cnt, unnest(generate_series(1, length(w) - 1)) AS i
+      FROM words WHERE length(w) >= 2
+    )
+    SELECT substring(w, i, 2) AS pair,
+           CAST(SUM(cnt) AS BIGINT) AS n
+    FROM idx GROUP BY 1
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+    "text",
+    "tokenizer",
+)
+def q121_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE-training inner step: the most frequent
+    adjacent character pair, weighted by word frequency — the merge
+    candidate a byte-pair-encoding tokenizer trains on. The standard
+    scale trick is built in: pairs are counted over the DISTINCT-word
+    table (vocab-sized, with per-word corpus counts as weights),
+    never over raw corpus characters — a 100 TB corpus with a 10^6
+    vocabulary does the bigram explode over 10^6 rows. Top-20 is
+    TakeOrderedAndProject."""
+    tok = _t(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    words = tok.groupBy("w").agg(F.count("*").alias("cnt"))
+    pairs = (
+        words.filter(F.length("w") >= 2)
+        .select(
+            "cnt",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.col("w").substr(i.cast("int"), F.lit(2)),
+                )
+            ).alias("pair"),
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )
+
+
+@register(
     "q120_containment_pairs",
     """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -6000,6 +6053,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q118_time_weighted_avg",
     "q119_exact_percentiles",
     "q120_containment_pairs",
+    "q121_bpe_pair_counts",
     # round-4 demotions next (freshest prev-pass evidence):
     "q05_nation_revenue",
     "q08_top3_orders_per_customer",

@@ -493,3 +493,13 @@ def test_containment_pairs_df_bounded_no_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_bpe_pairs_counted_over_vocab_with_topk(spark):
+    """q121: bigram counting runs over the distinct-word table (two
+    keyed aggregates), and the top-20 compiles to
+    TakeOrderedAndProject — no global sort of the pair table."""
+    df = q(spark, "q121_bpe_pair_counts")
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
