@@ -6037,9 +6037,11 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     # round-5 rotation (each one's machinery has an in-window
     # representative this round: q108↔q96, q109↔q57/q19, q110↔q101,
     # q111↔q89-q91, q112↔q100/q64, q113↔q77/q93, q114↔q94,
-    # q115↔q106). Round-5 plan: promote these eight, demoting
-    # twice-green singles (candidates: q57-q59, q69, q85, q87, q88,
-    # q76 after they go green again in round 4).
+    # q115↔q106, q116↔q27/q57, q117↔q57, q118↔q55/q56, q119↔q76/q94,
+    # q120↔q96/q92, q121↔q33/q40). Round-5 plan: promote these
+    # fourteen, demoting entries that go twice-green in round 4
+    # (candidates: q57-q59, q69, q85, q87, q88, q76, q51, q34, q65,
+    # q81, q82, q83 — all will then have 2+ driver greens).
     "q108_source_shingle_overlap",
     "q109_gap_fill",
     "q110_unigram_quality",
