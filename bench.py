@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "q119_exact_percentiles",
     "q120_containment_pairs",
     "q121_bpe_pair_counts",
+    "q122_distribution_drift",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

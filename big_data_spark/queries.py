@@ -5363,6 +5363,82 @@ def q114_quality_percentile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q122_distribution_drift",
+    """
+    WITH banded AS (
+      SELECT LEAST(9, CAST(floor(o_totalprice / 50000) AS INT)) AS band,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                  THEN 1 ELSE 0 END AS is_ref
+      FROM orders
+    ), agg AS (
+      SELECT band,
+             SUM(is_ref) AS ref_n,
+             SUM(1 - is_ref) AS cur_n
+      FROM banded GROUP BY band
+    ), tot AS (
+      SELECT CAST(SUM(ref_n) AS DOUBLE) AS ref_t,
+             CAST(SUM(cur_n) AS DOUBLE) AS cur_t
+      FROM agg
+    )
+    SELECT band,
+           CAST(ref_n AS BIGINT) AS ref_n,
+           CAST(cur_n AS BIGINT) AS cur_n,
+           round(ref_n / ref_t, 6) AS ref_share,
+           round(cur_n / cur_t, 6) AS cur_share,
+           round((cur_n / cur_t - ref_n / ref_t)
+                 * ln((cur_n / cur_t + 1e-6) / (ref_n / ref_t + 1e-6)),
+                 6) AS psi_term
+    FROM agg, tot ORDER BY band
+    """,
+    "profiling",
+    "drift",
+)
+def q122_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring (PSI, the standard production
+    data-quality check): order-value distribution of the current
+    window (1998+) vs the reference window, per fixed price band.
+    Each row carries both shares and its Population Stability Index
+    term (Σ of psi_term is the headline drift score; >0.2 = act).
+    One pass over the fact — both windows aggregate in the same
+    band-keyed hash agg via conditional sums — then a 1-row broadcast
+    of the totals; ln() epsilon-smoothed and rounded so engines
+    can't diverge on empty bands or last-ulp logs."""
+    o = _t(spark, sf_dir, "orders")
+    banded = o.select(
+        F.least(F.lit(9), (F.col("o_totalprice") / 50000).cast("int")).alias(
+            "band"
+        ),
+        F.when(F.col("o_orderdate") < "1998-01-01", 1).otherwise(0).alias(
+            "is_ref"
+        ),
+    )
+    agg = banded.groupBy("band").agg(
+        F.sum("is_ref").alias("ref_n"),
+        F.sum(1 - F.col("is_ref")).alias("cur_n"),
+    )
+    tot = agg.agg(
+        F.sum("ref_n").cast("double").alias("ref_t"),
+        F.sum("cur_n").cast("double").alias("cur_t"),
+    )
+    rs = F.col("ref_n") / F.col("ref_t")
+    cs = F.col("cur_n") / F.col("cur_t")
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "band",
+            F.col("ref_n").cast("long").alias("ref_n"),
+            F.col("cur_n").cast("long").alias("cur_n"),
+            F.round(rs, 6).alias("ref_share"),
+            F.round(cs, 6).alias("cur_share"),
+            F.round(
+                (cs - rs) * F.log((cs + 1e-6) / (rs + 1e-6)), 6
+            ).alias("psi_term"),
+        )
+        .orderBy("band")
+    )
+
+
+@register(
     "q121_bpe_pair_counts",
     """
     WITH words AS (
@@ -6056,6 +6132,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q119_exact_percentiles",
     "q120_containment_pairs",
     "q121_bpe_pair_counts",
+    "q122_distribution_drift",
     # round-4 demotions next (freshest prev-pass evidence):
     "q05_nation_revenue",
     "q08_top3_orders_per_customer",
