@@ -5366,7 +5366,7 @@ def q114_quality_percentile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q122_distribution_drift",
     """
     WITH banded AS (
-      SELECT LEAST(9, CAST(floor(o_totalprice / 50000) AS INT)) AS band,
+      SELECT CAST(LEAST(9, CAST(floor(o_totalprice / 50000) AS INT)) AS INT) AS band,
              CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
                   THEN 1 ELSE 0 END AS is_ref
       FROM orders
