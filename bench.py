@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "q120_containment_pairs",
     "q121_bpe_pair_counts",
     "q122_distribution_drift",
+    "q123_native_session_windows",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

@@ -5363,6 +5363,67 @@ def q114_quality_percentile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q123_native_session_windows",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events WHERE user_id < 200
+    ), marked AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch(ts) - epoch(prev_ts) >= 1800 THEN 1
+                     ELSE 0 END AS new_session
+      FROM ordered
+    ), sessions AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS session_value
+    FROM sessions GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    "window",
+    "sessionization",
+)
+def q123_native_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window in batch mode, hash-matched
+    against the portable SQL gap construction — proving the built-in
+    operator and q23's manual lag/cumsum sessionization agree on the
+    same corpus. Boundary semantics pinned by the oracle: the native
+    window is half-open [ts, ts+gap), so a follow-up event at EXACTLY
+    gap distance starts a NEW session (the SQL twin uses >=, where
+    q23's classic form used >). session_end is last-event + gap by
+    definition. One shuffle keyed by user_id; state per key bounded
+    by that user's sessions."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", "30 minutes").alias("w"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            _dsum(F.col("value"), "session_value", scale=4),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
     "q122_distribution_drift",
     """
     WITH banded AS (
@@ -6133,6 +6194,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q120_containment_pairs",
     "q121_bpe_pair_counts",
     "q122_distribution_drift",
+    "q123_native_session_windows",
     # round-4 demotions next (freshest prev-pass evidence):
     "q05_nation_revenue",
     "q08_top3_orders_per_customer",
