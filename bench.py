@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "q121_bpe_pair_counts",
     "q122_distribution_drift",
     "q123_native_session_windows",
+    "q124_topk_with_ties",
+    "q125_native_mad",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

@@ -5363,6 +5363,91 @@ def q114_quality_percentile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q124_topk_with_ties",
+    """
+    SELECT l_returnflag, l_quantity, n, rnk FROM (
+      SELECT l_returnflag, l_quantity, COUNT(*) AS n,
+             CAST(RANK() OVER (PARTITION BY l_returnflag
+                               ORDER BY COUNT(*) DESC, l_quantity)
+                  AS INT) AS rnk
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ) WHERE rnk <= 3 ORDER BY l_returnflag, rnk, l_quantity
+    """,
+    "window",
+    "topk",
+)
+def q124_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH TIES (RANK, not ROW_NUMBER — q08's arbitrary-
+    tiebreak cousin): the 3 most frequent quantities per return flag,
+    keeping every row tied at the boundary — the correct semantics
+    when 'top 3' must not silently drop equally-qualified rows.
+    Still compiles to WindowGroupLimit (rank-based group limits cut
+    before the shuffle since Spark 3.5), over the pre-aggregated
+    (flag, quantity) table — window input is histogram-sized."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("n"), F.asc("l_quantity")
+    )
+    return (
+        counts.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("l_returnflag", "rnk", "l_quantity")
+    )
+
+
+@register(
+    "q125_native_mad",
+    """
+    WITH med AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.5) AS med
+      FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderpriority,
+           round(ANY_VALUE(med.med), 6) AS median_price,
+           round(quantile_cont(abs(o.o_totalprice - med.med), 0.5), 6)
+             AS mad,
+           COUNT(*) AS n
+    FROM orders o JOIN med ON o.o_orderpriority = med.o_orderpriority
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+    "agg",
+    "robust",
+)
+def q125_native_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation in PURE JVM expressions — the
+    native twin of q76's applyInPandas MAD (both agree on this
+    corpus; q76 stays as the Arrow-boundary anchor): per-group exact
+    median, broadcast back, exact median of absolute deviations.
+    Two passes over the fact but zero Python — whole-stage codegen
+    end to end, and the 'model' (per-group medians) is
+    dimension-sized. The UDF→native policy applied to robust
+    statistics."""
+    o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    med = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("med")
+    )
+    return (
+        o.join(F.broadcast(med), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.any_value("med"), 6).alias("median_price"),
+            F.round(
+                F.percentile(
+                    F.abs(F.col("o_totalprice") - F.col("med")), F.lit(0.5)
+                ),
+                6,
+            ).alias("mad"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "q123_native_session_windows",
     """
     WITH ordered AS (
@@ -6195,6 +6280,8 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q121_bpe_pair_counts",
     "q122_distribution_drift",
     "q123_native_session_windows",
+    "q124_topk_with_ties",
+    "q125_native_mad",
     # round-4 demotions next (freshest prev-pass evidence):
     "q05_nation_revenue",
     "q08_top3_orders_per_customer",

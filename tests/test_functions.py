@@ -155,3 +155,22 @@ def test_redact_pii_complete_and_idempotent(spark):
         assert not re.search(EMAIL_RE, row["r1"]), row["r1"]
         assert not re.search(PHONE_RE, row["r1"]), row["r1"]
         assert row["r2"] == row["r1"]
+
+
+def test_pandas_and_native_mad_agree(spark):
+    """q76 (applyInPandas MAD, the Arrow-boundary anchor) and q125
+    (pure-JVM twin) must produce identical medians and MADs — the
+    UDF-to-native policy verified on robust statistics."""
+    from big_data_spark.queries import QUERIES
+
+    from .conftest import SF_ORACLE
+
+    a = {
+        r["o_orderpriority"]: (r["median_price"], r["mad"])
+        for r in QUERIES["q76_priority_price_mad"].fn(spark, SF_ORACLE).collect()
+    }
+    b = {
+        r["o_orderpriority"]: (r["median_price"], r["mad"])
+        for r in QUERIES["q125_native_mad"].fn(spark, SF_ORACLE).collect()
+    }
+    assert a == b

@@ -503,3 +503,22 @@ def test_bpe_pairs_counted_over_vocab_with_topk(spark):
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_topk_with_ties_uses_rank_group_limit(spark):
+    """q124: rank-based top-k must also compile to WindowGroupLimit
+    (Spark 3.5+ supports rank group limits), over the histogram-sized
+    (flag, quantity) aggregate."""
+    df = q(spark, "q124_topk_with_ties")
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_native_mad_no_python(spark):
+    """q125: the robust-stats computation stays entirely JVM-side —
+    no Arrow/Python eval nodes anywhere in the plan."""
+    df = q(spark, "q125_native_mad")
+    plan = formatted_plan(df)
+    assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "FlatMapGroupsInPandas" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
