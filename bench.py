@@ -82,6 +82,13 @@ BENCH_QUERIES = [
     "q123_native_session_windows",
     "q124_topk_with_ties",
     "q125_native_mad",
+    "q126_rolling_time_window",
+    "q127_fuzzy_name_pairs",
+    "q128_copurchase_pairs",
+    "q129_quality_classifier",
+    "q130_constraint_report",
+    "q131_bigram_quality",
+    "q132_temperature_mix",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

@@ -189,3 +189,46 @@ def test_model_save_load_roundtrip(spark, tmp_path, featured):
     a = res.model.transform(featured.limit(100)).select("cluster").collect()
     b = loaded.transform(featured.limit(100)).select("cluster").collect()
     assert a == b
+
+
+def test_fpgrowth_matches_copurchase_pairs(spark):
+    """Engine cross-check: MLlib FPGrowth over per-order baskets must
+    reproduce q128's size-2 frequent itemsets (pair + support count)
+    exactly — two independent implementations of A-priori support
+    counting (tree projection vs self-join/group-by) agreeing on the
+    same corpus."""
+    from pyspark.ml.fpm import FPGrowth
+
+    from .conftest import SF_SMOKE
+
+    op = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    baskets = op.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("items")
+    )
+    n_baskets = baskets.count()
+    # threshold strictly between 1 and 2 orders => freq >= 2
+    model = FPGrowth(
+        itemsCol="items", minSupport=1.5 / n_baskets, minConfidence=0.9
+    ).fit(baskets)
+    fp_pairs = {
+        (min(r["items"]), max(r["items"])): r["freq"]
+        for r in model.freqItemsets.collect()
+        if len(r["items"]) == 2
+    }
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    sql_pairs = {
+        (r["pa"], r["pb"]): r["n"]
+        for r in a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .collect()
+    }
+    assert fp_pairs == sql_pairs
+    assert len(sql_pairs) > 100  # non-trivial corpus

@@ -60,7 +60,7 @@ def test_star_join_broadcasts_all_dims(spark):
 def test_topk_avoids_global_sort(spark):
     plan = formatted_plan(q(spark, "q02_topk_orders"))
     assert "TakeOrderedAndProject" in plan
-    assert "Exchange rangepartitioning" not in plan
+    assert "rangepartitioning" not in plan
 
 
 def test_window_topn_uses_group_limit(spark):
@@ -502,7 +502,7 @@ def test_bpe_pairs_counted_over_vocab_with_topk(spark):
     df = q(spark, "q121_bpe_pair_counts")
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
-    assert "Exchange rangepartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
 
 
 def test_topk_with_ties_uses_rank_group_limit(spark):
@@ -522,3 +522,43 @@ def test_native_mad_no_python(spark):
     assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan, plan
     assert "FlatMapGroupsInPandas" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_rolling_time_window_single_user_shuffle(spark):
+    """q126: the range-frame window shuffles once on user_id; the only
+    other exchange is the presentation sort. No Python anywhere."""
+    df = q(spark, "q126_rolling_time_window")
+    plan = formatted_plan(df)
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    assert "Window" in plan and "PythonUDF" not in plan, plan
+
+
+def test_fuzzy_name_pairs_length_blocked_no_cartesian(spark):
+    """q127: the edit-distance join is an equi-join on the exploded
+    length band — never a cartesian/nested-loop over the vocab."""
+    df = q(spark, "q127_fuzzy_name_pairs")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_copurchase_pairs_basket_join_topk(spark):
+    """q128: pair generation is an equi-join on orderkey (per-basket
+    blow-up only) and the top-50 compiles to TakeOrderedAndProject —
+    no global sort of the pair table."""
+    df = q(spark, "q128_copurchase_pairs")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_quality_classifier_map_only_no_python(spark):
+    """q129: hashed-linear scoring runs inside higher-order functions:
+    zero hash aggregates, zero hash-partition exchanges (only the
+    presentation sort), zero Python."""
+    df = q(spark, "q129_quality_classifier")
+    plan = formatted_plan(df)
+    assert "HashAggregate" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan, plan

@@ -1,0 +1,99 @@
+"""Constraint suite: verdicts must DETECT violations, not just
+rubber-stamp clean data (q130 covers the clean path vs the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_spark.operators.quality_checks import (
+    Check,
+    accepted_values,
+    completeness,
+    constraint_report,
+    in_range,
+    referential_integrity,
+    uniqueness,
+)
+
+
+def _report_map(df):
+    return {r["constraint"]: (r["observed"], r["passed"]) for r in df.collect()}
+
+
+def test_constraint_report_detects_violations(spark):
+    dirty = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, None, -5.0),  # null + negative
+            (2, "b", 20.0),  # duplicate id
+            (3, "zz", 30.0),  # value outside accepted set
+        ],
+        "id bigint, cat string, amount double",
+    )
+    rep = _report_map(
+        constraint_report(
+            dirty,
+            [
+                Check("complete(cat)", completeness("cat"), lambda v: v == 1.0),
+                Check("unique(id)", uniqueness("id"), lambda v: v == 1.0),
+                Check("min(amount)>0", F.min("amount"), lambda v: v > 0),
+                Check(
+                    "cat_in(a,b)",
+                    accepted_values("cat", ["a", "b"]),
+                    lambda v: v == 1.0,
+                ),
+                Check(
+                    "amount_in_0_100",
+                    in_range("amount", 0, 100),
+                    lambda v: v == 1.0,
+                ),
+            ],
+        )
+    )
+    assert rep["complete(cat)"] == (0.75, False)
+    assert rep["unique(id)"] == (0.75, False)
+    assert rep["min(amount)>0"] == (-5.0, False)
+    assert rep["cat_in(a,b)"] == (0.5, False)  # NULL counts as out
+    assert rep["amount_in_0_100"] == (0.75, False)
+
+
+def test_constraint_report_single_agg_pass(spark):
+    """All checks on a table ride ONE aggregation (single scan)."""
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    rep = constraint_report(
+        df,
+        [
+            Check("complete(k)", completeness("k"), lambda v: v == 1.0),
+            Check("min(id)>=0", F.min("id"), lambda v: v >= 0),
+        ],
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    # one partial + one final aggregate, nothing else scans the input
+    assert plan.count("Scan") <= 1, plan
+    assert _report_map(rep) == {
+        "complete(k)": (1.0, True),
+        "min(id)>=0": (0.0, True),
+    }
+
+
+def test_referential_integrity_counts_orphans(spark):
+    child = spark.createDataFrame(
+        [(1,), (2,), (3,), (9,)], "fk bigint"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk bigint")
+    rep = _report_map(
+        referential_integrity("ri(child->parent)", child, "fk", parent, "pk")
+    )
+    assert rep["ri(child->parent)"] == (0.75, False)
+
+
+def test_referential_integrity_clean(spark):
+    child = spark.createDataFrame([(1,), (2,), (1,)], "fk bigint")
+    parent = spark.createDataFrame([(1,), (2,)], "pk bigint")
+    rep = _report_map(
+        referential_integrity("ri", child, "fk", parent, "pk")
+    )
+    assert rep["ri"] == (1.0, True)

@@ -191,3 +191,33 @@ def test_catalog_normalizes_timestamp_generations(spark):
     for table, col in (("events", "ts"), ("orders", "o_orderdate"), ("lineitem", "l_shipdate")):
         dt = dict(load_table(spark, SF_SMOKE, table).dtypes)[col]
         assert dt == "timestamp", (table, col, dt)
+
+
+def test_dynamic_partition_pruning_from_joined_dim(spark, tmp_path):
+    """The 100-TB fact-table contract: when the partition key is only
+    constrained THROUGH a join (no literal filter on the fact), Spark
+    must inject a runtime dynamicpruning subquery into the fact scan's
+    PartitionFilters — reading only the partitions the filtered dim
+    selects, instead of the whole table."""
+    from pyspark.sql import functions as F
+
+    from big_data_spark.plans import formatted_plan
+
+    fact = spark.range(2000).select(
+        F.col("id"),
+        (F.col("id") % 10).alias("part_key"),
+        (F.col("id") * 2).alias("val"),
+    )
+    out = str(tmp_path / "fact_parted")
+    write_parquet(fact, out, partition_by=["part_key"])
+    back = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [(1, "keep"), (3, "keep"), (5, "drop")],
+        "part_key bigint, tag string",
+    )
+    # DPP requires a selective predicate on the dim side — that filter
+    # is what the runtime subquery propagates into the fact scan
+    joined = back.join(dim.filter(F.col("tag") == "keep"), "part_key")
+    plan = formatted_plan(joined)
+    assert "dynamicpruningexpression" in plan, plan
+    assert joined.count() == 400
