@@ -6313,22 +6313,35 @@ def q128_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     A pathological mega-basket is the skew risk; production guard is
     a per-order item cap before pairing (q95's group-limit machinery).
     Cross-checked against MLlib FPGrowth in tests/test_ml.py: the
-    size-2 frequent itemsets and support counts match exactly."""
-    op = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    size-2 frequent itemsets and support counts match exactly.
+
+    Plan: baskets form by ONE shuffle on orderkey (collect_set with
+    map-side partial aggregation); pairs generate BASKET-LOCALLY from
+    the sorted item array via nested `transform` — no self-join, so
+    no second corpus-sized side ever shuffles; support counting is
+    the only other exchange. Two shuffles total vs. the three (+join)
+    of the self-join formulation, and measurably faster at sf0.1."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
     )
-    a = op.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
-    )
-    b = op.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
-    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "items",
+                    lambda x, i: F.transform(
+                        F.slice("items", i + 2, F.size("items")),
+                        lambda y: F.struct(
+                            x.alias("part_a"), y.alias("part_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
     return (
-        a.join(b, "ok")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
+        pairs.groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
         .orderBy(F.desc("n_orders"), "part_a", "part_b")

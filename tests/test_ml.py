@@ -232,3 +232,60 @@ def test_fpgrowth_matches_copurchase_pairs(spark):
     }
     assert fp_pairs == sql_pairs
     assert len(sql_pairs) > 100  # non-trivial corpus
+
+
+def test_lr_coefficients_score_natively(spark):
+    """q129's scale claim, closed with a REAL trained model: a fitted
+    LogisticRegression's coefficients, exported and re-applied as
+    native column arithmetic (sigmoid(w.x + b)), must reproduce
+    MLlib's transform() probabilities — proving trained weights swap
+    into the map-only scoring plan without changing it."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    from .conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    feats = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("double").alias("label"),
+        F.size(toks).cast("double").alias("f_ntok"),
+        (F.col("n_chars") / F.size(toks)).alias("f_avglen"),
+        (
+            F.size(F.filter(toks, lambda t: t.isin("the", "a", "of")))
+            / F.size(toks)
+        ).alias("f_stop"),
+    )
+    fcols = ["f_ntok", "f_avglen", "f_stop"]
+    assembled = VectorAssembler(
+        inputCols=fcols, outputCol="features"
+    ).transform(feats)
+    model = LogisticRegression(
+        featuresCol="features", labelCol="label", maxIter=25, regParam=0.01
+    ).fit(assembled)
+    w = model.coefficients.toArray().tolist()
+    b = float(model.intercept)
+
+    z = F.lit(b)
+    for wi, c in zip(w, fcols):
+        z = z + F.lit(wi) * F.col(c)
+    native = feats.select(
+        "doc_id", (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("p_native")
+    )
+    from pyspark.ml.functions import vector_to_array
+
+    probs = model.transform(assembled).select(
+        "doc_id",
+        F.element_at(vector_to_array("probability"), 2).alias("p_ml"),
+    )
+    joined = native.join(probs, "doc_id")
+    max_diff = joined.agg(
+        F.max(F.abs(F.col("p_native") - F.col("p_ml")))
+    ).first()[0]
+    assert max_diff < 1e-9, max_diff
+    # and the native plan is map-only: no shuffle, no Python
+    from big_data_spark.plans import count_shuffles, formatted_plan
+
+    assert count_shuffles(native) == 0, formatted_plan(native)
+    assert "PythonUDF" not in formatted_plan(native)

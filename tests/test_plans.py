@@ -542,13 +542,14 @@ def test_fuzzy_name_pairs_length_blocked_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
-def test_copurchase_pairs_basket_join_topk(spark):
-    """q128: pair generation is an equi-join on orderkey (per-basket
-    blow-up only) and the top-50 compiles to TakeOrderedAndProject —
-    no global sort of the pair table."""
+def test_copurchase_pairs_basket_local_no_join(spark):
+    """q128: pairs generate basket-locally from the collected item
+    array — NO join node at all, two shuffles (basket build + support
+    count), and the top-50 compiles to TakeOrderedAndProject."""
     df = q(spark, "q128_copurchase_pairs")
     plan = formatted_plan(df)
-    assert "CartesianProduct" not in plan, plan
+    assert "Join" not in plan, plan
+    assert count_shuffles(df) <= 2, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "rangepartitioning" not in plan, plan
 
