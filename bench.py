@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "q130_constraint_report",
     "q131_bigram_quality",
     "q132_temperature_mix",
+    "q133_sliding_active_users",
+    "q134_key_skew_audit",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

@@ -6718,6 +6718,134 @@ def q132_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q133_sliding_active_users",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             user_id
+      FROM events
+    ), b AS (SELECT max(day) AS dmax FROM du),
+    contrib AS (
+      SELECT DISTINCT wend, user_id FROM (
+        SELECT unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                      INTERVAL 1 DAY)) AS wend,
+               user_id
+        FROM du
+      ), b
+      WHERE wend <= b.dmax
+    ),
+    wau AS (SELECT wend, COUNT(*) AS wau FROM contrib GROUP BY 1),
+    dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY 1)
+    SELECT dau.day AS day, dau.dau AS dau, wau.wau AS wau
+    FROM dau JOIN wau ON dau.day = wau.wend
+    ORDER BY day
+    """,
+    "window",
+    "distinct",
+)
+def q133_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling DISTINCT over sliding windows — daily and trailing-
+    7-day active users (DAU/WAU), the engagement metric no ordinary
+    window frame can compute (COUNT DISTINCT doesn't decompose over
+    frames). The scale form: dedup events to (day, user) pairs FIRST
+    (one keyed shuffle with partial agg — output is active-pairs-
+    sized, ~10^-4 of raw events), then each pair contributes to the
+    ≤7 window-ends it belongs to via a per-row `sequence` explode —
+    7× the PAIR table, never 7× the event table — followed by a
+    second dedup for users active on multiple days of one window.
+    Trailing windows clip at the corpus max via a broadcast 1-row
+    bound. The approximate path for 1000-day lookbacks is the
+    mergeable HLL partial in operators/sketches.py; this query is
+    its exact anchor."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    )
+    du = ev.distinct()
+    bounds = du.agg(F.max("day").alias("dmax"))
+    contrib = (
+        du.select(
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.col("day") + F.expr("INTERVAL 6 DAY"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("wend"),
+            "user_id",
+        )
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("wend") <= F.col("dmax"))
+        .select("wend", "user_id")
+        .distinct()
+    )
+    wau = contrib.groupBy("wend").agg(F.count("*").alias("wau"))
+    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
+    return (
+        dau.join(wau, dau.day == wau.wend)
+        .select("day", "dau", "wau")
+        .orderBy("day")
+    )
+
+
+@register(
+    "q134_key_skew_audit",
+    """
+    WITH c AS (
+      SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1
+    ), t AS (SELECT CAST(SUM(n_events) AS DOUBLE) AS total FROM c),
+    top AS (
+      SELECT user_id, n_events FROM c
+      ORDER BY n_events DESC, user_id LIMIT 10
+    )
+    SELECT CAST(ROW_NUMBER() OVER w AS INT) AS rank,
+           user_id, n_events,
+           round(n_events / total, 6) AS share,
+           round(SUM(n_events) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) / total, 6)
+             AS cum_share
+    FROM top, t
+    WINDOW w AS (ORDER BY n_events DESC, user_id)
+    ORDER BY rank
+    """,
+    "profiling",
+    "skew",
+)
+def q134_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-health diagnostic: the top-10 hottest join/agg keys
+    with each key's share and cumulative share of all rows — the
+    audit that decides WHEN q51's salting (or AQE skew-join) is worth
+    applying, before a skewed key straggles a 1000-executor stage.
+    Key counts are one map-side-combined agg (keyspace-sized); the
+    top-10 compiles to TakeOrderedAndProject — the ranking window and
+    cumulative sum then run over exactly 10 rows, so the
+    single-partition window is constant-sized by construction, never
+    corpus-sized (contrast: ranking the FULL key table through one
+    window partition is the anti-pattern this query exists to
+    catch)."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    t = c.agg(F.sum("n_events").cast("double").alias("total"))
+    top = c.orderBy(F.desc("n_events"), "user_id").limit(10)
+    w = Window.orderBy(F.desc("n_events"), "user_id")
+    cum = Window.orderBy(F.desc("n_events"), "user_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.crossJoin(F.broadcast(t))
+        .select(
+            F.row_number().over(w).alias("rank"),
+            "user_id",
+            "n_events",
+            F.round(F.col("n_events") / F.col("total"), 6).alias("share"),
+            F.round(
+                F.sum("n_events").over(cum) / F.col("total"), 6
+            ).alias("cum_share"),
+        )
+        .orderBy("rank")
+    )
+
+
 # =========================================================================
 # Registry ordering (driver check-window priority)
 # =========================================================================
@@ -6807,8 +6935,8 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     # q111↔q89-q91, q112↔q100/q64, q113↔q77/q93, q114↔q94,
     # q115↔q106, q116↔q27/q57, q117↔q57, q118↔q55/q56, q119↔q76/q94,
     # q120↔q96/q92, q121↔q33/q40, q126↔q118/q09, q127↔q121,
-    # q128↔q26/q57, q129↔q110/q41, q130↔q85, q131↔q110, q132↔q77/q113).
-    # Round-5 plan: promote these
+    # q128↔q26/q57, q129↔q110/q41, q130↔q85, q131↔q110, q132↔q77/q113,
+    # q133↔q19/q58, q134↔q51/q85). Round-5 plan: promote these
     # eighteen-plus, demoting entries that go twice-green in round 4
     # (candidates: q57-q59, q69, q85, q87, q88, q76, q51, q34, q65,
     # q81, q82, q83 — all will then have 2+ driver greens).
@@ -6837,6 +6965,8 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q130_constraint_report",
     "q131_bigram_quality",
     "q132_temperature_mix",
+    "q133_sliding_active_users",
+    "q134_key_skew_audit",
     # round-4 demotions next (freshest prev-pass evidence):
     "q05_nation_revenue",
     "q08_top3_orders_per_customer",

@@ -563,3 +563,27 @@ def test_quality_classifier_map_only_no_python(spark):
     assert "HashAggregate" not in plan, plan
     assert "hashpartitioning" not in plan, plan
     assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_sliding_active_users_explodes_pairs_not_events(spark):
+    """q133: the 7x window-membership explode runs on the deduped
+    (day,user) pair table after a keyed aggregate — bounded shuffles,
+    no cartesian, no Python."""
+    df = q(spark, "q133_sliding_active_users")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # every exchange is keyed on pair/day columns of the DEDUPED pair
+    # table (2 dedups, 2 aggs, day-keyed join, final sort) — all
+    # pair-table-sized; raw events shuffle exactly once (first dedup)
+    assert count_shuffles(df) <= 7, plan
+    assert "PythonUDF" not in plan, plan
+
+
+def test_key_skew_audit_windows_only_top10(spark):
+    """q134: the key table top-10 compiles to TakeOrderedAndProject
+    BEFORE the rank/cumsum window — the single-partition window sees
+    10 rows by construction, never the keyspace."""
+    df = q(spark, "q134_key_skew_audit")
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert count_shuffles(df) <= 3, plan
