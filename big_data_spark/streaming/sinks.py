@@ -508,3 +508,76 @@ def read_corpus_health(spark, partials_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def start_contract_gate_stream(
+    stream: DataFrame,
+    checks,
+    out_dir: str,
+    checkpoint_dir: str,
+    report_dir: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Data-contract gate on ingest (streaming q130): every
+    micro-batch is evaluated against a declarative constraint suite
+    (operators.quality_checks) BEFORE it lands. A violating batch
+    writes its verdict report (when ``report_dir`` is given) and then
+    RAISES — the query fails, the checkpoint holds the offset, and
+    the batch replays after the upstream fix, so bad data never
+    reaches the table silently. Clean batches land into their own
+    ``batch_id`` partition with dynamic overwrite, making replays
+    idempotent (same protocol as start_rollup_stream). The suite
+    itself is one aggregation pass over the cached batch; the verdict
+    collect is constraint-count-sized (control-plane, not data-plane).
+    The report lands BEFORE the gate raises and is keyed by batch_id,
+    so a violation is observable even though its data never lands."""
+    from ..operators.quality_checks import constraint_report
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch.persist()
+        try:
+            rep = constraint_report(batch, checks)
+            rows = rep.collect()
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            try:
+                if report_dir is not None:
+                    (
+                        spark.createDataFrame(rows, rep.schema)
+                        .withColumn("batch_id", F.lit(batch_id))
+                        .write.mode("overwrite")
+                        .partitionBy("batch_id")
+                        .parquet(report_dir)
+                    )
+                failed = [r["constraint"] for r in rows if not r["passed"]]
+                if failed:
+                    raise ValueError(
+                        f"data contract violated in batch {batch_id}: "
+                        f"{failed}"
+                    )
+                (
+                    batch.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .partitionBy("batch_id")
+                    .parquet(out_dir)
+                )
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+        finally:
+            batch.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

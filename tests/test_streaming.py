@@ -964,3 +964,60 @@ def test_streaming_corpus_health_matches_batch(spark, tmp_path):
     assert {k: v["n_docs"] for k, v in got2.items()} == {
         k: v["n_docs"] for k, v in got.items()
     }
+
+
+def test_contract_gate_stream_blocks_violating_batch(spark, tmp_path):
+    """Streaming data-contract gate: a clean batch lands (with its
+    verdict report); a violating batch writes its report and FAILS
+    the query — its data never reaches the table."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from big_data_spark.operators.quality_checks import (
+        Check,
+        completeness,
+        in_range,
+    )
+    from big_data_spark.streaming.sinks import start_contract_gate_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    rep = str(tmp_path / "rep")
+    ckpt = str(tmp_path / "ckpt")
+    checks = [
+        Check("complete(name)", completeness("name"), lambda v: v == 1.0),
+        Check("amount_in_0_100", in_range("amount", 0, 100), lambda v: v == 1.0),
+    ]
+    schema = "id long, name string, amount double"
+
+    def gate_query():
+        stream = spark.readStream.schema(schema).json(str(src))
+        return start_contract_gate_stream(stream, checks, out, ckpt, rep)
+
+    with open(src / "clean.json", "w") as f:
+        for i in range(5):
+            f.write(_json.dumps({"id": i, "name": f"n{i}", "amount": 10.0 * i}) + "\n")
+    gate_query().awaitTermination(120)
+    assert spark.read.parquet(out).count() == 5
+    reports = spark.read.parquet(rep)
+    assert reports.filter(~F.col("passed")).count() == 0
+
+    # second batch violates both constraints
+    with open(src / "dirty.json", "w") as f:
+        f.write(_json.dumps({"id": 9, "name": None, "amount": 500.0}) + "\n")
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    q = gate_query()
+    with pytest.raises(StreamingQueryException, match="contract violated"):
+        q.awaitTermination(120)
+
+    # violating data never landed; the violation IS observable in the report
+    landed = spark.read.parquet(out)
+    assert landed.count() == 5 and landed.filter(F.col("id") == 9).count() == 0
+    reports = spark.read.parquet(rep)
+    failed = {
+        r["constraint"] for r in reports.filter(~F.col("passed")).collect()
+    }
+    assert failed == {"complete(name)", "amount_in_0_100"}
