@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "q132_temperature_mix",
     "q133_sliding_active_users",
     "q134_key_skew_audit",
+    "q135_peak_concurrency",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

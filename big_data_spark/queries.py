@@ -6846,6 +6846,97 @@ def q134_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q135_peak_concurrency",
+    """
+    WITH iv AS (
+      SELECT event_id, ts AS s, ts + INTERVAL 5 MINUTE AS e FROM events
+    ), pts AS (
+      SELECT event_id, s AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT event_id, e AS t, -1 AS delta FROM iv
+    ), b AS (
+      SELECT event_id, t, delta, date_trunc('hour', t) AS bucket FROM pts
+    ), r AS (
+      SELECT bucket, delta,
+             SUM(delta) OVER (PARTITION BY bucket
+                              ORDER BY t, delta, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS run
+      FROM b
+    ), agg AS (
+      SELECT bucket, MAX(run) AS mx, SUM(delta) AS net FROM r GROUP BY 1
+    ), off AS (
+      SELECT bucket, mx,
+             COALESCE(SUM(net) OVER (ORDER BY bucket
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS off_before
+      FROM agg
+    )
+    SELECT CAST(date_trunc('day', bucket) AS TIMESTAMP) AS day,
+           CAST(MAX(off_before + mx) AS BIGINT) AS peak_concurrency
+    FROM off GROUP BY 1 ORDER BY 1
+    """,
+    "window",
+    "sweep",
+)
+def q135_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval sweep-line at scale: peak concurrent activity per day,
+    each event opening a 5-minute activity interval. The classic form
+    (±1 boundary points, running sum, max) needs a GLOBAL time-ordered
+    cumsum — a single-partition sort at 100 TB. The distributed form
+    decomposes it exactly: (1) boundary points bucket by hour and
+    cumsum WITHIN their bucket (hash-partitioned window, per-bucket
+    state only); (2) each bucket's carry-in offset is the prefix sum
+    of per-bucket net deltas — a window over the HISTOGRAM of buckets
+    (~10^3-10^5 rows at any corpus size, q94's trick); (3) the bucket
+    peak is carry-in + in-bucket max, and day peaks aggregate bucket
+    peaks. Half-open [s,e) semantics pinned by ordering -1 before +1
+    at equal timestamps; within-tie order cannot change the max.
+    Concurrency/occupancy/capacity questions (sessions online, rooms
+    booked, connections open) all compile to this shape."""
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTE")).alias("e"),
+    )
+    pts = iv.select(
+        "event_id", F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv.select(
+            "event_id", F.col("e").alias("t"), F.lit(-1).alias("delta")
+        )
+    )
+    b = pts.withColumn("bucket", F.date_trunc("hour", F.col("t")))
+    wrun = (
+        Window.partitionBy("bucket")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = b.select("bucket", "delta", F.sum("delta").over(wrun).alias("run"))
+    agg = r.groupBy("bucket").agg(
+        F.max("run").alias("mx"), F.sum("delta").alias("net")
+    )
+    woff = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = agg.select(
+        "bucket",
+        "mx",
+        F.coalesce(F.sum("net").over(woff), F.lit(0)).alias("off_before"),
+    )
+    return (
+        off.groupBy(F.date_trunc("day", F.col("bucket")).alias("day"))
+        .agg(
+            F.max(F.col("off_before") + F.col("mx"))
+            .cast("long")
+            .alias("peak_concurrency")
+        )
+        .orderBy("day")
+    )
+
+
 # =========================================================================
 # Registry ordering (driver check-window priority)
 # =========================================================================
@@ -6936,7 +7027,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     # q115↔q106, q116↔q27/q57, q117↔q57, q118↔q55/q56, q119↔q76/q94,
     # q120↔q96/q92, q121↔q33/q40, q126↔q118/q09, q127↔q121,
     # q128↔q26/q57, q129↔q110/q41, q130↔q85, q131↔q110, q132↔q77/q113,
-    # q133↔q19/q58, q134↔q51/q85). Round-5 plan: promote these
+    # q133↔q19/q58, q134↔q51/q85, q135↔q94/q09). Round-5 plan: promote these
     # eighteen-plus, demoting entries that go twice-green in round 4
     # (candidates: q57-q59, q69, q85, q87, q88, q76, q51, q34, q65,
     # q81, q82, q83 — all will then have 2+ driver greens).
@@ -6967,6 +7058,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q132_temperature_mix",
     "q133_sliding_active_users",
     "q134_key_skew_audit",
+    "q135_peak_concurrency",
     # round-4 demotions next (freshest prev-pass evidence):
     "q05_nation_revenue",
     "q08_top3_orders_per_customer",

@@ -587,3 +587,14 @@ def test_key_skew_audit_windows_only_top10(spark):
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
     assert count_shuffles(df) <= 3, plan
+
+
+def test_peak_concurrency_two_level_sweep(spark):
+    """q135: the in-bucket cumsum window is hash-partitioned on the
+    hour bucket; the only unpartitioned window runs over the bucket
+    HISTOGRAM (post-aggregation), never the boundary-point table."""
+    df = q(spark, "q135_peak_concurrency")
+    plan = formatted_plan(df)
+    assert "hashpartitioning(bucket" in plan, plan
+    assert plan.count("Window") >= 2, plan
+    assert "CartesianProduct" not in plan, plan

@@ -92,3 +92,38 @@ def test_aqe_splits_skewed_join_partitions(spark):
         plan = j._jdf.queryExecution().executedPlan().toString()
         assert "isFinalPlan=true" in plan
         assert "skew=true" in plan, plan
+
+
+def test_peak_concurrency_matches_global_sweep(spark):
+    """q135's two-level (bucket + carry) decomposition must equal the
+    naive single-pass global sweep — computed here in plain Python
+    over sf0.001 as an independent implementation."""
+    import datetime
+
+    from big_data_spark.queries import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    rows = QUERIES["q135_peak_concurrency"].fn(spark, SF_SMOKE).collect()
+    got = {r["day"]: r["peak_concurrency"] for r in rows}
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select("event_id", "ts").collect()
+    pts = []
+    for r in ev:
+        ts = r["ts"]
+        if isinstance(ts, int):  # timestamp[ns] read as long nanos
+            ts = datetime.datetime.utcfromtimestamp(ts / 1e9)
+        pts.append((ts, 1, r["event_id"]))
+        pts.append((ts + datetime.timedelta(minutes=5), -1, r["event_id"]))
+    pts.sort()  # (t, delta, event_id): -1 sorts before +1 at equal t
+    cur = 0
+    expected: dict = {}
+    for t, d, _ in pts:
+        cur += d
+        day = t.replace(hour=0, minute=0, second=0, microsecond=0)
+        expected[day] = max(expected.get(day, 0), cur)
+    # spark emits a day row only if a bucket starts that day; compare
+    # on the days it reports
+    assert set(got) <= set(expected)
+    for day, peak in got.items():
+        assert peak == expected[day], (day, peak, expected[day])
