@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "q133_sliding_active_users",
     "q134_key_skew_audit",
     "q135_peak_concurrency",
+    "q136_snapshot_diff",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

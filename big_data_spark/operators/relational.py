@@ -256,3 +256,53 @@ def write_bucketed(
         writer = writer.sortBy(key)
     writer.saveAsTable(name)
     return df.sparkSession.table(name)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Row-level diff between two table snapshots — the
+    reconciliation / change-data-feed primitive (what a table format's
+    CDF emits, computed from plain snapshots).
+
+    Returns (key, change_type) with change_type in
+    {'insert','delete','update'}: keys only in ``new`` are inserts,
+    only in ``old`` are deletes, present in both with differing
+    content are updates; identical rows are dropped. Content is
+    compared via an md5 row digest over ``compare_cols`` (cast to
+    string; cast doubles to DECIMAL first at the call site — double→
+    string formatting is not engine-portable). The plan is one keyed
+    full-outer hash join carrying only (key, 16-byte digest) per side
+    — at 100 TB the shuffle moves digests, never rows, and the diff
+    output is change-sized. NULL content columns: concat_ws skips
+    NULLs identically in Spark and DuckDB, so a NULL→value change in
+    a middle column can collide with a value shift; include an
+    explicit null marker per column at the call site if columns are
+    nullable.
+    """
+    def digested(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col(key).alias(f"{side}_key"),
+            F.md5(
+                F.concat_ws("|", *[F.col(c).cast("string") for c in compare_cols])
+            ).alias(f"{side}_digest"),
+        )
+
+    o = digested(old, "o")
+    n = digested(new, "n")
+    joined = o.join(n, o.o_key == n.n_key, "full_outer")
+    change = (
+        F.when(F.col("o_key").isNull(), "insert")
+        .when(F.col("n_key").isNull(), "delete")
+        .when(F.col("o_digest") != F.col("n_digest"), "update")
+    )
+    return (
+        joined.select(
+            F.coalesce("o_key", "n_key").alias(key),
+            change.alias("change_type"),
+        )
+        .filter(F.col("change_type").isNotNull())
+    )

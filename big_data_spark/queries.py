@@ -6937,6 +6937,86 @@ def q135_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q136_snapshot_diff",
+    """
+    WITH base AS (
+      SELECT o_orderkey,
+             md5(concat_ws('|', o_orderstatus,
+                           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)))
+               AS digest,
+             md5(concat_ws('|', o_orderstatus,
+                           CAST(CAST(floor(o_totalprice / 100) * 100
+                                     AS DECIMAL(18,2)) AS VARCHAR)))
+               AS stale_digest,
+             o_orderkey % 5 = 0 AS is_stale
+      FROM orders
+    ), old AS (
+      SELECT o_orderkey,
+             CASE WHEN is_stale THEN stale_digest ELSE digest END AS digest
+      FROM base WHERE o_orderkey % 11 <> 0
+    ), new AS (
+      SELECT o_orderkey, digest FROM base WHERE o_orderkey % 13 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN o.digest <> n.digest THEN 'update' END AS change_type
+    FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE (o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+           OR o.digest <> n.digest)
+    ORDER BY o_orderkey
+    """,
+    "join",
+    "reconciliation",
+)
+def q136_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation / change-data-feed: row-level diff
+    between two versions of a table — inserts, deletes, and content
+    updates — via `operators.relational.snapshot_diff`. The two
+    snapshots here derive deterministically from orders (so the
+    oracle replays them): the 'old' version is missing every 11th
+    key (→ inserts), the 'new' is missing every 13th (→ deletes),
+    and every 5th key carries a stale price rounded to 100s in 'old'
+    (→ updates where the rounding actually changed the value). The
+    plan is ONE keyed full-outer hash join whose shuffle carries
+    (key, 16-byte md5 digest) per side — never the rows themselves —
+    so diffing two 100 TB snapshots moves ~32 bytes × keys, and the
+    output is change-sized. Doubles enter the digest through a
+    DECIMAL cast: double→string formatting is not engine-portable,
+    fixed-point is."""
+    from .operators.relational import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    price_s = F.col("o_totalprice").cast("decimal(18,2)").cast("string")
+    stale_s = (
+        (F.floor(F.col("o_totalprice") / 100) * 100)
+        .cast("decimal(18,2)")
+        .cast("string")
+    )
+    base = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, stale_s)
+        .otherwise(price_s)
+        .alias("old_price_s"),
+        price_s.alias("new_price_s"),
+    )
+    old = base.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("old_price_s").alias("price_s"),
+    )
+    new = base.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("new_price_s").alias("price_s"),
+    )
+    return snapshot_diff(
+        old, new, "o_orderkey", ["o_orderstatus", "price_s"]
+    ).orderBy("o_orderkey")
+
+
 # =========================================================================
 # Registry ordering (driver check-window priority)
 # =========================================================================
@@ -7027,7 +7107,8 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     # q115↔q106, q116↔q27/q57, q117↔q57, q118↔q55/q56, q119↔q76/q94,
     # q120↔q96/q92, q121↔q33/q40, q126↔q118/q09, q127↔q121,
     # q128↔q26/q57, q129↔q110/q41, q130↔q85, q131↔q110, q132↔q77/q113,
-    # q133↔q19/q58, q134↔q51/q85, q135↔q94/q09). Round-5 plan: promote these
+    # q133↔q19/q58, q134↔q51/q85, q135↔q94/q09, q136↔q13/q43).
+    # Round-5 plan: promote these
     # eighteen-plus, demoting entries that go twice-green in round 4
     # (candidates: q57-q59, q69, q85, q87, q88, q76, q51, q34, q65,
     # q81, q82, q83 — all will then have 2+ driver greens).
@@ -7059,6 +7140,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q133_sliding_active_users",
     "q134_key_skew_audit",
     "q135_peak_concurrency",
+    "q136_snapshot_diff",
     # round-4 demotions next (freshest prev-pass evidence):
     "q05_nation_revenue",
     "q08_top3_orders_per_customer",

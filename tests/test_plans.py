@@ -598,3 +598,18 @@ def test_peak_concurrency_two_level_sweep(spark):
     assert "hashpartitioning(bucket" in plan, plan
     assert plan.count("Window") >= 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_snapshot_diff_joins_digests_only(spark):
+    """q136: the full-outer reconciliation join carries only
+    (key, md5 digest) per side — the md5 projects before the
+    exchange, so the shuffle moves 32B/row regardless of row width."""
+    df = q(spark, "q136_snapshot_diff")
+    plan = formatted_plan(df)
+    assert "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # digest computed below every exchange: no raw content column in
+    # any Exchange node's input attribute list
+    for section in plan.split("\n\n"):
+        if section.startswith("(") and ") Exchange" in section.splitlines()[0]:
+            assert "o_orderstatus" not in section, section

@@ -97,3 +97,20 @@ def test_referential_integrity_clean(spark):
         referential_integrity("ri", child, "fk", parent, "pk")
     )
     assert rep["ri"] == (1.0, True)
+
+
+def test_snapshot_diff_classifies_all_change_types(spark):
+    from big_data_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "CHANGED"), (4, "d")], "k bigint, v string"
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new, "k", ["v"]).collect()
+    }
+    # 1 deleted, 2 identical (absent), 3 updated, 4 inserted
+    assert got == {1: "delete", 3: "update", 4: "insert"}
