@@ -89,3 +89,102 @@ def test_fuzz_experience_parity(spark):
         EXPERIENCE_ORACLE_SQL,
         ["exp_min_year", "exp_max_year", "exp_avg_year", "exp_type"],
     )
+
+
+def test_fuzz_snapshot_diff_classification(spark):
+    """snapshot_diff vs a brute-force dict diff on seeded random
+    snapshots: every (insert, delete, update, unchanged-absent)
+    verdict must match for any overlap/churn pattern."""
+    from big_data_spark.operators.relational import snapshot_diff
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        old = {k: rng.choice("abcde") for k in rng.sample(range(60), 35)}
+        new = {}
+        for k in rng.sample(range(60), 35):
+            # some keys keep old value, some change, some are fresh
+            if k in old and rng.random() < 0.5:
+                new[k] = old[k]
+            else:
+                new[k] = rng.choice("abcde")
+        expected = {}
+        for k in set(old) | set(new):
+            if k not in old:
+                expected[k] = "insert"
+            elif k not in new:
+                expected[k] = "delete"
+            elif old[k] != new[k]:
+                expected[k] = "update"
+        odf = spark.createDataFrame(list(old.items()), "k bigint, v string")
+        ndf = spark.createDataFrame(list(new.items()), "k bigint, v string")
+        got = {
+            r["k"]: r["change_type"]
+            for r in snapshot_diff(odf, ndf, "k", ["v"]).collect()
+        }
+        assert got == expected, (trial, got, expected)
+
+
+def test_fuzz_sliding_distinct_construction(spark):
+    """q133's window-membership explode vs a brute-force Python
+    sliding window over seeded random (day, user) activity."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(99)
+    d0 = datetime.datetime(2024, 3, 1)
+    rows = [
+        (d0 + datetime.timedelta(days=rng.randint(0, 13),
+                                 seconds=rng.randint(0, 86399)),
+         rng.randint(0, 9))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    du = df.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    bounds = du.agg(F.max("day").alias("dmax"))
+    contrib = (
+        du.select(
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.col("day") + F.expr("INTERVAL 6 DAY"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("wend"),
+            "user_id",
+        )
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("wend") <= F.col("dmax"))
+        .select("wend", "user_id")
+        .distinct()
+    )
+    got = {
+        r["wend"]: r["wau"]
+        for r in contrib.groupBy("wend")
+        .agg(F.count("*").alias("wau"))
+        .collect()
+    }
+    # brute force: for each day with activity <= max day, union users
+    # active in [day-6, day]
+    active: dict = {}
+    for ts, u in rows:
+        day = ts.replace(hour=0, minute=0, second=0, microsecond=0)
+        active.setdefault(day, set()).add(u)
+    dmax = max(active)
+    for wend in got:
+        users = set()
+        for off in range(7):
+            users |= active.get(wend - datetime.timedelta(days=off), set())
+        assert got[wend] == len(users), wend
+    # every window-end from first activity to dmax that has any
+    # trailing activity is reported
+    expected_ends = {
+        d
+        for d in (min(active) + datetime.timedelta(days=i)
+                  for i in range(0, (dmax - min(active)).days + 1))
+    }
+    assert set(got) >= {d for d in expected_ends if any(
+        active.get(d - datetime.timedelta(days=o)) for o in range(7)
+    )}
