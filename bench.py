@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "q134_key_skew_audit",
     "q135_peak_concurrency",
     "q136_snapshot_diff",
+    "q137_bm25_topk",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

@@ -7017,6 +7017,113 @@ def q136_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+@register(
+    "q137_bm25_topk",
+    """
+    WITH q(term) AS (VALUES ('spark'), ('hash'), ('window')),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT t.doc_id, t.term, COUNT(*) AS tf
+      FROM toks t JOIN q ON t.term = q.term GROUP BY 1, 2
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+    ), idf AS (
+      SELECT term,
+             round(ln((n_docs - df + 0.5) / (df + 0.5) + 1), 8) AS idf
+      FROM df, stats
+    ), scored AS (
+      SELECT tf.doc_id,
+             round(idf.idf * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)),
+                   8) AS s
+      FROM tf
+      JOIN idf ON tf.term = idf.term
+      JOIN dl ON tf.doc_id = dl.doc_id, stats
+    )
+    SELECT doc_id,
+           round(CAST(SUM(CAST(s AS DECIMAL(27,8))) AS DOUBLE), 6) AS bm25
+    FROM scored GROUP BY 1
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+    "text",
+    "retrieval",
+)
+def q137_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 sparse retrieval (Okapi, k1=1.2 b=0.75 — the Lucene
+    defaults with Lucene's non-negative idf): top-10 documents for a
+    multi-term query. This is the query→corpus RANKING primitive
+    (search, RAG candidate generation) — q96 covers doc↔doc
+    similarity; retrieval needs per-term idf and length
+    normalization. The plan touches only what a 100 TB index would:
+    term frequencies are computed for the QUERY'S terms only (the
+    isin filter pushes to the scan side of the explode, so non-query
+    tokens never aggregate), doc lengths are one map-side-combined
+    agg, corpus stats are a broadcast 1-row cross join, idf a
+    broadcast |query| rows dim, and the top-10 compiles to
+    TakeOrderedAndProject. Per-term partial scores round to 8 before
+    the exact-decimal per-doc sum (ln/div are libm-deterministic per
+    row; only the SUM order needs pinning)."""
+    terms = ["spark", "hash", "window"]
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    idf = df_.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.round(
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1
+            ),
+            8,
+        ).alias("idf"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+                ),
+                8,
+            ).alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("s").cast("decimal(27,8)")).cast("double"), 6
+            ).alias("bm25")
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )
+
+
 # =========================================================================
 # Registry ordering (driver check-window priority)
 # =========================================================================
@@ -7107,7 +7214,8 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     # q115↔q106, q116↔q27/q57, q117↔q57, q118↔q55/q56, q119↔q76/q94,
     # q120↔q96/q92, q121↔q33/q40, q126↔q118/q09, q127↔q121,
     # q128↔q26/q57, q129↔q110/q41, q130↔q85, q131↔q110, q132↔q77/q113,
-    # q133↔q19/q58, q134↔q51/q85, q135↔q94/q09, q136↔q13/q43).
+    # q133↔q19/q58, q134↔q51/q85, q135↔q94/q09, q136↔q13/q43,
+    # q137↔q96/q86).
     # Round-5 plan: promote these
     # eighteen-plus, demoting entries that go twice-green in round 4
     # (candidates: q57-q59, q69, q85, q87, q88, q76, q51, q34, q65,
@@ -7141,6 +7249,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q134_key_skew_audit",
     "q135_peak_concurrency",
     "q136_snapshot_diff",
+    "q137_bm25_topk",
     # round-4 demotions next (freshest prev-pass evidence):
     "q05_nation_revenue",
     "q08_top3_orders_per_customer",

@@ -613,3 +613,16 @@ def test_snapshot_diff_joins_digests_only(spark):
     for section in plan.split("\n\n"):
         if section.startswith("(") and ") Exchange" in section.splitlines()[0]:
             assert "o_orderstatus" not in section, section
+
+
+def test_bm25_scores_query_terms_only(spark):
+    """q137: the isin(query terms) filter reaches the token stream
+    before any aggregation, idf/stats ride broadcasts, and the top-10
+    compiles to TakeOrderedAndProject — retrieval cost tracks the
+    query's posting lists, not the corpus vocabulary."""
+    df = q(spark, "q137_bm25_topk")
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "term#" in plan and "spark" in plan  # isin filter visible
