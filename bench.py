@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "q135_peak_concurrency",
     "q136_snapshot_diff",
     "q137_bm25_topk",
+    "q138_hybrid_rrf",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

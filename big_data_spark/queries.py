@@ -7124,6 +7124,152 @@ def q137_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q138_hybrid_rrf",
+    """
+    WITH q(term) AS (VALUES ('spark'), ('hash'), ('window')),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT t.doc_id, t.term, COUNT(*) AS tf
+      FROM toks t JOIN q ON t.term = q.term GROUP BY 1, 2
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+    ), idf AS (
+      SELECT term,
+             round(ln((n_docs - df + 0.5) / (df + 0.5) + 1), 8) AS idf
+      FROM df, stats
+    ), bm25 AS (
+      SELECT tf.doc_id AS doc_id,
+             round(CAST(SUM(CAST(
+               round(idf.idf * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)), 8)
+               AS DECIMAL(27,8))) AS DOUBLE), 6) AS s
+      FROM tf JOIN idf ON tf.term = idf.term
+              JOIN dl ON tf.doc_id = dl.doc_id, stats
+      GROUP BY tf.doc_id
+    ), r1 AS (
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id)
+                          AS INT) AS rnk
+      FROM (SELECT * FROM bm25 ORDER BY s DESC, doc_id LIMIT 20)
+    ), cov AS (
+      SELECT doc_id, COUNT(DISTINCT term) AS n_terms
+      FROM tf GROUP BY 1
+    ), covdl AS (
+      SELECT cov.doc_id, cov.n_terms, dl.dl
+      FROM cov JOIN dl ON cov.doc_id = dl.doc_id
+    ), r2 AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_terms DESC, dl, doc_id)
+                  AS INT) AS rnk
+      FROM (SELECT * FROM covdl
+            ORDER BY n_terms DESC, dl, doc_id LIMIT 20)
+    )
+    SELECT doc_id,
+           round(CAST(SUM(CAST(round(1.0 / (60 + rnk), 8)
+                               AS DECIMAL(27,8))) AS DOUBLE), 6) AS rrf
+    FROM (SELECT doc_id, rnk FROM r1
+          UNION ALL SELECT doc_id, rnk FROM r2)
+    GROUP BY 1 ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+    "text",
+    "retrieval",
+)
+def q138_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-search rank fusion: reciprocal-rank fusion (k=60) of
+    two retrieval signals for one query — BM25 (q137's scorer) and a
+    term-coverage ranker (distinct query terms matched, shorter docs
+    first) — the standard way RAG stacks combine lexical + secondary
+    rankers WITHOUT calibrating their score scales (RRF uses only
+    ranks). Each ranker's top-20 is a TakeOrderedAndProject; the rank
+    windows then run over ≤20 rows by construction; fusion is a
+    union + per-doc sum of 1/(60+rank). At 100 TB each ranker bounds
+    its own cost (q137's query-term posting discipline); fusion
+    touches only k rows per signal. Rank ties are broken by doc_id
+    in both engines, and 1/(60+r) rounds before the decimal sum so
+    the fused ordering is engine-stable."""
+    terms = ["spark", "hash", "window"]
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    idf = df_.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.round(
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1
+            ),
+            8,
+        ).alias("idf"),
+    )
+    s_term = F.round(
+        F.col("idf")
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))),
+        8,
+    )
+    bm25 = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", s_term.alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("s").cast("decimal(27,8)")).cast("double"), 6
+            ).alias("s")
+        )
+    )
+    w1 = Window.orderBy(F.desc("s"), "doc_id")
+    r1 = (
+        bm25.orderBy(F.desc("s"), "doc_id")
+        .limit(20)
+        .select("doc_id", F.row_number().over(w1).alias("rnk"))
+    )
+    cov = tf.groupBy("doc_id").agg(
+        F.count_distinct("term").alias("n_terms")
+    ).join(dl, "doc_id")
+    w2 = Window.orderBy(F.desc("n_terms"), "dl", "doc_id")
+    r2 = (
+        cov.orderBy(F.desc("n_terms"), "dl", "doc_id")
+        .limit(20)
+        .select("doc_id", F.row_number().over(w2).alias("rnk"))
+    )
+    fused = r1.unionByName(r2)
+    return (
+        fused.groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(1.0 / (60 + F.col("rnk")), 8).cast(
+                        "decimal(27,8)"
+                    )
+                ).cast("double"),
+                6,
+            ).alias("rrf")
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(10)
+    )
+
+
 # =========================================================================
 # Registry ordering (driver check-window priority)
 # =========================================================================
@@ -7215,7 +7361,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     # q120↔q96/q92, q121↔q33/q40, q126↔q118/q09, q127↔q121,
     # q128↔q26/q57, q129↔q110/q41, q130↔q85, q131↔q110, q132↔q77/q113,
     # q133↔q19/q58, q134↔q51/q85, q135↔q94/q09, q136↔q13/q43,
-    # q137↔q96/q86).
+    # q137↔q96/q86, q138↔q137).
     # Round-5 plan: promote these
     # eighteen-plus, demoting entries that go twice-green in round 4
     # (candidates: q57-q59, q69, q85, q87, q88, q76, q51, q34, q65,
@@ -7250,6 +7396,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q135_peak_concurrency",
     "q136_snapshot_diff",
     "q137_bm25_topk",
+    "q138_hybrid_rrf",
     # round-4 demotions next (freshest prev-pass evidence):
     "q05_nation_revenue",
     "q08_top3_orders_per_customer",
