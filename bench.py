@@ -95,6 +95,8 @@ BENCH_QUERIES = [
     "q136_snapshot_diff",
     "q137_bm25_topk",
     "q138_hybrid_rrf",
+    "q139_ab_welch_t",
+    "q140_event_transitions",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

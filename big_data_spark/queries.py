@@ -7270,6 +7270,144 @@ def q138_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q139_ab_welch_t",
+    """
+    WITH g AS (
+      SELECT CAST(user_id % 2 AS INT) AS variant,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value * value AS DECIMAL(27,6))) AS DOUBLE) AS ss
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    ), m AS (
+      SELECT variant, n,
+             s / n AS mean,
+             (ss - s * s / n) / (n - 1) AS var
+      FROM g
+    ), w AS (
+      SELECT a.n AS n_a, b.n AS n_b,
+             a.mean AS mean_a, b.mean AS mean_b,
+             a.var / a.n + b.var / b.n AS se2
+      FROM m a JOIN m b ON a.variant = 0 AND b.variant = 1
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+           round((mean_a - mean_b) / sqrt(se2), 6) AS t_stat,
+           abs((mean_a - mean_b) / sqrt(se2)) > 1.96 AS significant
+    FROM w
+    """,
+    "agg",
+    "experiment",
+)
+def q139_ab_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment analysis at event scale: Welch's t-statistic
+    between two variants (deterministic user_id%2 split) on purchase
+    value. Mean and variance come from the one-pass sufficient
+    statistics (n, Σx, Σx²) — a single map-side-combined aggregate
+    per variant, so a 10^12-event experiment costs one scan and the
+    comparison joins TWO rows. The sums are exact decimals (order-
+    independent), so mean/var/t are bit-identical across engines
+    before the final rounding; sqrt is IEEE-exact. The significance
+    flag thresholds |t| at 1.96 — computed from the unrounded t so
+    the verdict can't straddle the display rounding. The same
+    sufficient-statistics shape extends to CUPED/stratified variants
+    by adding covariate sums to the same aggregate."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    g = ev.groupBy(
+        (F.col("user_id") % 2).cast("int").alias("variant")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(27,4)"))
+        .cast("double")
+        .alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("ss"),
+    )
+    m = g.select(
+        "variant",
+        "n",
+        (F.col("s") / F.col("n")).alias("mean"),
+        ((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)).alias(
+            "var"
+        ),
+    )
+    a = m.filter(F.col("variant") == 0).alias("a")
+    b = m.filter(F.col("variant") == 1).alias("b")
+    t = (F.col("a.mean") - F.col("b.mean")) / F.sqrt(
+        F.col("a.var") / F.col("a.n") + F.col("b.var") / F.col("b.n")
+    )
+    return a.crossJoin(b).select(
+        F.col("a.n").cast("long").alias("n_a"),
+        F.col("b.n").cast("long").alias("n_b"),
+        F.round(F.col("a.mean"), 6).alias("mean_a"),
+        F.round(F.col("b.mean"), 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        (F.abs(t) > 1.96).alias("significant"),
+    )
+
+
+@register(
+    "q140_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ), tot AS (
+      SELECT from_type, SUM(n) AS row_total FROM pairs GROUP BY 1
+    )
+    SELECT p.from_type, p.to_type, CAST(p.n AS BIGINT) AS n,
+           round(p.n / CAST(t.row_total AS DOUBLE), 6) AS p_next
+    FROM pairs p JOIN tot t ON p.from_type = t.from_type
+    ORDER BY p.from_type, p.to_type
+    """,
+    "window",
+    "sequence",
+)
+def q140_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order sequence mining: the Markov transition matrix of
+    user event types — P(next event | current event) with raw counts.
+    Consecutive pairs come from one `lead` window keyed by user (a
+    single hash shuffle; per-user state is one row of lookahead —
+    never a self-join on position). The matrix is |types|² and the
+    row-normalizer joins at histogram size. This is the
+    journey-analysis / next-action-model primitive (and the input to
+    higher-order variants: key the window by (user, lag-k gram) for
+    k-th order). Ties at identical timestamps are ordered by
+    event_id in both engines, pinning which event is 'next'."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    pairs = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count("*").alias("n"))
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return (
+        pairs.join(tot, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("row_total").cast("double"), 6).alias(
+                "p_next"
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
 # =========================================================================
 # Registry ordering (driver check-window priority)
 # =========================================================================
@@ -7361,7 +7499,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     # q120↔q96/q92, q121↔q33/q40, q126↔q118/q09, q127↔q121,
     # q128↔q26/q57, q129↔q110/q41, q130↔q85, q131↔q110, q132↔q77/q113,
     # q133↔q19/q58, q134↔q51/q85, q135↔q94/q09, q136↔q13/q43,
-    # q137↔q96/q86, q138↔q137).
+    # q137↔q96/q86, q138↔q137, q139↔q76/q37, q140↔q23/q59).
     # Round-5 plan: promote these
     # eighteen-plus, demoting entries that go twice-green in round 4
     # (candidates: q57-q59, q69, q85, q87, q88, q76, q51, q34, q65,
@@ -7397,6 +7535,8 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q136_snapshot_diff",
     "q137_bm25_topk",
     "q138_hybrid_rrf",
+    "q139_ab_welch_t",
+    "q140_event_transitions",
     # round-4 demotions next (freshest prev-pass evidence):
     "q05_nation_revenue",
     "q08_top3_orders_per_customer",
