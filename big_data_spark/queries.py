@@ -7500,10 +7500,13 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     # q128↔q26/q57, q129↔q110/q41, q130↔q85, q131↔q110, q132↔q77/q113,
     # q133↔q19/q58, q134↔q51/q85, q135↔q94/q09, q136↔q13/q43,
     # q137↔q96/q86, q138↔q137, q139↔q76/q37, q140↔q23/q59).
-    # Round-5 plan: promote these
-    # eighteen-plus, demoting entries that go twice-green in round 4
-    # (candidates: q57-q59, q69, q85, q87, q88, q76, q51, q34, q65,
-    # q81, q82, q83 — all will then have 2+ driver greens).
+    # Round-5 plan: the staged list (q108-q140, 33 entries) exceeds
+    # one round's demotion budget; promote in q-number order, demoting
+    # every entry that goes twice-green in round 4 (candidates:
+    # q57-q59, q69, q85, q87, q88, q76, q51, q34, q65, q81, q82, q83,
+    # q01, q32, q33, q55, q56, q66, q67, q68, q77-q80, q84, q86 —
+    # all will then have 2+ driver greens); the remainder (~q131+)
+    # rotates in round 6.
     "q108_source_shingle_overlap",
     "q109_gap_fill",
     "q110_unigram_quality",
