@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "q138_hybrid_rrf",
     "q139_ab_welch_t",
     "q140_event_transitions",
+    "q141_triangle_count",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

@@ -306,3 +306,25 @@ def snapshot_diff(
         )
         .filter(F.col("change_type").isNotNull())
     )
+
+
+def triangle_count(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Count triangles in an undirected graph given canonically
+    oriented edges (each undirected edge stored exactly once with
+    u < v).
+
+    A triangle {a<b<c} is found exactly once: wedge join (a,b)⋈(b,c)
+    on the shared middle vertex, then a hash probe for the closing
+    edge (a,c). Keyed equi-joins only — work is Σ deg² wedges, never
+    |V|³. For skew-heavy graphs, re-orient by degree (low→high) first
+    to bound wedge work by arboricity. Returns a 1-row (n_triangles)
+    frame.
+    """
+    e1 = edges.select(F.col(u).alias("x"), F.col(v).alias("y"))
+    e2 = edges.select(F.col(u).alias("y"), F.col(v).alias("z"))
+    e3 = edges.select(F.col(u).alias("x"), F.col(v).alias("z"))
+    return (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .agg(F.count("*").alias("n_triangles"))
+    )

@@ -7408,6 +7408,69 @@ def q140_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q141_triangle_count",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), edges AS (
+      SELECT u, v FROM e0 GROUP BY u, v HAVING COUNT(*) >= 2
+    ), tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+           n_triangles
+    FROM tri
+    """,
+    "join",
+    "graph",
+)
+def q141_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics beyond q66's connected components: triangle
+    counting on the co-purchase graph (edges = part pairs bought
+    together in ≥2 orders, q128's support floor) — the clustering-
+    coefficient / community-density primitive. The standard
+    distributed orientation trick is built in: every edge is stored
+    ONCE as (u < v), so a triangle {a<b<c} is found exactly once as
+    e1=(a,b) ⋈ e2=(b,c) on the shared middle vertex plus a hash
+    probe for the closing edge (a,c) — keyed equi-joins only, work
+    bounded by Σ deg(v)² wedges, never |V|³. At 100 TB-scale graphs
+    the refinement is degree-ordered orientation (point each edge
+    from lower- to higher-degree endpoint, bounding wedge work by
+    arboricity); the support floor already prunes the heavy tail
+    here."""
+    op = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
+    )
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("u", "v")
+    )
+    from .operators.relational import triangle_count
+
+    tri = triangle_count(edges)
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    return n_edges.crossJoin(tri).select("n_edges", "n_triangles")
+
+
 # =========================================================================
 # Registry ordering (driver check-window priority)
 # =========================================================================
@@ -7499,7 +7562,8 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     # q120↔q96/q92, q121↔q33/q40, q126↔q118/q09, q127↔q121,
     # q128↔q26/q57, q129↔q110/q41, q130↔q85, q131↔q110, q132↔q77/q113,
     # q133↔q19/q58, q134↔q51/q85, q135↔q94/q09, q136↔q13/q43,
-    # q137↔q96/q86, q138↔q137, q139↔q76/q37, q140↔q23/q59).
+    # q137↔q96/q86, q138↔q137, q139↔q76/q37, q140↔q23/q59,
+    # q141↔q128/q66).
     # Round-5 plan: the staged list (q108-q140, 33 entries) exceeds
     # one round's demotion budget; promote in q-number order, demoting
     # every entry that goes twice-green in round 4 (candidates:
@@ -7540,6 +7604,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q138_hybrid_rrf",
     "q139_ab_welch_t",
     "q140_event_transitions",
+    "q141_triangle_count",
     # round-4 demotions next (freshest prev-pass evidence):
     "q05_nation_revenue",
     "q08_top3_orders_per_customer",

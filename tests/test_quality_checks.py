@@ -114,3 +114,19 @@ def test_snapshot_diff_classifies_all_change_types(spark):
     }
     # 1 deleted, 2 identical (absent), 3 updated, 4 inserted
     assert got == {1: "delete", 3: "update", 4: "insert"}
+
+
+def test_triangle_count_known_graphs(spark):
+    from big_data_spark.operators.relational import triangle_count
+
+    # K4 has C(4,3)=4 triangles
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b],
+        "u bigint, v bigint",
+    )
+    assert triangle_count(k4).first()["n_triangles"] == 4
+    # a 4-cycle has none
+    c4 = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 3)], "u bigint, v bigint"
+    )
+    assert triangle_count(c4).first()["n_triangles"] == 0
