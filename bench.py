@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "q139_ab_welch_t",
     "q140_event_transitions",
     "q141_triangle_count",
+    "q142_rfm_segments",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

@@ -7471,6 +7471,124 @@ def q141_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_edges.crossJoin(tri).select("n_edges", "n_triangles")
 
 
+@register(
+    "q142_rfm_segments",
+    """
+    WITH anchor AS (SELECT MAX(o_orderdate) AS anchor FROM orders),
+    cust AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', MAX(o_orderdate), anchor) AS INT)
+               AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+               AS monetary
+      FROM orders, anchor GROUP BY o_custkey, anchor
+    ), cust2 AS (
+      SELECT *, CAST(floor(monetary / 1000) AS BIGINT) AS mon_band
+      FROM cust
+    ),
+    rh AS (SELECT recency_days AS v, COUNT(*) AS cnt FROM cust2 GROUP BY 1),
+    rc AS (SELECT v, COALESCE(SUM(cnt) OVER (ORDER BY v ROWS BETWEEN
+                UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb,
+                SUM(cnt) OVER () AS tot FROM rh),
+    rmap AS (SELECT v, CAST((5 * nb) // tot AS INT) AS b FROM rc),
+    fh AS (SELECT frequency AS v, COUNT(*) AS cnt FROM cust2 GROUP BY 1),
+    fc AS (SELECT v, COALESCE(SUM(cnt) OVER (ORDER BY v ROWS BETWEEN
+                UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb,
+                SUM(cnt) OVER () AS tot FROM fh),
+    fmap AS (SELECT v, CAST((5 * nb) // tot AS INT) AS b FROM fc),
+    mh AS (SELECT mon_band AS v, COUNT(*) AS cnt FROM cust2 GROUP BY 1),
+    mc AS (SELECT v, COALESCE(SUM(cnt) OVER (ORDER BY v ROWS BETWEEN
+                UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb,
+                SUM(cnt) OVER () AS tot FROM mh),
+    mmap AS (SELECT v, CAST((5 * nb) // tot AS INT) AS b FROM mc),
+    scored AS (
+      SELECT c.o_custkey, c.recency_days,
+             CAST(c.frequency AS BIGINT) AS frequency, c.monetary,
+             5 - rmap.b AS r_score, fmap.b + 1 AS f_score,
+             mmap.b + 1 AS m_score
+      FROM cust2 c
+      JOIN rmap ON c.recency_days = rmap.v
+      JOIN fmap ON c.frequency = fmap.v
+      JOIN mmap ON c.mon_band = mmap.v
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                  THEN 'champion'
+                WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+                WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+                ELSE 'regular' END AS segment
+    FROM scored ORDER BY o_custkey
+    """,
+    "agg",
+    "segmentation",
+)
+def q142_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quintile scores + lifecycle label) — the classic product-
+    analytics rollup, built scale-correct: each quintile assignment
+    uses `equi_frequency_buckets` (q94's machinery — cumulative
+    window over the metric's VALUE HISTOGRAM, broadcast value→bucket
+    map), never `ntile()` over a corpus-wide window. Recency and
+    frequency are naturally bounded-cardinality; monetary is
+    discretized to 1k bands first (the documented precondition for
+    histogram-exact binning on continuous values). One orders scan
+    feeds all three metrics; the anchor date is a broadcast 1-row
+    agg. Scores are deterministic because equal metric values always
+    share a bucket (ntile's row-level tie-breaking is not)."""
+    from .operators.relational import equi_frequency_buckets
+
+    orders = _t(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("anchor"))
+    cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff("anchor", "last_order").alias("recency_days"),
+            "frequency",
+            "monetary",
+            F.floor(F.col("monetary") / 1000).cast("long").alias("mon_band"),
+        )
+    )
+    b = equi_frequency_buckets(cust, "recency_days", 5, "r_bucket")
+    b = equi_frequency_buckets(b, "frequency", 5, "f_bucket")
+    b = equi_frequency_buckets(b, "mon_band", 5, "m_bucket")
+    r, f_, m = (
+        (5 - F.col("r_bucket")).cast("int"),
+        (F.col("f_bucket") + 1).cast("int"),
+        (F.col("m_bucket") + 1).cast("int"),
+    )
+    segment = (
+        F.when((r >= 4) & (f_ >= 4) & (m >= 4), "champion")
+        .when((r >= 4) & (f_ <= 2), "new")
+        .when((r <= 2) & (f_ >= 4), "at_risk")
+        .when((r <= 2) & (f_ <= 2), "hibernating")
+        .otherwise("regular")
+    )
+    return b.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r.alias("r_score"),
+        f_.alias("f_score"),
+        m.alias("m_score"),
+        segment.alias("segment"),
+    ).orderBy("o_custkey")
+
+
 # =========================================================================
 # Registry ordering (driver check-window priority)
 # =========================================================================
@@ -7563,7 +7681,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     # q128↔q26/q57, q129↔q110/q41, q130↔q85, q131↔q110, q132↔q77/q113,
     # q133↔q19/q58, q134↔q51/q85, q135↔q94/q09, q136↔q13/q43,
     # q137↔q96/q86, q138↔q137, q139↔q76/q37, q140↔q23/q59,
-    # q141↔q128/q66).
+    # q141↔q128/q66, q142↔q94/q58).
     # Round-5 plan: the staged list (q108-q140, 33 entries) exceeds
     # one round's demotion budget; promote in q-number order, demoting
     # every entry that goes twice-green in round 4 (candidates:
@@ -7605,6 +7723,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q139_ab_welch_t",
     "q140_event_transitions",
     "q141_triangle_count",
+    "q142_rfm_segments",
     # round-4 demotions next (freshest prev-pass evidence):
     "q05_nation_revenue",
     "q08_top3_orders_per_customer",
