@@ -89,11 +89,17 @@ def constraint_report(df: DataFrame, checks: list[Check]) -> DataFrame:
             for i, c in enumerate(checks)
         ]
     )
+    # fail closed: an observation that comes back NULL (empty input —
+    # 0/0 ratios, min/max of no rows) must yield a CONCRETE false
+    # verdict, never a NULL that `filter(passed = false)` consumers
+    # and the streaming gate would silently mishandle
     structs = [
         F.struct(
             F.lit(c.name).alias("constraint"),
             F.col(f"__obs_{i}").alias("observed"),
-            c.passes(F.col(f"__obs_{i}")).alias("passed"),
+            F.coalesce(
+                c.passes(F.col(f"__obs_{i}")).cast("boolean"), F.lit(False)
+            ).alias("passed"),
         )
         for i, c in enumerate(checks)
     ]
@@ -125,5 +131,7 @@ def referential_integrity(
     return joined.agg(obs.alias("observed")).select(
         F.lit(name).alias("constraint"),
         "observed",
-        (F.col("observed") == 1.0).alias("passed"),
+        F.coalesce(
+            (F.col("observed") == 1.0).cast("boolean"), F.lit(False)
+        ).alias("passed"),
     )

@@ -268,6 +268,14 @@ def snapshot_diff(
     reconciliation / change-data-feed primitive (what a table format's
     CDF emits, computed from plain snapshots).
 
+    PRECONDITION: ``key`` must be unique within each snapshot — a
+    duplicated key multiplies full-outer join rows and emits
+    contradictory change rows. NULL keys are handled (the join is
+    null-safe, so a NULL-keyed row diffs against the other side's
+    NULL-keyed row instead of reporting a phantom insert+delete
+    pair), but only one NULL-keyed row per snapshot satisfies the
+    uniqueness precondition.
+
     Returns (key, change_type) with change_type in
     {'insert','delete','update'}: keys only in ``new`` are inserts,
     only in ``old`` are deletes, present in both with differing
@@ -293,10 +301,10 @@ def snapshot_diff(
 
     o = digested(old, "o")
     n = digested(new, "n")
-    joined = o.join(n, o.o_key == n.n_key, "full_outer")
+    joined = o.join(n, o.o_key.eqNullSafe(n.n_key), "full_outer")
     change = (
-        F.when(F.col("o_key").isNull(), "insert")
-        .when(F.col("n_key").isNull(), "delete")
+        F.when(F.col("o_digest").isNull(), "insert")
+        .when(F.col("n_digest").isNull(), "delete")
         .when(F.col("o_digest") != F.col("n_digest"), "update")
     )
     return (

@@ -6321,25 +6321,7 @@ def q128_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     no second corpus-sized side ever shuffles; support counting is
     the only other exchange. Two shuffles total vs. the three (+join)
     of the self-join formulation, and measurably faster at sf0.1."""
-    li = _t(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("items")
-    )
-    pairs = baskets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "items",
-                    lambda x, i: F.transform(
-                        F.slice("items", i + 2, F.size("items")),
-                        lambda y: F.struct(
-                            x.alias("part_a"), y.alias("part_b")
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.part_a", "p.part_b")
+    pairs = _copurchase_pairs(_t(spark, sf_dir, "lineitem"))
     return (
         pairs.groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_orders"))
@@ -7017,6 +6999,93 @@ def q136_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+
+def _copurchase_pairs(li: DataFrame) -> DataFrame:
+    """Basket-local co-purchase pair stream (part_a < part_b), one row
+    per (order, pair) — q128's rejected-self-join replacement, shared
+    by q128 (support counting) and q141 (graph edges): one collect_set
+    shuffle on orderkey, pairs emitted from the sorted item array via
+    nested transforms, no join node."""
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    )
+    return baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "items",
+                    lambda x, i: F.transform(
+                        F.slice("items", i + 2, F.size("items")),
+                        lambda y: F.struct(
+                            x.alias("part_a"), y.alias("part_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
+
+
+def _bm25_doc_scores(
+    spark: SparkSession, sf_dir: str, terms: list[str]
+) -> DataFrame:
+    """Per-doc Okapi BM25 (k1=1.2, b=0.75, Lucene non-negative idf)
+    for a fixed query — the scorer shared by q137 (ranking) and q138
+    (fusion signal). Term frequencies aggregate for the QUERY'S terms
+    only; idf and corpus stats ride broadcasts. Returns (doc_id, s)
+    with s rounded to 6 after an exact-decimal per-doc sum. Also
+    returns tf/dl columns used by q138's coverage ranker via the
+    companion _bm25_tf_dl."""
+    tf, dl, stats = _bm25_tf_dl(spark, sf_dir, terms)
+    df_ = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    idf = df_.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.round(
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1
+            ),
+            8,
+        ).alias("idf"),
+    )
+    s_term = F.round(
+        F.col("idf")
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))),
+        8,
+    )
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", s_term.alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("s").cast("decimal(27,8)")).cast("double"), 6
+            ).alias("s")
+        )
+    )
+
+
+def _bm25_tf_dl(spark: SparkSession, sf_dir: str, terms: list[str]):
+    """(tf, dl, stats) building blocks for BM25 and coverage ranking."""
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    return tf, dl, stats
+
+
 @register(
     "q137_bm25_topk",
     """
@@ -7041,7 +7110,7 @@ def q136_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), scored AS (
       SELECT tf.doc_id,
              round(idf.idf * (tf.tf * 2.2)
-                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)),
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)),
                    8) AS s
       FROM tf
       JOIN idf ON tf.term = idf.term
@@ -7071,54 +7140,9 @@ def q137_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact-decimal per-doc sum (ln/div are libm-deterministic per
     row; only the SUM order needs pinning)."""
     terms = ["spark", "hash", "window"]
-    toks = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term")
-    )
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dl.agg(
-        F.count("*").cast("double").alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-    )
-    tf = (
-        toks.filter(F.col("term").isin(terms))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    df_ = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
-    idf = df_.crossJoin(F.broadcast(stats)).select(
-        "term",
-        F.round(
-            F.log(
-                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-                + 1
-            ),
-            8,
-        ).alias("idf"),
-    )
-    scored = (
-        tf.join(F.broadcast(idf), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            F.round(
-                F.col("idf")
-                * (F.col("tf") * 2.2)
-                / (
-                    F.col("tf")
-                    + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
-                ),
-                8,
-            ).alias("s"),
-        )
-    )
     return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.round(
-                F.sum(F.col("s").cast("decimal(27,8)")).cast("double"), 6
-            ).alias("bm25")
-        )
+        _bm25_doc_scores(spark, sf_dir, terms)
+        .select("doc_id", F.col("s").alias("bm25"))
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(10)
     )
@@ -7195,48 +7219,8 @@ def q138_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     in both engines, and 1/(60+r) rounds before the decimal sum so
     the fused ordering is engine-stable."""
     terms = ["spark", "hash", "window"]
-    toks = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term")
-    )
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dl.agg(
-        F.count("*").cast("double").alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-    )
-    tf = (
-        toks.filter(F.col("term").isin(terms))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    df_ = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
-    idf = df_.crossJoin(F.broadcast(stats)).select(
-        "term",
-        F.round(
-            F.log(
-                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-                + 1
-            ),
-            8,
-        ).alias("idf"),
-    )
-    s_term = F.round(
-        F.col("idf")
-        * (F.col("tf") * 2.2)
-        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))),
-        8,
-    )
-    bm25 = (
-        tf.join(F.broadcast(idf), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", s_term.alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.round(
-                F.sum(F.col("s").cast("decimal(27,8)")).cast("double"), 6
-            ).alias("s")
-        )
-    )
+    tf, dl, _stats = _bm25_tf_dl(spark, sf_dir, terms)
+    bm25 = _bm25_doc_scores(spark, sf_dir, terms)
     w1 = Window.orderBy(F.desc("s"), "doc_id")
     r1 = (
         bm25.orderBy(F.desc("s"), "doc_id")
@@ -7445,21 +7429,11 @@ def q141_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lower- to higher-degree endpoint, bounding wedge work by
     arboricity); the support floor already prunes the heavy tail
     here."""
-    op = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = op.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
-    )
-    b = op.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
-    )
+    pairs = _copurchase_pairs(_t(spark, sf_dir, "lineitem"))
     edges = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
+        pairs.groupBy(
+            F.col("part_a").alias("u"), F.col("part_b").alias("v")
+        )
         .agg(F.count("*").alias("c"))
         .filter(F.col("c") >= 2)
         .select("u", "v")

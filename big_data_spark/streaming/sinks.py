@@ -535,6 +535,12 @@ def start_contract_gate_stream(
 
     def gate(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        if batch.isEmpty():
+            # no-data batches (checkpoint-recovery replays, empty
+            # offset ranges) carry nothing to gate or land; evaluating
+            # the suite on them would fail closed (0/0 ratios observe
+            # NULL -> passed=false) and wedge the stream permanently
+            return
         batch.persist()
         try:
             rep = constraint_report(batch, checks)

@@ -103,17 +103,30 @@ def test_snapshot_diff_classifies_all_change_types(spark):
     from big_data_spark.operators.relational import snapshot_diff
 
     old = spark.createDataFrame(
-        [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"
+        [(1, "a"), (2, "b"), (3, "c"), (None, "n")], "k bigint, v string"
     )
     new = spark.createDataFrame(
-        [(2, "b"), (3, "CHANGED"), (4, "d")], "k bigint, v string"
+        [(2, "b"), (3, "CHANGED"), (4, "d"), (None, "n")],
+        "k bigint, v string",
     )
     got = {
         r["k"]: r["change_type"]
         for r in snapshot_diff(old, new, "k", ["v"]).collect()
     }
-    # 1 deleted, 2 identical (absent), 3 updated, 4 inserted
+    # 1 deleted, 2 identical (absent), 3 updated, 4 inserted; the
+    # NULL-keyed row is unchanged and must NOT surface as a phantom
+    # insert+delete pair (null-safe join)
     assert got == {1: "delete", 3: "update", 4: "insert"}
+
+
+def test_snapshot_diff_null_key_update(spark):
+    from big_data_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame([(None, "a")], "k bigint, v string")
+    new = spark.createDataFrame([(None, "b")], "k bigint, v string")
+    rows = snapshot_diff(old, new, "k", ["v"]).collect()
+    assert len(rows) == 1
+    assert rows[0]["k"] is None and rows[0]["change_type"] == "update"
 
 
 def test_triangle_count_known_graphs(spark):
@@ -130,3 +143,19 @@ def test_triangle_count_known_graphs(spark):
         [(0, 1), (1, 2), (2, 3), (0, 3)], "u bigint, v bigint"
     )
     assert triangle_count(c4).first()["n_triangles"] == 0
+
+
+def test_constraint_report_fails_closed_on_empty_input(spark):
+    """Empty input: ratio observations are NULL (0/0), and the verdict
+    must be a CONCRETE False — never NULL — so `filter(~passed)`
+    consumers and the streaming gate see the failure."""
+    empty = spark.createDataFrame([], "id bigint, v double")
+    rep = constraint_report(
+        empty,
+        [
+            Check("complete(v)", completeness("v"), lambda x: x == 1.0),
+            Check("min(v)>0", F.min("v"), lambda x: x > 0),
+        ],
+    ).collect()
+    assert all(r["passed"] is False for r in rep), rep
+    assert all(r["observed"] is None for r in rep), rep

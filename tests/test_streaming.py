@@ -1021,3 +1021,39 @@ def test_contract_gate_stream_blocks_violating_batch(spark, tmp_path):
         r["constraint"] for r in reports.filter(~F.col("passed")).collect()
     }
     assert failed == {"complete(name)", "amount_in_0_100"}
+
+
+def test_contract_gate_stream_skips_empty_batch(spark, tmp_path):
+    """A no-data batch (empty source at start) must pass through the
+    gate without raising or landing anything — 0/0 observations fail
+    closed, so evaluating the suite on an empty batch would wedge
+    the stream permanently."""
+    import json as _json
+    import os
+
+    from big_data_spark.operators.quality_checks import Check, completeness
+    from big_data_spark.streaming.sinks import start_contract_gate_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    checks = [
+        Check("complete(name)", completeness("name"), lambda v: v == 1.0)
+    ]
+    schema = "id long, name string"
+    # an empty file yields a batch with zero rows
+    (src / "empty.json").write_text("")
+    q = start_contract_gate_stream(
+        spark.readStream.schema(schema).json(str(src)), checks, out, ckpt
+    )
+    q.awaitTermination(120)  # must not raise
+    assert not os.path.exists(out) or spark.read.parquet(out).count() == 0
+    # a following clean batch still lands
+    with open(src / "clean.json", "w") as f:
+        f.write(_json.dumps({"id": 1, "name": "a"}) + "\n")
+    q = start_contract_gate_stream(
+        spark.readStream.schema(schema).json(str(src)), checks, out, ckpt
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 1
