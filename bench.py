@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "q140_event_transitions",
     "q141_triangle_count",
     "q142_rfm_segments",
+    "q143_hourly_anomalies",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

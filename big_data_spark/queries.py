@@ -7563,6 +7563,86 @@ def q142_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_custkey")
 
 
+@register(
+    "q143_hourly_anomalies",
+    """
+    WITH cells AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(hour(ts) AS INT) AS hod, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2, 3
+    ), med AS (
+      SELECT event_type, hod, quantile_cont(cnt, 0.5) AS med
+      FROM cells GROUP BY 1, 2
+    ), base AS (
+      SELECT c.event_type, c.hod,
+             any_value(m.med) AS med,
+             quantile_cont(abs(c.cnt - m.med), 0.5) AS mad
+      FROM cells c JOIN med m
+        ON c.event_type = m.event_type AND c.hod = m.hod
+      GROUP BY 1, 2
+    )
+    SELECT c.event_type, c.day, c.hod, CAST(c.cnt AS BIGINT) AS cnt,
+           round(b.med, 6) AS med, round(b.mad, 6) AS mad,
+           round((c.cnt - b.med) / (1.4826 * b.mad), 4) AS robust_z
+    FROM cells c JOIN base b
+      ON c.event_type = b.event_type AND c.hod = b.hod
+    WHERE b.mad > 0 AND abs((c.cnt - b.med) / (1.4826 * b.mad)) > 3
+    ORDER BY c.event_type, c.day, c.hod
+    """,
+    "timeseries",
+    "anomaly",
+)
+def q143_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection: flag (type, day, hour)
+    activity cells whose count deviates from that (type, hour-of-day)
+    slot's historical MEDIAN by more than 3 robust standard
+    deviations (MAD × 1.4826 — q125's robust-stats machinery applied
+    to monitoring). The fact table reduces immediately to the cell
+    HISTOGRAM (types × days × 24 — bounded at any corpus size, the
+    q94/q135 discipline); baselines are exact interpolated medians
+    per (type, hod) slot over ~#days values, broadcast back onto the
+    cells. This is the production ops-alerting query — robust to the
+    outliers it hunts (mean/stddev baselines are contaminated by the
+    very anomalies they're meant to flag). 31 anomalous cells of
+    3385 at sf0.01; the z threshold applies to the UNROUNDED score,
+    which is bit-identical across engines because counts are integers
+    and median/MAD parity is pinned (q119/q125)."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.count("*").alias("cnt"))
+    med = cells.groupBy("event_type", "hod").agg(
+        F.percentile("cnt", F.lit(0.5)).alias("med")
+    )
+    base = (
+        cells.join(F.broadcast(med), ["event_type", "hod"])
+        .groupBy("event_type", "hod")
+        .agg(
+            F.any_value("med").alias("med"),
+            F.percentile(
+                F.abs(F.col("cnt") - F.col("med")), F.lit(0.5)
+            ).alias("mad"),
+        )
+    )
+    z = (F.col("cnt") - F.col("med")) / (1.4826 * F.col("mad"))
+    return (
+        cells.join(F.broadcast(base), ["event_type", "hod"])
+        .filter((F.col("mad") > 0) & (F.abs(z) > 3))
+        .select(
+            "event_type",
+            "day",
+            "hod",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            F.round(z, 4).alias("robust_z"),
+        )
+        .orderBy("event_type", "day", "hod")
+    )
+
+
 # =========================================================================
 # Registry ordering (driver check-window priority)
 # =========================================================================
@@ -7655,7 +7735,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     # q128↔q26/q57, q129↔q110/q41, q130↔q85, q131↔q110, q132↔q77/q113,
     # q133↔q19/q58, q134↔q51/q85, q135↔q94/q09, q136↔q13/q43,
     # q137↔q96/q86, q138↔q137, q139↔q76/q37, q140↔q23/q59,
-    # q141↔q128/q66, q142↔q94/q58).
+    # q141↔q128/q66, q142↔q94/q58, q143↔q125/q122).
     # Round-5 plan: the staged list (q108-q140, 33 entries) exceeds
     # one round's demotion budget; promote in q-number order, demoting
     # every entry that goes twice-green in round 4 (candidates:
@@ -7698,6 +7778,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q140_event_transitions",
     "q141_triangle_count",
     "q142_rfm_segments",
+    "q143_hourly_anomalies",
     # round-4 demotions next (freshest prev-pass evidence):
     "q05_nation_revenue",
     "q08_top3_orders_per_customer",
