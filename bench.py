@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "q141_triangle_count",
     "q142_rfm_segments",
     "q143_hourly_anomalies",
+    "q144_seasonal_backtest",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

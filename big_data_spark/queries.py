@@ -7643,6 +7643,79 @@ def q143_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q144_seasonal_backtest",
+    """
+    WITH cells AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(hour(ts) AS INT) AS hod, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2, 3
+    ), joined AS (
+      SELECT a.event_type,
+             round(abs(a.cnt - p.cnt) / CAST(a.cnt AS DOUBLE), 8) AS ape
+      FROM cells a JOIN cells p
+        ON a.event_type = p.event_type AND a.hod = p.hod
+       AND p.day = a.day - INTERVAL 7 DAY
+      WHERE a.cnt > 0
+    )
+    SELECT event_type, COUNT(*) AS n_cells,
+           round(CAST(SUM(CAST(ape AS DECIMAL(27,8))) AS DOUBLE)
+                 / COUNT(*), 6) AS mape
+    FROM joined GROUP BY 1 ORDER BY 1
+    """,
+    "timeseries",
+    "forecast",
+)
+def q144_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast BACKTESTING at scale: score the seasonal-naive
+    forecaster (predict this hour = same hour-of-day one week ago)
+    against actuals, reporting per-type MAPE — the baseline every
+    production forecast must beat, and the evaluation harness shape
+    for any better model (swap the prediction side, keep the scoring
+    join). Both sides are the bounded cell histogram (q143's
+    reduction), so the self-join on (type, hod, day-7) is
+    histogram×histogram keyed work, never event-level. Per-cell
+    absolute-percentage errors round to 8 before the exact-decimal
+    mean."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.count("*").alias("cnt"))
+    a = cells.alias("a")
+    p = cells.alias("p")
+    joined = (
+        a.join(
+            p,
+            (F.col("a.event_type") == F.col("p.event_type"))
+            & (F.col("a.hod") == F.col("p.hod"))
+            & (F.col("p.day") == F.col("a.day") - F.expr("INTERVAL 7 DAY")),
+        )
+        .filter(F.col("a.cnt") > 0)
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.round(
+                F.abs(F.col("a.cnt") - F.col("p.cnt"))
+                / F.col("a.cnt").cast("double"),
+                8,
+            ).alias("ape"),
+        )
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.round(
+                F.sum(F.col("ape").cast("decimal(27,8)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mape"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # =========================================================================
 # Registry ordering (driver check-window priority)
 # =========================================================================
@@ -7735,7 +7808,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     # q128↔q26/q57, q129↔q110/q41, q130↔q85, q131↔q110, q132↔q77/q113,
     # q133↔q19/q58, q134↔q51/q85, q135↔q94/q09, q136↔q13/q43,
     # q137↔q96/q86, q138↔q137, q139↔q76/q37, q140↔q23/q59,
-    # q141↔q128/q66, q142↔q94/q58, q143↔q125/q122).
+    # q141↔q128/q66, q142↔q94/q58, q143↔q125/q122, q144↔q143/q57).
     # Round-5 plan: the staged list (q108-q140, 33 entries) exceeds
     # one round's demotion budget; promote in q-number order, demoting
     # every entry that goes twice-green in round 4 (candidates:
@@ -7779,6 +7852,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q141_triangle_count",
     "q142_rfm_segments",
     "q143_hourly_anomalies",
+    "q144_seasonal_backtest",
     # round-4 demotions next (freshest prev-pass evidence):
     "q05_nation_revenue",
     "q08_top3_orders_per_customer",
