@@ -7437,6 +7437,12 @@ def q141_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
         .filter(F.col("c") >= 2)
         .select("u", "v")
+        # the edge list is referenced 4x (three wedge-join sides + the
+        # edge count); without materialization Spark recomputes the
+        # whole basket pipeline per reference (measured: 8 scans).
+        # localCheckpoint pays the support-filtered edge table once —
+        # exactly the "write the intermediate" a 100 TB run would do.
+        .localCheckpoint()
     )
     from .operators.relational import triangle_count
 
