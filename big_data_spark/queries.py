@@ -6743,7 +6743,9 @@ def q133_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
     )
-    du = ev.distinct()
+    # the pair table feeds contrib, dau, and the bounds agg; pay the
+    # event-level dedup once instead of once per reference
+    du = ev.distinct().localCheckpoint()
     bounds = du.agg(F.max("day").alias("dmax"))
     contrib = (
         du.select(
@@ -7073,7 +7075,12 @@ def _bm25_tf_dl(spark: SparkSession, sf_dir: str, terms: list[str]):
     toks = _t(spark, sf_dir, "documents").select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # tf/dl feed several consumers (idf, scoring join, coverage
+    # ranker, stats); materialize each aggregate once instead of
+    # re-scanning the corpus per reference (measured: 10-14 scans) —
+    # stats derives from the CHECKPOINTED dl so nothing downstream
+    # touches the parquet scan again
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl")).localCheckpoint()
     stats = dl.agg(
         F.count("*").cast("double").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
@@ -7082,6 +7089,7 @@ def _bm25_tf_dl(spark: SparkSession, sf_dir: str, terms: list[str]):
         toks.filter(F.col("term").isin(terms))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
     )
     return tf, dl, stats
 
@@ -7541,6 +7549,9 @@ def q142_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
             F.floor(F.col("monetary") / 1000).cast("long").alias("mon_band"),
         )
+        # referenced by three histogram builds + three map join-backs;
+        # one customer-level materialization replaces 32 orders scans
+        .localCheckpoint()
     )
     b = equi_frequency_buckets(cust, "recency_days", 5, "r_bucket")
     b = equi_frequency_buckets(b, "frequency", 5, "f_bucket")
@@ -7618,7 +7629,8 @@ def q143_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.date_trunc("day", F.col("ts")).alias("day"),
         F.hour("ts").alias("hod"),
-    ).agg(F.count("*").alias("cnt"))
+    ).agg(F.count("*").alias("cnt")).localCheckpoint()  # histogram-sized,
+    # referenced by the median pass, the MAD pass, and the final flag join
     med = cells.groupBy("event_type", "hod").agg(
         F.percentile("cnt", F.lit(0.5)).alias("med")
     )
@@ -7688,7 +7700,7 @@ def q144_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.date_trunc("day", F.col("ts")).alias("day"),
         F.hour("ts").alias("hod"),
-    ).agg(F.count("*").alias("cnt"))
+    ).agg(F.count("*").alias("cnt")).localCheckpoint()  # both join sides
     a = cells.alias("a")
     p = cells.alias("p")
     joined = (

@@ -625,4 +625,6 @@ def test_bm25_scores_query_terms_only(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
-    assert "term#" in plan and "spark" in plan  # isin filter visible
+    # tf/dl are materialized once (localCheckpoint) — the final plan
+    # reads the checkpointed RDDs, never re-scanning the corpus
+    assert "Scan parquet" not in plan, plan
