@@ -4454,6 +4454,10 @@ def q96_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.log(F.col("n_docs").cast("double") / F.col("doc_freq")), 6
             ).alias("idf"),
         )
+        # the banded posting table feeds norms + both pair-join sides;
+        # materialize it once instead of replaying explode+df-count per
+        # reference (measured: 24 corpus scans without this)
+        .localCheckpoint()
     )
     norms = w.groupBy("doc_id").agg(
         F.sqrt(
@@ -5683,10 +5687,14 @@ def q120_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("t")
     )
+    # the deduped shingle table feeds the hot-list agg, the per-doc
+    # size agg, and both join sides — pay the shingle+md5 pipeline
+    # once (measured: 12 corpus scans without this)
     sh = (
         docs.select("doc_id", F.explode(_shingles(F.col("t"), k=5)).alias("s"))
         .select("doc_id", F.md5("s").alias("h"))
         .distinct()
+        .localCheckpoint()
     )
     hot = sh.groupBy("h").agg(F.count("*").alias("c")).filter(
         F.col("c") > 20
@@ -6597,10 +6605,13 @@ def q131_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.slice("l", 2, F.size("l") - 1).alias("w2"),
             )
         ).alias("p"),
-    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+    ).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    ).localCheckpoint()  # tokenize once: model training AND scoring read it
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("n2")).localCheckpoint()
     c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
-    v = big.agg(F.count_distinct("w2").cast("double").alias("vsz"))
+    # distinct bigram-rights from the (deduped) vocab == from the stream
+    v = c2.agg(F.count_distinct("w2").cast("double").alias("vsz"))
     model = (
         c2.join(c1, "w1")
         .crossJoin(F.broadcast(v))
