@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "q142_rfm_segments",
     "q143_hourly_anomalies",
     "q144_seasonal_backtest",
+    "q145_decayed_trending",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

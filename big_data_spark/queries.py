@@ -7745,6 +7745,65 @@ def q144_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q145_decayed_trending",
+    """
+    WITH b AS (SELECT MAX(ts) AS tmax FROM events),
+    w AS (
+      SELECT user_id,
+             round(pow(0.5, (epoch_us(b.tmax) - epoch_us(ts))
+                            / 86400000000.0), 8) AS wt
+      FROM events, b
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(CAST(SUM(CAST(wt AS DECIMAL(27,8))) AS DOUBLE), 6)
+             AS hot_score
+    FROM w GROUP BY 1
+    ORDER BY hot_score DESC, user_id LIMIT 20
+    """,
+    "agg",
+    "trending",
+)
+def q145_decayed_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay popularity (half-life 1 day): each
+    event contributes 2^(-age/half_life), so the ranking always
+    prefers RECENT activity without a window cutoff — the
+    trending/hot-ranking primitive (feeds, leaderboards, cache
+    warming). The decay weight is a per-row expression against the
+    broadcast corpus max-time (ages in integer microseconds, the
+    q126 discipline), so scoring is map-side; the per-entity sum is
+    one map-side-combined agg and top-20 compiles to
+    TakeOrderedAndProject. Incremental form: a stored score S at
+    time t0 updates to S·2^(-Δ/h) + new-events — the same algebra
+    the sketch rollups exploit. Weights round to 8 (pow is libm)
+    before the exact-decimal sum."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.agg(F.max("ts").alias("tmax"))
+    w = ev.crossJoin(F.broadcast(b)).select(
+        "user_id",
+        F.round(
+            F.pow(
+                0.5,
+                (F.unix_micros("tmax") - F.unix_micros("ts"))
+                / 86400000000.0,
+            ),
+            8,
+        ).alias("wt"),
+    )
+    return (
+        w.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("wt").cast("decimal(27,8)")).cast("double"), 6
+            ).alias("hot_score"),
+        )
+        .orderBy(F.desc("hot_score"), "user_id")
+        .limit(20)
+    )
+
+
 # =========================================================================
 # Registry ordering (driver check-window priority)
 # =========================================================================
@@ -7837,7 +7896,8 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     # q128↔q26/q57, q129↔q110/q41, q130↔q85, q131↔q110, q132↔q77/q113,
     # q133↔q19/q58, q134↔q51/q85, q135↔q94/q09, q136↔q13/q43,
     # q137↔q96/q86, q138↔q137, q139↔q76/q37, q140↔q23/q59,
-    # q141↔q128/q66, q142↔q94/q58, q143↔q125/q122, q144↔q143/q57).
+    # q141↔q128/q66, q142↔q94/q58, q143↔q125/q122, q144↔q143/q57,
+    # q145↔q33/q40).
     # Round-5 plan: the staged list (q108-q140, 33 entries) exceeds
     # one round's demotion budget; promote in q-number order, demoting
     # every entry that goes twice-green in round 4 (candidates:
@@ -7882,6 +7942,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q142_rfm_segments",
     "q143_hourly_anomalies",
     "q144_seasonal_backtest",
+    "q145_decayed_trending",
     # round-4 demotions next (freshest prev-pass evidence):
     "q05_nation_revenue",
     "q08_top3_orders_per_customer",
