@@ -48,6 +48,12 @@ def dedup_against_index(
     retry-stable). Returns the surviving rows WITH their fingerprint
     column so the caller can append them to the index."""
     fp = fingerprint(batch, text_col)
+    # NULL text -> NULL fingerprint: content-undedupable by
+    # definition, and a NULL key never matches the anti-join, so such
+    # a row would survive EVERY batch and grow the index with NULL
+    # digests forever. Policy: drop them here (the streaming path's
+    # quality gates already exclude null text before this point).
+    fp = fp.filter(F.col(FINGERPRINT_COL).isNotNull())
     fresh = fp.join(
         index.select(FINGERPRINT_COL), FINGERPRINT_COL, "left_anti"
     )
@@ -85,6 +91,15 @@ def read_index_or_empty(spark: SparkSession, index_dir: str) -> DataFrame:
     """
     import os
 
+    if "://" in index_dir and not index_dir.startswith("file://"):
+        # the local os.path probe would report a REMOTE index (s3://,
+        # hdfs://) as absent and silently disable dedup — exactly the
+        # failure this function exists to prevent. This module's
+        # manifest/probe machinery is local-filesystem by design; use
+        # a Hadoop-FS-backed table format for object stores.
+        raise ValueError(
+            f"read_index_or_empty requires a local path, got {index_dir!r}"
+        )
     has_data = os.path.isdir(index_dir) and any(
         not n.startswith(("_", ".")) for n in os.listdir(index_dir)
     )

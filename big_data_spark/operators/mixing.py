@@ -40,11 +40,17 @@ NULL_SENTINEL = "__NULL__"
 def mix_bucket(source: Column, key: Column, salt: str = "mix") -> Column:
     """Deterministic bucket in [0, 10000) from (salt, source, key).
 
-    md5 -> first 4 hex chars -> int % 10000; identical in DuckDB as
-    ``('0x' || substring(md5(...), 1, 4))::BIGINT % 10000``.
+    md5 -> first 8 hex chars -> int % 10000; identical in DuckDB as
+    ``('0x' || substring(md5(...), 1, 8))::BIGINT % 10000``.
+
+    8 hex chars (32 bits), not 4: 2^16 % 10000 != 0, so a 16-bit
+    bucket has a ~1.7pp systematic modulo bias (buckets 0-5535 land
+    7/65536 of keys, the rest 6/65536 — an 80/10/10 split would
+    really be 81.7/9.2/9.2). With 32 bits the residual bias is
+    2^32 mod 10000 = 7296 parts in 4.3e9 (~2e-6): negligible.
     """
     h = F.md5(F.concat_ws(":", F.lit(salt), source, key.cast("string")))
-    return F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % BUCKETS
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % BUCKETS
 
 
 def weighted_mix(

@@ -109,4 +109,6 @@ def cms_merge_and_estimate(spark, cms_blobs, keys) -> dict:
             merged = cms
         else:
             merged.mergeInPlace(cms)
+    if merged is None:  # empty range: zero observations, zero counts
+        return {k: 0 for k in keys}
     return {k: merged.estimateCount(k) for k in keys}

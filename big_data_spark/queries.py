@@ -2494,7 +2494,7 @@ _MIX_WEIGHTS_VALUES = ", ".join(
     b AS (
       SELECT d.source, d.doc_id,
              ('0x' || substring(md5('mix:' || d.source || ':' ||
-                                    CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+                                    CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
                % 10000 AS bucket,
              w.weight_bp
       FROM documents d JOIN w ON d.source = w.source
@@ -4249,7 +4249,7 @@ def q92_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang, n_chars,
              ('0x' || substring(md5('split:' ||
                  COALESCE(lang, '__NULL__') || ':' ||
-                 COALESCE(CAST(doc_id AS VARCHAR), '__NULL__')), 1, 4))::BIGINT
+                 COALESCE(CAST(doc_id AS VARCHAR), '__NULL__')), 1, 8))::BIGINT
                % 10000 AS b
       FROM documents
     )
@@ -5268,7 +5268,7 @@ def q111_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.source, d.doc_id, d.n_tokens
     FROM d JOIN f ON d.source = f.source
     WHERE ('0x' || substring(md5('budget:' || d.source || ':' ||
-                                 CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+                                 CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
           % 10000 < f.take_frac * 10000
     ORDER BY d.source, d.doc_id
     """,
@@ -6654,7 +6654,7 @@ def q131_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM s, t),
     b AS (SELECT d.source, d.doc_id, w.weight_bp,
                  ('0x' || substring(md5('tmix:' || d.source || ':' ||
-                                        CAST(d.doc_id AS VARCHAR)), 1, 4))
+                                        CAST(d.doc_id AS VARCHAR)), 1, 8))
                    ::BIGINT % 10000 AS bucket
           FROM documents d JOIN w ON d.source = w.source),
     c AS (SELECT source, doc_id,

@@ -28,6 +28,46 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 DEFAULT_KEY_BUCKETS = 64
+_BUCKET_SIDECAR = "_n_buckets"
+
+
+def _has_committed_files(d: str) -> bool:
+    """True iff the directory holds committed data (data files or
+    ``_kb=`` partition directories) — not just _temporary/_SUCCESS/
+    sidecar debris from a killed or not-yet-started write."""
+    if not os.path.isdir(d):
+        return False
+    for n in os.listdir(d):
+        if n.startswith("_kb="):
+            return True
+        if n.startswith(("_", ".")):
+            continue
+        return True
+    return False
+
+
+def _validate_bucket_count(sink_dir: str, n_buckets: int) -> None:
+    """Pin the sink's bucket count across restarts. The ``_kb``
+    partition values are hash mod n_buckets; restarting with a
+    DIFFERENT count would prune against the wrong directories and
+    silently re-append keys that already landed. First writer records
+    the count in a sidecar; later runs must match it."""
+    sidecar = os.path.join(sink_dir, _BUCKET_SIDECAR)
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            recorded = int(f.read().strip())
+        if recorded != n_buckets:
+            raise ValueError(
+                f"sink {sink_dir} was written with n_buckets={recorded}; "
+                f"restarting with n_buckets={n_buckets} would break "
+                "bucket pruning and duplicate keys"
+            )
+        return
+    os.makedirs(sink_dir, exist_ok=True)
+    tmp = sidecar + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(n_buckets))
+    os.replace(tmp, sidecar)
 
 
 def touched_key_buckets(batch: DataFrame, key: str, n_buckets: int) -> list[int]:
@@ -81,10 +121,14 @@ def start_upsert_stream(
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        _validate_bucket_count(sink_dir, n_buckets)
         fresh = batch.dropDuplicates([key]).withColumn(
             "_kb", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
         )
-        if os.path.exists(sink_dir):
+        # probe only when COMMITTED data files exist — a killed first
+        # write can leave sink_dir with just _temporary/_SUCCESS, and
+        # reading that raises 'Unable to infer schema' on every replay
+        if _has_committed_files(sink_dir):
             buckets = touched_key_buckets(batch, key, n_buckets)
             existing = pruned_existing_keys(spark, sink_dir, key, buckets)
             # null-safe anti join: a plain equi-join never matches a
@@ -168,9 +212,12 @@ def start_scd2_stream(
     prunes all but the newest ``keep_versions`` snapshots (>1 keeps a
     time-travel window readable via ``read_scd2_dim(..., version=)``,
     the plain-parquet form of Iceberg/Delta snapshot retention). A
-    crash before the repoint leaves the old snapshot live and intact;
-    checkpoint replay rewrites the same version directory
-    idempotently. Readers resolve the manifest with
+    crash before the repoint leaves the old snapshot live and intact
+    (replay rewrites the same version directory); a crash AFTER the
+    repoint but before the checkpoint commit replays as a no-op —
+    the manifest already names ``v-{batch_id}``, so the merge result
+    is in place and re-merging would read the very directory being
+    overwritten. Readers resolve the manifest with
     ``read_scd2_dim``. This reproduces table-format MERGE semantics
     (Delta/Iceberg ``MERGE INTO`` + snapshot isolation) on plain
     parquet; a production deployment swaps the sink for MERGE with
@@ -183,6 +230,15 @@ def start_scd2_stream(
     def merge(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         prev = _scd2_current_version(dim_dir)
+        version = f"v-{batch_id}"
+        if prev is not None and os.path.basename(prev) == version:
+            # replay of a batch that already completed its repoint
+            # (crash landed between os.replace and the checkpoint
+            # commit): the snapshot IS this batch's merge result.
+            # Re-merging would read v-{batch_id} while overwriting it
+            # — Spark rejects that cycle and the stream would wedge;
+            # the correct replay action is a no-op.
+            return
         if prev is not None:
             dim = spark.read.parquet(prev)
         else:
@@ -197,7 +253,6 @@ def start_scd2_stream(
                 .limit(0)
             )
         merged = scd2_apply(dim, batch, key=key, tracked=tracked, ts_col=ts_col)
-        version = f"v-{batch_id}"
         merged.write.mode("overwrite").parquet(os.path.join(dim_dir, version))
         tmp = os.path.join(dim_dir, SCD2_MANIFEST + ".tmp")
         with open(tmp, "w") as f:
@@ -373,25 +428,24 @@ def start_rollup_stream(
     """
 
     def write_partial(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                batch.groupBy(
-                    F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
-                )
-                .agg(
-                    F.count("*").alias("n_events"),
-                    F.sum(F.col("value").cast("decimal(27,4)")).alias("sum_value"),
-                )
-                .withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(partials_dir)
+        # per-writer dynamic overwrite: the session-global conf
+        # save/set/restore raced between concurrent streams on one
+        # SparkSession — a lost race ran the overwrite in STATIC mode
+        # and wiped every previously landed batch partition
+        (
+            batch.groupBy(
+                F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
             )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(27,4)")).alias("sum_value"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(partials_dir)
+        )
 
     writer = (
         events_stream.writeStream.foreachBatch(write_partial)
@@ -450,28 +504,22 @@ def start_corpus_health_stream(
             .alias("q_pass"),
             content_fingerprint("text").alias("fp"),
         )
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                g.groupBy("source")
-                .agg(
-                    F.count("*").alias("n_docs"),
-                    F.sum("q_pass").cast("long").alias("n_quality_pass"),
-                    F.sum(F.col("n_tokens").cast("decimal(27,0)")).alias(
-                        "sum_tokens"
-                    ),
-                    F.hll_sketch_agg("fp").alias("fp_hll"),
-                )
-                .withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(partials_dir)
+        (
+            g.groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("q_pass").cast("long").alias("n_quality_pass"),
+                F.sum(F.col("n_tokens").cast("decimal(27,0)")).alias(
+                    "sum_tokens"
+                ),
+                F.hll_sketch_agg("fp").alias("fp_hll"),
             )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")  # race-free per-writer form
+            .partitionBy("batch_id")
+            .parquet(partials_dir)
+        )
 
     writer = (
         docs_stream.writeStream.foreachBatch(write_partial)
@@ -545,37 +593,28 @@ def start_contract_gate_stream(
         try:
             rep = constraint_report(batch, checks)
             rows = rep.collect()
-            prev = spark.conf.get(
-                "spark.sql.sources.partitionOverwriteMode", "static"
-            )
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", "dynamic"
-            )
-            try:
-                if report_dir is not None:
-                    (
-                        spark.createDataFrame(rows, rep.schema)
-                        .withColumn("batch_id", F.lit(batch_id))
-                        .write.mode("overwrite")
-                        .partitionBy("batch_id")
-                        .parquet(report_dir)
-                    )
-                failed = [r["constraint"] for r in rows if not r["passed"]]
-                if failed:
-                    raise ValueError(
-                        f"data contract violated in batch {batch_id}: "
-                        f"{failed}"
-                    )
+            if report_dir is not None:
                 (
-                    batch.withColumn("batch_id", F.lit(batch_id))
+                    spark.createDataFrame(rows, rep.schema)
+                    .withColumn("batch_id", F.lit(batch_id))
                     .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
                     .partitionBy("batch_id")
-                    .parquet(out_dir)
+                    .parquet(report_dir)
                 )
-            finally:
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", prev
+            failed = [r["constraint"] for r in rows if not r["passed"]]
+            if failed:
+                raise ValueError(
+                    f"data contract violated in batch {batch_id}: "
+                    f"{failed}"
                 )
+            (
+                batch.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(out_dir)
+            )
         finally:
             batch.unpersist()
 

@@ -214,3 +214,27 @@ def test_token_budget_mix_null_source_rows_drop_consistently(spark):
     # frac=0.5 over 200 docs -> expect ~100 kept; frac=1/3 would give ~67.
     # hash buckets are uniform, so allow a generous band around 100
     assert 80 <= kept <= 120, kept
+
+
+def test_split_fractions_unbiased(spark):
+    """32-bit bucket regression: on 100k keys an 80/10/10 split must
+    land within ±1pp of spec. The old 16-bit bucket had a systematic
+    +1.7pp modulo bias on train (2^16 % 10000 != 0) and fails this."""
+    from pyspark.sql import functions as F
+
+    from big_data_spark.operators.mixing import stratified_split
+
+    docs = spark.range(100_000).select(
+        F.col("id").alias("doc_id"), F.lit("s").alias("source")
+    )
+    out = stratified_split(
+        docs, stratum_col="source", key_col="doc_id",
+        splits=[("train", 8000), ("valid", 1000), ("test", 1000)],
+    )
+    fracs = {
+        r["split"]: r["n"] / 100_000
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(fracs["train"] - 0.8) < 0.01, fracs
+    assert abs(fracs["valid"] - 0.1) < 0.01, fracs
+    assert abs(fracs["test"] - 0.1) < 0.01, fracs

@@ -243,3 +243,44 @@ def test_scd2_version_retention_time_travel(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         read_scd2_dim(spark, dim_dir, version="v-99999")
+
+
+def test_scd2_replay_after_repoint_is_noop(spark, tmp_path):
+    """Crash window AFTER the manifest repoint but BEFORE the
+    checkpoint commit: the replayed batch finds _CURRENT already
+    naming its own v-{batch_id} and must no-op — re-merging would
+    read the snapshot directory while overwriting it (Spark rejects
+    the cycle) and wedge the stream forever."""
+    from big_data_spark.streaming.sinks import (
+        read_scd2_dim,
+        start_scd2_stream,
+    )
+
+    src = tmp_path / "updates"
+    src.mkdir()
+    rows = [(1, "BUILDING", "2026-01-01T00:00:00"),
+            (2, "AUTOMOBILE", "2026-01-01T00:00:00")]
+    spark.createDataFrame(
+        rows, "cust_id long, segment string, ts_s string"
+    ).coalesce(1).write.mode("overwrite").json(str(src / "a"))
+
+    def run(ckpt: str):
+        stream = (
+            spark.readStream.schema("cust_id long, segment string, ts_s string")
+            .json(str(src / "*"))
+            .withColumn("ts", F.to_timestamp("ts_s"))
+            .drop("ts_s")
+        )
+        q = start_scd2_stream(
+            stream, dim_dir, ckpt, key="cust_id", tracked=["segment"]
+        )
+        q.awaitTermination(120)
+
+    dim_dir = str(tmp_path / "dim")
+    run(str(tmp_path / "c1"))
+    before = sorted(map(tuple, read_scd2_dim(spark, dim_dir).collect()))
+    # fresh checkpoint => batch 0 replays against a manifest that
+    # already points at v-0 (exactly the post-repoint crash state)
+    run(str(tmp_path / "c2"))
+    after = sorted(map(tuple, read_scd2_dim(spark, dim_dir).collect()))
+    assert after == before
