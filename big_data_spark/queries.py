@@ -7815,37 +7815,27 @@ def q145_decayed_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
 # redundant subsets (q30/q31 ⊂ q32, q45 ⊂ q53, etc.), which keep local
 # oracle-parity coverage in tests/test_oracle_parity.py instead.
 _DRIVER_WINDOW_ORDER: list[str] = [
-    # ROUND-4 ROTATION (executed): q89–q101 promoted into the window for
-    # their first hard driver check; 13 entries demoted (q19 q36 q37 q39
-    # q40 q41 q42 q43 q50 q54 q63 q70 q73 — each green in 2–3 prior
-    # CORRECTNESS rounds and machinery-subsumed by a retained entry:
-    # q41–q43 ⊂ q67, q63 ⊂ q64, q40/q36 ⊂ q33/q32, q50 lattice ⊂ q57,
-    # q70/q73/q19/q39/q37/q54 single-primitive rows proven 2–3×). Demoted
-    # entries sit immediately after the boundary and keep value-level
-    # coverage in tests/test_oracle_parity.py.
-    #
-    # ROUND-4 ADDITIONS swapped in for their first hard check: q102–q105
-    # (TPC-H Q8/Q15/Q16/Q20 shapes) and q106/q107 (segment dedup, stride
-    # chunking). Six more multi-green entries demoted to make room, each
-    # subsumed by an in-window sibling: q05 star join ⊂ q89/q90/q98
-    # (3× green), q08 window top-N ⊂ q95/q83 (3×), q11 collect_set ⊂
-    # q57-family aggs (2×), q47 LSH groups ⊂ q66 components (2×),
-    # q53 LSH-verified pairs ⊂ q66+q96 (2×), q60 brute cosine ⊂
-    # q100/q64/q75 exact re-rank (2×).
+    # ROUND-5 ROTATION (executed, tranche 1 of the 2-round certification
+    # plan staged in round 4): q108–q131 (24 entries, promoted in
+    # q-number order per the plan) enter the window for their FIRST hard
+    # driver check. To make room, 24 multi-green entries were demoted
+    # (q33 q34 q51 q55 q56 q57 q58 q59 q65 q68 q69 q76 q77 q78 q79 q80
+    # q81 q82 q83 q84 q85 q86 q87 q88 — every one 2+× driver-green after
+    # r04 and machinery-subsumed by a retained in-window sibling:
+    # q55/q56 interval joins ⊂ q118/q126, q57-q59 lattice/funnel ⊂
+    # q109/q117/q140, q65/q69/q81-q83/q87-q91 TPC-H shapes ⊂ the
+    # retained q89-q91/q98/q99/q102-q105 + q111, q33/q34/q51/q76/q85 ⊂
+    # q110/q121/q134/q125/q130, q68 Arrow boundary ⊂ q112/q129 pandas
+    # paths, q77/q80/q84/q86 mixing/decontam/packing/idf ⊂
+    # q113/q120/q119/q137). Demoted entries keep value-level parity
+    # coverage in tests/test_oracle_parity.py (guard:
+    # test_window_rotation_preserves_oracle_coverage).
+    # Retained multi-green anchors: q01 (flagship pricing summary),
+    # q32 (full reference ETL chain), q66 (iterative LSH fixpoint),
+    # q67 (corpus-prep capstone) — each pins machinery no promoted
+    # entry exercises end-to-end.
     # -- relational core --
     "q01_pricing_summary",
-    "q55_purchase_attribution_asof",
-    "q56_incident_click_range_join",
-    "q57_cascaded_rollup",
-    "q58_cohort_retention",
-    "q59_conversion_funnel",
-    "q69_small_quantity_revenue",
-    "q87_large_volume_customers",
-    "q88_order_priority_fulfillment",
-    "q65_bucketed_segment_orders",
-    "q81_idle_rich_customers",
-    "q82_late_sole_shippers",
-    "q83_best_supplier_per_part",
     "q89_volume_shipping",
     "q90_product_type_profit",
     "q91_brand_size_disjunction",
@@ -7857,23 +7847,11 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q105_excess_shippers",
     # -- ETL / domain chains --
     "q32_job_etl_full",
-    "q33_skill_hot_scores",
-    "q51_salted_event_agg",
-    "q34_top_skills_per_city",
-    "q76_priority_price_mad",
-    "q85_table_profile",
     # -- text / dedup scale path --
     "q66_lsh_dedup_components",
     "q67_corpus_prep",
-    "q68_media_features",
     "q106_segment_dedup",
     "q107_overlap_chunks",
-    "q77_corpus_mixing",
-    "q78_pii_redaction",
-    "q79_repetition_quality",
-    "q80_decontamination",
-    "q84_sequence_packing",
-    "q86_vocabulary_idf",
     "q92_simhash_hamming_pairs",
     "q93_stratified_split",
     "q94_length_curriculum",
@@ -7886,25 +7864,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q75_pq_adc_topk",
     "q100_batch_ann_topk",
     "q35_skill_match_scores",
-    # ---- window boundary (position 50) ----
-    # never driver-checked round-4 additions — FIRST IN LINE for the
-    # round-5 rotation (each one's machinery has an in-window
-    # representative this round: q108↔q96, q109↔q57/q19, q110↔q101,
-    # q111↔q89-q91, q112↔q100/q64, q113↔q77/q93, q114↔q94,
-    # q115↔q106, q116↔q27/q57, q117↔q57, q118↔q55/q56, q119↔q76/q94,
-    # q120↔q96/q92, q121↔q33/q40, q126↔q118/q09, q127↔q121,
-    # q128↔q26/q57, q129↔q110/q41, q130↔q85, q131↔q110, q132↔q77/q113,
-    # q133↔q19/q58, q134↔q51/q85, q135↔q94/q09, q136↔q13/q43,
-    # q137↔q96/q86, q138↔q137, q139↔q76/q37, q140↔q23/q59,
-    # q141↔q128/q66, q142↔q94/q58, q143↔q125/q122, q144↔q143/q57,
-    # q145↔q33/q40).
-    # Round-5 plan: the staged list (q108-q140, 33 entries) exceeds
-    # one round's demotion budget; promote in q-number order, demoting
-    # every entry that goes twice-green in round 4 (candidates:
-    # q57-q59, q69, q85, q87, q88, q76, q51, q34, q65, q81, q82, q83,
-    # q01, q32, q33, q55, q56, q66, q67, q68, q77-q80, q84, q86 —
-    # all will then have 2+ driver greens); the remainder (~q131+)
-    # rotates in round 6.
+    # -- ROUND-5 PROMOTIONS: first hard driver check (tranche 1) --
     "q108_source_shingle_overlap",
     "q109_gap_fill",
     "q110_unigram_quality",
@@ -7929,6 +7889,19 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q129_quality_classifier",
     "q130_constraint_report",
     "q131_bigram_quality",
+    # ---- window boundary (position 50) ----
+    # ROUND-6 TRANCHE (tranche 2, committed in round 4's staged plan):
+    # the remaining never-driver-checked oracle-backed entries q132–q145
+    # plus the three rows-only ML entries m01/m02/m04 (cheap rows-only
+    # slots) — promote ALL of these in round 6, demoting the then
+    # twice-green round-4/5 survivors (candidates after r05: q89–q105,
+    # q92–q97, q101, q106, q107, q64, q75, q100, q35 — 17 needed for
+    # q132–q145+m01/m02/m04; q01/q32/q66/q67 stay as permanent anchors
+    # unless slots run short). Done = every registry entry has ≥1 hard
+    # CORRECTNESS row by end of round 6. In-window representatives this
+    # round: q132↔q113, q133↔q126, q134↔q130, q135↔q126, q136↔q115,
+    # q137↔q110/q121, q138↔q137/q112, q139↔q125, q140↔q109,
+    # q141↔q128, q142↔q117, q143↔q125/q122, q144↔q143, q145↔q121.
     "q132_temperature_mix",
     "q133_sliding_active_users",
     "q134_key_skew_audit",
@@ -7943,6 +7916,34 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q143_hourly_anomalies",
     "q144_seasonal_backtest",
     "q145_decayed_trending",
+    "m01_kmeans_embedding_clusters",
+    "m02_skill_hot_gbt_top",
+    "m04_similar_tokens_w2v",
+    # round-5 demotions next (freshest prev-pass evidence, 2+× green):
+    "q55_purchase_attribution_asof",
+    "q56_incident_click_range_join",
+    "q57_cascaded_rollup",
+    "q58_cohort_retention",
+    "q59_conversion_funnel",
+    "q69_small_quantity_revenue",
+    "q87_large_volume_customers",
+    "q88_order_priority_fulfillment",
+    "q65_bucketed_segment_orders",
+    "q81_idle_rich_customers",
+    "q82_late_sole_shippers",
+    "q83_best_supplier_per_part",
+    "q33_skill_hot_scores",
+    "q51_salted_event_agg",
+    "q34_top_skills_per_city",
+    "q76_priority_price_mad",
+    "q85_table_profile",
+    "q68_media_features",
+    "q77_corpus_mixing",
+    "q78_pii_redaction",
+    "q79_repetition_quality",
+    "q80_decontamination",
+    "q84_sequence_packing",
+    "q86_vocabulary_idf",
     # round-4 demotions next (freshest prev-pass evidence):
     "q05_nation_revenue",
     "q08_top3_orders_per_customer",
@@ -7989,9 +7990,6 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q20_event_props_json",
     "q71_forecast_revenue",
     "q72_priority_shipmode",
-    "m01_kmeans_embedding_clusters",
-    "m02_skill_hot_gbt_top",
-    "m04_similar_tokens_w2v",
     "q03_range_filter",
     "q06_customers_no_orders",
     "q10_status_priority_matrix",
