@@ -100,8 +100,11 @@ def read_index_or_empty(spark: SparkSession, index_dir: str) -> DataFrame:
         raise ValueError(
             f"read_index_or_empty requires a local path, got {index_dir!r}"
         )
-    has_data = os.path.isdir(index_dir) and any(
-        not n.startswith(("_", ".")) for n in os.listdir(index_dir)
+    # os.path cannot resolve a file:// URI — probe the plain path, but
+    # keep the original (Spark accepts either form) for the read.
+    probe_dir = index_dir.removeprefix("file://")
+    has_data = os.path.isdir(probe_dir) and any(
+        not n.startswith(("_", ".")) for n in os.listdir(probe_dir)
     )
     if not has_data:
         return spark.createDataFrame([], f"{FINGERPRINT_COL} string")

@@ -159,9 +159,36 @@ def _scd2_current_version(dim_dir: str) -> str | None:
     if not os.path.exists(manifest):
         return None
     with open(manifest) as f:
-        version = f.read().strip()
+        lines = f.read().strip().splitlines()
+    version = lines[0].strip() if lines else ""
     path = os.path.join(dim_dir, version)
     return path if version and os.path.exists(path) else None
+
+
+def _scd2_manifest_run_id(dim_dir: str) -> str | None:
+    """Streaming-query id recorded with the current version (second
+    manifest line), or None for a pre-run-id manifest."""
+    manifest = os.path.join(dim_dir, SCD2_MANIFEST)
+    if not os.path.exists(manifest):
+        return None
+    with open(manifest) as f:
+        lines = f.read().strip().splitlines()
+    return lines[1].strip() if len(lines) > 1 else None
+
+
+def _checkpoint_query_id(checkpoint_dir: str) -> str | None:
+    """The stable streaming-query id Structured Streaming writes to
+    ``<checkpoint>/metadata`` at start. Restarting from the same
+    checkpoint preserves it; a FRESH checkpoint mints a new one —
+    which is exactly the signal that batch ids have restarted at 0."""
+    import json
+
+    meta = os.path.join(checkpoint_dir, "metadata")
+    try:
+        with open(meta) as f:
+            return json.load(f).get("id")
+    except (OSError, ValueError):
+        return None
 
 
 def list_scd2_versions(dim_dir: str) -> list[str]:
@@ -231,13 +258,36 @@ def start_scd2_stream(
         spark = batch.sparkSession
         prev = _scd2_current_version(dim_dir)
         version = f"v-{batch_id}"
+        run_id = _checkpoint_query_id(checkpoint_dir)
+        manifest_run = _scd2_manifest_run_id(dim_dir)
+        if (
+            prev is not None
+            and run_id is not None
+            and manifest_run is not None
+            and manifest_run != run_id
+        ):
+            # a FRESH checkpoint pointed at an existing dim_dir: batch
+            # ids have restarted at 0, so the version-name replay test
+            # below would silently SKIP batches carrying new data (and
+            # non-colliding writes would corrupt version ordering).
+            # The pairing is ambiguous by construction — fail loudly.
+            raise RuntimeError(
+                f"dim_dir {dim_dir!r} was built by streaming query "
+                f"{manifest_run}, but checkpoint {checkpoint_dir!r} "
+                f"belongs to query {run_id}. A dimension directory is "
+                "bound to its original checkpoint: resume from that "
+                "checkpoint, or start the new stream against a fresh "
+                "dim_dir (seed it from read_scd2_dim if needed)."
+            )
         if prev is not None and os.path.basename(prev) == version:
             # replay of a batch that already completed its repoint
             # (crash landed between os.replace and the checkpoint
             # commit): the snapshot IS this batch's merge result.
             # Re-merging would read v-{batch_id} while overwriting it
             # — Spark rejects that cycle and the stream would wedge;
-            # the correct replay action is a no-op.
+            # the correct replay action is a no-op. (Same-run is
+            # guaranteed by the query-id check above whenever both
+            # ids are recoverable.)
             return
         if prev is not None:
             dim = spark.read.parquet(prev)
@@ -256,7 +306,10 @@ def start_scd2_stream(
         merged.write.mode("overwrite").parquet(os.path.join(dim_dir, version))
         tmp = os.path.join(dim_dir, SCD2_MANIFEST + ".tmp")
         with open(tmp, "w") as f:
-            f.write(version)
+            # second line binds the dim_dir to this checkpoint's
+            # stable query id so a fresh-checkpoint pairing is
+            # detected instead of silently replay-skipped
+            f.write(version if run_id is None else f"{version}\n{run_id}")
         os.replace(tmp, os.path.join(dim_dir, SCD2_MANIFEST))
         for name in list_scd2_versions(dim_dir)[: -max(1, keep_versions)]:
             shutil.rmtree(os.path.join(dim_dir, name), ignore_errors=True)

@@ -145,6 +145,31 @@ def test_read_index_or_empty_narrow_fallback(spark, tmp_path):
         read_index_or_empty(spark, str(corrupt)).count()
 
 
+def test_read_index_or_empty_file_uri(spark, tmp_path):
+    """A file:// URI is a LOCAL path: the existence probe must strip
+    the scheme (os.path cannot resolve URIs) — otherwise a populated
+    index reads as absent and dedup is silently disabled — while a
+    remote scheme still raises."""
+    from big_data_spark.operators.dedup_index import (
+        append_fingerprints,
+        read_index_or_empty,
+    )
+
+    idx = tmp_path / "idx"
+    fps = spark.createDataFrame([("a",), ("b",)], "fingerprint string")
+    append_fingerprints(fps, str(idx))
+    via_uri = read_index_or_empty(spark, f"file://{idx}")
+    assert via_uri.count() == 2
+
+    # absent file:// path -> empty frame, same as the plain-path form
+    assert read_index_or_empty(spark, f"file://{tmp_path}/nope").count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="local path"):
+        read_index_or_empty(spark, "s3://bucket/idx")
+
+
 def test_streaming_corpus_ingest_fails_on_corrupt_index(spark, tmp_path):
     """A later batch whose index read fails must FAIL the batch (so
     checkpoint replay retries) instead of treating the index as empty

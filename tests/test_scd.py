@@ -156,7 +156,10 @@ def test_streaming_scd2_dimension_maintenance(spark, tmp_path, monkeypatch):
     versions = [n for n in names if n.startswith("v-")]
     assert "_CURRENT" in names and len(versions) == 1, names
     with open(os.path.join(dim_dir, "_CURRENT")) as f:
-        assert f.read().strip() == versions[0]
+        lines = f.read().strip().splitlines()
+    # line 1: current version; line 2: owning streaming-query id
+    assert lines[0] == versions[0]
+    assert len(lines) == 2 and lines[1]
 
 
 def test_scd2_crash_window_leaves_old_snapshot_live(spark, tmp_path):
@@ -277,10 +280,62 @@ def test_scd2_replay_after_repoint_is_noop(spark, tmp_path):
         q.awaitTermination(120)
 
     dim_dir = str(tmp_path / "dim")
-    run(str(tmp_path / "c1"))
+    ckpt = str(tmp_path / "c1")
+    run(ckpt)
     before = sorted(map(tuple, read_scd2_dim(spark, dim_dir).collect()))
-    # fresh checkpoint => batch 0 replays against a manifest that
-    # already points at v-0 (exactly the post-repoint crash state)
-    run(str(tmp_path / "c2"))
+    # simulate the crash: drop the checkpoint COMMIT for batch 0 while
+    # keeping its offsets + query id — restarting from this checkpoint
+    # replays batch 0 (same query) against a manifest that already
+    # points at v-0, exactly the post-repoint crash state
+    import contextlib
+    import os
+
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    with contextlib.suppress(FileNotFoundError):  # checksum twin
+        os.remove(os.path.join(ckpt, "commits", ".0.crc"))
+    run(ckpt)
     after = sorted(map(tuple, read_scd2_dim(spark, dim_dir).collect()))
     assert after == before
+
+
+def test_scd2_fresh_checkpoint_on_existing_dim_fails_loudly(spark, tmp_path):
+    """Pairing an existing dim_dir with a FRESH checkpoint restarts
+    batch ids at 0, so the version-name replay test would silently
+    skip batches carrying new data. The manifest records the owning
+    streaming-query id; a mismatched checkpoint must fail loudly, not
+    no-op."""
+    import pytest as _pytest
+
+    from big_data_spark.streaming.sinks import start_scd2_stream
+
+    src = tmp_path / "updates"
+    src.mkdir()
+    rows = [(1, "BUILDING", "2026-01-01T00:00:00")]
+    spark.createDataFrame(
+        rows, "cust_id long, segment string, ts_s string"
+    ).coalesce(1).write.mode("overwrite").json(str(src / "a"))
+
+    def run(ckpt: str):
+        stream = (
+            spark.readStream.schema("cust_id long, segment string, ts_s string")
+            .json(str(src / "*"))
+            .withColumn("ts", F.to_timestamp("ts_s"))
+            .drop("ts_s")
+        )
+        q = start_scd2_stream(
+            stream, str(tmp_path / "dim"), ckpt, key="cust_id",
+            tracked=["segment"],
+        )
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "c1"))
+    # new data lands; a fresh checkpoint would replay it as batch 0 and
+    # the old basename guard would swallow it
+    rows2 = [(1, "MACHINERY", "2026-02-01T00:00:00")]
+    spark.createDataFrame(
+        rows2, "cust_id long, segment string, ts_s string"
+    ).coalesce(1).write.mode("overwrite").json(str(src / "b"))
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with _pytest.raises(StreamingQueryException, match="bound to its original checkpoint"):
+        run(str(tmp_path / "c2"))
