@@ -4161,85 +4161,21 @@ def q92_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion), and surviving sig pairs expand to doc pairs exactly
     once — output work is proportional to the answer, not to the
     candidate set. Same-signature groups contribute their C(n,2)
-    hamming-0 pairs directly."""
+    hamming-0 pairs directly.
+
+    This 32-bit form is the ORACLE ANCHOR; production corpora past
+    ~10^8 distinct signatures call the same machinery at n_bits=64 /
+    4x16-bit bands (operators.simhash — 65,536 buckets per band, so
+    per-bucket candidate work shrinks 256x; exactness proven at both
+    widths in tests/test_simhash_exactness.py).
+
+    No output sort — the result is a pair SET (driver/oracle compare
+    order-insensitively); a global range-sort of millions of pairs
+    would be pure overhead at scale."""
+    from .operators.simhash import simhash_hamming_pairs
+
     docs = _t(spark, sf_dir, "documents")
-    hashed = docs.select(
-        "doc_id",
-        F.transform(
-            F.array_distinct(F.split("text", " ")), lambda t: F.md5(t)
-        ).alias("th"),
-    )
-    bit_sums = [
-        F.aggregate(
-            "th",
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.substring(h, i + 1, 1) >= "8", 1).otherwise(-1),
-        ).alias(f"b{i}")
-        for i in range(32)
-    ]
-    sums = hashed.select("doc_id", *bit_sums)
-    sig_expr = None
-    for i in range(32):
-        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig_expr = term if sig_expr is None else sig_expr + term
-    sigs = sums.select("doc_id", sig_expr.alias("sig"))
-    groups = sigs.groupBy("sig").agg(F.collect_list("doc_id").alias("docs"))
-    bands = groups.select(
-        "sig",
-        "docs",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("sig", 8 * k).bitwiseAND(F.lit(255))
-                    for k in range(4)
-                ]
-            )
-        ).alias("band_id", "band_val"),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    sig_pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.sig") < F.col("b.sig")),
-        )
-        .select(
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-            F.col("a.docs").alias("docs_a"),
-            F.col("b.docs").alias("docs_b"),
-            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
-            .cast("int")
-            .alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 3)
-        # multi-band dedup at sig level, BEFORE the doc expansion
-        .dropDuplicates(["sig_a", "sig_b"])
-    )
-    cross = (
-        sig_pairs.select("hamming", F.explode("docs_a").alias("x"), "docs_b")
-        .select("hamming", "x", F.explode("docs_b").alias("y"))
-        .select(
-            F.least("x", "y").alias("doc_a"),
-            F.greatest("x", "y").alias("doc_b"),
-            "hamming",
-        )
-    )
-    same = (
-        groups.filter(F.size("docs") > 1)
-        .select(F.explode("docs").alias("doc_a"), "docs")
-        .select("doc_a", F.explode("docs").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.lit(0).cast("int").alias("hamming"))
-    )
-    # no output sort — the result is a pair SET (driver/oracle compare
-    # order-insensitively); a global range-sort of millions of pairs
-    # would be pure overhead at scale
-    return cross.unionByName(same)
+    return simhash_hamming_pairs(docs, n_bits=32, n_bands=4, max_hamming=3)
 
 
 @register(
@@ -6298,9 +6234,14 @@ def q127_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q128_copurchase_pairs",
     """
     WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    capped AS (
+      SELECT l_orderkey, l_partkey FROM op
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                 ORDER BY l_partkey) <= 64
+    ),
     pairs AS (
       SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
-      FROM op a JOIN op b
+      FROM capped a JOIN capped b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     )
     SELECT part_a, part_b, COUNT(*) AS n_orders
@@ -6318,18 +6259,22 @@ def q128_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated per BASKET (self equi-join on orderkey after a distinct
     projection), so the blow-up is Σ k_i² over per-order basket sizes
     (~4 items/order ⇒ ~6 pairs), linear in orders — never |parts|².
-    A pathological mega-basket is the skew risk; production guard is
-    a per-order item cap before pairing (q95's group-limit machinery).
+    The pathological mega-basket is capped: each order keeps its 64
+    smallest distinct parts before pairing, via WindowGroupLimit
+    (q95's machinery, plan-asserted) — TPC-H baskets are ≤7 items so
+    the cap is value-inert here, but a bot basket of 10^6 items at
+    100 TB would otherwise emit C(10^6,2) pairs. The oracle replays
+    the identical cap (QUALIFY row_number ≤ 64).
     Cross-checked against MLlib FPGrowth in tests/test_ml.py: the
     size-2 frequent itemsets and support counts match exactly.
 
-    Plan: baskets form by ONE shuffle on orderkey (collect_set with
-    map-side partial aggregation); pairs generate BASKET-LOCALLY from
-    the sorted item array via nested `transform` — no self-join, so
-    no second corpus-sized side ever shuffles; support counting is
-    the only other exchange. Two shuffles total vs. the three (+join)
-    of the self-join formulation, and measurably faster at sf0.1."""
-    pairs = _copurchase_pairs(_t(spark, sf_dir, "lineitem"))
+    Plan: the cap's per-group limit runs inside the basket sort;
+    pairs generate BASKET-LOCALLY from the sorted item array via
+    nested `transform` — no self-join, so no second corpus-sized side
+    ever shuffles; support counting is the only other exchange."""
+    pairs = _copurchase_pairs(
+        _t(spark, sf_dir, "lineitem"), max_basket_items=64
+    )
     return (
         pairs.groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_orders"))
@@ -6869,7 +6814,9 @@ def q134_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM agg
     )
     SELECT CAST(date_trunc('day', bucket) AS TIMESTAMP) AS day,
-           CAST(MAX(off_before + mx) AS BIGINT) AS peak_concurrency
+           CAST(GREATEST(MIN_BY(off_before, bucket),
+                         MAX(off_before + mx)) AS BIGINT)
+             AS peak_concurrency
     FROM off GROUP BY 1 ORDER BY 1
     """,
     "window",
@@ -6886,10 +6833,18 @@ def q135_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     of per-bucket net deltas — a window over the HISTOGRAM of buckets
     (~10^3-10^5 rows at any corpus size, q94's trick); (3) the bucket
     peak is carry-in + in-bucket max, and day peaks aggregate bucket
-    peaks. Half-open [s,e) semantics pinned by ordering -1 before +1
+    peaks TOGETHER WITH the day's opening carry-in (the first
+    bucket's off_before): concurrency carried across midnight counts
+    as the day's floor, so a day whose first event is an interval
+    END (-1) still reports the true day-start peak. Mid-day bucket
+    carries need no such term — off_before_{j+1} = off_before_j +
+    net_j ≤ off_before_j + mx_j is dominated by bucket j's peak.
+    Half-open [s,e) semantics pinned by ordering -1 before +1
     at equal timestamps; within-tie order cannot change the max.
     Concurrency/occupancy/capacity questions (sessions online, rooms
-    booked, connections open) all compile to this shape."""
+    booked, connections open) all compile to this shape. (Days with
+    no boundary points emit no row — constant-concurrency gaps are
+    the reader's interpolation.)"""
     ev = _t(spark, sf_dir, "events")
     iv = ev.select(
         "event_id",
@@ -6924,7 +6879,10 @@ def q135_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         off.groupBy(F.date_trunc("day", F.col("bucket")).alias("day"))
         .agg(
-            F.max(F.col("off_before") + F.col("mx"))
+            F.greatest(
+                F.min_by("off_before", "bucket"),
+                F.max(F.col("off_before") + F.col("mx")),
+            )
             .cast("long")
             .alias("peak_concurrency")
         )
@@ -7013,15 +6971,39 @@ def q136_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _copurchase_pairs(li: DataFrame) -> DataFrame:
+def _copurchase_pairs(
+    li: DataFrame, max_basket_items: int | None = None
+) -> DataFrame:
     """Basket-local co-purchase pair stream (part_a < part_b), one row
     per (order, pair) — q128's rejected-self-join replacement, shared
-    by q128 (support counting) and q141 (graph edges): one collect_set
-    shuffle on orderkey, pairs emitted from the sorted item array via
-    nested transforms, no join node."""
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("items")
-    )
+    by q128 (support counting) and q141 (graph edges): pairs emit from
+    the sorted item array via nested transforms, no join node.
+
+    ``max_basket_items`` is the A-priori mega-basket skew guard: each
+    order keeps only its N smallest DISTINCT part keys BEFORE the
+    basket array forms. The per-group limit compiles to
+    WindowGroupLimit (q95's machinery), so a pathological basket —
+    a bot order with 10^6 items would otherwise emit C(10^6,2) pairs
+    and collect an unbounded array — is truncated during the sort,
+    never materialized whole, and per-order pair work is bounded by
+    C(N,2). Truncation-by-smallest-key is deterministic, so the
+    DuckDB oracles replay it exactly (QUALIFY row_number)."""
+    if max_basket_items is not None:
+        wcap = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+        capped = (
+            li.select("l_orderkey", "l_partkey")
+            .distinct()
+            .withColumn("_rn", F.row_number().over(wcap))
+            .filter(F.col("_rn") <= max_basket_items)
+            .drop("_rn")
+        )
+        baskets = capped.groupBy("l_orderkey").agg(
+            F.array_sort(F.collect_list("l_partkey")).alias("items")
+        )
+    else:
+        baskets = li.groupBy("l_orderkey").agg(
+            F.array_sort(F.collect_set("l_partkey")).alias("items")
+        )
     return baskets.select(
         F.explode(
             F.flatten(
@@ -7040,16 +7022,17 @@ def _copurchase_pairs(li: DataFrame) -> DataFrame:
 
 
 def _bm25_doc_scores(
-    spark: SparkSession, sf_dir: str, terms: list[str]
+    spark: SparkSession, sf_dir: str, terms: list[str], prepared=None
 ) -> DataFrame:
     """Per-doc Okapi BM25 (k1=1.2, b=0.75, Lucene non-negative idf)
     for a fixed query — the scorer shared by q137 (ranking) and q138
     (fusion signal). Term frequencies aggregate for the QUERY'S terms
     only; idf and corpus stats ride broadcasts. Returns (doc_id, s)
-    with s rounded to 6 after an exact-decimal per-doc sum. Also
-    returns tf/dl columns used by q138's coverage ranker via the
-    companion _bm25_tf_dl."""
-    tf, dl, stats = _bm25_tf_dl(spark, sf_dir, terms)
+    with s rounded to 6 after an exact-decimal per-doc sum. A caller
+    that also needs the building blocks (q138's coverage ranker)
+    passes its own ``prepared=(tf, dl, stats)`` so the corpus
+    tokenize + checkpointed aggregates materialize exactly once."""
+    tf, dl, stats = prepared or _bm25_tf_dl(spark, sf_dir, terms)
     df_ = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
     idf = df_.crossJoin(F.broadcast(stats)).select(
         "term",
@@ -7238,8 +7221,8 @@ def q138_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     in both engines, and 1/(60+r) rounds before the decimal sum so
     the fused ordering is engine-stable."""
     terms = ["spark", "hash", "window"]
-    tf, dl, _stats = _bm25_tf_dl(spark, sf_dir, terms)
-    bm25 = _bm25_doc_scores(spark, sf_dir, terms)
+    tf, dl, stats = _bm25_tf_dl(spark, sf_dir, terms)
+    bm25 = _bm25_doc_scores(spark, sf_dir, terms, prepared=(tf, dl, stats))
     w1 = Window.orderBy(F.desc("s"), "doc_id")
     r1 = (
         bm25.orderBy(F.desc("s"), "doc_id")
@@ -7415,9 +7398,14 @@ def q140_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q141_triangle_count",
     """
     WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    capped AS (
+      SELECT l_orderkey, l_partkey FROM op
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                 ORDER BY l_partkey) <= 64
+    ),
     e0 AS (
       SELECT a.l_partkey AS u, b.l_partkey AS v
-      FROM op a JOIN op b
+      FROM capped a JOIN capped b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     ), edges AS (
       SELECT u, v FROM e0 GROUP BY u, v HAVING COUNT(*) >= 2
@@ -7443,12 +7431,18 @@ def q141_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONCE as (u < v), so a triangle {a<b<c} is found exactly once as
     e1=(a,b) ⋈ e2=(b,c) on the shared middle vertex plus a hash
     probe for the closing edge (a,c) — keyed equi-joins only, work
-    bounded by Σ deg(v)² wedges, never |V|³. At 100 TB-scale graphs
-    the refinement is degree-ordered orientation (point each edge
-    from lower- to higher-degree endpoint, bounding wedge work by
-    arboricity); the support floor already prunes the heavy tail
-    here."""
-    pairs = _copurchase_pairs(_t(spark, sf_dir, "lineitem"))
+    bounded by Σ deg(v)² wedges, never |V|³. For power-law graphs the
+    same operator offers degree-ordered orientation
+    (triangle_count(degree_ordered=True): edges point low→high
+    (degree, id) rank, bounding wedge work by arboricity — O(m^1.5));
+    not used here because the support floor already prunes the heavy
+    tail and the plain path skips the degree join. Equality of the
+    two paths is pinned on hub graphs and this very edge set in
+    tests/test_quality_checks.py. Baskets are capped at 64 items
+    (the q128 guard), replayed identically by the oracle."""
+    pairs = _copurchase_pairs(
+        _t(spark, sf_dir, "lineitem"), max_basket_items=64
+    )
     edges = (
         pairs.groupBy(
             F.col("part_a").alias("u"), F.col("part_b").alias("v")

@@ -119,9 +119,14 @@ def test_peak_concurrency_matches_global_sweep(spark):
     cur = 0
     expected: dict = {}
     for t, d, _ in pts:
-        cur += d
         day = t.replace(hour=0, minute=0, second=0, microsecond=0)
+        # the PRE-delta value counts too: at the day's first point it
+        # is the concurrency carried across midnight (the day's floor);
+        # at later points it equals the previous point's post-delta
+        # value, already folded in — so including it is exact.
         expected[day] = max(expected.get(day, 0), cur)
+        cur += d
+        expected[day] = max(expected[day], cur)
     # spark emits a day row only if a bucket starts that day; compare
     # on the days it reports
     assert set(got) <= set(expected)
