@@ -306,6 +306,23 @@ def test_simhash_hamming_band_join_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_simhash_64bit_band_join_no_cartesian(spark):
+    """The 64-bit/4x16-band scale form keeps the same plan shape: a
+    keyed equi-join on (band_id, band_val) with 65,536 buckets per
+    band — the parameterization exists precisely so the candidate
+    work stays bucketed past ~10^8 distinct signatures."""
+    from big_data_spark.catalog import load_table
+    from big_data_spark.operators.simhash import simhash_hamming_pairs
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    df = simhash_hamming_pairs(docs, n_bits=64, n_bands=4, max_hamming=3)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_market_share_broadcasts_all_dims(spark):
     """q102 (TPC-H Q8 shape): part/supplier/nation/region all arrive
     via broadcast — the only shuffles are the two fact joins
@@ -544,12 +561,17 @@ def test_fuzzy_name_pairs_length_blocked_no_cartesian(spark):
 
 def test_copurchase_pairs_basket_local_no_join(spark):
     """q128: pairs generate basket-locally from the collected item
-    array — NO join node at all, two shuffles (basket build + support
-    count), and the top-50 compiles to TakeOrderedAndProject."""
+    array — NO join node at all, the top-50 compiles to
+    TakeOrderedAndProject, and the mega-basket guard (64 smallest
+    parts per order) pushes into WindowGroupLimit so a pathological
+    basket truncates during the sort instead of collecting whole."""
     df = q(spark, "q128_copurchase_pairs")
     plan = formatted_plan(df)
     assert "Join" not in plan, plan
-    assert count_shuffles(df) <= 2, plan
+    assert "WindowGroupLimit" in plan, plan
+    # distinct + cap window + support count (basket build reuses the
+    # cap window's orderkey partitioning)
+    assert count_shuffles(df) <= 3, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "rangepartitioning" not in plan, plan
 
