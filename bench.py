@@ -207,17 +207,24 @@ def main() -> None:
         + sum(results[q] for q in BENCH_QUERIES),
         3,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": results,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "bench_total_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "queries": results,
+            "sf": sf,
+        }
     )
+    # truncation-proof: the driver's bounded tail capture once cut the
+    # FRONT of this (long) line, losing the headline metrics — so the
+    # full JSON also lands in a file, and the line prints FIRST (any
+    # trailing Spark-shutdown noise then can't displace it in a tail).
+    print(line, flush=True)
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_out.json")
+    with open(out_path, "w") as f:
+        f.write(line + "\n")
     spark.stop()
 
 
