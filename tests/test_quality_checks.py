@@ -138,11 +138,62 @@ def test_triangle_count_known_graphs(spark):
         "u bigint, v bigint",
     )
     assert triangle_count(k4).first()["n_triangles"] == 4
+    assert (
+        triangle_count(k4, degree_ordered=True).first()["n_triangles"] == 4
+    )
     # a 4-cycle has none
     c4 = spark.createDataFrame(
         [(0, 1), (1, 2), (2, 3), (0, 3)], "u bigint, v bigint"
     )
     assert triangle_count(c4).first()["n_triangles"] == 0
+    assert (
+        triangle_count(c4, degree_ordered=True).first()["n_triangles"] == 0
+    )
+
+
+def test_triangle_count_degree_ordered_equals_default(spark):
+    """Degree-ordered orientation (the arboricity-bounded skew form)
+    must count EXACTLY what the id-ordered default counts — on a
+    hub-and-spokes graph with closures (the shape the orientation
+    exists for: one high-degree vertex 0, triangles through it and
+    one off-hub triangle) and on the real co-purchase edge graph."""
+    from pyspark.sql import functions as F
+
+    from big_data_spark.operators.relational import triangle_count
+
+    # hub 0 connects to 1..8; closures (1,2), (3,4); off-hub triangle
+    # (5,6),(6,7),(5,7) → triangles: {0,1,2}, {0,3,4}, {0,5,6},
+    # {0,6,7}, {0,5,7}, {5,6,7} = 6
+    hub = spark.createDataFrame(
+        [(0, b) for b in range(1, 9)]
+        + [(1, 2), (3, 4), (5, 6), (6, 7), (5, 7)],
+        "u bigint, v bigint",
+    )
+    assert triangle_count(hub).first()["n_triangles"] == 6
+    assert (
+        triangle_count(hub, degree_ordered=True).first()["n_triangles"] == 6
+    )
+
+    # the q141 co-purchase graph at smoke scale: both paths agree, and
+    # the degree-ordered plan stays keyed (no cartesian/nested-loop)
+    from big_data_spark.queries import _copurchase_pairs, _t
+
+    from .conftest import SF_SMOKE
+
+    pairs = _copurchase_pairs(_t(spark, SF_SMOKE, "lineitem"))
+    edges = (
+        pairs.groupBy(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    base = triangle_count(edges).first()["n_triangles"]
+    ordered_df = triangle_count(edges, degree_ordered=True)
+    assert ordered_df.first()["n_triangles"] == base
+    plan = ordered_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_constraint_report_fails_closed_on_empty_input(spark):
