@@ -7770,8 +7770,11 @@ def q145_decayed_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     one map-side-combined agg and top-20 compiles to
     TakeOrderedAndProject. Incremental form: a stored score S at
     time t0 updates to S·2^(-Δ/h) + new-events — the same algebra
-    the sketch rollups exploit. Weights round to 8 (pow is libm)
-    before the exact-decimal sum."""
+    the sketch rollups exploit; IMPLEMENTED as
+    streaming.sinks.start_trending_stream / read_trending (per-batch
+    anchored partials, rescale-and-add at read, replay-idempotent;
+    stream==batch pinned in tests/test_streaming.py). Weights round
+    to 8 (pow is libm) before the exact-decimal sum."""
     ev = _t(spark, sf_dir, "events")
     b = ev.agg(F.max("ts").alias("tmax"))
     w = ev.crossJoin(F.broadcast(b)).select(

@@ -524,6 +524,118 @@ def read_rollup(spark, partials_dir: str) -> DataFrame:
     )
 
 
+def start_trending_stream(
+    events_stream: DataFrame,
+    partials_dir: str,
+    checkpoint_dir: str,
+    half_life_days: float = 1.0,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Incremental twin of q145's exponential time-decay trending
+    score (rescale-and-add update algebra, made replay-safe with the
+    rollup/health partials pattern instead of a mutable state table).
+
+    Each micro-batch writes a per-user partial keyed to the BATCH'S
+    OWN time anchor: (user_id, n_events, decayed_sum, anchor_us) with
+    ``decayed_sum = Σ 2^((ts − anchor_us)/h)`` over the batch's events
+    and ``anchor_us`` the batch max event time. ``read_trending``
+    rescales every partial to the global anchor T = max(anchor_us) —
+    multiply by ``2^(−(T − anchor_b)/h)`` — and sums: exactly the
+    ``S·2^(−Δ/h) + new`` update q145 documents, but expressed as an
+    associative merge over immutable partials, so
+
+    - a replayed batch dynamically overwrites its own batch_id
+      partition with identical content (exactly-once, no state store,
+      no double counting — same contract as start_rollup_stream), and
+    - every exponent is ≤ 0 (ts ≤ anchor_b ≤ T), so the stream can run
+      for unbounded wall-clock without overflow — unlike the naive
+      fixed-epoch up-weighting 2^(ts/h), which overflows doubles after
+      ~10³ half-lives.
+
+    Partials are |users-per-batch| rows; compact old partials into a
+    single rebased partial offline if batch count ever matters (the
+    rescale-and-add algebra makes that a one-liner).
+    Ages are integer microseconds (the q126/q145 discipline) and
+    in-batch weights round to 8 before the exact-decimal partial sum,
+    mirroring q145's determinism rules.
+    """
+    h_us = float(half_life_days) * 86400000000.0
+
+    def write_partial(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():  # no anchor derivable; nothing to land
+            return
+        anchor = batch.agg(F.max(F.unix_micros("ts")).alias("anchor_us"))
+        (
+            batch.crossJoin(F.broadcast(anchor))
+            .select(
+                "user_id",
+                "anchor_us",
+                F.round(
+                    F.pow(
+                        0.5,
+                        (F.col("anchor_us") - F.unix_micros("ts"))
+                        / F.lit(h_us),
+                    ),
+                    8,
+                ).alias("wt"),
+            )
+            .groupBy("user_id", "anchor_us")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("wt").cast("decimal(27,8)")).alias("decayed_sum"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(partials_dir)
+        )
+
+    writer = (
+        events_stream.writeStream.foreachBatch(write_partial)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_trending(
+    spark,
+    partials_dir: str,
+    half_life_days: float = 1.0,
+    k: int | None = 20,
+) -> DataFrame:
+    """The live trending view: rescale every per-batch partial to the
+    newest anchor and merge. ``k=None`` returns all users (for joins /
+    exact comparison); otherwise top-k by hot_score like q145."""
+    h_us = float(half_life_days) * 86400000000.0
+    p = spark.read.parquet(partials_dir)
+    t = p.agg(F.max("anchor_us").alias("t_us"))
+    scored = (
+        p.crossJoin(F.broadcast(t))
+        .select(
+            "user_id",
+            "n_events",
+            (
+                F.col("decayed_sum").cast("double")
+                * F.pow(
+                    0.5, (F.col("t_us") - F.col("anchor_us")) / F.lit(h_us)
+                )
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.round(F.sum("s"), 6).alias("hot_score"),
+        )
+    )
+    if k is None:
+        return scored
+    return scored.orderBy(F.desc("hot_score"), "user_id").limit(k)
+
+
 def start_corpus_health_stream(
     docs_stream: DataFrame,
     partials_dir: str,

@@ -891,6 +891,85 @@ def test_incremental_rollup_equals_batch_and_survives_replay(spark, tmp_path):
     assert got2 == want
 
 
+def test_streaming_trending_matches_batch_and_survives_replay(spark, tmp_path):
+    """start_trending_stream: the rescale-and-add incremental decayed
+    score over micro-batch partials equals q145's one-shot batch
+    computation over everything ingested (float tolerance: the
+    incremental form rounds per-batch weights against per-batch
+    anchors), event counts match exactly, and a full replay on a
+    fresh checkpoint changes nothing."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from big_data_spark.catalog import load_table
+    from big_data_spark.streaming.sinks import (
+        read_trending,
+        start_trending_stream,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    # time-ordered micro-batches (a real stream arrives in time order,
+    # so each batch's anchor advances)
+    a = ev.orderBy("ts", "user_id").limit(400)
+    b = ev.subtract(a)
+    a.coalesce(1).write.parquet(str(src / "a"))
+    b.coalesce(1).write.parquet(str(src / "b"))
+
+    partials = str(tmp_path / "partials")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(a.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = start_trending_stream(stream, partials, ckpt)
+        q.awaitTermination(180)
+
+    run(str(tmp_path / "c1"))
+
+    # batch truth: q145's definition over the full event set
+    anchor = ev.agg(F.max(F.unix_micros("ts")).alias("t_us"))
+    want = {
+        r["user_id"]: (r["n_events"], r["hot_score"])
+        for r in ev.crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.pow(
+                0.5,
+                (F.col("t_us") - F.unix_micros("ts")) / 86400000000.0,
+            ).alias("wt"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("wt").alias("hot_score"),
+        )
+        .collect()
+    }
+    got = {
+        r["user_id"]: (r["n_events"], r["hot_score"])
+        for r in read_trending(spark, partials, k=None).collect()
+    }
+    assert set(got) == set(want)
+    for uid, (n, s) in got.items():
+        assert n == want[uid][0], uid
+        assert s == _pytest.approx(want[uid][1], rel=1e-5, abs=1e-6), uid
+
+    # replay everything on a fresh checkpoint: batches overwrite their
+    # own partitions -> the merged view is unchanged
+    run(str(tmp_path / "c2"))
+    got2 = {
+        r["user_id"]: (r["n_events"], r["hot_score"])
+        for r in read_trending(spark, partials, k=None).collect()
+    }
+    assert got2 == got
+
+
 def test_streaming_corpus_health_matches_batch(spark, tmp_path):
     """start_corpus_health_stream: the merged health view equals the
     batch computation — counts/token means exactly, distinct
