@@ -6987,18 +6987,24 @@ def _copurchase_pairs(
     and collect an unbounded array — is truncated during the sort,
     never materialized whole, and per-order pair work is bounded by
     C(N,2). Truncation-by-smallest-key is deterministic, so the
-    DuckDB oracles replay it exactly (QUALIFY row_number)."""
+    DuckDB oracles replay it exactly (QUALIFY row_number over the
+    distinct projection == this dense_rank over raw line items).
+
+    dense_rank, not row_number-after-distinct: ranking DENSE over raw
+    rows keeps exactly the 64 smallest DISTINCT part keys without a
+    separate distinct exchange first — the collect_set dedups — so
+    the cap costs zero additional shuffles (the basket build reuses
+    the cap window's orderkey partitioning)."""
     if max_basket_items is not None:
         wcap = Window.partitionBy("l_orderkey").orderBy("l_partkey")
         capped = (
             li.select("l_orderkey", "l_partkey")
-            .distinct()
-            .withColumn("_rn", F.row_number().over(wcap))
-            .filter(F.col("_rn") <= max_basket_items)
-            .drop("_rn")
+            .withColumn("_dr", F.dense_rank().over(wcap))
+            .filter(F.col("_dr") <= max_basket_items)
+            .drop("_dr")
         )
         baskets = capped.groupBy("l_orderkey").agg(
-            F.array_sort(F.collect_list("l_partkey")).alias("items")
+            F.array_sort(F.collect_set("l_partkey")).alias("items")
         )
     else:
         baskets = li.groupBy("l_orderkey").agg(

@@ -569,9 +569,10 @@ def test_copurchase_pairs_basket_local_no_join(spark):
     plan = formatted_plan(df)
     assert "Join" not in plan, plan
     assert "WindowGroupLimit" in plan, plan
-    # distinct + cap window + support count (basket build reuses the
-    # cap window's orderkey partitioning)
-    assert count_shuffles(df) <= 3, plan
+    # cap window + support count — the dense_rank cap needs no
+    # separate distinct exchange (collect_set dedups) and the basket
+    # build reuses the cap window's orderkey partitioning
+    assert count_shuffles(df) <= 2, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "rangepartitioning" not in plan, plan
 
