@@ -582,7 +582,12 @@ def start_trending_stream(
             .groupBy("user_id", "anchor_us")
             .agg(
                 F.count("*").alias("n_events"),
-                F.sum(F.col("wt").cast("decimal(27,8)")).alias("decayed_sum"),
+                # pin the stored width: sum(decimal(27,8)) infers
+                # decimal(37,8), which would schema-clash with the
+                # compacted base partition's re-sum
+                F.sum(F.col("wt").cast("decimal(27,8)"))
+                .cast("decimal(38,8)")
+                .alias("decayed_sum"),
             )
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
@@ -599,6 +604,77 @@ def start_trending_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_trending_partials(
+    spark, partials_dir: str, half_life_days: float = 1.0
+) -> int:
+    """Offline compaction for the trending sink: fold all FINALIZED
+    per-batch partials into one base partial rebased onto their
+    newest anchor, so partials count stays O(1) across stream
+    lifetime. Returns the number of batch partitions folded.
+
+    Replay safety: the NEWEST batch_id partition is always excluded —
+    after a crash between its write and the checkpoint commit, that
+    batch replays and dynamically overwrites its own partition; if
+    compaction had folded it into the base, the replay would re-add
+    it and double-count. Every older batch is checkpoint-committed by
+    the time a newer one exists (foreachBatch is sequential), so
+    folding them is final. The base lands in the reserved partition
+    ``batch_id=-1`` (never a real micro-batch id) via the same
+    dynamic-overwrite write, and source partitions are dropped only
+    AFTER the base commit; a crash between the two leaves a
+    double-counted window that the NEXT compaction run repairs by
+    re-folding (the base is itself a partial, keyed to an anchor, so
+    re-folding is the same rescale-and-add) — callers wanting
+    stronger atomicity should compact under the table-format
+    equivalent (Delta REPLACE WHERE).
+    """
+    import shutil
+
+    h_us = float(half_life_days) * 86400000000.0
+    p = spark.read.parquet(partials_dir)
+    ids = [r["batch_id"] for r in p.select("batch_id").distinct().collect()]
+    real = [i for i in ids if i >= 0]
+    if not real:
+        return 0
+    foldable = sorted(i for i in ids if i != max(real))
+    if len(foldable) < 2:  # nothing to gain (base alone, or one batch)
+        return 0
+    src = p.filter(F.col("batch_id").isin(foldable))
+    anchor = src.agg(F.max("anchor_us").alias("t_us"))
+    (
+        src.crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            "n_events",
+            F.col("t_us").alias("new_anchor"),
+            (
+                F.col("decayed_sum").cast("double")
+                * F.pow(
+                    0.5, (F.col("t_us") - F.col("anchor_us")) / F.lit(h_us)
+                )
+            ).alias("s"),
+        )
+        .groupBy("user_id", F.col("new_anchor").alias("anchor_us"))
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("s"), 8).cast("decimal(38,8)").alias("decayed_sum"),
+        )
+        .select("user_id", "anchor_us", "n_events", "decayed_sum")
+        .withColumn("batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(partials_dir)
+    )
+    for i in foldable:
+        if i >= 0:  # the old base was overwritten in place, keep it
+            shutil.rmtree(
+                os.path.join(partials_dir, f"batch_id={i}"),
+                ignore_errors=True,
+            )
+    return len([i for i in foldable if i >= 0])
 
 
 def read_trending(

@@ -13,12 +13,39 @@ DRIVER_WINDOW = 50
 # scale-critical dedup/similarity tail. Rotation rule (round-3, still
 # in force): a query may leave the window only once it has a green
 # driver row in some round; never-checked oracle queries take priority
-# for slots. Round-4 update: q34/q47/q53/q54/q60/q63 earned their
-# rows (1-3 greens each) and rotated out for the round-4 additions;
-# the never-checked set below is exactly what round 4's window must
-# hard-check for the first time.
+# for slots. Round-5 update: the entire round-4 window went green in
+# CORRECTNESS_r04 (19 first-time rows among them), so the 24
+# twice-green entries rotated out (q33/q34/q51/q55-q59/q65/q68/q69/
+# q76-q88 band) and tranche 1 of the certification plan promoted
+# q108-q131 for their FIRST hard check. The set below is exactly what
+# round 5's window must hard-check or re-confirm.
 MUST_BE_IN_WINDOW = {
-    # never driver-checked before round 4 (round-3 additions)
+    # ROUND-5 PROMOTIONS — never driver-checked (tranche 1)
+    "q108_source_shingle_overlap",
+    "q109_gap_fill",
+    "q110_unigram_quality",
+    "q111_important_stock",
+    "q112_knn_join",
+    "q113_token_budget_mix",
+    "q114_quality_percentile_cut",
+    "q115_intradoc_dedup",
+    "q116_part_attr_unpivot",
+    "q117_grouping_sets",
+    "q118_time_weighted_avg",
+    "q119_exact_percentiles",
+    "q120_containment_pairs",
+    "q121_bpe_pair_counts",
+    "q122_distribution_drift",
+    "q123_native_session_windows",
+    "q124_topk_with_ties",
+    "q125_native_mad",
+    "q126_rolling_time_window",
+    "q127_fuzzy_name_pairs",
+    "q128_copurchase_pairs",
+    "q129_quality_classifier",
+    "q130_constraint_report",
+    "q131_bigram_quality",
+    # single-green round-4 rows staying for a second confirmation
     "q89_volume_shipping",
     "q90_product_type_profit",
     "q91_brand_size_disjunction",
@@ -32,22 +59,20 @@ MUST_BE_IN_WINDOW = {
     "q99_customer_order_distribution",
     "q100_batch_ann_topk",
     "q101_corpus_health",
-    # never driver-checked round-4 additions promoted this round
     "q102_market_share",
     "q103_top_supplier",
     "q104_part_supplier_variety",
     "q105_excess_shippers",
     "q106_segment_dedup",
     "q107_overlap_chunks",
-    # scale-family anchors that stay until the family is multi-green
     "q35_skill_match_scores",
     "q64_ivf_ann",
-    "q65_bucketed_segment_orders",
+    "q75_pq_adc_topk",
+    # permanent multi-green anchors (flagship / ETL / LSH / corpus)
+    "q01_pricing_summary",
+    "q32_job_etl_full",
     "q66_lsh_dedup_components",
     "q67_corpus_prep",
-    "q68_media_features",
-    "q75_pq_adc_topk",
-    "q77_corpus_mixing",
 }
 
 

@@ -970,6 +970,66 @@ def test_streaming_trending_matches_batch_and_survives_replay(spark, tmp_path):
     assert got2 == got
 
 
+def test_trending_compaction_preserves_view(spark, tmp_path):
+    """compact_trending_partials folds finalized batch partials into
+    the batch_id=-1 base WITHOUT changing the merged view (rescale-
+    and-add is associative), always excludes the newest batch (its
+    replay window), and is idempotent."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from big_data_spark.catalog import load_table
+    from big_data_spark.streaming.sinks import (
+        compact_trending_partials,
+        read_trending,
+        start_trending_stream,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    ordered = ev.orderBy("ts", "user_id")
+    a = ordered.limit(300)
+    b = ordered.limit(600).subtract(a)
+    c = ev.subtract(a).subtract(b)
+    for name, part in (("a", a), ("b", b), ("c", c)):
+        part.coalesce(1).write.parquet(str(src / name))
+
+    partials = str(tmp_path / "partials")
+    stream = (
+        spark.readStream.schema(a.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = start_trending_stream(stream, partials, str(tmp_path / "ck"))
+    q.awaitTermination(180)
+
+    before = {
+        r["user_id"]: (r["n_events"], r["hot_score"])
+        for r in read_trending(spark, partials, k=None).collect()
+    }
+    folded = compact_trending_partials(spark, partials)
+    assert folded == 2  # three batches -> two finalized fold, newest kept
+    parts = sorted(
+        n for n in os.listdir(partials) if n.startswith("batch_id=")
+    )
+    assert "batch_id=-1" in parts and len(parts) == 2, parts
+    after = {
+        r["user_id"]: (r["n_events"], r["hot_score"])
+        for r in read_trending(spark, partials, k=None).collect()
+    }
+    assert set(after) == set(before)
+    for uid, (n, s) in after.items():
+        assert n == before[uid][0]
+        assert s == _pytest.approx(before[uid][1], rel=1e-6, abs=1e-6)
+    # idempotent: base + newest alone -> nothing foldable
+    assert compact_trending_partials(spark, partials) == 0
+
+
 def test_streaming_corpus_health_matches_batch(spark, tmp_path):
     """start_corpus_health_stream: the merged health view equals the
     batch computation — counts/token means exactly, distinct
