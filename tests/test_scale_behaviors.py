@@ -132,3 +132,35 @@ def test_peak_concurrency_matches_global_sweep(spark):
     assert set(got) <= set(expected)
     for day, peak in got.items():
         assert peak == expected[day], (day, peak, expected[day])
+
+
+def test_mega_basket_cap_bounds_pair_blowup(spark):
+    """The q128/q141 basket cap under actual skew: one bot order with
+    10,000 distinct items sits among normal baskets. Uncapped pairing
+    would emit C(10000,2) ≈ 50M pairs for that order alone; the cap
+    keeps its 64 smallest parts — C(64,2) = 2016 pairs — while normal
+    baskets are untouched, and the kept set is exactly the 64 smallest
+    (deterministic, oracle-replayable)."""
+    from big_data_spark.queries import _copurchase_pairs
+
+    rows = [(1, int(p)) for p in range(10_000)]  # the bot order
+    rows += [(2, 5), (2, 7), (2, 9), (3, 5), (3, 7)]  # normal baskets
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+    pairs = _copurchase_pairs(li, max_basket_items=64)
+    per_order_pairs = pairs.count()
+    # order 1 contributes C(64,2), order 2 C(3,2)=3, order 3 C(2,2)=1
+    assert per_order_pairs == 64 * 63 // 2 + 3 + 1
+
+    # kept set for the bot order is exactly parts 0..63: every pair
+    # endpoint is < 64 among its pairs
+    bot_parts = {
+        r["part_a"] for r in pairs.filter(F.col("part_b") < 64).collect()
+    } | {r["part_b"] for r in pairs.collect() if r["part_b"] < 64}
+    assert bot_parts <= set(range(64))
+
+    # duplicates of the same (order, part) never inflate the rank
+    dup = spark.createDataFrame(
+        [(9, 1), (9, 1), (9, 2), (9, 3)], "l_orderkey long, l_partkey long"
+    )
+    assert _copurchase_pairs(dup, max_basket_items=2).count() == 1  # (1,2)
