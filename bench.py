@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "q143_hourly_anomalies",
     "q144_seasonal_backtest",
     "q145_decayed_trending",
+    # round-5 addition
+    "q146_pagerank",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

@@ -7807,6 +7807,134 @@ def q145_decayed_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle_sql(iters: int) -> str:
+    """Unrolled fixed-iteration PageRank oracle: plain chained CTEs
+    (one stage per power iteration) instead of a recursive CTE, so
+    the aggregation-per-step stays standard SQL."""
+    stages = []
+    for k in range(1, iters + 1):
+        stages.append(
+            f"""s{k} AS (
+      SELECT e.v AS u,
+             round(0.15 / MAX(n.n)
+                   + 0.85 * CAST(SUM(CAST(round(s.score / d.outdeg, 12)
+                                          AS DECIMAL(38,12))) AS DOUBLE),
+                   10) AS score
+      FROM edges e
+      JOIN s{k - 1} s ON e.u = s.u
+      JOIN deg d ON e.u = d.u, n
+      GROUP BY e.v
+    )"""
+        )
+    body = ",\n    ".join(stages)
+    return f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    capped AS (
+      SELECT l_orderkey, l_partkey FROM op
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                 ORDER BY l_partkey) <= 64
+    ),
+    e0 AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM capped a JOIN capped b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), eu AS (
+      SELECT u, v FROM e0 GROUP BY u, v HAVING COUNT(*) >= 2
+    ), edges AS (
+      SELECT u, v FROM eu UNION ALL SELECT v AS u, u AS v FROM eu
+    ), deg AS (
+      SELECT u, COUNT(*) AS outdeg FROM edges GROUP BY u
+    ), n AS (SELECT COUNT(*) AS n FROM deg),
+    s0 AS (SELECT u, round(1.0 / n.n, 12) AS score FROM deg, n),
+    {body}
+    SELECT u AS part, score AS pagerank
+    FROM s{iters}
+    ORDER BY pagerank DESC, part
+    LIMIT 20
+    """
+
+
+_PAGERANK_ITERS = 6
+
+
+@register(
+    "q146_pagerank",
+    _pagerank_oracle_sql(_PAGERANK_ITERS),
+    "graph",
+    "iterative",
+)
+def q146_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank on the co-purchase graph (q141's edges: support ≥ 2,
+    64-item basket cap, symmetrized) — the influence-ranking sibling
+    of q66's connected components, and the canonical fixed-iteration
+    power method: s' = 0.15/N + 0.85·Σ_in s/outdeg, 6 iterations,
+    damping 0.85. Surfaces 'anchor products' whose rank flows from
+    being co-bought with other well-connected parts, not from raw
+    degree.
+
+    Distributed shape per iteration: one equi-join of the static
+    (edges ⋈ outdeg) table with the current score vector and one
+    groupBy on the destination — two linear hash shuffles, identical
+    to a GraphX/Pregel superstep; the edge table localCheckpoints
+    once and each iteration's scores checkpoint eagerly so lineage
+    stays O(1) (the q66 discipline). The symmetric graph has no
+    dangling nodes (every vertex has outdeg ≥ 1), so no dangling-mass
+    redistribution term is needed.
+
+    Cross-engine determinism: per-edge contributions round to 12 then
+    sum as DECIMAL(38,12) (exact, order-free); the damped update
+    rounds to 10 before feeding the next iteration, so both engines
+    iterate on identical fixed-point values. The oracle unrolls the 6
+    iterations as chained CTE stages."""
+    pairs = _copurchase_pairs(
+        _t(spark, sf_dir, "lineitem"), max_basket_items=64
+    )
+    und = (
+        pairs.groupBy(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("u", "v")
+    )
+    edges = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    outdeg = edges.groupBy("u").agg(F.count("*").alias("outdeg"))
+    # static per-iteration input, paid once: (src, dst, src outdeg)
+    g = edges.join(outdeg, "u").select(
+        "u", "v", "outdeg"
+    ).localCheckpoint(eager=True)
+    ncnt = outdeg.agg(F.count("*").alias("n"))
+    scores = (
+        outdeg.crossJoin(F.broadcast(ncnt))
+        .select("u", F.round(F.lit(1.0) / F.col("n"), 12).alias("score"))
+        .localCheckpoint(eager=True)
+    )
+    for _k in range(_PAGERANK_ITERS):
+        contrib = g.join(scores, "u").select(
+            "v",
+            F.round(F.col("score") / F.col("outdeg"), 12).alias("w"),
+        )
+        scores = (
+            contrib.groupBy(F.col("v").alias("u"))
+            .agg(F.sum(F.col("w").cast("decimal(38,12)")).alias("acc"))
+            .crossJoin(F.broadcast(ncnt))
+            .select(
+                "u",
+                F.round(
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85) * F.col("acc").cast("double"),
+                    10,
+                ).alias("score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        scores.select(F.col("u").alias("part"), F.col("score").alias("pagerank"))
+        .orderBy(F.desc("pagerank"), "part")
+        .limit(20)
+    )
+
+
 # =========================================================================
 # Registry ordering (driver check-window priority)
 # =========================================================================
@@ -7922,6 +8050,11 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "m01_kmeans_embedding_clusters",
     "m02_skill_hot_gbt_top",
     "m04_similar_tokens_w2v",
+    # round-5 ADDITION (never checked): first in line for round 7,
+    # after the round-6 tranche above completes certification.
+    # In-window representative: q146↔q66 (iterative label/score
+    # propagation with eager checkpoints) + q128 (the edge builder).
+    "q146_pagerank",
     # round-5 demotions next (freshest prev-pass evidence, 2+× green):
     "q55_purchase_attribution_asof",
     "q56_incident_click_range_join",

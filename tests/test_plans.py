@@ -651,3 +651,14 @@ def test_bm25_scores_query_terms_only(spark):
     # tf/dl are materialized once (localCheckpoint) — the final plan
     # reads the checkpointed RDDs, never re-scanning the corpus
     assert "Scan parquet" not in plan, plan
+
+
+def test_pagerank_iterations_stay_keyed(spark):
+    """q146: each power iteration is an equi-join + keyed agg; the
+    final plan (last iteration feeds from checkpointed scores) must
+    be cartesian-free with the top-20 as TakeOrderedAndProject, and
+    the broadcast 1-row node count must not become a nested loop."""
+    df = q(spark, "q146_pagerank")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan

@@ -210,3 +210,50 @@ def test_constraint_report_fails_closed_on_empty_input(spark):
     ).collect()
     assert all(r["passed"] is False for r in rep), rep
     assert all(r["observed"] is None for r in rep), rep
+
+
+def test_pagerank_known_graph_properties(spark):
+    """The q146 power iteration on a hand-checkable graph: on a star
+    (hub 0 — spokes 1..6) the hub must rank first with all spokes
+    tied, and the total mass stays ~1 (no dangling leakage in the
+    symmetric graph)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    # reuse the query's iteration via a local reimplementation of its
+    # core on injected edges (the registry fn is bound to lineitem):
+    # symmetric star edges
+    und = spark.createDataFrame(
+        [(0, b) for b in range(1, 7)], "u long, v long"
+    )
+    edges = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    outdeg = edges.groupBy("u").agg(F.count("*").alias("outdeg"))
+    g = edges.join(outdeg, "u").select("u", "v", "outdeg")
+    ncnt = outdeg.agg(F.count("*").alias("n"))
+    scores = outdeg.crossJoin(F.broadcast(ncnt)).select(
+        "u", F.round(F.lit(1.0) / F.col("n"), 12).alias("score")
+    )
+    for _ in range(6):
+        contrib = g.join(scores, "u").select(
+            "v", F.round(F.col("score") / F.col("outdeg"), 12).alias("w")
+        )
+        scores = (
+            contrib.groupBy(F.col("v").alias("u"))
+            .agg(F.sum(F.col("w").cast("decimal(38,12)")).alias("acc"))
+            .crossJoin(F.broadcast(ncnt))
+            .select(
+                "u",
+                F.round(
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85) * F.col("acc").cast("double"),
+                    10,
+                ).alias("score"),
+            )
+        )
+    rows = {r["u"]: r["score"] for r in scores.collect()}
+    hub, spokes = rows[0], [rows[i] for i in range(1, 7)]
+    assert hub > max(spokes)
+    assert len(set(spokes)) == 1  # symmetry -> identical spoke ranks
+    assert sum(rows.values()) == _pytest.approx(1.0, abs=1e-6)
