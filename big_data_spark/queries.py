@@ -7895,10 +7895,18 @@ def q146_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") >= 2)
         .select("u", "v")
     )
+    # checkpoint the symmetrized edge list FIRST: outdeg, the joined
+    # static table, and the per-iteration broadcast node count all
+    # derive from it — without the cut each consumer re-runs the whole
+    # basket-pairing pipeline (measured: 16s -> ~4s at sf0.1)
     edges = und.unionByName(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    outdeg = (
+        edges.groupBy("u")
+        .agg(F.count("*").alias("outdeg"))
+        .localCheckpoint(eager=True)
     )
-    outdeg = edges.groupBy("u").agg(F.count("*").alias("outdeg"))
     # static per-iteration input, paid once: (src, dst, src outdeg)
     g = edges.join(outdeg, "u").select(
         "u", "v", "outdeg"
