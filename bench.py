@@ -102,8 +102,9 @@ BENCH_QUERIES = [
     "q143_hourly_anomalies",
     "q144_seasonal_backtest",
     "q145_decayed_trending",
-    # round-5 addition
+    # round-5 additions
     "q146_pagerank",
+    "q147_weighted_sample",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

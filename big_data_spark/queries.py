@@ -7943,6 +7943,86 @@ def q146_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q147_weighted_sample",
+    """
+    WITH keyed AS (
+      SELECT lang, doc_id, n_chars,
+             round(
+               ln((('0x' || substring(md5('aes:' ||
+                      CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+                  / 4294967297.0)
+               / n_chars, 12) AS aes_key
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS weight,
+           CAST(rnk AS INT) AS draw_order
+    FROM (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY aes_key DESC, doc_id) AS rnk
+      FROM keyed
+    )
+    WHERE rnk <= 5
+    ORDER BY lang, draw_order
+    """,
+    "sampling",
+    "weighted",
+)
+def q147_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling WITHOUT replacement, k=5 per
+    language stratum — the Efraimidis–Spirakis A-ES one-pass scheme
+    ("Weighted random sampling with a reservoir", IPL 2006): each row
+    draws key u^(1/w) (computed as ln(u)/w, order-equivalent and
+    numerically stable) and the top-k keys per stratum ARE a weighted
+    sample without replacement. This is the quality-weighted corpus
+    subsampler q93/q95/q113 don't cover: q93 splits uniformly, q95
+    samples k uniform per group, q113 takes budgeted PREFIXES —
+    A-ES draws each doc with probability proportional to its weight
+    (n_chars here; swap in a model quality score unchanged).
+
+    At 100 TB this is one map-side expression (md5-uniform → ln → /w)
+    plus one per-stratum top-k that compiles to WindowGroupLimit
+    (plan-asserted) — no global sort, no second pass, and the
+    sample is reproducible (seeded md5), so retries and engines
+    agree. `draw_order` is the without-replacement draw sequence
+    (the rank itself, per A-ES). u derives from 8 md5 hex chars as
+    (h32+1)/(2^32+1) ∈ (0,1) — never 0, so ln is finite; keys round
+    to 12 (ln is libm) with doc_id tiebreak."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("aes:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(4294967297.0)
+    keyed = docs.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.round(F.log(u) / F.col("n_chars"), 12).alias("aes_key"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("aes_key"), "doc_id")
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "lang",
+            "doc_id",
+            F.col("n_chars").cast("long").alias("weight"),
+            F.col("rnk").cast("int").alias("draw_order"),
+        )
+        .orderBy("lang", "draw_order")
+    )
+
+
 # =========================================================================
 # Registry ordering (driver check-window priority)
 # =========================================================================
@@ -8058,11 +8138,13 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "m01_kmeans_embedding_clusters",
     "m02_skill_hot_gbt_top",
     "m04_similar_tokens_w2v",
-    # round-5 ADDITION (never checked): first in line for round 7,
+    # round-5 ADDITIONS (never checked): first in line for round 7,
     # after the round-6 tranche above completes certification.
-    # In-window representative: q146↔q66 (iterative label/score
-    # propagation with eager checkpoints) + q128 (the edge builder).
+    # In-window representatives: q146↔q66 (iterative label/score
+    # propagation with eager checkpoints) + q128 (the edge builder);
+    # q147↔q95/q93 (WindowGroupLimit per-stratum k + seeded-md5 draw).
     "q146_pagerank",
+    "q147_weighted_sample",
     # round-5 demotions next (freshest prev-pass evidence, 2+× green):
     "q55_purchase_attribution_asof",
     "q56_incident_click_range_join",

@@ -662,3 +662,13 @@ def test_pagerank_iterations_stay_keyed(spark):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_weighted_sample_uses_group_limit(spark):
+    """q147: the per-stratum A-ES top-k must push into
+    WindowGroupLimit — one map-side key expression plus a bounded
+    per-group selection, never a global sort of the corpus."""
+    df = q(spark, "q147_weighted_sample")
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -164,3 +164,44 @@ def test_mega_basket_cap_bounds_pair_blowup(spark):
         [(9, 1), (9, 1), (9, 2), (9, 3)], "l_orderkey long, l_partkey long"
     )
     assert _copurchase_pairs(dup, max_basket_items=2).count() == 1  # (1,2)
+
+
+def test_aes_weighted_sampling_is_weight_proportional(spark):
+    """The q147 A-ES key (ln(u)/w, top-k) must actually sample
+    proportionally to weight: drawing k=1 from {heavy: w=9, light:
+    w=1} over 400 deterministic seeded trials picks the heavy item
+    ~90% of the time. Pins the MATH (a wrong key formula — e.g. u/w
+    or ln(u)*w — fails this badly), not just cross-engine parity."""
+    from pyspark.sql.window import Window
+
+    trials = spark.range(400).select(F.col("id").alias("trial"))
+    items = spark.createDataFrame(
+        [("heavy", 9.0), ("light", 1.0)], "item string, w double"
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.lit("aes"), "trial", "item")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(4294967297.0)
+    keyed = trials.crossJoin(items).select(
+        "trial", "item", (F.log(u) / F.col("w")).alias("k")
+    )
+    w = Window.partitionBy("trial").orderBy(F.desc("k"), "item")
+    winners = (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("item")
+        .count()
+        .collect()
+    )
+    share = {r["item"]: r["count"] / 400 for r in winners}
+    assert 0.85 <= share.get("heavy", 0.0) <= 0.95, share
