@@ -7634,14 +7634,28 @@ def q143_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     very anomalies they're meant to flag). 31 anomalous cells of
     3385 at sf0.01; the z threshold applies to the UNROUNDED score,
     which is bit-identical across engines because counts are integers
-    and median/MAD parity is pinned (q119/q125)."""
+    and median/MAD parity is pinned (q119/q125). INCREMENTAL form:
+    streaming.sinks.start_cell_histogram_stream maintains the cell
+    histogram as exactly-once partials and read_hourly_anomalies runs
+    THIS function's shared flag stage over it (stream==batch pinned
+    in tests/test_streaming.py)."""
     ev = _t(spark, sf_dir, "events")
     cells = ev.groupBy(
         "event_type",
         F.date_trunc("day", F.col("ts")).alias("day"),
         F.hour("ts").alias("hod"),
-    ).agg(F.count("*").alias("cnt")).localCheckpoint()  # histogram-sized,
-    # referenced by the median pass, the MAD pass, and the final flag join
+    ).agg(F.count("*").alias("cnt"))
+    return hourly_anomalies_from_cells(cells)
+
+
+def hourly_anomalies_from_cells(cells: DataFrame) -> DataFrame:
+    """The q143 median/MAD/flag stage over a (event_type, day, hod,
+    cnt) cell histogram — ONE definition shared by the batch query
+    and the streaming twin's read (streaming/sinks.read_hourly_
+    anomalies), so the two paths cannot drift (the corpus_gates
+    pattern). Input may come from any histogram maintainer."""
+    cells = cells.localCheckpoint()  # histogram-sized; referenced by
+    # the median pass, the MAD pass, and the final flag join
     med = cells.groupBy("event_type", "hod").agg(
         F.percentile("cnt", F.lit(0.5)).alias("med")
     )

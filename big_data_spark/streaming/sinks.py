@@ -677,6 +677,66 @@ def compact_trending_partials(
     return len([i for i in foldable if i >= 0])
 
 
+def start_cell_histogram_stream(
+    events_stream: DataFrame,
+    partials_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Incrementally maintained (event_type, day, hour-of-day) cell
+    histogram — the shared reduction the whole monitoring family
+    (q143 anomalies, q144 backtests) runs on. Same exactly-once
+    partials contract as start_rollup_stream: each micro-batch writes
+    its histogram-sized partial counts into a batch_id-keyed
+    partition (a replayed batch overwrites its own partition with
+    identical content; counts are associative, so the merged
+    histogram always equals the batch recompute)."""
+
+    def write_partial(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.groupBy(
+                "event_type",
+                F.date_trunc("day", F.col("ts")).alias("day"),
+                F.hour("ts").alias("hod"),
+            )
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(partials_dir)
+        )
+
+    writer = (
+        events_stream.writeStream.foreachBatch(write_partial)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_cell_histogram(spark, partials_dir: str) -> DataFrame:
+    """The merged live histogram: per-cell sum over batch partials."""
+    return (
+        spark.read.parquet(partials_dir)
+        .groupBy("event_type", "day", "hod")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def read_hourly_anomalies(spark, partials_dir: str) -> DataFrame:
+    """q143's seasonal median/MAD anomaly flags over the MAINTAINED
+    histogram — the exact batch stage (queries.hourly_anomalies_from_
+    cells, one shared definition so stream and batch cannot drift)
+    applied to the incrementally kept cells. Detection cost is
+    histogram-bounded no matter how much stream has been ingested."""
+    from ..queries import hourly_anomalies_from_cells
+
+    return hourly_anomalies_from_cells(read_cell_histogram(spark, partials_dir))
+
+
 def read_trending(
     spark,
     partials_dir: str,

@@ -1030,6 +1030,54 @@ def test_trending_compaction_preserves_view(spark, tmp_path):
     assert compact_trending_partials(spark, partials) == 0
 
 
+def test_streaming_hourly_anomalies_match_batch(spark, tmp_path):
+    """start_cell_histogram_stream + read_hourly_anomalies: anomaly
+    flags over the incrementally maintained cell histogram equal the
+    q143 batch computation exactly (integer counts -> associative
+    partials -> identical median/MAD inputs; the flag stage is the
+    SAME shared function), and a fresh-checkpoint replay changes
+    nothing."""
+    from big_data_spark.catalog import load_table
+    from big_data_spark.queries import QUERIES
+    from big_data_spark.streaming.sinks import (
+        read_hourly_anomalies,
+        start_cell_histogram_stream,
+    )
+
+    from .conftest import SF_ORACLE
+
+    ev = load_table(spark, SF_ORACLE, "events").select("ts", "event_type")
+    src = tmp_path / "src"
+    src.mkdir()
+    a = ev.limit(5000)
+    b = ev.subtract(a)
+    a.coalesce(1).write.parquet(str(src / "a"))
+    b.coalesce(1).write.parquet(str(src / "b"))
+
+    partials = str(tmp_path / "partials")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(a.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = start_cell_histogram_stream(stream, partials, ckpt)
+        q.awaitTermination(180)
+
+    run(str(tmp_path / "c1"))
+    want = [
+        tuple(r)
+        for r in QUERIES["q143_hourly_anomalies"].fn(spark, SF_ORACLE).collect()
+    ]
+    got = [tuple(r) for r in read_hourly_anomalies(spark, partials).collect()]
+    assert got == want and len(want) > 0
+
+    run(str(tmp_path / "c2"))  # full replay, fresh checkpoint
+    got2 = [tuple(r) for r in read_hourly_anomalies(spark, partials).collect()]
+    assert got2 == want
+
+
 def test_streaming_corpus_health_matches_batch(spark, tmp_path):
     """start_corpus_health_stream: the merged health view equals the
     batch computation — counts/token means exactly, distinct
