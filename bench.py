@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     # round-5 additions
     "q146_pagerank",
     "q147_weighted_sample",
+    "q148_windowed_funnel",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

@@ -8037,6 +8037,147 @@ def q147_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q148_windowed_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 30 MINUTE
+      GROUP BY 1
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 30 MINUTE
+      GROUP BY 1
+    ), d2 AS (
+      SELECT s2.user_id, epoch_us(s2.t2) - epoch_us(s1.t1) AS dt
+      FROM s2 JOIN s1 ON s2.user_id = s1.user_id
+    ), d3 AS (
+      SELECT s3.user_id, epoch_us(s3.t3) - epoch_us(s2.t2) AS dt
+      FROM s3 JOIN s2 ON s3.user_id = s2.user_id
+    )
+    SELECT * FROM (
+      SELECT 1 AS step, 'signup' AS stage,
+             (SELECT COUNT(*) FROM s1) AS n_users,
+             CAST(NULL AS DOUBLE) AS conv_from_prev,
+             CAST(NULL AS DOUBLE) AS med_step_us
+      UNION ALL
+      SELECT 2, 'click_30m',
+             (SELECT COUNT(*) FROM s2),
+             round((SELECT COUNT(*) FROM s2) * 1.0
+                   / (SELECT COUNT(*) FROM s1), 6),
+             round((SELECT quantile_cont(dt, 0.5) FROM d2), 6)
+      UNION ALL
+      SELECT 3, 'purchase_30m',
+             (SELECT COUNT(*) FROM s3),
+             round((SELECT COUNT(*) FROM s3) * 1.0
+                   / (SELECT COUNT(*) FROM s2), 6),
+             round((SELECT quantile_cont(dt, 0.5) FROM d3), 6)
+    ) ORDER BY step
+    """,
+    "agg",
+    "funnel",
+    "sequence",
+)
+def q148_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict sequential funnel with per-step conversion windows —
+    the product-analytics semantics (Amplitude/Mixpanel-style):
+    signup → first click within 30 min OF THE QUALIFYING signup →
+    first purchase within 30 min of THAT click. q59's conditional-MIN
+    funnel only orders each stage's GLOBAL first timestamp; the
+    windowed form requires each step to chain off the previous
+    qualifying event, which one conditional-min pass cannot express
+    (step k's window depends on step k-1's result).
+
+    Distributed shape: one conditional-min agg per step, each chained
+    through a user_id-keyed join onto the previous step's (user, t)
+    table — every exchange keys on user_id, so the three stages
+    co-partition and stage tables shrink monotonically (each join's
+    right side is the previous stage's SURVIVORS, never raw events).
+    Median step latencies use integer-microsecond deltas (the q126
+    discipline) with the interpolated median rounded to 6; stage
+    counts and conversion ratios are exact."""
+    ev = _t(spark, sf_dir, "events")
+    w30 = F.expr("INTERVAL 30 MINUTE")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + w30))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + w30))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    # stage tables are per-user aggregates, referenced 2-3x each
+    # (count, next stage, latency median) — materialize once
+    s1, s2, s3 = (
+        s1.localCheckpoint(eager=True),
+        s2.localCheckpoint(eager=True),
+        s3.localCheckpoint(eager=True),
+    )
+    d2 = s2.join(s1, "user_id").select(
+        (F.unix_micros("t2") - F.unix_micros("t1")).alias("dt")
+    )
+    d3 = s3.join(s2, "user_id").select(
+        (F.unix_micros("t3") - F.unix_micros("t2")).alias("dt")
+    )
+
+    def stage_row(step, name, cur, prev, deltas):
+        row = cur.agg(F.count("*").alias("n_users")).select(
+            F.lit(step).alias("step"),
+            F.lit(name).alias("stage"),
+            "n_users",
+        )
+        if prev is None:
+            return row.select(
+                "step",
+                "stage",
+                "n_users",
+                F.lit(None).cast("double").alias("conv_from_prev"),
+                F.lit(None).cast("double").alias("med_step_us"),
+            )
+        nprev = prev.agg(F.count("*").alias("n_prev"))
+        med = deltas.agg(
+            F.round(F.percentile("dt", F.lit(0.5)), 6).alias("med_step_us")
+        )
+        return (
+            row.crossJoin(F.broadcast(nprev))
+            .crossJoin(F.broadcast(med))
+            .select(
+                "step",
+                "stage",
+                "n_users",
+                F.round(F.col("n_users") / F.col("n_prev"), 6).alias(
+                    "conv_from_prev"
+                ),
+                F.col("med_step_us").cast("double"),
+            )
+        )
+
+    return (
+        stage_row(1, "signup", s1, None, None)
+        .unionByName(stage_row(2, "click_30m", s2, s1, d2))
+        .unionByName(stage_row(3, "purchase_30m", s3, s2, d3))
+        .orderBy("step")
+    )
+
+
 # =========================================================================
 # Registry ordering (driver check-window priority)
 # =========================================================================
@@ -8159,6 +8300,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     # q147↔q95/q93 (WindowGroupLimit per-stratum k + seeded-md5 draw).
     "q146_pagerank",
     "q147_weighted_sample",
+    "q148_windowed_funnel",
     # round-5 demotions next (freshest prev-pass evidence, 2+× green):
     "q55_purchase_attribution_asof",
     "q56_incident_click_range_join",

@@ -205,3 +205,45 @@ def test_aes_weighted_sampling_is_weight_proportional(spark):
     )
     share = {r["item"]: r["count"] / 400 for r in winners}
     assert 0.85 <= share.get("heavy", 0.0) <= 0.95, share
+
+
+def test_windowed_funnel_enforces_step_windows(spark, tmp_path):
+    """q148 semantics on hand-built events: a click 31 minutes after
+    the first signup does NOT qualify (q59's unwindowed funnel would
+    count it), a qualifying click anchors the purchase window, and a
+    purchase chained off a NON-qualifying click never counts."""
+    import datetime
+
+    from big_data_spark.queries import QUERIES
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ev(uid, typ, mins):
+        return (uid, typ, t0 + datetime.timedelta(minutes=mins))
+
+    rows = [
+        # A: full in-window chain (click +10, purchase +10+20)
+        ev(1, "signup", 0), ev(1, "click", 10), ev(1, "purchase", 30),
+        # B: click at +31 -> window missed; later purchase irrelevant
+        ev(2, "signup", 0), ev(2, "click", 31), ev(2, "purchase", 40),
+        # C: click in-window at +5, purchase at +5+31 -> missed
+        ev(3, "signup", 0), ev(3, "click", 5), ev(3, "purchase", 37),
+        # D: signup only
+        ev(4, "signup", 0),
+        # E: click before signup never counts
+        ev(5, "click", 0), ev(5, "signup", 10), ev(5, "purchase", 20),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    df.write.parquet(str(sf / "events.parquet"))
+
+    out = {
+        r["stage"]: (r["n_users"], r["conv_from_prev"])
+        for r in QUERIES["q148_windowed_funnel"].fn(spark, str(sf)).collect()
+    }
+    assert out["signup"][0] == 5
+    assert out["click_30m"] == (2, 0.4)  # A and C only
+    assert out["purchase_30m"] == (1, 0.5)  # A only
