@@ -8297,7 +8297,9 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     # after the round-6 tranche above completes certification.
     # In-window representatives: q146↔q66 (iterative label/score
     # propagation with eager checkpoints) + q128 (the edge builder);
-    # q147↔q95/q93 (WindowGroupLimit per-stratum k + seeded-md5 draw).
+    # q147↔q95/q93 (WindowGroupLimit per-stratum k + seeded-md5 draw);
+    # q148↔q109/q126 (keyed chained aggs + integer-microsecond
+    # medians; q59 is the unwindowed sibling, multi-green).
     "q146_pagerank",
     "q147_weighted_sample",
     "q148_windowed_funnel",
