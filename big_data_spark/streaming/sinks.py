@@ -677,6 +677,98 @@ def compact_trending_partials(
     return len([i for i in foldable if i >= 0])
 
 
+def start_vector_ingest_stream(
+    vectors_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming ingest into a TRAINED IVF vector index (standard IVF
+    practice: the coarse quantizer trains once batch-side on a sample
+    — operators.similarity.build_ivf_index + save_ivf_index — and all
+    later vectors are ASSIGNED, never re-trained).
+
+    Each micro-batch computes the exact nearest centroid per vector
+    (squared-L2 argmin over the broadcast nlist-row centroid table —
+    the same metric KMeans assignment uses, lowest-cell tiebreak) and
+    lands the batch under ``assigned_stream/cell=…/batch_id=…``:
+    cell-first partitioning keeps probe reads directory-pruned
+    exactly like the batch layout, and the batch_id leaf gives the
+    rollup-sink exactly-once contract (a replayed batch dynamically
+    overwrites its own leaves with identical content). Searches run
+    against ``read_streaming_ivf``, which merges the batch-built
+    vectors with everything streamed so far."""
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        cent = spark.read.parquet(os.path.join(index_path, "centroids"))
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), F.col("centroid"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        (
+            batch.crossJoin(F.broadcast(cent))
+            .withColumn("_d2", d2)
+            .groupBy(id_col)
+            .agg(
+                F.min(F.struct(F.col("_d2"), F.col("cell"))).alias("_m"),
+                F.any_value(vec_col).alias(vec_col),
+            )
+            .select(id_col, vec_col, F.col("_m.cell").alias("cell"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell", "batch_id")
+            .parquet(os.path.join(index_path, "assigned_stream"))
+        )
+
+    writer = (
+        vectors_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_streaming_ivf(spark, index_path: str):
+    """The live IVF index: batch-built vectors (if any) merged with
+    everything streamed so far. Probe reads stay directory-pruned on
+    the cell partition column in BOTH layouts; the result feeds
+    operators.similarity.ivf_search unchanged."""
+    import json
+
+    from ..operators.similarity import IVFIndex
+
+    with open(os.path.join(index_path, "meta.json")) as f:
+        meta = json.load(f)
+    parts = []
+    batch_dir = os.path.join(index_path, "assigned")
+    if _has_committed_files(batch_dir):
+        parts.append(spark.read.parquet(batch_dir))
+    stream_dir = os.path.join(index_path, "assigned_stream")
+    if os.path.isdir(stream_dir):
+        parts.append(spark.read.parquet(stream_dir).drop("batch_id"))
+    if not parts:
+        raise FileNotFoundError(f"no vectors under {index_path}")
+    assigned = parts[0]
+    for p in parts[1:]:
+        assigned = assigned.unionByName(p)
+    return IVFIndex(
+        assigned=assigned,
+        centroids=spark.read.parquet(os.path.join(index_path, "centroids")),
+        nlist=int(meta["nlist"]),
+    )
+
+
 def start_cell_histogram_stream(
     events_stream: DataFrame,
     partials_dir: str,

@@ -300,3 +300,74 @@ def test_knn_join_multiprobe_recall(spark):
     r_multi = len(multi & true_pairs) / len(true_pairs)
     assert r_multi >= r_single
     assert r_multi > 0.4, (r_single, r_multi)  # measured 0.495
+
+
+def test_streaming_vector_ingest_matches_batch_index(spark, emb, query_vec, tmp_path):
+    """start_vector_ingest_stream: vectors streamed into a trained
+    index get the SAME cell assignments KMeans.transform gave them
+    batch-side (same metric, same tiebreak), searches over the
+    streamed index equal searches over the batch index, probe reads
+    stay partition-pruned, and a fresh-checkpoint replay changes
+    nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from big_data_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_search,
+        save_ivf_index,
+    )
+    from big_data_spark.streaming.sinks import (
+        read_streaming_ivf,
+        start_vector_ingest_stream,
+    )
+
+    index = build_ivf_index(emb, nlist=8)
+    idx_dir = str(tmp_path / "ivf")
+    save_ivf_index(index, idx_dir)
+    batch_hits = [tuple(r) for r in ivf_search(index, query_vec, k=10).collect()]
+
+    # a streaming-only twin of the same index: centroids + meta copied,
+    # vectors arrive ONLY via the stream (two micro-batches)
+    import shutil
+
+    idx2 = str(tmp_path / "ivf_stream")
+    os.makedirs(idx2)
+    shutil.copytree(os.path.join(idx_dir, "centroids"), os.path.join(idx2, "centroids"))
+    shutil.copy(os.path.join(idx_dir, "meta.json"), os.path.join(idx2, "meta.json"))
+
+    src = tmp_path / "vecs"
+    src.mkdir()
+    a = emb.limit(400)
+    b = emb.subtract(a)
+    a.coalesce(1).write.parquet(str(src / "a"))
+    b.coalesce(1).write.parquet(str(src / "b"))
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = start_vector_ingest_stream(stream, idx2, ckpt)
+        q.awaitTermination(180)
+
+    run(str(tmp_path / "c1"))
+    live = read_streaming_ivf(spark, idx2)
+
+    # assignment parity: every vector in the same cell as batch-side
+    want = {r["vec_id"]: r["cell"] for r in index.assigned.collect()}
+    got = {r["vec_id"]: r["cell"] for r in live.assigned.collect()}
+    assert got == want
+
+    # search parity + partition pruning on the streamed layout
+    sdf = ivf_search(live, query_vec, k=10)
+    assert [tuple(r) for r in sdf.collect()] == batch_hits
+    plan = sdf._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan.split("PartitionFilters:")[1][:80], plan
+
+    # fresh-checkpoint replay overwrites its own leaves -> unchanged
+    run(str(tmp_path / "c2"))
+    live2 = read_streaming_ivf(spark, idx2)
+    assert {r["vec_id"]: r["cell"] for r in live2.assigned.collect()} == want
