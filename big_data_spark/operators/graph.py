@@ -1,0 +1,144 @@
+"""Generic distributed graph algorithms over plain edge DataFrames.
+
+The registry's graph queries are table-specific anchors (q66: LSH
+doc↔band components with a recursive-CTE oracle; q141: co-purchase
+triangles; q146: co-purchase PageRank with an unrolled-CTE oracle);
+this module is the engine surface a user points at THEIR edge table.
+Both algorithms follow the same distributed discipline the anchors
+pin: keyed equi-joins and aggregations only (a Pregel superstep per
+round), eager localCheckpoints so iteration i never re-evaluates
+rounds 0..i-1, and log-round convergence where the algorithm allows
+(pointer jumping for components).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components of an undirected graph given one row per
+    edge (either orientation; both are symmetrized internally).
+    Returns (node, component) with component = the component's
+    minimum node id.
+
+    Min-label propagation with POINTER JUMPING (label <- label's
+    label each round, squaring the distance covered), so rounds ~
+    log2(component diameter) instead of diameter — the q66
+    discipline generalized to arbitrary edge tables. Each round is
+    two hash-shuffles linear in edges; lineage is cut per round by
+    eager localCheckpoint. Sets ``connected_components.last_rounds``
+    for observability (bench/regression use)."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    connected_components.last_rounds = 0
+    for _round in range(max_rounds):
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("label").alias("nl"))
+        )
+        prop = labels.join(nbr_min, "node", "left").select(
+            "node",
+            "label",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+            ).alias("new_label"),
+        )
+        # pointer jump: follow new_label to ITS new_label
+        x = prop.alias("x")
+        y = prop.select(
+            F.col("node").alias("p_node"), F.col("new_label").alias("p_label")
+        ).alias("y")
+        merged = (
+            x.join(y, F.col("x.new_label") == F.col("y.p_node"), "left")
+            .select(
+                F.col("x.node").alias("node"),
+                F.col("x.label").alias("label"),
+                F.least(
+                    F.col("x.new_label"),
+                    F.coalesce(F.col("y.p_label"), F.col("x.new_label")),
+                ).alias("new_label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            merged.filter(F.col("new_label") != F.col("label")).limit(1).count()
+        )
+        labels = merged.select("node", F.col("new_label").alias("label"))
+        connected_components.last_rounds = _round + 1
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    iters: int = 6,
+    damping: float = 0.85,
+    symmetrize: bool = True,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge DataFrame; returns
+    (node, score). ``symmetrize=True`` (undirected input, one row per
+    edge) mirrors every edge so no node dangles; with
+    ``symmetrize=False`` the caller provides directed edges and must
+    guarantee every node has out-degree ≥ 1 (this implementation has
+    no dangling-mass redistribution — scores of sink-only nodes would
+    silently leak mass otherwise).
+
+    Each iteration: one equi-join of the static (edges ⋈ outdeg)
+    table with the current score vector, one keyed agg on the
+    destination — a Pregel superstep — with eager checkpoints
+    keeping lineage O(1). Per-edge contributions round to 12 then
+    sum as DECIMAL(38,12) and the damped update rounds to 10, so the
+    iteration is deterministic across partitionings and engines (the
+    q146 oracle discipline)."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if symmetrize:
+        e = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    e = e.localCheckpoint(eager=True)
+    outdeg = (
+        e.groupBy("u").agg(F.count("*").alias("outdeg")).localCheckpoint(eager=True)
+    )
+    g = e.join(outdeg, "u").select("u", "v", "outdeg").localCheckpoint(eager=True)
+    ncnt = outdeg.agg(F.count("*").alias("n"))
+    teleport = F.lit(1.0 - damping) / F.col("n")
+    scores = (
+        outdeg.crossJoin(F.broadcast(ncnt))
+        .select("u", F.round(F.lit(1.0) / F.col("n"), 12).alias("score"))
+        .localCheckpoint(eager=True)
+    )
+    for _k in range(iters):
+        contrib = g.join(scores, "u").select(
+            "v", F.round(F.col("score") / F.col("outdeg"), 12).alias("w")
+        )
+        scores = (
+            contrib.groupBy(F.col("v").alias("u"))
+            .agg(F.sum(F.col("w").cast("decimal(38,12)")).alias("acc"))
+            .crossJoin(F.broadcast(ncnt))
+            .select(
+                "u",
+                F.round(
+                    teleport + F.lit(damping) * F.col("acc").cast("double"),
+                    10,
+                ).alias("score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return scores.select(F.col("u").alias("node"), "score")

@@ -7900,6 +7900,8 @@ def q146_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds to 10 before feeding the next iteration, so both engines
     iterate on identical fixed-point values. The oracle unrolls the 6
     iterations as chained CTE stages."""
+    from .operators.graph import pagerank
+
     pairs = _copurchase_pairs(
         _t(spark, sf_dir, "lineitem"), max_basket_items=64
     )
@@ -7909,49 +7911,11 @@ def q146_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") >= 2)
         .select("u", "v")
     )
-    # checkpoint the symmetrized edge list FIRST: outdeg, the joined
-    # static table, and the per-iteration broadcast node count all
-    # derive from it — without the cut each consumer re-runs the whole
-    # basket-pairing pipeline (measured: 16s -> ~4s at sf0.1)
-    edges = und.unionByName(
-        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
-    outdeg = (
-        edges.groupBy("u")
-        .agg(F.count("*").alias("outdeg"))
-        .localCheckpoint(eager=True)
-    )
-    # static per-iteration input, paid once: (src, dst, src outdeg)
-    g = edges.join(outdeg, "u").select(
-        "u", "v", "outdeg"
-    ).localCheckpoint(eager=True)
-    ncnt = outdeg.agg(F.count("*").alias("n"))
-    scores = (
-        outdeg.crossJoin(F.broadcast(ncnt))
-        .select("u", F.round(F.lit(1.0) / F.col("n"), 12).alias("score"))
-        .localCheckpoint(eager=True)
-    )
-    for _k in range(_PAGERANK_ITERS):
-        contrib = g.join(scores, "u").select(
-            "v",
-            F.round(F.col("score") / F.col("outdeg"), 12).alias("w"),
-        )
-        scores = (
-            contrib.groupBy(F.col("v").alias("u"))
-            .agg(F.sum(F.col("w").cast("decimal(38,12)")).alias("acc"))
-            .crossJoin(F.broadcast(ncnt))
-            .select(
-                "u",
-                F.round(
-                    F.lit(0.15) / F.col("n")
-                    + F.lit(0.85) * F.col("acc").cast("double"),
-                    10,
-                ).alias("score"),
-            )
-            .localCheckpoint(eager=True)
-        )
+    scores = pagerank(und, iters=_PAGERANK_ITERS, damping=0.85)
     return (
-        scores.select(F.col("u").alias("part"), F.col("score").alias("pagerank"))
+        scores.select(
+            F.col("node").alias("part"), F.col("score").alias("pagerank")
+        )
         .orderBy(F.desc("pagerank"), "part")
         .limit(20)
     )

@@ -213,47 +213,44 @@ def test_constraint_report_fails_closed_on_empty_input(spark):
 
 
 def test_pagerank_known_graph_properties(spark):
-    """The q146 power iteration on a hand-checkable graph: on a star
-    (hub 0 — spokes 1..6) the hub must rank first with all spokes
-    tied, and the total mass stays ~1 (no dangling leakage in the
-    symmetric graph)."""
+    """operators.graph.pagerank (q146's engine) on a hand-checkable
+    graph: on a star (hub 0 — spokes 1..6) the hub must rank first
+    with all spokes tied, and the total mass stays ~1 (no dangling
+    leakage in the symmetric graph)."""
     import pytest as _pytest
-    from pyspark.sql import functions as F
 
-    # reuse the query's iteration via a local reimplementation of its
-    # core on injected edges (the registry fn is bound to lineitem):
-    # symmetric star edges
+    from big_data_spark.operators.graph import pagerank
+
     und = spark.createDataFrame(
         [(0, b) for b in range(1, 7)], "u long, v long"
     )
-    edges = und.unionByName(
-        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    outdeg = edges.groupBy("u").agg(F.count("*").alias("outdeg"))
-    g = edges.join(outdeg, "u").select("u", "v", "outdeg")
-    ncnt = outdeg.agg(F.count("*").alias("n"))
-    scores = outdeg.crossJoin(F.broadcast(ncnt)).select(
-        "u", F.round(F.lit(1.0) / F.col("n"), 12).alias("score")
-    )
-    for _ in range(6):
-        contrib = g.join(scores, "u").select(
-            "v", F.round(F.col("score") / F.col("outdeg"), 12).alias("w")
-        )
-        scores = (
-            contrib.groupBy(F.col("v").alias("u"))
-            .agg(F.sum(F.col("w").cast("decimal(38,12)")).alias("acc"))
-            .crossJoin(F.broadcast(ncnt))
-            .select(
-                "u",
-                F.round(
-                    F.lit(0.15) / F.col("n")
-                    + F.lit(0.85) * F.col("acc").cast("double"),
-                    10,
-                ).alias("score"),
-            )
-        )
-    rows = {r["u"]: r["score"] for r in scores.collect()}
+    rows = {r["node"]: r["score"] for r in pagerank(und, iters=6).collect()}
     hub, spokes = rows[0], [rows[i] for i in range(1, 7)]
     assert hub > max(spokes)
     assert len(set(spokes)) == 1  # symmetry -> identical spoke ranks
     assert sum(rows.values()) == _pytest.approx(1.0, abs=1e-6)
+
+
+def test_connected_components_generic_edges(spark):
+    """operators.graph.connected_components on known graphs: two
+    components plus an isolated pair resolve to min-id labels, and a
+    64-node chain converges in ~log2(diameter) rounds (pointer
+    jumping), far below the 63 rounds plain propagation would need."""
+    from big_data_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        # component {0,1,2,3} (path), component {10,11,12} (triangle),
+        # isolated edge {20,21}
+        [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "u long, v long",
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "u long, v long"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(chain).collect()}
+    assert set(got.values()) == {0} and len(got) == 64
+    # diameter 63; pointer jumping squares coverage per round
+    assert connected_components.last_rounds <= 10, connected_components.last_rounds
