@@ -254,3 +254,92 @@ def test_connected_components_generic_edges(spark):
     assert set(got.values()) == {0} and len(got) == 64
     # diameter 63; pointer jumping squares coverage per round
     assert connected_components.last_rounds <= 10, connected_components.last_rounds
+
+
+def test_connected_components_fuzz_vs_bfs(spark):
+    """Randomized cross-check: pointer-jumped distributed components
+    equal a plain-Python BFS on Erdos-Renyi-ish graphs (deterministic
+    seeds; sparse enough that multiple components exist)."""
+    import random
+
+    from big_data_spark.operators.graph import connected_components
+
+    for seed in (7, 13, 99):
+        rng = random.Random(seed)
+        n = 60
+        es = sorted(
+            {
+                (a, b)
+                for _ in range(45)
+                for a, b in [sorted(rng.sample(range(n), 2))]
+            }
+        )
+        # BFS ground truth (nodes appearing in edges only, like the op)
+        adj: dict = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want = {}
+        for start in sorted(adj):
+            if start in want:
+                continue
+            comp, todo = [], [start]
+            seen = {start}
+            while todo:
+                x = todo.pop()
+                comp.append(x)
+                for y in adj[x]:
+                    if y not in seen:
+                        seen.add(y)
+                        todo.append(y)
+            rep = min(comp)
+            for x in comp:
+                want[x] = rep
+        edges = spark.createDataFrame(es, "u long, v long")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(edges).collect()
+        }
+        assert got == want, f"seed={seed}"
+
+
+def test_pagerank_fuzz_vs_numpy(spark):
+    """Randomized cross-check: the distributed fixed-point iteration
+    equals a dense NumPy power iteration (same damping, iterations,
+    and per-step rounding) on random symmetric graphs."""
+    import random
+
+    import numpy as np
+    import pytest as _pytest
+
+    from big_data_spark.operators.graph import pagerank
+
+    for seed in (3, 21):
+        rng = random.Random(seed)
+        n = 25
+        es = sorted(
+            {
+                (a, b)
+                for _ in range(60)
+                for a, b in [sorted(rng.sample(range(n), 2))]
+            }
+        )
+        nodes = sorted({x for e in es for x in e})
+        idx = {x: i for i, x in enumerate(nodes)}
+        m = len(nodes)
+        A = np.zeros((m, m))
+        for a, b in es:
+            A[idx[b], idx[a]] = 1.0
+            A[idx[a], idx[b]] = 1.0
+        outdeg = A.sum(axis=0)
+        s = np.round(np.full(m, 1.0 / m), 12)
+        for _ in range(6):
+            contrib = np.round(s / outdeg, 12)
+            s = np.round(0.15 / m + 0.85 * (A @ contrib), 10)
+        want = {x: s[idx[x]] for x in nodes}
+
+        edges = spark.createDataFrame(es, "u long, v long")
+        got = {r["node"]: r["score"] for r in pagerank(edges, iters=6).collect()}
+        assert set(got) == set(want)
+        for x in nodes:
+            assert got[x] == _pytest.approx(want[x], abs=2e-10), (seed, x)
