@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "q146_pagerank",
     "q147_weighted_sample",
     "q148_windowed_funnel",
+    "q149_retrieval_metrics",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

@@ -8142,6 +8142,137 @@ def q148_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q149_retrieval_metrics",
+    """
+    WITH q(term) AS (VALUES ('spark'), ('hash'), ('window')),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT t.doc_id, t.term, COUNT(*) AS tf
+      FROM toks t JOIN q ON t.term = q.term GROUP BY 1, 2
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+    ), idf AS (
+      SELECT term,
+             round(ln((n_docs - df + 0.5) / (df + 0.5) + 1), 8) AS idf
+      FROM df, stats
+    ), bm25 AS (
+      SELECT tf.doc_id AS doc_id,
+             round(CAST(SUM(CAST(
+               round(idf.idf * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)), 8)
+               AS DECIMAL(27,8))) AS DOUBLE), 6) AS s
+      FROM tf JOIN idf ON tf.term = idf.term
+              JOIN dl ON tf.doc_id = dl.doc_id, stats
+      GROUP BY tf.doc_id
+    ), rel AS (
+      SELECT doc_id, COUNT(DISTINCT term) AS rel FROM tf GROUP BY 1
+    ), ranked AS (
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id)
+                          AS INT) AS rnk
+      FROM (SELECT * FROM bm25 ORDER BY s DESC, doc_id LIMIT 10)
+    ), gains AS (
+      SELECT r.rnk, COALESCE(rel.rel, 0) AS rel
+      FROM ranked r LEFT JOIN rel ON r.doc_id = rel.doc_id
+    ), dcg AS (
+      SELECT CAST(SUM(CAST(round((pow(2, rel) - 1)
+                                 / (ln(rnk + 1) / ln(2)), 8)
+                           AS DECIMAL(27,8))) AS DOUBLE) AS dcg
+      FROM gains
+    ), ideal AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS INT)
+               AS rnk, rel
+      FROM (SELECT * FROM rel ORDER BY rel DESC, doc_id LIMIT 10)
+    ), idcg AS (
+      SELECT CAST(SUM(CAST(round((pow(2, rel) - 1)
+                                 / (ln(rnk + 1) / ln(2)), 8)
+                           AS DECIMAL(27,8))) AS DOUBLE) AS idcg
+      FROM ideal
+    ), mrr AS (
+      SELECT COALESCE(round(1.0 / MIN(g.rnk), 8), 0.0) AS mrr
+      FROM gains g WHERE g.rel >= 2
+    )
+    SELECT round(dcg.dcg / idcg.idcg, 6) AS ndcg10,
+           CAST(mrr.mrr AS DOUBLE) AS mrr,
+           (SELECT COUNT(*) FROM rel) AS n_judged
+    FROM dcg, idcg, mrr
+    """,
+    "text",
+    "retrieval",
+    "evaluation",
+)
+def q149_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality EVALUATION for the retrieval stack: NDCG@10
+    and MRR of q137's BM25 ranking against a deterministic graded
+    relevance label (rel = number of distinct query terms the doc
+    contains, 0-3; 'relevant' for MRR = rel ≥ 2). Search pipelines
+    need the metric side as much as the ranker — this is the offline
+    eval loop (judge set → DCG discounting → normalize by the ideal
+    ordering) expressed as the same bounded-k plan shapes the rankers
+    use: both the ranking and the ideal ordering are
+    TakeOrderedAndProject top-10s, gains/discounts are per-row
+    expressions over ≤10 rows, and the corpus-sized work is exactly
+    q137's query-term-only posting discipline (shared scorer —
+    _bm25_doc_scores — so ranker and eval cannot drift).
+
+    Determinism: integer relevance grades, rank ties broken by
+    doc_id, (2^rel−1)/log2(rank+1) rounded to 8 before exact-decimal
+    summation, final NDCG rounded to 6."""
+    terms = ["spark", "hash", "window"]
+    tf, dl, stats = _bm25_tf_dl(spark, sf_dir, terms)
+    bm25 = _bm25_doc_scores(spark, sf_dir, terms, prepared=(tf, dl, stats))
+    rel = tf.groupBy("doc_id").agg(
+        F.count_distinct("term").alias("rel")
+    ).localCheckpoint(eager=True)  # judged set: referenced by gains,
+    # the ideal ordering, and n_judged
+    wr = Window.orderBy(F.desc("s"), "doc_id")
+    ranked = (
+        bm25.orderBy(F.desc("s"), "doc_id")
+        .limit(10)
+        .select("doc_id", F.row_number().over(wr).cast("int").alias("rnk"))
+    )
+    gains = ranked.join(rel, "doc_id", "left").select(
+        "rnk", F.coalesce("rel", F.lit(0)).alias("rel")
+    ).localCheckpoint(eager=True)  # feeds both DCG and MRR
+    discounted = F.round(
+        (F.pow(2.0, F.col("rel")) - 1) / (F.log(F.col("rnk") + 1) / F.log(F.lit(2.0))),
+        8,
+    )
+    dcg = gains.agg(
+        F.sum(discounted.cast("decimal(27,8)")).cast("double").alias("dcg")
+    )
+    wi = Window.orderBy(F.desc("rel"), "doc_id")
+    ideal = (
+        rel.orderBy(F.desc("rel"), "doc_id")
+        .limit(10)
+        .select(F.row_number().over(wi).cast("int").alias("rnk"), "rel")
+    )
+    idcg = ideal.agg(
+        F.sum(discounted.cast("decimal(27,8)")).cast("double").alias("idcg")
+    )
+    mrr = gains.filter(F.col("rel") >= 2).agg(
+        F.coalesce(F.round(1.0 / F.min("rnk"), 8), F.lit(0.0)).alias("mrr")
+    )
+    n_judged = rel.agg(F.count("*").alias("n_judged"))
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .crossJoin(F.broadcast(mrr))
+        .crossJoin(F.broadcast(n_judged))
+        .select(
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg10"),
+            F.col("mrr").cast("double"),
+            "n_judged",
+        )
+    )
+
+
 # =========================================================================
 # Registry ordering (driver check-window priority)
 # =========================================================================
@@ -8267,6 +8398,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q146_pagerank",
     "q147_weighted_sample",
     "q148_windowed_funnel",
+    "q149_retrieval_metrics",
     # round-5 demotions next (freshest prev-pass evidence, 2+× green):
     "q55_purchase_attribution_asof",
     "q56_incident_click_range_join",

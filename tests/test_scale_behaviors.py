@@ -247,3 +247,43 @@ def test_windowed_funnel_enforces_step_windows(spark, tmp_path):
     assert out["signup"][0] == 5
     assert out["click_30m"] == (2, 0.4)  # A and C only
     assert out["purchase_30m"] == (1, 0.5)  # A only
+
+
+def test_retrieval_metrics_perfect_ranking(spark, tmp_path):
+    """q149 on a corpus where BM25's ranking coincides with the
+    relevance ordering: NDCG@10 must be exactly 1.0 and MRR 1.0
+    (first result has rel >= 2); a corpus with NO rel>=2 doc gives
+    MRR 0.0 while NDCG stays defined."""
+    from big_data_spark.queries import QUERIES
+
+    def write_docs(rows, path):
+        df = spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in enumerate(rows)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        path.mkdir()
+        df.write.parquet(str(path / "documents.parquet"))
+
+    sf1 = tmp_path / "sf1"
+    write_docs(
+        [
+            "spark hash window alpha",     # rel 3
+            "spark hash beta gamma",       # rel 2
+            "spark delta epsilon zeta",    # rel 1
+            "noise words only here",       # rel 0
+            "more unrelated text rows",
+        ],
+        sf1,
+    )
+    row = QUERIES["q149_retrieval_metrics"].fn(spark, str(sf1)).first()
+    assert row["ndcg10"] == 1.0, row
+    assert row["mrr"] == 1.0, row
+    assert row["n_judged"] == 3
+
+    sf2 = tmp_path / "sf2"
+    write_docs(
+        ["spark alpha beta", "hash gamma delta", "plain noise text"], sf2
+    )
+    row = QUERIES["q149_retrieval_metrics"].fn(spark, str(sf2)).first()
+    assert row["mrr"] == 0.0, row
+    assert 0.0 < row["ndcg10"] <= 1.0, row
