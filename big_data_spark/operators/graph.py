@@ -104,11 +104,17 @@ def pagerank(
 
     Each iteration: one equi-join of the static (edges ⋈ outdeg)
     table with the current score vector, one keyed agg on the
-    destination — a Pregel superstep — with eager checkpoints
-    keeping lineage O(1). Per-edge contributions round to 12 then
-    sum as DECIMAL(38,12) and the damped update rounds to 10, so the
-    iteration is deterministic across partitionings and engines (the
-    q146 oracle discipline)."""
+    destination — a Pregel superstep. Lineage is cut every THIRD
+    iteration (plus once at the end), not every iteration: the score
+    chain is linear (each iteration consumed exactly once), so
+    per-iteration materialization buys nothing but costs an action
+    each (measured 5.1s -> 3.4s for 6 iterations at sf0.1); the
+    periodic cut still bounds plan depth for large ``iters``.
+    Components (above) checkpoints EVERY round because its
+    convergence probe forces a materialization anyway. Per-edge
+    contributions round to 12 then sum as DECIMAL(38,12) and the
+    damped update rounds to 10, so the iteration is deterministic
+    across partitionings and engines (the q146 oracle discipline)."""
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     if symmetrize:
         e = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -139,6 +145,7 @@ def pagerank(
                     10,
                 ).alias("score"),
             )
-            .localCheckpoint(eager=True)
         )
+        if (_k + 1) % 3 == 0 or _k == iters - 1:
+            scores = scores.localCheckpoint(eager=True)
     return scores.select(F.col("u").alias("node"), "score")
