@@ -339,3 +339,74 @@ def test_scd2_fresh_checkpoint_on_existing_dim_fails_loudly(spark, tmp_path):
 
     with _pytest.raises(StreamingQueryException, match="bound to its original checkpoint"):
         run(str(tmp_path / "c2"))
+
+
+def test_scd2_random_sequences_keep_invariants(spark):
+    """Randomized SCD-2 invariant check: applying time-ordered update
+    batches sequentially must always leave (per key) exactly one
+    current row carrying the key's LATEST update value, a version
+    count equal to 1 + number of value CHANGES (identical updates are
+    no-ops), and a gap-free validity chain (each closed row's
+    valid_to equals its successor's valid_from)."""
+    import random
+
+    from big_data_spark.operators.scd import scd2_apply
+
+    for seed in (5, 17, 42):
+        rng = random.Random(seed)
+        keys = list(range(6))
+        # 24 updates in time order: (key, value drawn from 3 choices)
+        updates = [
+            (rng.choice(keys), f"v{rng.randint(0, 2)}",
+             f"2026-01-01T00:{i:02d}:00")
+            for i in range(24)
+        ]
+        dim = (
+            spark.createDataFrame(
+                [(k, "v0", "2025-12-31T00:00:00") for k in keys],
+                "k long, val string, ts_s string",
+            )
+            .select(
+                "k",
+                "val",
+                F.to_timestamp("ts_s").alias("valid_from"),
+                F.lit(None).cast("timestamp").alias("valid_to"),
+                F.lit(True).alias("is_current"),
+            )
+        )
+        # sequential batches of 6 updates, time-ordered
+        for i in range(0, 24, 6):
+            batch = spark.createDataFrame(
+                [(k, v, t) for k, v, t in updates[i : i + 6]],
+                "k long, val string, ts_s string",
+            ).select("k", "val", F.to_timestamp("ts_s").alias("ts"))
+            dim = scd2_apply(dim, batch, key="k", tracked=["val"]).localCheckpoint()
+
+        rows = dim.collect()
+        by_key: dict = {}
+        for r in rows:
+            by_key.setdefault(r["k"], []).append(r)
+
+        # python replay of the semantics: per batch, latest update per
+        # key applies; a version opens only when the value CHANGES
+        state = {k: "v0" for k in keys}
+        expected_versions = {k: 1 for k in keys}
+        for i in range(0, 24, 6):
+            latest: dict = {}
+            for k, v, t in updates[i : i + 6]:
+                latest[k] = v  # later in-batch update wins (ts ordered)
+            for k, v in latest.items():
+                if v != state[k]:
+                    state[k] = v
+                    expected_versions[k] += 1
+
+        for k in keys:
+            vers = sorted(by_key[k], key=lambda r: r["valid_from"])
+            assert len(vers) == expected_versions[k], (seed, k, vers)
+            cur = [r for r in vers if r["is_current"]]
+            assert len(cur) == 1 and cur[0] is vers[-1]
+            assert cur[0]["val"] == state[k], (seed, k)
+            for a, b in zip(vers, vers[1:]):
+                assert a["valid_to"] == b["valid_from"], (seed, k)
+                assert not a["is_current"]
+            assert vers[-1]["valid_to"] is None
