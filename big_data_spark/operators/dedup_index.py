@@ -91,7 +91,7 @@ def read_index_or_empty(spark: SparkSession, index_dir: str) -> DataFrame:
     """
     import os
 
-    if "://" in index_dir and not index_dir.startswith("file://"):
+    if "://" in index_dir and not index_dir.startswith("file:"):
         # the local os.path probe would report a REMOTE index (s3://,
         # hdfs://) as absent and silently disable dedup — exactly the
         # failure this function exists to prevent. This module's
@@ -100,9 +100,15 @@ def read_index_or_empty(spark: SparkSession, index_dir: str) -> DataFrame:
         raise ValueError(
             f"read_index_or_empty requires a local path, got {index_dir!r}"
         )
-    # os.path cannot resolve a file:// URI — probe the plain path, but
-    # keep the original (Spark accepts either form) for the read.
-    probe_dir = index_dir.removeprefix("file://")
+    # os.path cannot resolve a file: URI — probe the plain path, but
+    # keep the original (Spark accepts any form) for the read. Hadoop
+    # renders local URIs as file:/p, file:///p, or file://p — strip
+    # the scheme and collapse leading slashes to the absolute path.
+    probe_dir = index_dir
+    if probe_dir.startswith("file:"):
+        probe_dir = probe_dir[len("file:") :]
+        while probe_dir.startswith("//"):
+            probe_dir = probe_dir[1:]
     has_data = os.path.isdir(probe_dir) and any(
         not n.startswith(("_", ".")) for n in os.listdir(probe_dir)
     )

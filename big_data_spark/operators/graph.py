@@ -123,8 +123,12 @@ def pagerank(
         e.groupBy("u").agg(F.count("*").alias("outdeg")).localCheckpoint(eager=True)
     )
     g = e.join(outdeg, "u").select("u", "v", "outdeg").localCheckpoint(eager=True)
+    nodes = outdeg.select("u")
     ncnt = outdeg.agg(F.count("*").alias("n"))
-    teleport = F.lit(1.0 - damping) / F.col("n")
+    # round the teleport constant: Python 1.0-0.85 is 1 ulp above 0.15,
+    # and a SQL oracle writes the short literal — both engines must
+    # iterate on the identical constant or boundary rounds can flip
+    teleport = F.lit(round(1.0 - damping, 12)) / F.col("n")
     scores = (
         outdeg.crossJoin(F.broadcast(ncnt))
         .select("u", F.round(F.lit(1.0) / F.col("n"), 12).alias("score"))
@@ -134,14 +138,23 @@ def pagerank(
         contrib = g.join(scores, "u").select(
             "v", F.round(F.col("score") / F.col("outdeg"), 12).alias("w")
         )
+        agg = contrib.groupBy(F.col("v").alias("u")).agg(
+            F.sum(F.col("w").cast("decimal(38,12)")).alias("acc")
+        )
+        # LEFT join back onto the full node set: a node with zero
+        # in-degree (possible with symmetrize=False) receives no
+        # contributions but must keep its teleport share — dropping it
+        # would leak its mass and lose its outgoing contributions in
+        # every later iteration
         scores = (
-            contrib.groupBy(F.col("v").alias("u"))
-            .agg(F.sum(F.col("w").cast("decimal(38,12)")).alias("acc"))
+            nodes.join(agg, "u", "left")
             .crossJoin(F.broadcast(ncnt))
             .select(
                 "u",
                 F.round(
-                    teleport + F.lit(damping) * F.col("acc").cast("double"),
+                    teleport
+                    + F.lit(damping)
+                    * F.coalesce(F.col("acc").cast("double"), F.lit(0.0)),
                     10,
                 ).alias("score"),
             )

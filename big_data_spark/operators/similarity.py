@@ -72,7 +72,12 @@ def ivf_search(
 
     The centroid ranking happens on the broadcast centroid table (a
     few KB); the candidate scan is a partition-pruned filter, then
-    exact cosine + TakeOrderedAndProject.
+    exact cosine + TakeOrderedAndProject. An index carrying a
+    ``_bid`` version column (the streaming-ingest merged layout,
+    streaming.sinks.read_streaming_ivf) resolves duplicate vec_ids
+    latest-wins AFTER the cell filter — candidates stay
+    partition-pruned, and a re-ingested vector cannot occupy two
+    top-k slots.
     """
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     probe_cells = [
@@ -86,6 +91,15 @@ def ivf_search(
         .collect()
     ]
     cand = index.assigned.filter(F.col("cell").isin(probe_cells))
+    if "_bid" in cand.columns:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("vec_id").orderBy(F.desc("_bid"))
+        cand = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_bid")
+        )
     return (
         cand.select(
             "vec_id",

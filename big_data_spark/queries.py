@@ -8034,14 +8034,16 @@ def q147_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT 2, 'click_30m',
              (SELECT COUNT(*) FROM s2),
-             round((SELECT COUNT(*) FROM s2) * 1.0
-                   / (SELECT COUNT(*) FROM s1), 6),
+             CASE WHEN (SELECT COUNT(*) FROM s1) > 0 THEN
+               round((SELECT COUNT(*) FROM s2) * 1.0
+                     / (SELECT COUNT(*) FROM s1), 6) END,
              round((SELECT quantile_cont(dt, 0.5) FROM d2), 6)
       UNION ALL
       SELECT 3, 'purchase_30m',
              (SELECT COUNT(*) FROM s3),
-             round((SELECT COUNT(*) FROM s3) * 1.0
-                   / (SELECT COUNT(*) FROM s2), 6),
+             CASE WHEN (SELECT COUNT(*) FROM s2) > 0 THEN
+               round((SELECT COUNT(*) FROM s3) * 1.0
+                     / (SELECT COUNT(*) FROM s2), 6) END,
              round((SELECT quantile_cont(dt, 0.5) FROM d3), 6)
     ) ORDER BY step
     """,
@@ -8127,9 +8129,14 @@ def q148_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "step",
                 "stage",
                 "n_users",
-                F.round(F.col("n_users") / F.col("n_prev"), 6).alias(
-                    "conv_from_prev"
-                ),
+                # guard the empty prior stage: under ANSI (the driver's
+                # session default) n_users/0 would THROW, not NULL
+                F.when(
+                    F.col("n_prev") > 0,
+                    F.round(F.col("n_users") / F.col("n_prev"), 6),
+                )
+                .cast("double")
+                .alias("conv_from_prev"),
                 F.col("med_step_us").cast("double"),
             )
         )

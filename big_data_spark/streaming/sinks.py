@@ -481,6 +481,8 @@ def start_rollup_stream(
     """
 
     def write_partial(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():  # a 0-row write creates a schema-less dir
+            return
         # per-writer dynamic overwrite: the session-global conf
         # save/set/restore raced between concurrent streams on one
         # SparkSession — a lost race ran the overwrite in STATIC mode
@@ -606,6 +608,22 @@ def start_trending_stream(
     return writer.start()
 
 
+TRENDING_BASE_MANIFEST = "_BASE"
+
+
+def _trending_base_state(partials_dir: str) -> tuple[int | None, set]:
+    """(base version, folded batch ids) from the atomic compaction
+    manifest, or (None, empty set) before any compaction."""
+    import json
+
+    manifest = os.path.join(partials_dir, TRENDING_BASE_MANIFEST)
+    if not os.path.exists(manifest):
+        return None, set()
+    with open(manifest) as f:
+        meta = json.load(f)
+    return int(meta["version"]), {int(i) for i in meta["folded"]}
+
+
 def compact_trending_partials(
     spark, partials_dir: str, half_life_days: float = 1.0
 ) -> int:
@@ -614,35 +632,55 @@ def compact_trending_partials(
     newest anchor, so partials count stays O(1) across stream
     lifetime. Returns the number of batch partitions folded.
 
-    Replay safety: the NEWEST batch_id partition is always excluded —
-    after a crash between its write and the checkpoint commit, that
-    batch replays and dynamically overwrites its own partition; if
-    compaction had folded it into the base, the replay would re-add
-    it and double-count. Every older batch is checkpoint-committed by
-    the time a newer one exists (foreachBatch is sequential), so
-    folding them is final. The base lands in the reserved partition
-    ``batch_id=-1`` (never a real micro-batch id) via the same
-    dynamic-overwrite write, and source partitions are dropped only
-    AFTER the base commit; a crash between the two leaves a
-    double-counted window that the NEXT compaction run repairs by
-    re-folding (the base is itself a partial, keyed to an anchor, so
-    re-folding is the same rescale-and-add) — callers wanting
-    stronger atomicity should compact under the table-format
-    equivalent (Delta REPLACE WHERE).
+    Crash-safe via a versioned base + one atomic manifest flip: the
+    base lives in ``_base-v{n}`` (underscore prefix — invisible to
+    the partitioned batch read) and the ``_BASE`` manifest records
+    (version, folded batch ids) in a single os.replace. Readers
+    resolve the manifest and EXCLUDE folded batch ids even if their
+    directories still exist, so every crash window is consistent: a
+    crash before the flip leaves the old view live (the new base dir
+    is an ignored orphan, overwritten next run); a crash after the
+    flip leaves undeleted folded partitions that readers already
+    ignore (cleanup retries next run). This also makes
+    fresh-checkpoint source replays safe AFTER compaction: replayed
+    batch ids that were folded re-land partitions the manifest
+    excludes — never double-counted.
+
+    The NEWEST batch id never folds — after a crash between its write
+    and the checkpoint commit, that batch replays and overwrites its
+    own partition; every older batch is checkpoint-committed by the
+    time a newer one exists (foreachBatch is sequential).
     """
+    import json
     import shutil
 
     h_us = float(half_life_days) * 86400000000.0
+    version, folded = _trending_base_state(partials_dir)
     p = spark.read.parquet(partials_dir)
-    ids = [r["batch_id"] for r in p.select("batch_id").distinct().collect()]
-    real = [i for i in ids if i >= 0]
-    if not real:
+    ids = {
+        int(r["batch_id"])
+        for r in p.select("batch_id").distinct().collect()
+    }
+    live = sorted(ids - folded)
+    if not live:
         return 0
-    foldable = sorted(i for i in ids if i != max(real))
-    if len(foldable) < 2:  # nothing to gain (base alone, or one batch)
-        return 0
-    src = p.filter(F.col("batch_id").isin(foldable))
+    foldable = live[:-1]  # newest stays (crash-replay window)
+    if not foldable or (version is None and len(foldable) < 2):
+        return 0  # nothing to gain yet
+    parts = [
+        p.filter(F.col("batch_id").isin(foldable)).select(
+            "user_id", "anchor_us", "n_events", "decayed_sum"
+        )
+    ]
+    if version is not None:
+        parts.append(
+            spark.read.parquet(
+                os.path.join(partials_dir, f"_base-v{version}")
+            )
+        )
+    src = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
     anchor = src.agg(F.max("anchor_us").alias("t_us"))
+    new_version = 0 if version is None else version + 1
     (
         src.crossJoin(F.broadcast(anchor))
         .select(
@@ -662,19 +700,26 @@ def compact_trending_partials(
             F.round(F.sum("s"), 8).cast("decimal(38,8)").alias("decayed_sum"),
         )
         .select("user_id", "anchor_us", "n_events", "decayed_sum")
-        .withColumn("batch_id", F.lit(-1))
         .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(partials_dir)
+        .parquet(os.path.join(partials_dir, f"_base-v{new_version}"))
     )
-    for i in foldable:
-        if i >= 0:  # the old base was overwritten in place, keep it
-            shutil.rmtree(
-                os.path.join(partials_dir, f"batch_id={i}"),
-                ignore_errors=True,
-            )
-    return len([i for i in foldable if i >= 0])
+    all_folded = sorted(folded | set(foldable))
+    tmp = os.path.join(partials_dir, TRENDING_BASE_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"version": new_version, "folded": all_folded}, f)
+    os.replace(tmp, os.path.join(partials_dir, TRENDING_BASE_MANIFEST))
+    # best-effort cleanup AFTER the flip (leftovers are excluded by
+    # readers and retried here next run)
+    for i in all_folded:
+        shutil.rmtree(
+            os.path.join(partials_dir, f"batch_id={i}"), ignore_errors=True
+        )
+    if version is not None:
+        shutil.rmtree(
+            os.path.join(partials_dir, f"_base-v{version}"),
+            ignore_errors=True,
+        )
+    return len(foldable)
 
 
 def start_vector_ingest_stream(
@@ -741,9 +786,17 @@ def start_vector_ingest_stream(
 
 def read_streaming_ivf(spark, index_path: str):
     """The live IVF index: batch-built vectors (if any) merged with
-    everything streamed so far. Probe reads stay directory-pruned on
-    the cell partition column in BOTH layouts; the result feeds
-    operators.similarity.ivf_search unchanged."""
+    everything streamed so far. The merged ``assigned`` carries a
+    ``_bid`` version column (-1 for the batch build, the micro-batch
+    id for streamed rows); ``ivf_search`` resolves duplicates of a
+    re-ingested vec_id LATEST-WINS *after* its cell filter, so probe
+    reads stay directory-pruned on the cell partition column in BOTH
+    layouts. Caveat (documented, bounded): an UPDATED embedding that
+    lands in a different cell leaves the superseded row in the old
+    cell until the index is compacted (re-save the merged index via
+    save_ivf_index) — a probe of only the old cell can surface the
+    stale version; same-cell updates (including exact re-ingest, the
+    common replay case) resolve exactly."""
     import json
 
     from ..operators.similarity import IVFIndex
@@ -753,10 +806,18 @@ def read_streaming_ivf(spark, index_path: str):
     parts = []
     batch_dir = os.path.join(index_path, "assigned")
     if _has_committed_files(batch_dir):
-        parts.append(spark.read.parquet(batch_dir))
+        parts.append(
+            spark.read.parquet(batch_dir).withColumn(
+                "_bid", F.lit(-1).cast("long")
+            )
+        )
     stream_dir = os.path.join(index_path, "assigned_stream")
     if os.path.isdir(stream_dir):
-        parts.append(spark.read.parquet(stream_dir).drop("batch_id"))
+        parts.append(
+            spark.read.parquet(stream_dir)
+            .withColumn("_bid", F.col("batch_id").cast("long"))
+            .drop("batch_id")
+        )
     if not parts:
         raise FileNotFoundError(f"no vectors under {index_path}")
     assigned = parts[0]
@@ -785,6 +846,8 @@ def start_cell_histogram_stream(
     histogram always equals the batch recompute)."""
 
     def write_partial(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():  # a 0-row write creates a schema-less dir
+            return
         (
             batch.groupBy(
                 "event_type",
@@ -837,9 +900,22 @@ def read_trending(
 ) -> DataFrame:
     """The live trending view: rescale every per-batch partial to the
     newest anchor and merge. ``k=None`` returns all users (for joins /
-    exact comparison); otherwise top-k by hot_score like q145."""
+    exact comparison); otherwise top-k by hot_score like q145.
+
+    Resolves the compaction manifest: folded batch ids are EXCLUDED
+    (their data lives in the versioned base, and a fresh-checkpoint
+    source replay may have re-landed their partitions) and the base
+    partial merges in like any other."""
+    version, folded = _trending_base_state(partials_dir)
     h_us = float(half_life_days) * 86400000000.0
     p = spark.read.parquet(partials_dir)
+    if folded:
+        p = p.filter(~F.col("batch_id").isin(sorted(folded)))
+    p = p.select("user_id", "anchor_us", "n_events", "decayed_sum")
+    if version is not None:
+        p = p.unionByName(
+            spark.read.parquet(os.path.join(partials_dir, f"_base-v{version}"))
+        )
     t = p.agg(F.max("anchor_us").alias("t_us"))
     scored = (
         p.crossJoin(F.broadcast(t))
@@ -888,6 +964,8 @@ def start_corpus_health_stream(
     )
 
     def write_partial(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():  # a 0-row write creates a schema-less dir
+            return
         spark = batch.sparkSession
         g = batch.select(
             "source",

@@ -158,11 +158,15 @@ def test_read_index_or_empty_file_uri(spark, tmp_path):
     idx = tmp_path / "idx"
     fps = spark.createDataFrame([("a",), ("b",)], "fingerprint string")
     append_fingerprints(fps, str(idx))
-    via_uri = read_index_or_empty(spark, f"file://{idx}")
-    assert via_uri.count() == 2
+    # both local-URI renderings Hadoop/Spark emit for an absolute
+    # path: file:/p (canonical Path.toString) and file:///p (the
+    # common scheme://-style spelling)
+    for uri in (f"file:{idx}", f"file://{idx}"):
+        assert read_index_or_empty(spark, uri).count() == 2, uri
 
-    # absent file:// path -> empty frame, same as the plain-path form
+    # absent file: paths -> empty frame, same as the plain-path form
     assert read_index_or_empty(spark, f"file://{tmp_path}/nope").count() == 0
+    assert read_index_or_empty(spark, f"file:{tmp_path}/nope").count() == 0
 
     import pytest as _pytest
 

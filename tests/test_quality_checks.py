@@ -343,3 +343,29 @@ def test_pagerank_fuzz_vs_numpy(spark):
         assert set(got) == set(want)
         for x in nodes:
             assert got[x] == _pytest.approx(want[x], abs=2e-10), (seed, x)
+
+
+def test_pagerank_directed_keeps_zero_indegree_nodes(spark):
+    """symmetrize=False with a zero-IN-degree node (out-degree >= 1,
+    the documented precondition): the node must stay in the score
+    vector with its teleport share, keep contributing its outgoing
+    mass every iteration, and total mass must stay ~1 — dropping it
+    after iteration 1 leaked its mass entirely."""
+    import pytest as _pytest
+
+    from big_data_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (2, 0)], "u long, v long"
+    )
+    rows = {
+        r["node"]: r["score"]
+        for r in pagerank(edges, iters=6, symmetrize=False).collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    assert sum(rows.values()) == _pytest.approx(1.0, abs=1e-6)
+    # node 2 receives nothing: fixed point is pure teleport 0.15/3
+    assert rows[2] == _pytest.approx(0.05, abs=1e-9)
+    # (0<->1 oscillates toward its fixed point, so no ordering claim
+    # between them at a finite even iteration count)
+    assert min(rows[0], rows[1]) > rows[2]

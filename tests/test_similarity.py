@@ -371,3 +371,14 @@ def test_streaming_vector_ingest_matches_batch_index(spark, emb, query_vec, tmp_
     run(str(tmp_path / "c2"))
     live2 = read_streaming_ivf(spark, idx2)
     assert {r["vec_id"]: r["cell"] for r in live2.assigned.collect()} == want
+
+    # re-ingest of EXISTING vec_ids (an update stream): the merged
+    # index must not hand a vec_id two top-k slots — search resolves
+    # duplicates latest-wins after the cell filter
+    emb.limit(50).coalesce(1).write.parquet(str(src / "c"))
+    run(str(tmp_path / "c3"))
+    live3 = read_streaming_ivf(spark, idx2)
+    hits = ivf_search(live3, query_vec, k=10).collect()
+    ids = [r["vec_id"] for r in hits]
+    assert len(ids) == len(set(ids)) == 10, ids
+    assert [tuple(r) for r in hits] == batch_hits

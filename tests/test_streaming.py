@@ -972,13 +972,16 @@ def test_streaming_trending_matches_batch_and_survives_replay(spark, tmp_path):
 
 def test_trending_compaction_preserves_view(spark, tmp_path):
     """compact_trending_partials folds finalized batch partials into
-    the batch_id=-1 base WITHOUT changing the merged view (rescale-
-    and-add is associative), always excludes the newest batch (its
-    replay window), and is idempotent."""
+    the versioned base WITHOUT changing the merged view (rescale-and-
+    add is associative), always excludes the newest batch (its replay
+    window), is idempotent, and survives every crash window: an
+    orphan base dir (crash before the manifest flip), resurrected
+    folded partitions (crash after the flip, before cleanup), and a
+    full fresh-checkpoint source replay AFTER compaction — none may
+    double-count."""
     import os
 
     import pytest as _pytest
-    from pyspark.sql import functions as F
 
     from big_data_spark.catalog import load_table
     from big_data_spark.streaming.sinks import (
@@ -1000,34 +1003,54 @@ def test_trending_compaction_preserves_view(spark, tmp_path):
         part.coalesce(1).write.parquet(str(src / name))
 
     partials = str(tmp_path / "partials")
-    stream = (
-        spark.readStream.schema(a.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(src / "*"))
-    )
-    q = start_trending_stream(stream, partials, str(tmp_path / "ck"))
-    q.awaitTermination(180)
 
-    before = {
-        r["user_id"]: (r["n_events"], r["hot_score"])
-        for r in read_trending(spark, partials, k=None).collect()
-    }
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(a.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = start_trending_stream(stream, partials, ckpt)
+        q.awaitTermination(180)
+
+    run(str(tmp_path / "ck"))
+
+    def view():
+        return {
+            r["user_id"]: (r["n_events"], r["hot_score"])
+            for r in read_trending(spark, partials, k=None).collect()
+        }
+
+    def assert_same(got, want):
+        assert set(got) == set(want)
+        for uid, (n, s) in got.items():
+            assert n == want[uid][0], uid
+            assert s == _pytest.approx(want[uid][1], rel=1e-6, abs=1e-6), uid
+
+    before = view()
+    # crash window A: an orphan base written but never flipped into
+    # the manifest must be invisible
+    os.makedirs(os.path.join(partials, "_base-v7"), exist_ok=True)
     folded = compact_trending_partials(spark, partials)
     assert folded == 2  # three batches -> two finalized fold, newest kept
-    parts = sorted(
-        n for n in os.listdir(partials) if n.startswith("batch_id=")
-    )
-    assert "batch_id=-1" in parts and len(parts) == 2, parts
-    after = {
-        r["user_id"]: (r["n_events"], r["hot_score"])
-        for r in read_trending(spark, partials, k=None).collect()
-    }
-    assert set(after) == set(before)
-    for uid, (n, s) in after.items():
-        assert n == before[uid][0]
-        assert s == _pytest.approx(before[uid][1], rel=1e-6, abs=1e-6)
+    names = sorted(os.listdir(partials))
+    assert "_BASE" in names and "_base-v0" in names, names
+    assert [n for n in names if n.startswith("batch_id=")] == ["batch_id=2"]
+    assert_same(view(), before)
     # idempotent: base + newest alone -> nothing foldable
     assert compact_trending_partials(spark, partials) == 0
+
+    # crash window B == post-compaction source replay: a FRESH
+    # checkpoint restarts batch ids, so batches 0/1 re-land the very
+    # partitions the manifest already folded — they must be excluded,
+    # never double-counted (this is also the resurrected-partition
+    # crash window: folded dirs existing on disk again)
+    run(str(tmp_path / "ck2"))
+    names = sorted(n for n in os.listdir(partials) if n.startswith("batch_id="))
+    assert names == ["batch_id=0", "batch_id=1", "batch_id=2"], names
+    assert_same(view(), before)  # folded ids excluded -> no double count
+    assert compact_trending_partials(spark, partials) == 0  # nothing new
+    assert_same(view(), before)
 
 
 def test_streaming_hourly_anomalies_match_batch(spark, tmp_path):
