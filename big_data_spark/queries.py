@@ -5491,9 +5491,7 @@ def q122_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     can't diverge on empty bands or last-ulp logs."""
     o = _t(spark, sf_dir, "orders")
     banded = o.select(
-        F.least(F.lit(9), (F.col("o_totalprice") / 50000).cast("int")).alias(
-            "band"
-        ),
+        price_band("o_totalprice").alias("band"),
         F.when(F.col("o_orderdate") < "1998-01-01", 1).otherwise(0).alias(
             "is_ref"
         ),
@@ -5502,6 +5500,23 @@ def q122_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_ref").alias("ref_n"),
         F.sum(1 - F.col("is_ref")).alias("cur_n"),
     )
+    return psi_from_band_counts(agg)
+
+
+def price_band(value_col: str, width: float = 50000.0, n_bands: int = 10):
+    """The fixed banding expression q122, the drift reference builder,
+    and the streaming drift sink all share — one definition so the
+    batch check and the incrementally maintained histogram can never
+    bin differently."""
+    return F.least(F.lit(n_bands - 1), (F.col(value_col) / width).cast("int"))
+
+
+def psi_from_band_counts(agg: DataFrame) -> DataFrame:
+    """q122's PSI stage over (band, ref_n, cur_n) counts — shared with
+    streaming.sinks.read_drift so the incremental twin applies the
+    EXACT batch definition to its maintained histogram. One 1-row
+    broadcast of the totals; ln() epsilon-smoothed and rounded so
+    engines can't diverge on empty bands or last-ulp logs."""
     tot = agg.agg(
         F.sum("ref_n").cast("double").alias("ref_t"),
         F.sum("cur_n").cast("double").alias("cur_t"),

@@ -892,6 +892,97 @@ def read_hourly_anomalies(spark, partials_dir: str) -> DataFrame:
     return hourly_anomalies_from_cells(read_cell_histogram(spark, partials_dir))
 
 
+def reference_band_histogram(
+    df: DataFrame,
+    value_col: str = "o_totalprice",
+    width: float = 50000.0,
+    n_bands: int = 10,
+) -> DataFrame:
+    """(band, ref_n) histogram of a frozen reference window — computed
+    once offline, then every read_drift call compares the live stream
+    against it. Banding is queries.price_band, the SAME expression the
+    sink bins incoming batches with, so reference and current can
+    never bin differently."""
+    from ..queries import price_band
+
+    return df.groupBy(
+        price_band(value_col, width, n_bands).alias("band")
+    ).agg(F.count("*").cast("long").alias("ref_n"))
+
+
+def start_drift_stream(
+    stream: DataFrame,
+    partials_dir: str,
+    checkpoint_dir: str,
+    value_col: str = "o_totalprice",
+    width: float = 50000.0,
+    n_bands: int = 10,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Incrementally maintained band histogram of the CURRENT window —
+    the streaming twin of q122's drift check (PSI vs a frozen
+    reference). Same exactly-once partials contract as
+    start_rollup_stream: each micro-batch reduces to at most
+    ``n_bands`` count rows written into a batch_id-keyed partition
+    (a replayed batch overwrites its own partition with identical
+    content; counts are associative, so the merged histogram always
+    equals the batch recompute). Detection cost at read time is
+    histogram-bounded no matter how much stream has been ingested —
+    the 100-TB property: the fact table is touched once per batch,
+    never re-scanned per drift check."""
+    from ..queries import price_band
+
+    band = price_band(value_col, width, n_bands).alias("band")
+
+    def write_partial(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():  # a 0-row write creates a schema-less dir
+            return
+        (
+            batch.groupBy(band)
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(partials_dir)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(write_partial)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_drift(spark, partials_dir: str, reference: DataFrame) -> DataFrame:
+    """q122's PSI report over the MAINTAINED current-window histogram
+    vs a frozen (band, ref_n) reference — the exact batch stage
+    (queries.psi_from_band_counts, one shared definition so stream
+    and batch cannot drift). A band seen in only one side still
+    reports (count 0 on the other), matching the batch query's
+    conditional-sum behavior."""
+    from ..queries import psi_from_band_counts
+
+    cur = (
+        spark.read.parquet(partials_dir)
+        .groupBy("band")
+        .agg(F.sum("cnt").cast("long").alias("cur_n"))
+    )
+    agg = (
+        reference.select("band", F.col("ref_n").cast("long").alias("ref_n"))
+        .join(cur, "band", "full_outer")
+        .select(
+            "band",
+            F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
+            F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
+        )
+    )
+    return psi_from_band_counts(agg)
+
+
 def read_trending(
     spark,
     partials_dir: str,

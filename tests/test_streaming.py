@@ -1101,6 +1101,68 @@ def test_streaming_hourly_anomalies_match_batch(spark, tmp_path):
     assert got2 == want
 
 
+def test_streaming_drift_matches_batch(spark, tmp_path):
+    """start_drift_stream + read_drift: the PSI report over the
+    incrementally maintained current-window band histogram vs the
+    frozen pre-1998 reference equals q122's one-shot batch computation
+    exactly (integer band counts -> associative partials -> identical
+    share/ln inputs; banding and the PSI stage are the SAME shared
+    functions), and a fresh-checkpoint replay changes nothing."""
+    from pyspark.sql import functions as F
+
+    from big_data_spark.catalog import load_table
+    from big_data_spark.queries import QUERIES
+    from big_data_spark.streaming.sinks import (
+        read_drift,
+        reference_band_histogram,
+        start_drift_stream,
+    )
+
+    from .conftest import SF_ORACLE
+
+    orders = load_table(spark, SF_ORACLE, "orders").select(
+        "o_totalprice", "o_orderdate"
+    )
+    is_ref = F.col("o_orderdate") < "1998-01-01"
+    reference = reference_band_histogram(orders.filter(is_ref))
+    # keep the unique key: subtract has set semantics, and a
+    # prices-only projection would silently drop duplicate prices
+    cur = load_table(spark, SF_ORACLE, "orders").filter(~is_ref).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    a = cur.limit(4000)
+    b = cur.subtract(a)
+    assert b.count() > 0  # both micro-batches carry data
+    a.coalesce(1).write.parquet(str(src / "a"))
+    b.coalesce(1).write.parquet(str(src / "b"))
+
+    partials = str(tmp_path / "partials")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(a.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = start_drift_stream(stream, partials, ckpt)
+        q.awaitTermination(180)
+
+    run(str(tmp_path / "c1"))
+    want = [
+        tuple(r)
+        for r in QUERIES["q122_distribution_drift"].fn(spark, SF_ORACLE).collect()
+    ]
+    got = [tuple(r) for r in read_drift(spark, partials, reference).collect()]
+    assert got == want and len(want) > 0
+
+    run(str(tmp_path / "c2"))  # full replay, fresh checkpoint
+    got2 = [tuple(r) for r in read_drift(spark, partials, reference).collect()]
+    assert got2 == want
+
+
 def test_streaming_corpus_health_matches_batch(spark, tmp_path):
     """start_corpus_health_stream: the merged health view equals the
     batch computation — counts/token means exactly, distinct
