@@ -142,13 +142,15 @@ def pagerank(
             F.sum(F.col("w").cast("decimal(38,12)")).alias("acc")
         )
         # LEFT join back onto the full node set: a node with zero
-        # in-degree (possible with symmetrize=False) receives no
+        # in-degree (possible ONLY with symmetrize=False) receives no
         # contributions but must keep its teleport share — dropping it
         # would leak its mass and lose its outgoing contributions in
-        # every later iteration
+        # every later iteration. A symmetrized graph mirrors every
+        # edge, so in-neighbors == out-neighbors and every node of g
+        # already appears in agg — skip the join in that path.
+        base = agg if symmetrize else nodes.join(agg, "u", "left")
         scores = (
-            nodes.join(agg, "u", "left")
-            .crossJoin(F.broadcast(ncnt))
+            base.crossJoin(F.broadcast(ncnt))
             .select(
                 "u",
                 F.round(
