@@ -107,6 +107,9 @@ BENCH_QUERIES = [
     "q147_weighted_sample",
     "q148_windowed_funnel",
     "q149_retrieval_metrics",
+    "q150_cuped_adjustment",
+    "q151_srm_check",
+    "q152_filtered_ann",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

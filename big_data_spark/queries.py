@@ -8295,6 +8295,319 @@ def q149_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q150_cuped_adjustment",
+    """
+    WITH pu AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                           THEN CAST(value AS DECIMAL(27,4))
+                           ELSE 0 END) AS DOUBLE) AS x,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+                           THEN CAST(value AS DECIMAL(27,4))
+                           ELSE 0 END) AS DOUBLE) AS y
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    ), s AS (
+      SELECT variant, COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(27,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(27,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,8))) AS DOUBLE) AS syy
+      FROM pu GROUP BY 1
+    ), pool AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(27,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(27,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE) AS sxx
+      FROM pu
+    ), th AS (
+      SELECT (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta,
+             sx / n AS xbar
+      FROM pool
+    )
+    SELECT variant, CAST(n AS BIGINT) AS n,
+           round(sy / n, 6) AS mean_raw,
+           round(sy / n - theta * (sx / n - xbar), 6) AS mean_cuped,
+           round((syy - sy * sy / n) / (n - 1), 6) AS var_raw,
+           round(((syy - sy * sy / n)
+                  - 2 * theta * (sxy - sx * sy / n)
+                  + theta * theta * (sxx - sx * sx / n)) / (n - 1),
+                 6) AS var_cuped,
+           round(theta, 6) AS theta
+    FROM s, th ORDER BY variant
+    """,
+    "agg",
+    "experiment",
+)
+def q150_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi, Walker, "Improving
+    the Sensitivity of Online Controlled Experiments by Utilizing
+    Pre-Experiment Data", WSDM 2013) — the production companion to
+    q139's Welch t: per-user post-period purchase metric Y adjusted by
+    the pre-period covariate X, Yadj = Y − θ·(X − x̄) with pooled
+    θ = cov(X,Y)/var(X). Output per arm: raw vs adjusted mean and
+    variance (var_cuped/var_raw is the sensitivity win; θ shared).
+
+    Distributed shape: one user-level conditional aggregation over the
+    fact (map-side combine; shuffle is |users|), then ONE arm-level
+    pass of six sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) —
+    adjusted means and variances derive ALGEBRAICALLY from those
+    per-arm sums (mean_adj = ȳ_arm − θ(x̄_arm − x̄); var_adj =
+    var_y − 2θcov + θ²var_x), so no per-user adjusted column is ever
+    materialized and the final math is a 2-row broadcast. At 100 TB
+    both passes are linear scans with bounded shuffle keys.
+
+    Cross-engine determinism: every Σ is an exact decimal sum; all
+    downstream math is identical IEEE double expressions on identical
+    inputs, rounded only at output."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    pre = F.col("ts") < "2024-01-15"
+    pu = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(pre, F.col("value")).otherwise(0.0).cast("decimal(27,4)")
+            )
+            .cast("double")
+            .alias("x"),
+            F.sum(
+                F.when(~pre, F.col("value")).otherwise(0.0).cast("decimal(27,4)")
+            )
+            .cast("double")
+            .alias("y"),
+        )
+        .withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    )
+
+    def stats(df: DataFrame, *keys: str) -> DataFrame:
+        return df.groupBy(*keys).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("x").cast("decimal(27,4)")).cast("double").alias("sx"),
+            F.sum(F.col("y").cast("decimal(27,4)")).cast("double").alias("sy"),
+            F.sum((F.col("x") * F.col("y")).cast("decimal(38,8)"))
+            .cast("double")
+            .alias("sxy"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,8)"))
+            .cast("double")
+            .alias("sxx"),
+            F.sum((F.col("y") * F.col("y")).cast("decimal(38,8)"))
+            .cast("double")
+            .alias("syy"),
+        )
+
+    s = stats(pu, "variant")
+    th = stats(pu).select(
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        ).alias("theta"),
+        (F.col("sx") / F.col("n")).alias("xbar"),
+    )
+    cov_c = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    varx_c = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    vary_c = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    return (
+        s.crossJoin(F.broadcast(th))
+        .select(
+            "variant",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("sy") / F.col("n"), 6).alias("mean_raw"),
+            F.round(
+                F.col("sy") / F.col("n")
+                - F.col("theta") * (F.col("sx") / F.col("n") - F.col("xbar")),
+                6,
+            ).alias("mean_cuped"),
+            F.round(vary_c / (F.col("n") - 1), 6).alias("var_raw"),
+            F.round(
+                (
+                    vary_c
+                    - 2 * F.col("theta") * cov_c
+                    + F.col("theta") * F.col("theta") * varx_c
+                )
+                / (F.col("n") - 1),
+                6,
+            ).alias("var_cuped"),
+            F.round(F.col("theta"), 6).alias("theta"),
+        )
+        .orderBy("variant")
+    )
+
+
+@register(
+    "q151_srm_check",
+    """
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(user_id % 2 AS INT) AS arm, user_id
+      FROM events GROUP BY 1, 2, 3
+    ), c AS (
+      SELECT day,
+             SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b
+      FROM d GROUP BY 1
+    )
+    SELECT day, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                 / (n_a + n_b), 6) AS chi2,
+           CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+             / (n_a + n_b) > 3.841 AS srm
+    FROM c ORDER BY day
+    """,
+    "agg",
+    "experiment",
+)
+def q151_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail — the first check every
+    experimentation platform runs before any metric is read: per day,
+    the enrolled-user split across arms vs the designed 50/50, scored
+    by the chi-square statistic (df=1, which for two equal-expectation
+    cells collapses exactly to (n_a−n_b)²/(n_a+n_b)); chi2 > 3.841
+    (α=0.05) flags the day — a flagged day means assignment or
+    logging is broken and EVERY downstream readout (q139/q150) on it
+    is invalid.
+
+    Distributed shape: a (day, arm, user) distinct — the enrollment
+    dedup, map-side combinable — then a day-keyed conditional count;
+    both shuffles are bounded by enrolled users and days. Integer
+    counts → the statistic is exact double arithmetic, deterministic
+    across engines and partitionings."""
+    e = _t(spark, sf_dir, "events")
+    d = e.select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        "user_id",
+    ).distinct()
+    c = d.groupBy("day").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    diff2 = ((F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))).cast(
+        "double"
+    )
+    chi2 = diff2 / (F.col("n_a") + F.col("n_b"))
+    return c.select(
+        "day",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841).alias("srm"),
+    ).orderBy("day")
+
+
+@register(
+    "q152_filtered_ann",
+    """
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    exp_e AS (
+      SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings WHERE vec_id >= 8 AND label IN (1, 3)
+    ),
+    exp_c AS (
+      SELECT cid, unnest(cv)::DOUBLE AS c, generate_subscripts(cv, 1) AS pos
+      FROM cent
+    ),
+    d2 AS (
+      SELECT e.vec_id, c.cid, ROUND(SUM((e.v - c.c) * (e.v - c.c)), 6) AS d
+      FROM exp_e e JOIN exp_c c USING (pos) GROUP BY e.vec_id, c.cid
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d2
+      ) WHERE rn = 1
+    ),
+    qd AS (
+      SELECT c.cid, ROUND(SUM((c.c - qx.v) * (c.c - qx.v)), 6) AS d
+      FROM exp_c c JOIN (
+        SELECT unnest(qv)::DOUBLE AS v, generate_subscripts(qv, 1) AS pos FROM q
+      ) qx USING (pos)
+      GROUP BY c.cid
+    ),
+    probe AS (SELECT cid FROM qd ORDER BY d, cid LIMIT 4),
+    sims AS (
+      SELECT x.vec_id, ANY_VALUE(x.label) AS label,
+             SUM(x.a * x.b) / (sqrt(SUM(x.a * x.a)) * sqrt(SUM(x.b * x.b))) AS cos
+      FROM (
+        SELECT e.vec_id, e.label,
+               unnest(e.embedding)::DOUBLE AS a, unnest(q.qv)::DOUBLE AS b
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id IN (
+          SELECT a.vec_id FROM assign a JOIN probe p ON a.cid = p.cid
+        )
+      ) x GROUP BY x.vec_id
+    )
+    SELECT vec_id, label, ROUND(cos, 6) AS cosine
+    FROM sims ORDER BY ROUND(cos, 6) DESC, vec_id LIMIT 10
+    """,
+    "similarity",
+    "ann",
+)
+def q152_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search — ANN top-k restricted to a metadata
+    predicate (label ∈ {1,3}), the retrieval shape every production
+    vector store serves ("nearest products in THIS category"). Same
+    deterministic IVF scaffolding as q64 (first-K centroids so DuckDB
+    replays the exact index), with the two disciplines filtered search
+    adds at scale:
+
+    1. The predicate applies BEFORE assignment/candidate scan — per-
+       vector assignment is independent, so filtering first means the
+       argmin and the probed-cell scan only touch qualifying rows; on
+       the persisted-index layout (operators/similarity.py) the label
+       predicate and the cell partition filter BOTH push into the
+       pruned parquet scan (PushedFilters), never a post-join filter.
+    2. OVER-PROBING: nprobe doubles q64's (4 vs 2) because the filter
+       thins every probed cell; matching nprobe to the unfiltered case
+       starves top-k under selective predicates (the classic filtered-
+       ANN recall failure). The production rule of thumb — scale
+       nprobe by ~1/selectivity, capped — is documented in SCALING.md.
+
+    Exact inside probed cells: cosine + TakeOrderedAndProject, ordered
+    by rounded score so engines agree on ties."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    vecs = emb.filter(
+        (F.col("vec_id") >= 8) & F.col("label").isin(1, 3)
+    )
+    pairs = vecs.join(F.broadcast(cent)).withColumn(
+        "d", F.round(l2_sq(F.col("embedding"), F.col("cv")), 6)
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "cid")
+    assign = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "embedding", "cid")
+    )
+    qd = cent.join(F.broadcast(qv)).withColumn(
+        "d", F.round(l2_sq(F.col("cv"), F.col("qv")), 6)
+    )
+    probe = qd.orderBy("d", "cid").limit(4).select("cid")
+    return (
+        assign.join(F.broadcast(probe), "cid")
+        .join(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 # =========================================================================
 # Registry ordering (driver check-window priority)
 # =========================================================================
@@ -8421,6 +8734,15 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q147_weighted_sample",
     "q148_windowed_funnel",
     "q149_retrieval_metrics",
+    # round-5 late additions, same round-7 tranche. In-window
+    # representatives: q150↔q139 (sufficient-statistic experiment
+    # aggs over the same per-arm conditional sums); q151↔q139/q133
+    # (enrollment distinct + day-keyed conditional counts);
+    # q152↔q64-shape via q112/q100 (cell-pruned candidate scan +
+    # exact re-rank; q152 adds the predicate + over-probe).
+    "q150_cuped_adjustment",
+    "q151_srm_check",
+    "q152_filtered_ann",
     # round-5 demotions next (freshest prev-pass evidence, 2+× green):
     "q55_purchase_attribution_asof",
     "q56_incident_click_range_join",

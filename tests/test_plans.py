@@ -113,6 +113,22 @@ def test_ivf_ann_broadcasts_index_structures(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_filtered_ann_pushes_predicate_and_broadcasts(spark):
+    """q152: the metadata predicate applies BEFORE assignment — the
+    label filter reaches the parquet scan (PushedFilters), so the
+    argmin and candidate scan only touch qualifying rows — and the
+    index structures ride broadcasts like q64 (no cartesian)."""
+    df = q(spark, "q152_filtered_ann")
+    plan = formatted_plan(df)
+    assert has_pushed_filters(df, "label", "vec_id"), plan
+    n_bcast = sum(
+        plan.count(node)
+        for node in ("BroadcastHashJoin", "BroadcastNestedLoopJoin")
+    )
+    assert n_bcast >= 3, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_corpus_prep_no_python_and_digest_shuffles(spark):
     """q67: the whole prep chain stays JVM-side (no Python eval
     nodes), and the quality/lang gates fuse into the scan stage."""
