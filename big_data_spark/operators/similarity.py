@@ -270,11 +270,23 @@ def save_ivf_index(index: IVFIndex, path: str) -> None:
 
 
 def load_ivf_index(spark: SparkSession, path: str) -> IVFIndex:
-    """Reload a saved index; searches against it are partition-pruned
-    by the cell directories written at save time."""
+    """Reload a saved BATCH index; searches against it are
+    partition-pruned by the cell directories written at save time.
+    An index that has received streaming ingest (or been compacted)
+    must load through streaming.sinks.read_streaming_ivf — this
+    loader's plain ``assigned`` dir would be a silently stale subset
+    there, so that pairing fails loudly instead."""
     import json
     import os
 
+    if os.path.isdir(os.path.join(path, "assigned_stream")) or os.path.exists(
+        os.path.join(path, "_IVF_BASE")
+    ):
+        raise ValueError(
+            f"{path} has streaming ingest/compaction state; "
+            "load it via streaming.sinks.read_streaming_ivf — "
+            "load_ivf_index would return a stale batch-only subset"
+        )
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     return IVFIndex(

@@ -20,6 +20,7 @@ parquet.
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 
@@ -609,19 +610,36 @@ def start_trending_stream(
 
 
 TRENDING_BASE_MANIFEST = "_BASE"
+IVF_BASE_MANIFEST = "_IVF_BASE"
 
 
-def _trending_base_state(partials_dir: str) -> tuple[int | None, set]:
-    """(base version, folded batch ids) from the atomic compaction
+def _fold_manifest_state(manifest_path: str) -> tuple[int | None, set]:
+    """(base version, folded batch ids) from an atomic compaction
     manifest, or (None, empty set) before any compaction."""
     import json
 
-    manifest = os.path.join(partials_dir, TRENDING_BASE_MANIFEST)
-    if not os.path.exists(manifest):
+    if not os.path.exists(manifest_path):
         return None, set()
-    with open(manifest) as f:
+    with open(manifest_path) as f:
         meta = json.load(f)
     return int(meta["version"]), {int(i) for i in meta["folded"]}
+
+
+def _flip_fold_manifest(manifest_path: str, version: int, folded: list) -> None:
+    """Commit a compaction in ONE atomic rename — the only moment the
+    new base becomes visible and the folded ids become excluded."""
+    import json
+
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "folded": sorted(folded)}, f)
+    os.replace(tmp, manifest_path)
+
+
+def _trending_base_state(partials_dir: str) -> tuple[int | None, set]:
+    return _fold_manifest_state(
+        os.path.join(partials_dir, TRENDING_BASE_MANIFEST)
+    )
 
 
 def compact_trending_partials(
@@ -651,9 +669,6 @@ def compact_trending_partials(
     own partition; every older batch is checkpoint-committed by the
     time a newer one exists (foreachBatch is sequential).
     """
-    import json
-    import shutil
-
     h_us = float(half_life_days) * 86400000000.0
     version, folded = _trending_base_state(partials_dir)
     p = spark.read.parquet(partials_dir)
@@ -704,10 +719,11 @@ def compact_trending_partials(
         .parquet(os.path.join(partials_dir, f"_base-v{new_version}"))
     )
     all_folded = sorted(folded | set(foldable))
-    tmp = os.path.join(partials_dir, TRENDING_BASE_MANIFEST + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump({"version": new_version, "folded": all_folded}, f)
-    os.replace(tmp, os.path.join(partials_dir, TRENDING_BASE_MANIFEST))
+    _flip_fold_manifest(
+        os.path.join(partials_dir, TRENDING_BASE_MANIFEST),
+        new_version,
+        all_folded,
+    )
     # best-effort cleanup AFTER the flip (leftovers are excluded by
     # readers and retried here next run)
     for i in all_folded:
@@ -796,15 +812,25 @@ def read_streaming_ivf(spark, index_path: str):
     cell until the index is compacted (re-save the merged index via
     save_ivf_index) — a probe of only the old cell can surface the
     stale version; same-cell updates (including exact re-ingest, the
-    common replay case) resolve exactly."""
+    common replay case) resolve exactly — and compact_streaming_ivf
+    REMOVES cross-cell stale rows entirely by folding streamed batches
+    into a rewritten cell-partitioned base (resolved here via the
+    ``_IVF_BASE`` manifest: folded batch ids are excluded even if a
+    post-compaction source replay re-lands their directories)."""
     import json
 
     from ..operators.similarity import IVFIndex
 
     with open(os.path.join(index_path, "meta.json")) as f:
         meta = json.load(f)
+    version, folded = _fold_manifest_state(
+        os.path.join(index_path, IVF_BASE_MANIFEST)
+    )
     parts = []
-    batch_dir = os.path.join(index_path, "assigned")
+    batch_dir = os.path.join(
+        index_path,
+        "assigned" if version is None else f"assigned-v{version}",
+    )
     if _has_committed_files(batch_dir):
         parts.append(
             spark.read.parquet(batch_dir).withColumn(
@@ -812,11 +838,17 @@ def read_streaming_ivf(spark, index_path: str):
             )
         )
     stream_dir = os.path.join(index_path, "assigned_stream")
-    if os.path.isdir(stream_dir):
+    # glob for batch_id leaves: after a full compaction the cell=…
+    # shells may remain with every leaf folded away, and a bare
+    # directory read would fail schema inference
+    if glob.glob(os.path.join(stream_dir, "cell=*", "batch_id=*")):
+        s = spark.read.parquet(stream_dir)
+        if folded:
+            s = s.filter(~F.col("batch_id").isin(sorted(folded)))
         parts.append(
-            spark.read.parquet(stream_dir)
-            .withColumn("_bid", F.col("batch_id").cast("long"))
-            .drop("batch_id")
+            s.withColumn("_bid", F.col("batch_id").cast("long")).drop(
+                "batch_id"
+            )
         )
     if not parts:
         raise FileNotFoundError(f"no vectors under {index_path}")
@@ -828,6 +860,92 @@ def read_streaming_ivf(spark, index_path: str):
         centroids=spark.read.parquet(os.path.join(index_path, "centroids")),
         nlist=int(meta["nlist"]),
     )
+
+
+def compact_streaming_ivf(
+    spark,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Fold finalized streamed batches into a rewritten
+    cell-partitioned base, resolving latest-wins per vec_id GLOBALLY
+    — this removes the one read-path caveat: a cross-cell embedding
+    update's superseded row in its old cell, which a narrow probe of
+    only that cell could otherwise surface. Returns the number of
+    stream batches folded.
+
+    Same crash-safe discipline as compact_trending_partials: the new
+    base lands in ``assigned-v{n}``, commits via one atomic
+    ``_IVF_BASE`` manifest flip (readers exclude folded batch ids
+    even if a post-compaction source replay re-lands their leaves —
+    a replayed fold is content-identical, but the old-version row of
+    a cross-cell update must never resurrect), and the NEWEST stream
+    batch never folds (its crash-replay window: a batch that missed
+    its checkpoint commit replays and overwrites its own leaves).
+    Cleanup of folded leaves and the previous base runs AFTER the
+    flip, best-effort, retried on the next compaction.
+
+    Cost: one full shuffle of the index on vec_id (the latest-wins
+    window) + one cell-partitioned rewrite — the standard periodic
+    LSM-style compaction trade; probe reads between compactions pay
+    only the per-cell window in ivf_search."""
+    from pyspark.sql.window import Window
+
+    manifest = os.path.join(index_path, IVF_BASE_MANIFEST)
+    version, folded = _fold_manifest_state(manifest)
+    stream_dir = os.path.join(index_path, "assigned_stream")
+    leaves = glob.glob(os.path.join(stream_dir, "cell=*", "batch_id=*"))
+    ids = {int(d.rsplit("batch_id=", 1)[1]) for d in leaves}
+    live = sorted(ids - folded)
+    if len(live) < 2:  # newest never folds; nothing else to fold
+        return 0
+    foldable = live[:-1]
+    base_dir = os.path.join(
+        index_path,
+        "assigned" if version is None else f"assigned-v{version}",
+    )
+    parts = []
+    if _has_committed_files(base_dir):
+        parts.append(
+            spark.read.parquet(base_dir)
+            .select(id_col, vec_col, "cell")
+            .withColumn("_bid", F.lit(-1).cast("long"))
+        )
+    parts.append(
+        spark.read.parquet(stream_dir)
+        .filter(F.col("batch_id").isin(foldable))
+        .select(
+            id_col,
+            vec_col,
+            "cell",
+            F.col("batch_id").cast("long").alias("_bid"),
+        )
+    )
+    src = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    w = Window.partitionBy(id_col).orderBy(F.desc("_bid"))
+    new_version = 0 if version is None else version + 1
+    (
+        src.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(index_path, f"assigned-v{new_version}"))
+    )
+    all_folded = sorted(folded | set(foldable))
+    _flip_fold_manifest(manifest, new_version, all_folded)
+    # best-effort cleanup AFTER the flip (leftovers are excluded by
+    # readers and retried here next run)
+    for d in glob.glob(os.path.join(stream_dir, "cell=*", "batch_id=*")):
+        if int(d.rsplit("batch_id=", 1)[1]) in set(all_folded):
+            shutil.rmtree(d, ignore_errors=True)
+    if version is not None:
+        shutil.rmtree(
+            os.path.join(index_path, f"assigned-v{version}"),
+            ignore_errors=True,
+        )
+    return len(foldable)
 
 
 def start_cell_histogram_stream(

@@ -382,3 +382,134 @@ def test_streaming_vector_ingest_matches_batch_index(spark, emb, query_vec, tmp_
     ids = [r["vec_id"] for r in hits]
     assert len(ids) == len(set(ids)) == 10, ids
     assert [tuple(r) for r in hits] == batch_hits
+
+
+def test_ivf_compaction_removes_stale_cross_cell_rows(spark, emb, tmp_path):
+    """compact_streaming_ivf: a cross-cell embedding update leaves a
+    superseded row in its OLD cell that a narrow (nprobe=1) probe of
+    that cell surfaces — the documented read-path caveat. Compaction
+    folds finalized stream batches into a rewritten cell-partitioned
+    base with GLOBAL latest-wins, so the stale row is gone; the
+    newest batch never folds; the flip is crash-safe (orphan base
+    dirs invisible, post-compaction source replays of folded ids
+    excluded); and load_ivf_index refuses the stale batch layout."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from big_data_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_search,
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from big_data_spark.streaming.sinks import (
+        compact_streaming_ivf,
+        read_streaming_ivf,
+        start_vector_ingest_stream,
+    )
+
+    index = build_ivf_index(emb, nlist=8)
+    idx = str(tmp_path / "ivf")
+    save_ivf_index(index, idx)
+
+    # pick an update that MOVES cell: x adopts y's embedding (y sits
+    # in a different cell), so x's new row lands in y's cell
+    rows = index.assigned.select("vec_id", "cell").collect()
+    by_cell: dict[int, list[int]] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r["vec_id"])
+    cells = sorted(c for c, v in by_cell.items() if v)[:2]
+    assert len(cells) == 2
+    x_id, y_id = by_cell[cells[0]][0], by_cell[cells[1]][0]
+    x_orig = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == x_id).first()["embedding"]
+    ]
+    y_vec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == y_id).first()["embedding"]
+    ]
+
+    src = tmp_path / "vecs"
+    src.mkdir()
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = start_vector_ingest_stream(stream, idx, ckpt)
+        q.awaitTermination(180)
+
+    # batch 0: the cross-cell update; batch 1 (separate run so ids
+    # are deterministic): an unrelated same-content re-ingest
+    emb.filter(F.col("vec_id") == y_id).select(
+        F.lit(x_id).cast("long").alias("vec_id"), "embedding", "label"
+    ).coalesce(1).write.parquet(str(src / "a"))
+    run(str(tmp_path / "ck"))
+    emb.limit(5).coalesce(1).write.parquet(str(src / "b"))
+    run(str(tmp_path / "ck"))
+
+    # pre-compaction: the caveat is real — a narrow probe of x's OLD
+    # cell still surfaces x (its new row lives in y's cell)
+    live = read_streaming_ivf(spark, idx)
+    stale = [
+        r["vec_id"]
+        for r in ivf_search(live, x_orig, k=5, nprobe=1).collect()
+    ]
+    assert x_id in stale
+
+    # crash window A: an orphan base dir never flipped into the
+    # manifest must be invisible
+    os.makedirs(os.path.join(idx, "assigned-v7"), exist_ok=True)
+    assert compact_streaming_ivf(spark, idx) == 1  # folds batch 0 only
+    assert os.path.exists(os.path.join(idx, "_IVF_BASE"))
+    assert os.path.isdir(os.path.join(idx, "assigned-v0"))
+
+    live2 = read_streaming_ivf(spark, idx)
+    # stale row gone: the narrow old-cell probe no longer returns x
+    fresh = [
+        r["vec_id"]
+        for r in ivf_search(live2, x_orig, k=5, nprobe=1).collect()
+    ]
+    assert x_id not in fresh
+    # x serves from its NEW cell
+    near_y = [
+        r["vec_id"]
+        for r in ivf_search(live2, y_vec, k=5, nprobe=1).collect()
+    ]
+    assert x_id in near_y and y_id in near_y
+    # resolved view: every vector exactly once, x in y's cell
+    resolved = {r["vec_id"]: r["cell"] for r in live2.assigned.collect()}
+    want = {r["vec_id"]: r["cell"] for r in index.assigned.collect()}
+    want[x_id] = want[y_id]
+    # latest-wins across base+newest-batch still applies at read; the
+    # assigned frame may carry the newest batch's duplicates pre-window
+    assert {
+        r["vec_id"]: r["cell"]
+        for r in live2.assigned.sort(F.desc("_bid"))
+        .dropDuplicates(["vec_id"])
+        .collect()
+    } == want
+
+    # idempotent: only the newest batch remains -> nothing to fold
+    assert compact_streaming_ivf(spark, idx) == 0
+
+    # crash window B == post-compaction source replay on a FRESH
+    # checkpoint: folded batch 0 re-lands its leaves; readers exclude
+    # them, so the view is unchanged and x does not resurrect
+    run(str(tmp_path / "ck2"))
+    live3 = read_streaming_ivf(spark, idx)
+    again = [
+        r["vec_id"]
+        for r in ivf_search(live3, x_orig, k=5, nprobe=1).collect()
+    ]
+    assert x_id not in again
+
+    # the batch loader refuses the now-stale plain layout
+    with _pytest.raises(ValueError, match="read_streaming_ivf"):
+        load_ivf_index(spark, idx)
