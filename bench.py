@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "q150_cuped_adjustment",
     "q151_srm_check",
     "q152_filtered_ann",
+    "q153_join_explosion_audit",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

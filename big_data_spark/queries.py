@@ -7741,6 +7741,14 @@ def q144_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", F.col("ts")).alias("day"),
         F.hour("ts").alias("hod"),
     ).agg(F.count("*").alias("cnt")).localCheckpoint()  # both join sides
+    return seasonal_backtest_from_cells(cells)
+
+
+def seasonal_backtest_from_cells(cells: DataFrame) -> DataFrame:
+    """q144's scoring stage over (event_type, day, hod, cnt) cells —
+    shared with streaming.sinks.read_seasonal_backtest so the
+    incrementally maintained histogram scores through the EXACT batch
+    definition (the hourly_anomalies_from_cells pattern)."""
     a = cells.alias("a")
     p = cells.alias("p")
     joined = (
@@ -8608,6 +8616,70 @@ def q152_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q153_join_explosion_audit",
+    """
+    WITH c AS (
+      SELECT l_partkey, COUNT(*) AS n FROM lineitem GROUP BY 1
+    ), t AS (
+      SELECT CAST(SUM(n * (n - 1) / 2) AS DOUBLE) AS total_pairs
+      FROM c
+    ), top AS (
+      SELECT l_partkey, n, n * (n - 1) / 2 AS pairs
+      FROM c ORDER BY n DESC, l_partkey LIMIT 10
+    )
+    SELECT CAST(ROW_NUMBER() OVER w AS INT) AS rank,
+           l_partkey, CAST(n AS BIGINT) AS n,
+           CAST(pairs AS BIGINT) AS pairs,
+           round(pairs / total_pairs, 6) AS pair_share,
+           round(SUM(pairs) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) / total_pairs, 6)
+             AS cum_pair_share
+    FROM top, t
+    WINDOW w AS (ORDER BY n DESC, l_partkey)
+    ORDER BY rank
+    """,
+    "profiling",
+    "skew",
+)
+def q153_join_explosion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join output-size audit — q134's sibling for the SELF-JOIN
+    pipelines (near-dup candidates, co-purchase pairs, kNN blocking):
+    per join key the candidate-pair count n·(n−1)/2 the key would
+    contribute, the global total, and the top-10 offenders with pair
+    share and cumulative share. This is the number that decides
+    whether a blocking key needs a cap (q128's 64-item basket limit),
+    a df-style hot-key drop (q120's broadcast ANTI), or salting —
+    BEFORE launching a join whose output is Σn² while its input reads
+    'only' Σn. Key counts are one map-side-combined agg; top-10 is
+    TakeOrderedAndProject; the ranking window runs over exactly 10
+    rows (q134's constant-size discipline)."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    pairs = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+    cp = c.select("l_partkey", "n", pairs.alias("pairs"))
+    t = cp.agg(F.sum("pairs").cast("double").alias("total_pairs"))
+    top = cp.orderBy(F.desc("n"), "l_partkey").limit(10)
+    w = Window.orderBy(F.desc("n"), "l_partkey")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        top.crossJoin(F.broadcast(t))
+        .select(
+            F.row_number().over(w).cast("int").alias("rank"),
+            "l_partkey",
+            F.col("n").cast("long").alias("n"),
+            F.col("pairs").cast("long").alias("pairs"),
+            F.round(F.col("pairs") / F.col("total_pairs"), 6).alias(
+                "pair_share"
+            ),
+            F.round(
+                F.sum("pairs").over(cum) / F.col("total_pairs"), 6
+            ).alias("cum_pair_share"),
+        )
+        .orderBy("rank")
+    )
+
+
 # =========================================================================
 # Registry ordering (driver check-window priority)
 # =========================================================================
@@ -8743,6 +8815,8 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q150_cuped_adjustment",
     "q151_srm_check",
     "q152_filtered_ann",
+    # q153↔q134 (same constant-size top-k + broadcast-total shape).
+    "q153_join_explosion_audit",
     # round-5 demotions next (freshest prev-pass evidence, 2+× green):
     "q55_purchase_attribution_asof",
     "q56_incident_click_range_join",

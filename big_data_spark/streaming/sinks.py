@@ -1010,6 +1010,20 @@ def read_hourly_anomalies(spark, partials_dir: str) -> DataFrame:
     return hourly_anomalies_from_cells(read_cell_histogram(spark, partials_dir))
 
 
+def read_seasonal_backtest(spark, partials_dir: str) -> DataFrame:
+    """q144's seasonal-naive MAPE backtest over the MAINTAINED
+    histogram — same shared-stage discipline as read_hourly_anomalies
+    (queries.seasonal_backtest_from_cells): the forecaster evaluation
+    reruns on histogram×histogram keyed work at read time, never a
+    fact re-scan, with the identical scoring definition as the q144
+    batch check."""
+    from ..queries import seasonal_backtest_from_cells
+
+    return seasonal_backtest_from_cells(
+        read_cell_histogram(spark, partials_dir).localCheckpoint()
+    )
+
+
 def reference_band_histogram(
     df: DataFrame,
     value_col: str = "o_totalprice",

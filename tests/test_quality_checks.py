@@ -369,3 +369,85 @@ def test_pagerank_directed_keeps_zero_indegree_nodes(spark):
     # (0<->1 oscillates toward its fixed point, so no ordering claim
     # between them at a finite even iteration count)
     assert min(rows[0], rows[1]) > rows[2]
+
+
+def test_cuped_matches_numpy_reference(spark):
+    """q150 against a third independent implementation: NumPy OLS on
+    the same parquet — theta, adjusted means, and adjusted variances
+    must agree (DuckDB parity already pins Spark==DuckDB; this pins
+    the STATISTICS against the textbook definition: per-user adjusted
+    column materialized and np.var'd, no sufficient-statistic
+    algebra)."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from big_data_spark.queries import QUERIES
+
+    from .conftest import SF_ORACLE
+
+    got = {
+        r["variant"]: r
+        for r in QUERIES["q150_cuped_adjustment"].fn(spark, SF_ORACLE).collect()
+    }
+
+    ev = pd.read_parquet(f"{SF_ORACLE}/events.parquet")
+    ev = ev[ev.event_type == "purchase"]
+    cut = pd.Timestamp("2024-01-15")
+    pre = ev[ev.ts < cut].groupby("user_id")["value"].sum()
+    post = ev[ev.ts >= cut].groupby("user_id")["value"].sum()
+    users = sorted(set(ev.user_id))
+    x = np.array([pre.get(u, 0.0) for u in users])
+    y = np.array([post.get(u, 0.0) for u in users])
+    arm = np.array([u % 2 for u in users])
+
+    theta = np.cov(x, y, ddof=1)[0, 1] / np.var(x, ddof=1)
+    yadj = y - theta * (x - x.mean())
+    for v in (0, 1):
+        m = arm == v
+        r = got[v]
+        assert r["n"] == int(m.sum())
+        assert r["theta"] == _pytest.approx(theta, abs=2e-6)
+        assert r["mean_raw"] == _pytest.approx(y[m].mean(), abs=2e-6)
+        assert r["mean_cuped"] == _pytest.approx(yadj[m].mean(), abs=2e-6)
+        assert r["var_raw"] == _pytest.approx(np.var(y[m], ddof=1), abs=2e-4)
+        assert r["var_cuped"] == _pytest.approx(
+            np.var(yadj[m], ddof=1), abs=2e-4
+        )
+        # the point of CUPED: adjusted variance is (substantially
+        # or at least not) above raw — algebraically var_adj <= var_raw
+        # only holds pooled, so allow per-arm slack but require the
+        # adjustment to be sane
+        assert r["var_cuped"] <= r["var_raw"] * 1.05
+
+
+def test_srm_matches_scipy_style_chi2(spark):
+    """q151's collapsed statistic (n_a−n_b)²/n equals the full
+    Pearson chi-square over the 2-cell table with equal expectations,
+    computed independently in NumPy from the same parquet."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from big_data_spark.queries import QUERIES
+
+    from .conftest import SF_ORACLE
+
+    got = {
+        r["day"]: r
+        for r in QUERIES["q151_srm_check"].fn(spark, SF_ORACLE).collect()
+    }
+    ev = pd.read_parquet(f"{SF_ORACLE}/events.parquet")
+    enroll = ev.assign(day=ev.ts.dt.floor("D"))[
+        ["day", "user_id"]
+    ].drop_duplicates()
+    for day, g in enroll.groupby("day"):
+        arms = (g.user_id % 2).value_counts()
+        n_a, n_b = int(arms.get(0, 0)), int(arms.get(1, 0))
+        exp = (n_a + n_b) / 2.0
+        chi2 = (n_a - exp) ** 2 / exp + (n_b - exp) ** 2 / exp
+        r = got[day.to_pydatetime()]
+        assert (r["n_a"], r["n_b"]) == (n_a, n_b), day
+        assert r["chi2"] == _pytest.approx(chi2, abs=1e-6), day
+        assert r["srm"] == (chi2 > 3.841), day
+    assert len(got) == enroll.day.nunique()

@@ -1064,6 +1064,7 @@ def test_streaming_hourly_anomalies_match_batch(spark, tmp_path):
     from big_data_spark.queries import QUERIES
     from big_data_spark.streaming.sinks import (
         read_hourly_anomalies,
+        read_seasonal_backtest,
         start_cell_histogram_stream,
     )
 
@@ -1095,6 +1096,17 @@ def test_streaming_hourly_anomalies_match_batch(spark, tmp_path):
     ]
     got = [tuple(r) for r in read_hourly_anomalies(spark, partials).collect()]
     assert got == want and len(want) > 0
+
+    # the SAME maintained histogram also serves q144's backtest read
+    # path — identical scoring stage, so results match exactly too
+    want_bt = [
+        tuple(r)
+        for r in QUERIES["q144_seasonal_backtest"].fn(spark, SF_ORACLE).collect()
+    ]
+    got_bt = [
+        tuple(r) for r in read_seasonal_backtest(spark, partials).collect()
+    ]
+    assert got_bt == want_bt and len(want_bt) > 0
 
     run(str(tmp_path / "c2"))  # full replay, fresh checkpoint
     got2 = [tuple(r) for r in read_hourly_anomalies(spark, partials).collect()]
