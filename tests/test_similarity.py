@@ -513,3 +513,99 @@ def test_ivf_compaction_removes_stale_cross_cell_rows(spark, emb, tmp_path):
     # the batch loader refuses the now-stale plain layout
     with _pytest.raises(ValueError, match="read_streaming_ivf"):
         load_ivf_index(spark, idx)
+
+
+def test_ivf_update_stream_fuzz_with_random_compaction(spark, emb, tmp_path):
+    """Randomized update-stream invariant: any sequence of micro-batch
+    embedding updates, with compaction fired at random points between
+    batches and a final fresh-checkpoint full replay, must resolve to
+    exactly the clean final state — every vec_id once, carrying its
+    LATEST embedding, in that embedding's cell. Updates copy existing
+    vectors' embeddings, so expected cells come from the batch
+    assignment (no independent float recompute; ingest==KMeans
+    assignment is pinned by the parity test above)."""
+    import os
+    import random
+
+    from pyspark.sql import functions as F
+
+    from big_data_spark.operators.similarity import build_ivf_index, save_ivf_index
+    from big_data_spark.streaming.sinks import (
+        compact_streaming_ivf,
+        read_streaming_ivf,
+        start_vector_ingest_stream,
+    )
+
+    index = build_ivf_index(emb, nlist=8)
+    batch_cell = {r["vec_id"]: r["cell"] for r in index.assigned.collect()}
+    pool = sorted(batch_cell)[:80]
+    pool_emb = {
+        r["vec_id"]: (list(r["embedding"]), r["label"])
+        for r in emb.filter(F.col("vec_id").isin(pool)).collect()
+    }
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        idx = str(tmp_path / f"idx{seed}")
+        save_ivf_index(index, idx)  # batch base: the full corpus
+        src = tmp_path / f"src{seed}"
+        src.mkdir()
+        ck = str(tmp_path / f"ck{seed}")
+
+        def run(ckpt):
+            stream = (
+                spark.readStream.schema(emb.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src / "*"))
+            )
+            q = start_vector_ingest_stream(stream, idx, ckpt)
+            q.awaitTermination(180)
+
+        latest_donor: dict[int, int] = {}  # vec_id -> donor whose embedding it carries
+        for rnd in range(4):
+            ids = rng.sample(pool, k=rng.randint(1, 6))
+            donors = [rng.choice(pool) for _ in ids]
+            rows = [
+                (int(v), pool_emb[d][0], pool_emb[d][1])
+                for v, d in zip(ids, donors)
+            ]
+            spark.createDataFrame(rows, emb.schema).coalesce(1).write.parquet(
+                str(src / f"f{rnd}")
+            )
+            run(ck)
+            for v, d in zip(ids, donors):
+                latest_donor[v] = d
+            if rng.random() < 0.5:
+                compact_streaming_ivf(spark, idx)
+
+        def resolved():
+            live = read_streaming_ivf(spark, idx)
+            return {
+                r["vec_id"]: (r["cell"], list(r["embedding"]))
+                for r in live.assigned.sort(F.desc("_bid"))
+                .dropDuplicates(["vec_id"])
+                .collect()
+            }
+
+        want = {
+            v: (
+                batch_cell[latest_donor[v]] if v in latest_donor else c,
+                pool_emb[latest_donor[v]][0]
+                if v in latest_donor
+                else None,  # embedding only checked for updated ids
+            )
+            for v, c in batch_cell.items()
+        }
+        got = resolved()
+        assert set(got) == set(want), seed
+        for v, (cell, embv) in got.items():
+            assert cell == want[v][0], (seed, v)
+            if want[v][1] is not None:
+                assert embv == want[v][1], (seed, v)
+
+        before = got
+        # final compaction + fresh-checkpoint full source replay:
+        # folded ids re-land but stay excluded — view unchanged
+        compact_streaming_ivf(spark, idx)
+        run(str(tmp_path / f"ck{seed}b"))
+        assert resolved() == before, seed
