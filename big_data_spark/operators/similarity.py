@@ -279,8 +279,12 @@ def load_ivf_index(spark: SparkSession, path: str) -> IVFIndex:
     import json
     import os
 
-    if os.path.isdir(os.path.join(path, "assigned_stream")) or os.path.exists(
-        os.path.join(path, "_IVF_BASE")
+    # layout names imported from the sink module that owns them — a
+    # rename there must not silently disarm this guard
+    from ..streaming.sinks import IVF_BASE_MANIFEST, IVF_STREAM_DIR
+
+    if os.path.isdir(os.path.join(path, IVF_STREAM_DIR)) or os.path.exists(
+        os.path.join(path, IVF_BASE_MANIFEST)
     ):
         raise ValueError(
             f"{path} has streaming ingest/compaction state; "

@@ -567,6 +567,11 @@ def start_trending_stream(
     def write_partial(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():  # no anchor derivable; nothing to land
             return
+        _guard_run_generation(
+            partials_dir,
+            checkpoint_dir,
+            os.path.join(partials_dir, TRENDING_BASE_MANIFEST),
+        )
         anchor = batch.agg(F.max(F.unix_micros("ts")).alias("anchor_us"))
         (
             batch.crossJoin(F.broadcast(anchor))
@@ -611,35 +616,95 @@ def start_trending_stream(
 
 TRENDING_BASE_MANIFEST = "_BASE"
 IVF_BASE_MANIFEST = "_IVF_BASE"
+IVF_STREAM_DIR = "assigned_stream"
+RUN_SIDECAR = "_RUN"
 
 
-def _fold_manifest_state(manifest_path: str) -> tuple[int | None, set]:
-    """(base version, folded batch ids) from an atomic compaction
-    manifest, or (None, empty set) before any compaction."""
+def _fold_manifest_state(
+    manifest_path: str,
+) -> tuple[int | None, set, str | None]:
+    """(base version, folded batch ids, owning streaming-query id)
+    from an atomic compaction manifest, or (None, ∅, None) before any
+    compaction. The run id is the query generation whose batch-id
+    numbering the folded ids belong to."""
     import json
 
     if not os.path.exists(manifest_path):
-        return None, set()
+        return None, set(), None
     with open(manifest_path) as f:
         meta = json.load(f)
-    return int(meta["version"]), {int(i) for i in meta["folded"]}
+    return (
+        int(meta["version"]),
+        {int(i) for i in meta["folded"]},
+        meta.get("run_id"),
+    )
 
 
-def _flip_fold_manifest(manifest_path: str, version: int, folded: list) -> None:
+def _flip_fold_manifest(
+    manifest_path: str, version: int, folded: list, run_id: str | None
+) -> None:
     """Commit a compaction in ONE atomic rename — the only moment the
     new base becomes visible and the folded ids become excluded."""
     import json
 
     tmp = manifest_path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"version": version, "folded": sorted(folded)}, f)
+        json.dump(
+            {"version": version, "folded": sorted(folded), "run_id": run_id},
+            f,
+        )
     os.replace(tmp, manifest_path)
 
 
+def _run_sidecar_id(state_dir: str) -> str | None:
+    sidecar = os.path.join(state_dir, RUN_SIDECAR)
+    if not os.path.exists(sidecar):
+        return None
+    with open(sidecar) as f:
+        return f.read().strip() or None
+
+
+def _guard_run_generation(
+    state_dir: str, checkpoint_dir: str, manifest_path: str
+) -> None:
+    """Folded batch ids are only meaningful WITHIN the checkpoint
+    generation that numbered them — a FRESH checkpoint restarts ids
+    at 0, so its batches would collide with folded ids and be
+    silently excluded (permanent data loss if the source changed).
+    Called from every micro-batch write: records the current
+    streaming-query id in a ``_RUN`` sidecar, and fails LOUDLY when a
+    different generation tries to write into a dir whose manifest
+    already folded ids under an older generation. Recovery: restore
+    the original checkpoint, or replay the source into a fresh
+    dir. Pre-compaction generation changes stay allowed — without
+    exclusions, a re-landed batch id just overwrites its partition
+    content-for-content."""
+    qid = _checkpoint_query_id(checkpoint_dir)
+    if qid is None:
+        return
+    _, folded, run_id = _fold_manifest_state(manifest_path)
+    if folded and run_id and qid != run_id:
+        raise RuntimeError(
+            f"{state_dir} was compacted under streaming-query id "
+            f"{run_id}; checkpoint {checkpoint_dir} is a different "
+            f"generation ({qid}) whose batch ids would collide with "
+            "folded ids and be silently excluded. Restore the original "
+            "checkpoint, or replay the source into a fresh directory."
+        )
+    sidecar = os.path.join(state_dir, RUN_SIDECAR)
+    if _run_sidecar_id(state_dir) != qid:
+        os.makedirs(state_dir, exist_ok=True)
+        tmp = sidecar + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(qid)
+        os.replace(tmp, sidecar)
+
+
 def _trending_base_state(partials_dir: str) -> tuple[int | None, set]:
-    return _fold_manifest_state(
+    version, folded, _run = _fold_manifest_state(
         os.path.join(partials_dir, TRENDING_BASE_MANIFEST)
     )
+    return version, folded
 
 
 def compact_trending_partials(
@@ -659,10 +724,12 @@ def compact_trending_partials(
     crash before the flip leaves the old view live (the new base dir
     is an ignored orphan, overwritten next run); a crash after the
     flip leaves undeleted folded partitions that readers already
-    ignore (cleanup retries next run). This also makes
-    fresh-checkpoint source replays safe AFTER compaction: replayed
-    batch ids that were folded re-land partitions the manifest
-    excludes — never double-counted.
+    ignore (cleanup retries next run). Folded ids are bound to the
+    checkpoint generation that numbered them (run id recorded in the
+    manifest): a FRESH checkpoint restarts batch ids at 0, and its
+    batches colliding with folded ids would be silently excluded —
+    so the sink's write path fails loudly on that pairing
+    (_guard_run_generation) instead of losing data.
 
     The NEWEST batch id never folds — after a crash between its write
     and the checkpoint commit, that batch replays and overwrites its
@@ -671,6 +738,19 @@ def compact_trending_partials(
     """
     h_us = float(half_life_days) * 86400000000.0
     version, folded = _trending_base_state(partials_dir)
+    # sweep leftovers of any earlier crash between flip and cleanup
+    # FIRST (every invocation, not only folding ones): folded
+    # partitions and stale base versions are already excluded by
+    # readers, so removing them is always safe
+    for i in sorted(folded):
+        shutil.rmtree(
+            os.path.join(partials_dir, f"batch_id={i}"), ignore_errors=True
+        )
+    for d in glob.glob(os.path.join(partials_dir, "_base-v*")):
+        if version is None or d != os.path.join(
+            partials_dir, f"_base-v{version}"
+        ):
+            shutil.rmtree(d, ignore_errors=True)
     p = spark.read.parquet(partials_dir)
     ids = {
         int(r["batch_id"])
@@ -719,22 +799,29 @@ def compact_trending_partials(
         .parquet(os.path.join(partials_dir, f"_base-v{new_version}"))
     )
     all_folded = sorted(folded | set(foldable))
+    # bind the folded ids to the generation that numbered them; if no
+    # sink write recorded a sidecar (pre-upgrade dir), carry the
+    # previous manifest's binding forward rather than dropping it
+    _v, _f, prev_run = _fold_manifest_state(
+        os.path.join(partials_dir, TRENDING_BASE_MANIFEST)
+    )
     _flip_fold_manifest(
         os.path.join(partials_dir, TRENDING_BASE_MANIFEST),
         new_version,
         all_folded,
+        _run_sidecar_id(partials_dir) or prev_run,
     )
     # best-effort cleanup AFTER the flip (leftovers are excluded by
-    # readers and retried here next run)
+    # readers and retried here next run): folded partitions and EVERY
+    # stale base version — removing only the immediately previous one
+    # would leak a full base copy on any crash between flip and rmtree
     for i in all_folded:
         shutil.rmtree(
             os.path.join(partials_dir, f"batch_id={i}"), ignore_errors=True
         )
-    if version is not None:
-        shutil.rmtree(
-            os.path.join(partials_dir, f"_base-v{version}"),
-            ignore_errors=True,
-        )
+    for d in glob.glob(os.path.join(partials_dir, "_base-v*")):
+        if d != os.path.join(partials_dir, f"_base-v{new_version}"):
+            shutil.rmtree(d, ignore_errors=True)
     return len(foldable)
 
 
@@ -765,6 +852,11 @@ def start_vector_ingest_stream(
     def ingest(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        _guard_run_generation(
+            index_path,
+            checkpoint_dir,
+            os.path.join(index_path, IVF_BASE_MANIFEST),
+        )
         spark = batch.sparkSession
         cent = spark.read.parquet(os.path.join(index_path, "centroids"))
         d2 = F.aggregate(
@@ -787,7 +879,7 @@ def start_vector_ingest_stream(
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("cell", "batch_id")
-            .parquet(os.path.join(index_path, "assigned_stream"))
+            .parquet(os.path.join(index_path, IVF_STREAM_DIR))
         )
 
     writer = (
@@ -815,15 +907,17 @@ def read_streaming_ivf(spark, index_path: str):
     common replay case) resolve exactly — and compact_streaming_ivf
     REMOVES cross-cell stale rows entirely by folding streamed batches
     into a rewritten cell-partitioned base (resolved here via the
-    ``_IVF_BASE`` manifest: folded batch ids are excluded even if a
-    post-compaction source replay re-lands their directories)."""
+    ``_IVF_BASE`` manifest: folded batch ids are excluded even if
+    their leaves still exist after a cleanup crash; a fresh-checkpoint
+    generation colliding with folded ids is rejected at the write
+    path — _guard_run_generation)."""
     import json
 
     from ..operators.similarity import IVFIndex
 
     with open(os.path.join(index_path, "meta.json")) as f:
         meta = json.load(f)
-    version, folded = _fold_manifest_state(
+    version, folded, _run = _fold_manifest_state(
         os.path.join(index_path, IVF_BASE_MANIFEST)
     )
     parts = []
@@ -837,7 +931,7 @@ def read_streaming_ivf(spark, index_path: str):
                 "_bid", F.lit(-1).cast("long")
             )
         )
-    stream_dir = os.path.join(index_path, "assigned_stream")
+    stream_dir = os.path.join(index_path, IVF_STREAM_DIR)
     # glob for batch_id leaves: after a full compaction the cell=…
     # shells may remain with every leaf folded away, and a bare
     # directory read would fail schema inference
@@ -878,13 +972,15 @@ def compact_streaming_ivf(
     Same crash-safe discipline as compact_trending_partials: the new
     base lands in ``assigned-v{n}``, commits via one atomic
     ``_IVF_BASE`` manifest flip (readers exclude folded batch ids
-    even if a post-compaction source replay re-lands their leaves —
-    a replayed fold is content-identical, but the old-version row of
-    a cross-cell update must never resurrect), and the NEWEST stream
-    batch never folds (its crash-replay window: a batch that missed
-    its checkpoint commit replays and overwrites its own leaves).
-    Cleanup of folded leaves and the previous base runs AFTER the
-    flip, best-effort, retried on the next compaction.
+    even if their leaves still exist after a cleanup crash — the
+    old-version row of a cross-cell update must never resurrect), the
+    folded ids are bound to the checkpoint generation that numbered
+    them (a fresh checkpoint colliding with them is rejected at the
+    write path), and the NEWEST stream batch never folds (its
+    crash-replay window: a batch that missed its checkpoint commit
+    replays and overwrites its own leaves). Cleanup of folded leaves,
+    every stale base version, and the superseded plain batch dir runs
+    AFTER the flip, best-effort, retried on the next compaction.
 
     Cost: one full shuffle of the index on vec_id (the latest-wins
     window) + one cell-partitioned rewrite — the standard periodic
@@ -893,8 +989,23 @@ def compact_streaming_ivf(
     from pyspark.sql.window import Window
 
     manifest = os.path.join(index_path, IVF_BASE_MANIFEST)
-    version, folded = _fold_manifest_state(manifest)
-    stream_dir = os.path.join(index_path, "assigned_stream")
+    version, folded, prev_run = _fold_manifest_state(manifest)
+    stream_dir = os.path.join(index_path, IVF_STREAM_DIR)
+    # sweep leftovers of any earlier crash between flip and cleanup
+    # FIRST (every invocation): folded leaves, stale base versions,
+    # and the superseded plain batch dir — all excluded by readers
+    for d in glob.glob(os.path.join(stream_dir, "cell=*", "batch_id=*")):
+        if int(d.rsplit("batch_id=", 1)[1]) in folded:
+            shutil.rmtree(d, ignore_errors=True)
+    for d in glob.glob(os.path.join(index_path, "assigned-v*")):
+        if version is None or d != os.path.join(
+            index_path, f"assigned-v{version}"
+        ):
+            shutil.rmtree(d, ignore_errors=True)
+    if version is not None:
+        shutil.rmtree(
+            os.path.join(index_path, "assigned"), ignore_errors=True
+        )
     leaves = glob.glob(os.path.join(stream_dir, "cell=*", "batch_id=*"))
     ids = {int(d.rsplit("batch_id=", 1)[1]) for d in leaves}
     live = sorted(ids - folded)
@@ -934,17 +1045,25 @@ def compact_streaming_ivf(
         .parquet(os.path.join(index_path, f"assigned-v{new_version}"))
     )
     all_folded = sorted(folded | set(foldable))
-    _flip_fold_manifest(manifest, new_version, all_folded)
+    _flip_fold_manifest(
+        manifest,
+        new_version,
+        all_folded,
+        _run_sidecar_id(index_path) or prev_run,
+    )
     # best-effort cleanup AFTER the flip (leftovers are excluded by
-    # readers and retried here next run)
+    # readers and retried here next run): folded leaves, EVERY stale
+    # base version (removing only the previous one would leak a full
+    # corpus copy on a crash between flip and rmtree), and the plain
+    # batch-build dir once its content is folded into v0
+    # (load_ivf_index refuses it from now on anyway)
     for d in glob.glob(os.path.join(stream_dir, "cell=*", "batch_id=*")):
         if int(d.rsplit("batch_id=", 1)[1]) in set(all_folded):
             shutil.rmtree(d, ignore_errors=True)
-    if version is not None:
-        shutil.rmtree(
-            os.path.join(index_path, f"assigned-v{version}"),
-            ignore_errors=True,
-        )
+    for d in glob.glob(os.path.join(index_path, "assigned-v*")):
+        if d != os.path.join(index_path, f"assigned-v{new_version}"):
+            shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(os.path.join(index_path, "assigned"), ignore_errors=True)
     return len(foldable)
 
 
@@ -1126,9 +1245,9 @@ def read_trending(
     exact comparison); otherwise top-k by hot_score like q145.
 
     Resolves the compaction manifest: folded batch ids are EXCLUDED
-    (their data lives in the versioned base, and a fresh-checkpoint
-    source replay may have re-landed their partitions) and the base
-    partial merges in like any other."""
+    (their data lives in the versioned base; their partitions may
+    still exist after a cleanup crash) and the base partial merges in
+    like any other."""
     version, folded = _trending_base_state(partials_dir)
     h_us = float(half_life_days) * 86400000000.0
     p = spark.read.parquet(partials_dir)

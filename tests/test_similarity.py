@@ -499,18 +499,23 @@ def test_ivf_compaction_removes_stale_cross_cell_rows(spark, emb, tmp_path):
     # idempotent: only the newest batch remains -> nothing to fold
     assert compact_streaming_ivf(spark, idx) == 0
 
-    # crash window B == post-compaction source replay on a FRESH
-    # checkpoint: folded batch 0 re-lands its leaves; readers exclude
-    # them, so the view is unchanged and x does not resurrect
-    run(str(tmp_path / "ck2"))
+    # a FRESH checkpoint restarts batch ids at 0, colliding with the
+    # folded id — the ingest path must REJECT that generation loudly
+    # (silently excluding its batches would lose genuinely new data)
+    with _pytest.raises(Exception, match="different[\\s\\S]*generation"):
+        run(str(tmp_path / "ck2"))
     live3 = read_streaming_ivf(spark, idx)
     again = [
         r["vec_id"]
         for r in ivf_search(live3, x_orig, k=5, nprobe=1).collect()
     ]
-    assert x_id not in again
+    assert x_id not in again  # nothing landed from the dead run
 
-    # the batch loader refuses the now-stale plain layout
+    # the plain batch layout was swept at compaction; the batch
+    # loader refuses the streaming layout regardless
+    import os as _os
+
+    assert not _os.path.isdir(_os.path.join(idx, "assigned"))
     with _pytest.raises(ValueError, match="read_streaming_ivf"):
         load_ivf_index(spark, idx)
 
@@ -604,8 +609,19 @@ def test_ivf_update_stream_fuzz_with_random_compaction(spark, emb, tmp_path):
                 assert embv == want[v][1], (seed, v)
 
         before = got
-        # final compaction + fresh-checkpoint full source replay:
-        # folded ids re-land but stay excluded — view unchanged
-        compact_streaming_ivf(spark, idx)
-        run(str(tmp_path / f"ck{seed}b"))
+        # final compaction, then a fresh-checkpoint replay attempt:
+        # if anything folded, its ids would collide with the new
+        # generation's restarted numbering — the write path rejects
+        # it loudly and the view stays unchanged; with nothing folded
+        # a replay is a content-identical overwrite
+        folded_any = compact_streaming_ivf(spark, idx) > 0 or os.path.exists(
+            os.path.join(idx, "_IVF_BASE")
+        )
+        if folded_any:
+            import pytest as _pytest
+
+            with _pytest.raises(Exception, match="different[\\s\\S]*generation"):
+                run(str(tmp_path / f"ck{seed}b"))
+        else:
+            run(str(tmp_path / f"ck{seed}b"))
         assert resolved() == before, seed

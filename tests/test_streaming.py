@@ -1028,29 +1028,43 @@ def test_trending_compaction_preserves_view(spark, tmp_path):
             assert s == _pytest.approx(want[uid][1], rel=1e-6, abs=1e-6), uid
 
     before = view()
+    import shutil as _shutil
+
+    # stash batch 0's partial: it will be folded, and we resurrect it
+    # afterwards to simulate a cleanup crash
+    _shutil.copytree(
+        os.path.join(partials, "batch_id=0"), str(tmp_path / "stash0")
+    )
     # crash window A: an orphan base written but never flipped into
-    # the manifest must be invisible
+    # the manifest must be invisible (and swept by the next run)
     os.makedirs(os.path.join(partials, "_base-v7"), exist_ok=True)
     folded = compact_trending_partials(spark, partials)
     assert folded == 2  # three batches -> two finalized fold, newest kept
     names = sorted(os.listdir(partials))
     assert "_BASE" in names and "_base-v0" in names, names
+    assert "_base-v7" not in names, names  # orphan swept post-flip
     assert [n for n in names if n.startswith("batch_id=")] == ["batch_id=2"]
     assert_same(view(), before)
     # idempotent: base + newest alone -> nothing foldable
     assert compact_trending_partials(spark, partials) == 0
 
-    # crash window B == post-compaction source replay: a FRESH
-    # checkpoint restarts batch ids, so batches 0/1 re-land the very
-    # partitions the manifest already folded — they must be excluded,
-    # never double-counted (this is also the resurrected-partition
-    # crash window: folded dirs existing on disk again)
-    run(str(tmp_path / "ck2"))
-    names = sorted(n for n in os.listdir(partials) if n.startswith("batch_id="))
-    assert names == ["batch_id=0", "batch_id=1", "batch_id=2"], names
-    assert_same(view(), before)  # folded ids excluded -> no double count
-    assert compact_trending_partials(spark, partials) == 0  # nothing new
+    # crash window B: cleanup died after the flip — a folded
+    # partition resurrected on disk must stay excluded by readers and
+    # get swept (not re-folded) by the next compaction
+    _shutil.copytree(
+        str(tmp_path / "stash0"), os.path.join(partials, "batch_id=0")
+    )
+    assert_same(view(), before)  # excluded even though the dir exists
+    assert compact_trending_partials(spark, partials) == 0
+    assert not os.path.isdir(os.path.join(partials, "batch_id=0"))
     assert_same(view(), before)
+
+    # a FRESH checkpoint would restart batch ids at 0, colliding with
+    # folded ids — the write path must REJECT that generation loudly
+    # (silently excluding its batches would lose genuinely new data)
+    with _pytest.raises(Exception, match="different[\\s\\S]*generation"):
+        run(str(tmp_path / "ck2"))
+    assert_same(view(), before)  # nothing landed from the dead run
 
 
 def test_streaming_hourly_anomalies_match_batch(spark, tmp_path):
@@ -1137,17 +1151,18 @@ def test_streaming_drift_matches_batch(spark, tmp_path):
     )
     is_ref = F.col("o_orderdate") < "1998-01-01"
     reference = reference_band_histogram(orders.filter(is_ref))
-    # keep the unique key: subtract has set semantics, and a
-    # prices-only projection would silently drop duplicate prices
+    # deterministic key-parity split: an unordered limit() evaluated
+    # twice (write + subtract) can pick different rows across jobs,
+    # double-counting some orders and dropping others
     cur = load_table(spark, SF_ORACLE, "orders").filter(~is_ref).select(
         "o_orderkey", "o_totalprice"
     )
 
     src = tmp_path / "src"
     src.mkdir()
-    a = cur.limit(4000)
-    b = cur.subtract(a)
-    assert b.count() > 0  # both micro-batches carry data
+    a = cur.filter(F.col("o_orderkey") % 2 == 0)
+    b = cur.filter(F.col("o_orderkey") % 2 != 0)
+    assert a.count() > 0 and b.count() > 0  # both micro-batches carry data
     a.coalesce(1).write.parquet(str(src / "a"))
     b.coalesce(1).write.parquet(str(src / "b"))
 
