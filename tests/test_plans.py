@@ -628,6 +628,39 @@ def test_key_skew_audit_windows_only_top10(spark):
     assert count_shuffles(df) <= 3, plan
 
 
+def test_join_explosion_audit_windows_only_top10(spark):
+    """q153: same discipline as q134 — the per-key pair counts top-10
+    compiles to TakeOrderedAndProject before the rank/cumsum window,
+    so the single-partition window sees 10 rows, never the keyspace."""
+    df = q(spark, "q153_join_explosion_audit")
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert count_shuffles(df) <= 3, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_cuped_is_two_aggs_and_broadcast(spark):
+    """q150: CUPED never materializes a per-user adjusted column —
+    the plan is the user-level conditional agg feeding two
+    sufficient-statistic aggs plus broadcast join-backs; no window,
+    no cartesian beyond the 1-row broadcast attach."""
+    df = q(spark, "q150_cuped_adjustment")
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert count_shuffles(df) <= 6, plan
+
+
+def test_srm_is_bounded_conditional_counts(spark):
+    """q151: enrollment dedup + day-keyed conditional counts — both
+    map-side combinable aggs; no window over raw events, no python."""
+    df = q(spark, "q151_srm_check")
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan
+    assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan, plan
+    assert count_shuffles(df) <= 4, plan
+
+
 def test_peak_concurrency_two_level_sweep(spark):
     """q135: the in-bucket cumsum window is hash-partitioned on the
     hour bucket; the only unpartitioned window runs over the bucket
