@@ -44,17 +44,24 @@ def build_ivf_index(
     nlist: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple = (),
 ) -> IVFIndex:
     """Fit the coarse quantizer and assign every vector to a cell.
 
     On a real deployment ``assigned`` is then written
     ``partitionBy("cell")`` so each probe reads only its cells'
     files (partition pruning does the candidate selection).
+    ``keep_cols`` carries metadata columns into ``assigned`` so
+    ``ivf_search(where=...)`` can serve filtered queries against the
+    persisted layout (predicate + cell filter both reach the scan).
     """
-    feat = emb.select(id_col, vec_col, array_to_vector(vec_col).alias("_v"))
+    keep = list(keep_cols)
+    feat = emb.select(
+        id_col, vec_col, *keep, array_to_vector(vec_col).alias("_v")
+    )
     km = KMeans(k=nlist, seed=SEED, featuresCol="_v", predictionCol="cell")
     model = km.fit(feat)
-    assigned = model.transform(feat).select(id_col, vec_col, "cell")
+    assigned = model.transform(feat).select(id_col, vec_col, *keep, "cell")
     centroids = feat.sparkSession.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         ["cell", "centroid"],
@@ -67,6 +74,7 @@ def ivf_search(
     query_vec: list[float],
     k: int = 10,
     nprobe: int = 4,
+    where=None,
 ) -> DataFrame:
     """Top-k cosine neighbors probing the nprobe nearest cells.
 
@@ -78,6 +86,19 @@ def ivf_search(
     latest-wins AFTER the cell filter — candidates stay
     partition-pruned, and a re-ingested vector cannot occupy two
     top-k slots.
+
+    ``where`` (a Column or SQL string over the index's metadata
+    columns) makes this FILTERED vector search — the q152 discipline
+    as a reusable surface. Two rules it enforces/expects:
+
+    - The predicate applies AFTER latest-wins resolution: filtering
+      first would let a SUPERSEDED version whose metadata still
+      matches resurrect into the results. (On the plain batch layout
+      there is no version column and Catalyst pushes the predicate
+      into the pruned scan.)
+    - Selective predicates thin every probed cell — callers must
+      OVER-PROBE (nprobe ≈ unfiltered-nprobe / selectivity, capped at
+      nlist) or top-k starves; see q152/SCALING.md.
     """
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     probe_cells = [
@@ -100,6 +121,8 @@ def ivf_search(
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_bid")
         )
+    if where is not None:
+        cand = cand.filter(F.expr(where) if isinstance(where, str) else where)
     return (
         cand.select(
             "vec_id",

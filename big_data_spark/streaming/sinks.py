@@ -866,15 +866,19 @@ def start_vector_ingest_stream(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
+        # carry every non-id input column (vector + metadata) so the
+        # merged index can serve filtered search (ivf_search where=)
+        # against streamed rows too
+        extra = [c for c in batch.columns if c != id_col]
         (
             batch.crossJoin(F.broadcast(cent))
             .withColumn("_d2", d2)
             .groupBy(id_col)
             .agg(
                 F.min(F.struct(F.col("_d2"), F.col("cell"))).alias("_m"),
-                F.any_value(vec_col).alias(vec_col),
+                *[F.any_value(c).alias(c) for c in extra],
             )
-            .select(id_col, vec_col, F.col("_m.cell").alias("cell"))
+            .select(id_col, *extra, F.col("_m.cell").alias("cell"))
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -960,7 +964,6 @@ def compact_streaming_ivf(
     spark,
     index_path: str,
     id_col: str = "vec_id",
-    vec_col: str = "embedding",
 ) -> int:
     """Fold finalized streamed batches into a rewritten
     cell-partitioned base, resolving latest-wins per vec_id GLOBALLY
@@ -1016,22 +1019,21 @@ def compact_streaming_ivf(
         index_path,
         "assigned" if version is None else f"assigned-v{version}",
     )
+    # preserve EVERY column (vector + any metadata the index carries
+    # for filtered search) — a fixed projection here would silently
+    # strip metadata at the first compaction
     parts = []
     if _has_committed_files(base_dir):
         parts.append(
-            spark.read.parquet(base_dir)
-            .select(id_col, vec_col, "cell")
-            .withColumn("_bid", F.lit(-1).cast("long"))
+            spark.read.parquet(base_dir).withColumn(
+                "_bid", F.lit(-1).cast("long")
+            )
         )
     parts.append(
         spark.read.parquet(stream_dir)
         .filter(F.col("batch_id").isin(foldable))
-        .select(
-            id_col,
-            vec_col,
-            "cell",
-            F.col("batch_id").cast("long").alias("_bid"),
-        )
+        .withColumn("_bid", F.col("batch_id").cast("long"))
+        .drop("batch_id")
     )
     src = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
     w = Window.partitionBy(id_col).orderBy(F.desc("_bid"))
@@ -1039,7 +1041,7 @@ def compact_streaming_ivf(
     (
         src.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select(id_col, vec_col, "cell")
+        .drop("_rn", "_bid")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(os.path.join(index_path, f"assigned-v{new_version}"))

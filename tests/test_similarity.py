@@ -411,7 +411,7 @@ def test_ivf_compaction_removes_stale_cross_cell_rows(spark, emb, tmp_path):
         start_vector_ingest_stream,
     )
 
-    index = build_ivf_index(emb, nlist=8)
+    index = build_ivf_index(emb, nlist=8, keep_cols=("label",))
     idx = str(tmp_path / "ivf")
     save_ivf_index(index, idx)
 
@@ -541,7 +541,7 @@ def test_ivf_update_stream_fuzz_with_random_compaction(spark, emb, tmp_path):
         start_vector_ingest_stream,
     )
 
-    index = build_ivf_index(emb, nlist=8)
+    index = build_ivf_index(emb, nlist=8, keep_cols=("label",))
     batch_cell = {r["vec_id"]: r["cell"] for r in index.assigned.collect()}
     pool = sorted(batch_cell)[:80]
     pool_emb = {
@@ -625,3 +625,97 @@ def test_ivf_update_stream_fuzz_with_random_compaction(spark, emb, tmp_path):
         else:
             run(str(tmp_path / f"ck{seed}b"))
         assert resolved() == before, seed
+
+
+def test_ivf_filtered_search(spark, emb, query_vec, tmp_path):
+    """ivf_search(where=...): filtered top-k equals brute force over
+    the filtered corpus when probing all cells (string and Column
+    predicate forms agree), and on the versioned streaming layout the
+    predicate applies AFTER latest-wins — an update that flips a
+    vector's metadata OUT of the filter must remove it from filtered
+    results (the superseded matching version cannot resurrect)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from big_data_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_search,
+        save_ivf_index,
+    )
+    from big_data_spark.streaming.sinks import (
+        read_streaming_ivf,
+        start_vector_ingest_stream,
+    )
+
+    idx = build_ivf_index(emb, nlist=8, keep_cols=("label",))
+    want = [
+        r["vec_id"]
+        for r in brute_force_topk(
+            emb.filter(F.col("label").isin(1, 3)), query_vec, k=10
+        ).collect()
+    ]
+    got = [
+        r["vec_id"]
+        for r in ivf_search(
+            idx, query_vec, k=10, nprobe=8, where="label IN (1, 3)"
+        ).collect()
+    ]
+    assert got == want  # probe-all == exact on the filtered corpus
+    got_col = [
+        r["vec_id"]
+        for r in ivf_search(
+            idx, query_vec, k=10, nprobe=8, where=F.col("label").isin(1, 3)
+        ).collect()
+    ]
+    assert got_col == got
+
+    # streamed update flips the top filtered hit's label OUT of the
+    # filter (same embedding): filtered search must drop it, plain
+    # search must still return it exactly once
+    x_id = got[0]
+    x_row = emb.filter(F.col("vec_id") == x_id).first()
+    dir_ = str(tmp_path / "fivf")
+    save_ivf_index(idx, dir_)
+    src = tmp_path / "fsrc"
+    src.mkdir()
+    spark.createDataFrame(
+        [(int(x_id), list(x_row["embedding"]), 99)], emb.schema
+    ).coalesce(1).write.parquet(str(src / "u"))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = start_vector_ingest_stream(stream, dir_, str(tmp_path / "fck"))
+    q.awaitTermination(180)
+
+    live = read_streaming_ivf(spark, dir_)
+    filtered = [
+        r["vec_id"]
+        for r in ivf_search(
+            live, query_vec, k=10, nprobe=8, where="label IN (1, 3)"
+        ).collect()
+    ]
+    assert x_id not in filtered
+    assert filtered == [v for v in want if v != x_id] + [
+        w
+        for w in [
+            r["vec_id"]
+            for r in brute_force_topk(
+                emb.filter(F.col("label").isin(1, 3) & (F.col("vec_id") != x_id)),
+                query_vec,
+                k=10,
+            ).collect()
+        ]
+        if w not in want
+    ], filtered
+    plain = [
+        r["vec_id"]
+        for r in ivf_search(
+            live, [float(v) for v in x_row["embedding"]], k=5, nprobe=8
+        ).collect()
+    ]
+    assert plain.count(x_id) == 1  # still served unfiltered, one slot
