@@ -8569,7 +8569,8 @@ def q152_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     1. The predicate applies BEFORE assignment/candidate scan — per-
        vector assignment is independent, so filtering first means the
        argmin and the probed-cell scan only touch qualifying rows; on
-       the persisted-index layout (operators/similarity.py) the label
+       the persisted-index layout (the reusable surface:
+       operators/similarity.py ivf_search(where=...)) the label
        predicate and the cell partition filter BOTH push into the
        pruned parquet scan (PushedFilters), never a post-join filter.
     2. OVER-PROBING: nprobe doubles q64's (4 vs 2) because the filter
