@@ -289,7 +289,17 @@ def save_ivf_index(index: IVFIndex, path: str) -> None:
         os.path.join(path, "centroids")
     )
     with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump({"nlist": index.nlist}, f)
+        json.dump(
+            {
+                "nlist": index.nlist,
+                # the index's data-column contract (order matters):
+                # streaming ingest projects every batch to exactly
+                # these columns so base and stream leaves can never
+                # drift apart schema-wise
+                "columns": [c for c in index.assigned.columns if c != "cell"],
+            },
+            f,
+        )
 
 
 def load_ivf_index(spark: SparkSession, path: str) -> IVFIndex:

@@ -677,12 +677,14 @@ def _guard_run_generation(
     already folded ids under an older generation. Recovery: restore
     the original checkpoint, or replay the source into a fresh
     dir. Pre-compaction generation changes stay allowed — without
-    exclusions, a re-landed batch id just overwrites its partition
-    content-for-content."""
+    exclusions, a re-landed batch id just overwrites its partition,
+    which is content-identical for a stable source (a generation swap
+    over a CHANGED source pre-compaction is the operator's call; see
+    docs/streaming.md)."""
     qid = _checkpoint_query_id(checkpoint_dir)
     if qid is None:
         return
-    _, folded, run_id = _fold_manifest_state(manifest_path)
+    version, folded, run_id = _fold_manifest_state(manifest_path)
     if folded and run_id and qid != run_id:
         raise RuntimeError(
             f"{state_dir} was compacted under streaming-query id "
@@ -691,6 +693,13 @@ def _guard_run_generation(
             "folded ids and be silently excluded. Restore the original "
             "checkpoint, or replay the source into a fresh directory."
         )
+    if folded and run_id is None:
+        # pre-upgrade manifest (folds recorded before generation
+        # binding existed): the first writer after upgrade ADOPTS the
+        # binding atomically, so every LATER foreign generation is
+        # rejected — narrows the unprotectable window to this one
+        # transition
+        _flip_fold_manifest(manifest_path, version, sorted(folded), qid)
     sidecar = os.path.join(state_dir, RUN_SIDECAR)
     if _run_sidecar_id(state_dir) != qid:
         os.makedirs(state_dir, exist_ok=True)
@@ -705,6 +714,45 @@ def _trending_base_state(partials_dir: str) -> tuple[int | None, set]:
         os.path.join(partials_dir, TRENDING_BASE_MANIFEST)
     )
     return version, folded
+
+
+def _sweep_trending(
+    partials_dir: str, folded: set, keep_version: int | None
+) -> None:
+    """Remove folded batch partitions and every base version except
+    ``keep_version`` — all already excluded by readers, so removal is
+    always safe. Called before AND after each flip so a crash between
+    flip and cleanup is repaired by the next compaction run."""
+    for i in sorted(folded):
+        shutil.rmtree(
+            os.path.join(partials_dir, f"batch_id={i}"), ignore_errors=True
+        )
+    for d in glob.glob(os.path.join(partials_dir, "_base-v*")):
+        if keep_version is None or d != os.path.join(
+            partials_dir, f"_base-v{keep_version}"
+        ):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def _sweep_ivf(
+    index_path: str, folded: set, keep_version: int | None
+) -> None:
+    """IVF twin of _sweep_trending: folded stream leaves, stale base
+    versions, and (once any fold exists) the superseded plain batch
+    dir."""
+    stream_dir = os.path.join(index_path, IVF_STREAM_DIR)
+    for d in glob.glob(os.path.join(stream_dir, "cell=*", "batch_id=*")):
+        if int(d.rsplit("batch_id=", 1)[1]) in folded:
+            shutil.rmtree(d, ignore_errors=True)
+    for d in glob.glob(os.path.join(index_path, "assigned-v*")):
+        if keep_version is None or d != os.path.join(
+            index_path, f"assigned-v{keep_version}"
+        ):
+            shutil.rmtree(d, ignore_errors=True)
+    if keep_version is not None:
+        shutil.rmtree(
+            os.path.join(index_path, "assigned"), ignore_errors=True
+        )
 
 
 def compact_trending_partials(
@@ -737,20 +785,12 @@ def compact_trending_partials(
     time a newer one exists (foreachBatch is sequential).
     """
     h_us = float(half_life_days) * 86400000000.0
-    version, folded = _trending_base_state(partials_dir)
+    version, folded, prev_run = _fold_manifest_state(
+        os.path.join(partials_dir, TRENDING_BASE_MANIFEST)
+    )
     # sweep leftovers of any earlier crash between flip and cleanup
-    # FIRST (every invocation, not only folding ones): folded
-    # partitions and stale base versions are already excluded by
-    # readers, so removing them is always safe
-    for i in sorted(folded):
-        shutil.rmtree(
-            os.path.join(partials_dir, f"batch_id={i}"), ignore_errors=True
-        )
-    for d in glob.glob(os.path.join(partials_dir, "_base-v*")):
-        if version is None or d != os.path.join(
-            partials_dir, f"_base-v{version}"
-        ):
-            shutil.rmtree(d, ignore_errors=True)
+    # FIRST (every invocation, not only folding ones)
+    _sweep_trending(partials_dir, folded, version)
     p = spark.read.parquet(partials_dir)
     ids = {
         int(r["batch_id"])
@@ -799,29 +839,18 @@ def compact_trending_partials(
         .parquet(os.path.join(partials_dir, f"_base-v{new_version}"))
     )
     all_folded = sorted(folded | set(foldable))
-    # bind the folded ids to the generation that numbered them; if no
-    # sink write recorded a sidecar (pre-upgrade dir), carry the
-    # previous manifest's binding forward rather than dropping it
-    _v, _f, prev_run = _fold_manifest_state(
-        os.path.join(partials_dir, TRENDING_BASE_MANIFEST)
-    )
+    # bind the folded ids to the generation that numbered them:
+    # manifest binding first (established bindings are never silently
+    # rebound), sidecar for the first-ever fold
     _flip_fold_manifest(
         os.path.join(partials_dir, TRENDING_BASE_MANIFEST),
         new_version,
         all_folded,
-        _run_sidecar_id(partials_dir) or prev_run,
+        prev_run or _run_sidecar_id(partials_dir),
     )
     # best-effort cleanup AFTER the flip (leftovers are excluded by
-    # readers and retried here next run): folded partitions and EVERY
-    # stale base version — removing only the immediately previous one
-    # would leak a full base copy on any crash between flip and rmtree
-    for i in all_folded:
-        shutil.rmtree(
-            os.path.join(partials_dir, f"batch_id={i}"), ignore_errors=True
-        )
-    for d in glob.glob(os.path.join(partials_dir, "_base-v*")):
-        if d != os.path.join(partials_dir, f"_base-v{new_version}"):
-            shutil.rmtree(d, ignore_errors=True)
+    # readers; the pre-sweep above repairs a crash here next run)
+    _sweep_trending(partials_dir, set(all_folded), new_version)
     return len(foldable)
 
 
@@ -850,6 +879,8 @@ def start_vector_ingest_stream(
     vectors with everything streamed so far."""
 
     def ingest(batch: DataFrame, batch_id: int) -> None:
+        import json
+
         if batch.isEmpty():
             return
         _guard_run_generation(
@@ -858,6 +889,20 @@ def start_vector_ingest_stream(
             os.path.join(index_path, IVF_BASE_MANIFEST),
         )
         spark = batch.sparkSession
+        # the index's column contract (recorded at save time) decides
+        # what lands: batches project to EXACTLY these columns, so
+        # base and stream leaves can never drift apart schema-wise.
+        # A pre-upgrade meta without the contract keeps the original
+        # (id, vector)-only projection.
+        with open(os.path.join(index_path, "meta.json")) as f:
+            meta = json.load(f)
+        cols = meta.get("columns") or [id_col, vec_col]
+        missing = [c for c in cols if c not in batch.columns]
+        if missing:
+            raise ValueError(
+                f"vector stream batch lacks index columns {missing}; "
+                f"the index at {index_path} requires {cols}"
+            )
         cent = spark.read.parquet(os.path.join(index_path, "centroids"))
         d2 = F.aggregate(
             F.zip_with(
@@ -866,12 +911,13 @@ def start_vector_ingest_stream(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        # carry every non-id input column (vector + metadata) so the
-        # merged index can serve filtered search (ivf_search where=)
-        # against streamed rows too
-        extra = [c for c in batch.columns if c != id_col]
+        # carry the contract's non-id columns (vector + metadata) so
+        # the merged index serves filtered search (ivf_search where=)
+        # against streamed rows too; extra stream columns are dropped
+        extra = [c for c in cols if c != id_col]
         (
-            batch.crossJoin(F.broadcast(cent))
+            batch.select(*cols)
+            .crossJoin(F.broadcast(cent))
             .withColumn("_d2", d2)
             .groupBy(id_col)
             .agg(
@@ -995,20 +1041,8 @@ def compact_streaming_ivf(
     version, folded, prev_run = _fold_manifest_state(manifest)
     stream_dir = os.path.join(index_path, IVF_STREAM_DIR)
     # sweep leftovers of any earlier crash between flip and cleanup
-    # FIRST (every invocation): folded leaves, stale base versions,
-    # and the superseded plain batch dir — all excluded by readers
-    for d in glob.glob(os.path.join(stream_dir, "cell=*", "batch_id=*")):
-        if int(d.rsplit("batch_id=", 1)[1]) in folded:
-            shutil.rmtree(d, ignore_errors=True)
-    for d in glob.glob(os.path.join(index_path, "assigned-v*")):
-        if version is None or d != os.path.join(
-            index_path, f"assigned-v{version}"
-        ):
-            shutil.rmtree(d, ignore_errors=True)
-    if version is not None:
-        shutil.rmtree(
-            os.path.join(index_path, "assigned"), ignore_errors=True
-        )
+    # FIRST (every invocation, not only folding ones)
+    _sweep_ivf(index_path, folded, version)
     leaves = glob.glob(os.path.join(stream_dir, "cell=*", "batch_id=*"))
     ids = {int(d.rsplit("batch_id=", 1)[1]) for d in leaves}
     live = sorted(ids - folded)
@@ -1047,25 +1081,17 @@ def compact_streaming_ivf(
         .parquet(os.path.join(index_path, f"assigned-v{new_version}"))
     )
     all_folded = sorted(folded | set(foldable))
+    # manifest binding first (established bindings are never silently
+    # rebound), sidecar for the first-ever fold
     _flip_fold_manifest(
         manifest,
         new_version,
         all_folded,
-        _run_sidecar_id(index_path) or prev_run,
+        prev_run or _run_sidecar_id(index_path),
     )
     # best-effort cleanup AFTER the flip (leftovers are excluded by
-    # readers and retried here next run): folded leaves, EVERY stale
-    # base version (removing only the previous one would leak a full
-    # corpus copy on a crash between flip and rmtree), and the plain
-    # batch-build dir once its content is folded into v0
-    # (load_ivf_index refuses it from now on anyway)
-    for d in glob.glob(os.path.join(stream_dir, "cell=*", "batch_id=*")):
-        if int(d.rsplit("batch_id=", 1)[1]) in set(all_folded):
-            shutil.rmtree(d, ignore_errors=True)
-    for d in glob.glob(os.path.join(index_path, "assigned-v*")):
-        if d != os.path.join(index_path, f"assigned-v{new_version}"):
-            shutil.rmtree(d, ignore_errors=True)
-    shutil.rmtree(os.path.join(index_path, "assigned"), ignore_errors=True)
+    # readers; the pre-sweep above repairs a crash here next run)
+    _sweep_ivf(index_path, set(all_folded), new_version)
     return len(foldable)
 
 

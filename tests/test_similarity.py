@@ -609,20 +609,17 @@ def test_ivf_update_stream_fuzz_with_random_compaction(spark, emb, tmp_path):
                 assert embv == want[v][1], (seed, v)
 
         before = got
-        # final compaction, then a fresh-checkpoint replay attempt:
-        # if anything folded, its ids would collide with the new
-        # generation's restarted numbering — the write path rejects
-        # it loudly and the view stays unchanged; with nothing folded
-        # a replay is a content-identical overwrite
-        folded_any = compact_streaming_ivf(spark, idx) > 0 or os.path.exists(
-            os.path.join(idx, "_IVF_BASE")
-        )
-        if folded_any:
-            import pytest as _pytest
+        # after the final compaction a fold manifest ALWAYS exists
+        # (either an in-loop compaction folded, or 4 live batches
+        # remained and this one folds 3): the subsequent
+        # fresh-checkpoint replay attempt must be rejected loudly —
+        # its restarted ids would collide with the folded ones — and
+        # nothing may land
+        import pytest as _pytest
 
-            with _pytest.raises(Exception, match="different[\\s\\S]*generation"):
-                run(str(tmp_path / f"ck{seed}b"))
-        else:
+        compact_streaming_ivf(spark, idx)
+        assert os.path.exists(os.path.join(idx, "_IVF_BASE")), seed
+        with _pytest.raises(Exception, match="different[\\s\\S]*generation"):
             run(str(tmp_path / f"ck{seed}b"))
         assert resolved() == before, seed
 
@@ -634,9 +631,6 @@ def test_ivf_filtered_search(spark, emb, query_vec, tmp_path):
     predicate applies AFTER latest-wins — an update that flips a
     vector's metadata OUT of the filter must remove it from filtered
     results (the superseded matching version cannot resurrect)."""
-    import os
-    import shutil
-
     from pyspark.sql import functions as F
 
     from big_data_spark.operators.similarity import (
@@ -719,3 +713,33 @@ def test_ivf_filtered_search(spark, emb, query_vec, tmp_path):
         ).collect()
     ]
     assert plain.count(x_id) == 1  # still served unfiltered, one slot
+
+
+def test_vector_ingest_rejects_schema_drift(spark, emb, tmp_path):
+    """A stream batch missing one of the index's contract columns
+    (meta.json 'columns') must fail loudly — landing it would give
+    stream leaves a different schema than the base and break (or
+    silently null) the merged read."""
+    import pytest as _pytest
+
+    from big_data_spark.operators.similarity import (
+        build_ivf_index,
+        save_ivf_index,
+    )
+    from big_data_spark.streaming.sinks import start_vector_ingest_stream
+
+    idx = build_ivf_index(emb, nlist=8, keep_cols=("label",))
+    d = str(tmp_path / "ivf")
+    save_ivf_index(idx, d)
+    src = tmp_path / "s"
+    src.mkdir()
+    bad = emb.select("vec_id", "embedding").limit(5)
+    bad.coalesce(1).write.parquet(str(src / "a"))
+    stream = (
+        spark.readStream.schema(bad.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = start_vector_ingest_stream(stream, d, str(tmp_path / "ck"))
+    with _pytest.raises(Exception, match="lacks index columns"):
+        q.awaitTermination(120)
