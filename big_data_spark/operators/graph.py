@@ -93,6 +93,7 @@ def pagerank(
     iters: int = 6,
     damping: float = 0.85,
     symmetrize: bool = True,
+    seeds: list | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge DataFrame; returns
     (node, score). ``symmetrize=True`` (undirected input, one row per
@@ -101,6 +102,15 @@ def pagerank(
     guarantee every node has out-degree ≥ 1 (this implementation has
     no dangling-mass redistribution — scores of sink-only nodes would
     silently leak mass otherwise).
+
+    ``seeds`` switches to PERSONALIZED PageRank (Haveliwala,
+    "Topic-Sensitive PageRank", WWW '02): the teleport mass lands
+    only on the seed nodes ((1−d)/|seeds| each) and the walk starts
+    uniform over the seeds, so scores rank nodes by proximity to the
+    seed set — the standard graph-recommendation primitive ("users
+    who bought these parts also reach..."). Seeds must be nodes of
+    the graph; they ride a broadcast literal list, so the iteration
+    shape (and the 100-TB story) is unchanged.
 
     Each iteration: one equi-join of the static (edges ⋈ outdeg)
     table with the current score vector, one keyed agg on the
@@ -128,12 +138,41 @@ def pagerank(
     # round the teleport constant: Python 1.0-0.85 is 1 ulp above 0.15,
     # and a SQL oracle writes the short literal — both engines must
     # iterate on the identical constant or boundary rounds can flip
-    teleport = F.lit(round(1.0 - damping, 12)) / F.col("n")
-    scores = (
-        outdeg.crossJoin(F.broadcast(ncnt))
-        .select("u", F.round(F.lit(1.0) / F.col("n"), 12).alias("score"))
-        .localCheckpoint(eager=True)
-    )
+    if seeds is None:
+        teleport = F.lit(round(1.0 - damping, 12)) / F.col("n")
+        scores = (
+            outdeg.crossJoin(F.broadcast(ncnt))
+            .select("u", F.round(F.lit(1.0) / F.col("n"), 12).alias("score"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        seed_list = sorted(set(seeds))
+        if not seed_list:
+            raise ValueError("seeds must be a non-empty list (or None)")
+        # a seed outside the graph would silently absorb (lose) its
+        # teleport share — fail loudly instead
+        present = nodes.filter(F.col("u").isin(seed_list)).count()
+        if present != len(seed_list):
+            raise ValueError(
+                f"{len(seed_list) - present} seed(s) are not nodes of "
+                "the graph (seeds must have out-degree >= 1)"
+            )
+        # personalized: teleport and init both concentrate on seeds
+        teleport = F.when(
+            F.col("u").isin(seed_list),
+            F.lit(round((1.0 - damping) / len(seed_list), 12)),
+        ).otherwise(F.lit(0.0))
+        scores = (
+            nodes.select(
+                "u",
+                F.when(
+                    F.col("u").isin(seed_list),
+                    F.round(F.lit(1.0 / len(seed_list)), 12),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("score"),
+            )
+        ).localCheckpoint(eager=True)
     for _k in range(iters):
         contrib = g.join(scores, "u").select(
             "v", F.round(F.col("score") / F.col("outdeg"), 12).alias("w")

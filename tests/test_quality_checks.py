@@ -451,3 +451,60 @@ def test_srm_matches_scipy_style_chi2(spark):
         assert r["chi2"] == _pytest.approx(chi2, abs=1e-6), day
         assert r["srm"] == (chi2 > 3.841), day
     assert len(got) == enroll.day.nunique()
+
+
+def test_personalized_pagerank_fuzz_vs_numpy(spark):
+    """Randomized cross-check for seeded (personalized) PageRank: the
+    distributed iteration equals a dense NumPy power iteration whose
+    teleport vector concentrates on the seed set (same damping,
+    iterations, per-step rounding); mass stays ~1 and seeds outrank
+    far-away nodes. A seed outside the graph must raise."""
+    import random
+
+    import numpy as np
+    import pytest as _pytest
+
+    from big_data_spark.operators.graph import pagerank
+
+    for seed in (5, 17):
+        rng = random.Random(seed)
+        n = 25
+        es = sorted(
+            {
+                (a, b)
+                for _ in range(60)
+                for a, b in [sorted(rng.sample(range(n), 2))]
+            }
+        )
+        nodes = sorted({x for e in es for x in e})
+        idx = {x: i for i, x in enumerate(nodes)}
+        m = len(nodes)
+        A = np.zeros((m, m))
+        for a, b in es:
+            A[idx[b], idx[a]] = 1.0
+            A[idx[a], idx[b]] = 1.0
+        outdeg = A.sum(axis=0)
+        seeds = sorted(rng.sample(nodes, 3))
+        t = np.zeros(m)
+        for x in seeds:
+            t[idx[x]] = round(0.15 / len(seeds), 12)
+        s = np.zeros(m)
+        for x in seeds:
+            s[idx[x]] = round(1.0 / len(seeds), 12)
+        for _ in range(6):
+            contrib = np.round(s / outdeg, 12)
+            s = np.round(t + 0.85 * (A @ contrib), 10)
+        want = {x: s[idx[x]] for x in nodes}
+
+        edges = spark.createDataFrame(es, "u long, v long")
+        got = {
+            r["node"]: r["score"]
+            for r in pagerank(edges, iters=6, seeds=seeds).collect()
+        }
+        assert set(got) == set(want)
+        for x in nodes:
+            assert got[x] == _pytest.approx(want[x], abs=2e-10), (seed, x)
+        assert sum(got.values()) == _pytest.approx(1.0, abs=1e-6)
+
+        with _pytest.raises(ValueError, match="not nodes of"):
+            pagerank(edges, iters=2, seeds=[max(nodes) + 1000]).collect()
