@@ -333,6 +333,36 @@ def load_ivf_index(spark: SparkSession, path: str) -> IVFIndex:
     )
 
 
+def pq_encode_columns(codebooks: list, vec_col: str = "embedding") -> list:
+    """The m code columns assigning each subvector to its nearest
+    codebook centroid — exact squared-L2 argmin with lowest-code
+    tiebreak, as PURE column expressions over the literal codebooks
+    (a few KB). This is how streamed vectors encode with the SAME
+    trained codebooks and no MLlib dependency at ingest; parity with
+    build_pq_index's KMeans.transform encoding is pinned in
+    tests/test_similarity.py."""
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    cols = []
+    for s in range(m):
+        sub = F.transform(
+            F.slice(F.col(vec_col), s * dsub + 1, dsub),
+            lambda x: x.cast("double"),
+        )
+        cands = []
+        for c in range(ksub):
+            carr = F.array(*[F.lit(float(x)) for x in codebooks[s][c]])
+            d = F.aggregate(
+                F.zip_with(sub, carr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            cands.append(F.struct(d.alias("d"), F.lit(c).alias("c")))
+        cols.append(F.array_min(F.array(*cands))["c"].alias(f"code_{s}"))
+    return cols
+
+
 def save_pq_index(index: PQIndex, path: str) -> None:
     """Persist PQ codes (m bytes/vector) as parquet and the codebooks
     (m x ksub x dsub floats — KBs) as JSON metadata."""

@@ -1095,6 +1095,106 @@ def compact_streaming_ivf(
     return len(foldable)
 
 
+def start_pq_ingest_stream(
+    vectors_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming encode into a TRAINED product-quantization index
+    (operators.similarity.build_pq_index + save_pq_index): the
+    codebooks train once batch-side — standard PQ practice — and each
+    micro-batch encodes its vectors with the SAME codebooks via pure
+    column expressions (similarity.pq_encode_columns: exact
+    squared-L2 argmin per subspace, parity with KMeans.transform
+    pinned in tests), landing m code ids per vector under
+    ``codes_stream/batch_id=…`` with the rollup-sink exactly-once
+    contract. No generation binding is needed: there is no fold
+    manifest, so a replayed batch id just overwrites its partition
+    and ``read_streaming_pq`` resolves any duplicate vec_ids
+    latest-wins."""
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        import json
+
+        if batch.isEmpty():
+            return
+        from ..operators.similarity import pq_encode_columns
+
+        with open(os.path.join(index_path, "meta.json")) as f:
+            meta = json.load(f)
+        (
+            batch.select(
+                id_col, *pq_encode_columns(meta["codebooks"], vec_col)
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(os.path.join(index_path, "codes_stream"))
+        )
+
+    writer = (
+        vectors_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_streaming_pq(spark, index_path: str):
+    """The live PQ index: batch-encoded codes (if any) merged with
+    everything streamed so far, duplicates of a re-ingested vec_id
+    resolved LATEST-WINS (the stream wins over the batch build, newer
+    batches win over older). The resolved codes feed pq_adc_search /
+    pq_search_refined unchanged — ADC scans the whole codes table, so
+    unlike the IVF layout there is no pruning structure to preserve
+    and resolution happens eagerly here."""
+    import json
+
+    from pyspark.sql.window import Window
+
+    from ..operators.similarity import PQIndex
+
+    with open(os.path.join(index_path, "meta.json")) as f:
+        meta = json.load(f)
+    parts = []
+    codes_dir = os.path.join(index_path, "codes")
+    if _has_committed_files(codes_dir):
+        parts.append(
+            spark.read.parquet(codes_dir).withColumn(
+                "_bid", F.lit(-1).cast("long")
+            )
+        )
+    stream_dir = os.path.join(index_path, "codes_stream")
+    if glob.glob(os.path.join(stream_dir, "batch_id=*")):
+        parts.append(
+            spark.read.parquet(stream_dir)
+            .withColumn("_bid", F.col("batch_id").cast("long"))
+            .drop("batch_id")
+        )
+    if not parts:
+        raise FileNotFoundError(f"no codes under {index_path}")
+    codes = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_bid"))
+    codes = (
+        codes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_bid")
+    )
+    return PQIndex(
+        codes=codes,
+        codebooks=meta["codebooks"],
+        m=int(meta["m"]),
+        ksub=int(meta["ksub"]),
+        dsub=int(meta["dsub"]),
+    )
+
+
 def start_cell_histogram_stream(
     events_stream: DataFrame,
     partials_dir: str,

@@ -743,3 +743,94 @@ def test_vector_ingest_rejects_schema_drift(spark, emb, tmp_path):
     q = start_vector_ingest_stream(stream, d, str(tmp_path / "ck"))
     with _pytest.raises(Exception, match="lacks index columns"):
         q.awaitTermination(120)
+
+
+def test_streaming_pq_ingest_matches_batch(spark, emb, query_vec, tmp_path):
+    """start_pq_ingest_stream: vectors streamed into a trained PQ
+    index get the SAME codes KMeans.transform gave them batch-side
+    (pq_encode_columns parity), ADC search over the streamed index
+    equals the batch index, a fresh-checkpoint replay changes
+    nothing, and a re-ingested update resolves latest-wins (the
+    vector adopts its donor's codes, no duplicate vec_id)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from big_data_spark.operators.similarity import (
+        build_pq_index,
+        pq_adc_search,
+        save_pq_index,
+    )
+    from big_data_spark.streaming.sinks import (
+        read_streaming_pq,
+        start_pq_ingest_stream,
+    )
+
+    idx = build_pq_index(emb, m=8, ksub=16)
+    d = str(tmp_path / "pq")
+    save_pq_index(idx, d)
+    batch_codes = {
+        r["vec_id"]: tuple(r[f"code_{s}"] for s in range(8))
+        for r in idx.codes.collect()
+    }
+    batch_hits = [
+        tuple(r) for r in pq_adc_search(idx, query_vec, k=10).collect()
+    ]
+
+    # stream-only twin: meta (codebooks) only; codes arrive via stream
+    d2 = str(tmp_path / "pq_stream")
+    os.makedirs(d2)
+    shutil.copy(os.path.join(d, "meta.json"), os.path.join(d2, "meta.json"))
+    src = tmp_path / "vecs"
+    src.mkdir()
+    a = emb.limit(400)
+    b = emb.subtract(a)
+    a.coalesce(1).write.parquet(str(src / "a"))
+    b.coalesce(1).write.parquet(str(src / "b"))
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = start_pq_ingest_stream(stream, d2, ckpt)
+        q.awaitTermination(180)
+
+    run(str(tmp_path / "c1"))
+    live = read_streaming_pq(spark, d2)
+    got = {
+        r["vec_id"]: tuple(r[f"code_{s}"] for s in range(8))
+        for r in live.codes.collect()
+    }
+    assert got == batch_codes
+    assert [
+        tuple(r) for r in pq_adc_search(live, query_vec, k=10).collect()
+    ] == batch_hits
+
+    run(str(tmp_path / "c2"))  # fresh-checkpoint replay: no manifest,
+    live2 = read_streaming_pq(spark, d2)  # content-identical overwrite
+    got2 = {
+        r["vec_id"]: tuple(r[f"code_{s}"] for s in range(8))
+        for r in live2.codes.collect()
+    }
+    assert got2 == batch_codes
+
+    # update stream: vec x adopts vec y's embedding -> latest-wins
+    # gives x exactly y's codes, exactly once
+    x_id, y_id = sorted(batch_codes)[0], sorted(batch_codes)[-1]
+    emb.filter(F.col("vec_id") == y_id).select(
+        F.lit(int(x_id)).cast("long").alias("vec_id"), "embedding", "label"
+    ).coalesce(1).write.parquet(str(src / "u"))
+    run(str(tmp_path / "c2"))  # same checkpoint continues (batch 2)
+    live3 = read_streaming_pq(spark, d2)
+    got3 = {
+        r["vec_id"]: tuple(r[f"code_{s}"] for s in range(8))
+        for r in live3.codes.collect()
+    }
+    assert len(got3) == len(batch_codes)
+    assert got3[x_id] == batch_codes[y_id]
+    assert {k: v for k, v in got3.items() if k != x_id} == {
+        k: v for k, v in batch_codes.items() if k != x_id
+    }
