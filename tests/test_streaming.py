@@ -1356,3 +1356,81 @@ def test_contract_gate_stream_skips_empty_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(out).count() == 1
+
+
+def test_trending_post_commit_crash_replay_same_generation(spark, tmp_path):
+    """The precise replay contract the partials sinks document: a
+    crash AFTER a batch's write but BEFORE its checkpoint commit
+    replays that batch with the SAME id on restart, and the dynamic
+    overwrite makes it a no-op. Also validates the compaction rule
+    'the newest batch never folds': after compacting, the same-
+    generation crash-replay of the newest batch is still accepted by
+    the generation guard and still changes nothing."""
+    import contextlib
+    import os
+
+    import pytest as _pytest
+
+    from big_data_spark.catalog import load_table
+    from big_data_spark.streaming.sinks import (
+        compact_trending_partials,
+        read_trending,
+        start_trending_stream,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    ordered = ev.orderBy("ts", "user_id")
+    n = ev.count()
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        part = ordered.limit(cuts[i + 1]).subtract(ordered.limit(cuts[i]))
+        part.coalesce(1).write.parquet(str(src / f"p{i}"))
+
+    partials = str(tmp_path / "partials")
+    ckpt = str(tmp_path / "ck")
+
+    def run():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = start_trending_stream(stream, partials, ckpt)
+        q.awaitTermination(180)
+
+    def crash_replay(batch_id: int):
+        os.remove(os.path.join(ckpt, "commits", str(batch_id)))
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(os.path.join(ckpt, "commits", f".{batch_id}.crc"))
+        run()
+
+    def view():
+        return {
+            r["user_id"]: (r["n_events"], r["hot_score"])
+            for r in read_trending(spark, partials, k=None).collect()
+        }
+
+    run()
+    before = view()
+    crash_replay(2)  # pre-compaction: replayed newest batch no-ops
+    assert view() == before
+
+    assert compact_trending_partials(spark, partials) == 2
+    got = view()
+    assert set(got) == set(before)
+    for uid, (cnt, s) in got.items():
+        assert cnt == before[uid][0]
+        assert s == _pytest.approx(before[uid][1], rel=1e-6, abs=1e-6)
+
+    # post-compaction: the newest batch (id 2) stayed unfolded, so
+    # its same-generation crash-replay is accepted and still a no-op
+    crash_replay(2)
+    got2 = view()
+    assert set(got2) == set(got)
+    for uid, (cnt, s) in got2.items():
+        assert cnt == got[uid][0]
+        assert s == _pytest.approx(got[uid][1], rel=1e-9, abs=1e-9)
