@@ -338,9 +338,15 @@ def pq_encode_columns(codebooks: list, vec_col: str = "embedding") -> list:
     codebook centroid — exact squared-L2 argmin with lowest-code
     tiebreak, as PURE column expressions over the literal codebooks
     (a few KB). This is how streamed vectors encode with the SAME
-    trained codebooks and no MLlib dependency at ingest; parity with
-    build_pq_index's KMeans.transform encoding is pinned in
-    tests/test_similarity.py."""
+    trained codebooks and no MLlib dependency at ingest. Agreement
+    with build_pq_index's KMeans.transform encoding is verified
+    vector-for-vector on the test corpus (tests/test_similarity.py);
+    note MLlib computes distances via the norm identity
+    ‖a‖²+‖b‖²−2a·b while this folds Σ(aᵢ−bᵢ)², so a subvector
+    EXACTLY ULP-equidistant between two centroids could in principle
+    flip codes between the two paths — harmless for ADC (either code
+    is an equally good quantization) but worth knowing if diffing
+    batch vs streamed codes at much larger scales."""
     m = len(codebooks)
     ksub = len(codebooks[0])
     dsub = len(codebooks[0][0])

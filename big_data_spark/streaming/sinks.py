@@ -1035,8 +1035,6 @@ def compact_streaming_ivf(
     window) + one cell-partitioned rewrite — the standard periodic
     LSM-style compaction trade; probe reads between compactions pay
     only the per-cell window in ivf_search."""
-    from pyspark.sql.window import Window
-
     manifest = os.path.join(index_path, IVF_BASE_MANIFEST)
     version, folded, prev_run = _fold_manifest_state(manifest)
     stream_dir = os.path.join(index_path, IVF_STREAM_DIR)
@@ -1069,13 +1067,9 @@ def compact_streaming_ivf(
         .withColumn("_bid", F.col("batch_id").cast("long"))
         .drop("batch_id")
     )
-    src = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
-    w = Window.partitionBy(id_col).orderBy(F.desc("_bid"))
     new_version = 0 if version is None else version + 1
     (
-        src.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_bid")
+        _merge_latest_wins(parts, id_col)
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(os.path.join(index_path, f"assigned-v{new_version}"))
@@ -1111,10 +1105,19 @@ def start_pq_ingest_stream(
     squared-L2 argmin per subspace, parity with KMeans.transform
     pinned in tests), landing m code ids per vector under
     ``codes_stream/batch_id=…`` with the rollup-sink exactly-once
-    contract. No generation binding is needed: there is no fold
-    manifest, so a replayed batch id just overwrites its partition
-    and ``read_streaming_pq`` resolves any duplicate vec_ids
-    latest-wins."""
+    contract. Duplicate vec_ids WITHIN a batch collapse to one row
+    before encoding (the IVF ingest's invariant) so the cross-batch
+    latest-wins in ``read_streaming_pq`` never ties on _bid.
+
+    There is no fold manifest, so a same-generation replayed batch id
+    just overwrites its partition. Caveat (same as the partials
+    discipline, docs/streaming.md): cross-batch latest-wins ordering
+    is only meaningful within one checkpoint generation — a FRESH
+    checkpoint may re-batch the source differently, leaving a stale
+    copy of an updated vector in a higher-numbered partition that
+    silently wins. Pair an existing ``codes_stream`` with a fresh
+    checkpoint only for stable update-free sources; for update
+    streams keep the checkpoint or re-ingest into a fresh dir."""
 
     def ingest(batch: DataFrame, batch_id: int) -> None:
         import json
@@ -1126,9 +1129,9 @@ def start_pq_ingest_stream(
         with open(os.path.join(index_path, "meta.json")) as f:
             meta = json.load(f)
         (
-            batch.select(
-                id_col, *pq_encode_columns(meta["codebooks"], vec_col)
-            )
+            batch.groupBy(id_col)
+            .agg(F.any_value(vec_col).alias(vec_col))
+            .select(id_col, *pq_encode_columns(meta["codebooks"], vec_col))
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -1146,17 +1149,34 @@ def start_pq_ingest_stream(
     return writer.start()
 
 
-def read_streaming_pq(spark, index_path: str):
+def _merge_latest_wins(parts: list, id_col: str) -> DataFrame:
+    """Union parts that each carry a ``_bid`` version column and keep
+    only each id's highest-_bid row — the one latest-wins resolution
+    shared by read_streaming_pq and compact_streaming_ivf (and
+    applied per-probe inside ivf_search for the IVF read path)."""
+    from pyspark.sql.window import Window
+
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    w = Window.partitionBy(id_col).orderBy(F.desc("_bid"))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_bid")
+    )
+
+
+def read_streaming_pq(spark, index_path: str, id_col: str = "vec_id"):
     """The live PQ index: batch-encoded codes (if any) merged with
     everything streamed so far, duplicates of a re-ingested vec_id
     resolved LATEST-WINS (the stream wins over the batch build, newer
     batches win over older). The resolved codes feed pq_adc_search /
     pq_search_refined unchanged — ADC scans the whole codes table, so
     unlike the IVF layout there is no pruning structure to preserve
-    and resolution happens eagerly here."""
+    and resolution happens eagerly here. ``id_col`` must match the
+    one the ingest sink landed."""
     import json
-
-    from pyspark.sql.window import Window
 
     from ..operators.similarity import PQIndex
 
@@ -1179,13 +1199,7 @@ def read_streaming_pq(spark, index_path: str):
         )
     if not parts:
         raise FileNotFoundError(f"no codes under {index_path}")
-    codes = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
-    w = Window.partitionBy("vec_id").orderBy(F.desc("_bid"))
-    codes = (
-        codes.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_bid")
-    )
+    codes = _merge_latest_wins(parts, id_col)
     return PQIndex(
         codes=codes,
         codebooks=meta["codebooks"],

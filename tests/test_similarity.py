@@ -339,8 +339,12 @@ def test_streaming_vector_ingest_matches_batch_index(spark, emb, query_vec, tmp_
 
     src = tmp_path / "vecs"
     src.mkdir()
-    a = emb.limit(400)
-    b = emb.subtract(a)
+    # deterministic key-parity split: an unordered limit() evaluated
+    # twice (write + subtract) can pick different rows across jobs
+    from pyspark.sql import functions as _F
+
+    a = emb.filter(_F.col("vec_id") % 2 == 0)
+    b = emb.filter(_F.col("vec_id") % 2 != 0)
     a.coalesce(1).write.parquet(str(src / "a"))
     b.coalesce(1).write.parquet(str(src / "b"))
 
@@ -784,8 +788,12 @@ def test_streaming_pq_ingest_matches_batch(spark, emb, query_vec, tmp_path):
     shutil.copy(os.path.join(d, "meta.json"), os.path.join(d2, "meta.json"))
     src = tmp_path / "vecs"
     src.mkdir()
-    a = emb.limit(400)
-    b = emb.subtract(a)
+    # deterministic key-parity split: an unordered limit() evaluated
+    # twice (write + subtract) can pick different rows across jobs
+    from pyspark.sql import functions as _F
+
+    a = emb.filter(_F.col("vec_id") % 2 == 0)
+    b = emb.filter(_F.col("vec_id") % 2 != 0)
     a.coalesce(1).write.parquet(str(src / "a"))
     b.coalesce(1).write.parquet(str(src / "b"))
 
