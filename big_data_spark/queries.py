@@ -8692,56 +8692,45 @@ def q153_join_explosion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # redundant subsets (q30/q31 ⊂ q32, q45 ⊂ q53, etc.), which keep local
 # oracle-parity coverage in tests/test_oracle_parity.py instead.
 _DRIVER_WINDOW_ORDER: list[str] = [
-    # ROUND-5 ROTATION (executed, tranche 1 of the 2-round certification
-    # plan staged in round 4): q108–q131 (24 entries, promoted in
-    # q-number order per the plan) enter the window for their FIRST hard
-    # driver check. To make room, 24 multi-green entries were demoted
-    # (q33 q34 q51 q55 q56 q57 q58 q59 q65 q68 q69 q76 q77 q78 q79 q80
-    # q81 q82 q83 q84 q85 q86 q87 q88 — every one 2+× driver-green after
-    # r04 and machinery-subsumed by a retained in-window sibling:
-    # q55/q56 interval joins ⊂ q118/q126, q57-q59 lattice/funnel ⊂
-    # q109/q117/q140, q65/q69/q81-q83/q87-q91 TPC-H shapes ⊂ the
-    # retained q89-q91/q98/q99/q102-q105 + q111, q33/q34/q51/q76/q85 ⊂
-    # q110/q121/q134/q125/q130, q68 Arrow boundary ⊂ q112/q129 pandas
-    # paths, q77/q80/q84/q86 mixing/decontam/packing/idf ⊂
-    # q113/q120/q119/q137). Demoted entries keep value-level parity
-    # coverage in tests/test_oracle_parity.py (guard:
+    # ROUND-6 ROTATION (executed — tranche 2 of the certification plan
+    # staged in round 4): q132–q145 + m01/m02/m04 (17 entries) enter
+    # the window for their FIRST hard driver check, completing hard
+    # certification of every entry registered through round 4. To make
+    # room, 17 twice-green round-4/5 survivors were demoted
+    # (q89 q90 q91 q93 q94 q95 q96 q97 q98 q99 q100 q102 q103 q104
+    # q105 q107 q35 — every one 2× driver-green after r04+r05 and
+    # machinery-subsumed by a retained in-window sibling: the TPC-H
+    # shapes q89-q91/q98/q99/q102-q105 ⊂ q111 + anchors q01/q32;
+    # q93 stratified mix ⊂ q113/q132; q94 curriculum quantiles ⊂
+    # q119; q95 group-top-k ⊂ q124; q96 tf-idf cosine ⊂ q137/q138;
+    # q97 sharded shuffle ⊂ q93-machinery via q132's md5 draw;
+    # q100 brute-force ANN ⊂ q112 kNN join; q107 chunking ⊂ q115's
+    # map-only doc transforms; q35 match scores ⊂ q129 classifier).
+    # Demoted entries keep value-level parity coverage in
+    # tests/test_oracle_parity.py (guard:
     # test_window_rotation_preserves_oracle_coverage).
     # Retained multi-green anchors: q01 (flagship pricing summary),
     # q32 (full reference ETL chain), q66 (iterative LSH fixpoint),
-    # q67 (corpus-prep capstone) — each pins machinery no promoted
-    # entry exercises end-to-end.
-    # -- relational core --
+    # q67 (corpus-prep capstone).
+    # Retained twice-green machinery pins (5): q92 (only SimHash
+    # banding entry), q101 (batch side of the streaming health twin),
+    # q106 (cross-doc digest winner election), q64 (persisted IVF
+    # index + pruned probes), q75 (PQ codebooks + ADC) — each pins
+    # machinery no other in-window entry exercises end-to-end.
+    # q108–q131 stay for their SECOND confirmation; after r06 they are
+    # the demotion pool for round 7's q146–q153 promotion (8 slots).
+    # -- anchors --
     "q01_pricing_summary",
-    "q89_volume_shipping",
-    "q90_product_type_profit",
-    "q91_brand_size_disjunction",
-    "q98_returned_item_customers",
-    "q99_customer_order_distribution",
-    "q102_market_share",
-    "q103_top_supplier",
-    "q104_part_supplier_variety",
-    "q105_excess_shippers",
-    # -- ETL / domain chains --
     "q32_job_etl_full",
-    # -- text / dedup scale path --
     "q66_lsh_dedup_components",
     "q67_corpus_prep",
-    "q106_segment_dedup",
-    "q107_overlap_chunks",
+    # -- retained twice-green machinery pins --
     "q92_simhash_hamming_pairs",
-    "q93_stratified_split",
-    "q94_length_curriculum",
-    "q95_group_topk_sample",
-    "q96_tfidf_cosine_pairs",
-    "q97_shuffle_shards",
     "q101_corpus_health",
-    # -- embedding similarity --
+    "q106_segment_dedup",
     "q64_ivf_ann",
     "q75_pq_adc_topk",
-    "q100_batch_ann_topk",
-    "q35_skill_match_scores",
-    # -- ROUND-5 PROMOTIONS: first hard driver check (tranche 1) --
+    # -- round-5 promotions staying for second confirmation --
     "q108_source_shingle_overlap",
     "q109_gap_fill",
     "q110_unigram_quality",
@@ -8766,19 +8755,10 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q129_quality_classifier",
     "q130_constraint_report",
     "q131_bigram_quality",
-    # ---- window boundary (position 50) ----
-    # ROUND-6 TRANCHE (tranche 2, committed in round 4's staged plan):
-    # the remaining never-driver-checked oracle-backed entries q132–q145
-    # plus the three rows-only ML entries m01/m02/m04 (cheap rows-only
-    # slots) — promote ALL of these in round 6, demoting the then
-    # twice-green round-4/5 survivors (candidates after r05: q89–q105,
-    # q92–q97, q101, q106, q107, q64, q75, q100, q35 — 17 needed for
-    # q132–q145+m01/m02/m04; q01/q32/q66/q67 stay as permanent anchors
-    # unless slots run short). Done = every registry entry has ≥1 hard
-    # CORRECTNESS row by end of round 6. In-window representatives this
-    # round: q132↔q113, q133↔q126, q134↔q130, q135↔q126, q136↔q115,
-    # q137↔q110/q121, q138↔q137/q112, q139↔q125, q140↔q109,
-    # q141↔q128, q142↔q117, q143↔q125/q122, q144↔q143, q145↔q121.
+    # -- ROUND-6 PROMOTIONS: first hard driver check (tranche 2) --
+    # q132–q145 (oracle-backed) + m01/m02/m04 (rows-only ML — the last
+    # registry entries with zero driver evidence; the driver records a
+    # weaker rows-only check for them, see SURVEY §2.10).
     "q132_temperature_mix",
     "q133_sliding_active_users",
     "q134_key_skew_audit",
@@ -8796,8 +8776,17 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "m01_kmeans_embedding_clusters",
     "m02_skill_hot_gbt_top",
     "m04_similar_tokens_w2v",
-    # round-5 ADDITIONS (never checked): first in line for round 7,
-    # after the round-6 tranche above completes certification.
+    # ---- window boundary (position 50) ----
+    # ROUND-7 TRANCHE (committed): promote q146–q153 (8 — the round-5
+    # additions, the ONLY entries still lacking a hard CORRECTNESS row
+    # once r06 lands), demoting 8 of the then twice-green q108–q131
+    # pool (suggested, most-subsumed first: q116 unpivot ⊂ q142's
+    # conditional-agg lattice, q108 ⊂ q120, q114 ⊂ q119, q118 ⊂ q126,
+    # q123 ⊂ q148's sessionized funnel, q125 ⊂ q143, q131 ⊂ q110/q121,
+    # q127 ⊂ q120/q138) — then every registry entry through round 5 is
+    # hard-certified and the window can shrink to anchors + rotation.
+    # Update tests/test_registry_contract.py MUST_BE_IN_WINDOW with the
+    # same swap.
     # In-window representatives: q146↔q66 (iterative label/score
     # propagation with eager checkpoints) + q128 (the edge builder);
     # q147↔q95/q93 (WindowGroupLimit per-stratum k + seeded-md5 draw);
@@ -8818,6 +8807,25 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q152_filtered_ann",
     # q153↔q134 (same constant-size top-k + broadcast-total shape).
     "q153_join_explosion_audit",
+    # round-6 demotions next (freshest prev-pass evidence, 2× green
+    # in r04+r05):
+    "q89_volume_shipping",
+    "q90_product_type_profit",
+    "q91_brand_size_disjunction",
+    "q98_returned_item_customers",
+    "q99_customer_order_distribution",
+    "q102_market_share",
+    "q103_top_supplier",
+    "q104_part_supplier_variety",
+    "q105_excess_shippers",
+    "q93_stratified_split",
+    "q94_length_curriculum",
+    "q95_group_topk_sample",
+    "q96_tfidf_cosine_pairs",
+    "q97_shuffle_shards",
+    "q100_batch_ann_topk",
+    "q107_overlap_chunks",
+    "q35_skill_match_scores",
     # round-5 demotions next (freshest prev-pass evidence, 2+× green):
     "q55_purchase_attribution_asof",
     "q56_incident_click_range_join",

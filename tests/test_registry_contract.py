@@ -9,18 +9,48 @@ from big_data_spark.queries import QUERIES
 
 DRIVER_WINDOW = 50
 
+# Rows-only ML entries deliberately spending window slots this round:
+# they are the LAST registry entries with zero driver evidence (the
+# round-4 certification plan's tranche 2), and the driver's weaker
+# rows-only check is the only hard signal they can ever get. They
+# rotate back out in round 7.
+ROWS_ONLY_WINDOW_EXCEPTIONS = {
+    "m01_kmeans_embedding_clusters",
+    "m02_skill_hot_gbt_top",
+    "m04_similar_tokens_w2v",
+}
+
 # Queries that have never had a hard driver CORRECTNESS row, plus the
 # scale-critical dedup/similarity tail. Rotation rule (round-3, still
 # in force): a query may leave the window only once it has a green
 # driver row in some round; never-checked oracle queries take priority
-# for slots. Round-5 update: the entire round-4 window went green in
-# CORRECTNESS_r04 (19 first-time rows among them), so the 24
-# twice-green entries rotated out (q33/q34/q51/q55-q59/q65/q68/q69/
-# q76-q88 band) and tranche 1 of the certification plan promoted
-# q108-q131 for their FIRST hard check. The set below is exactly what
-# round 5's window must hard-check or re-confirm.
+# for slots. Round-6 update: CORRECTNESS_r05 went 50/50 green (24
+# first-time rows for q108-q131), so 17 twice-green round-4/5
+# survivors rotated out (q89-q91/q93-q100/q102-q105/q107/q35) and
+# tranche 2 of the certification plan promoted q132-q145 + m01/m02/m04
+# for their FIRST hard check. The set below is exactly what round 6's
+# window must hard-check or re-confirm.
 MUST_BE_IN_WINDOW = {
-    # ROUND-5 PROMOTIONS — never driver-checked (tranche 1)
+    # ROUND-6 PROMOTIONS — never driver-checked (tranche 2)
+    "q132_temperature_mix",
+    "q133_sliding_active_users",
+    "q134_key_skew_audit",
+    "q135_peak_concurrency",
+    "q136_snapshot_diff",
+    "q137_bm25_topk",
+    "q138_hybrid_rrf",
+    "q139_ab_welch_t",
+    "q140_event_transitions",
+    "q141_triangle_count",
+    "q142_rfm_segments",
+    "q143_hourly_anomalies",
+    "q144_seasonal_backtest",
+    "q145_decayed_trending",
+    "m01_kmeans_embedding_clusters",
+    "m02_skill_hot_gbt_top",
+    "m04_similar_tokens_w2v",
+    # single-green round-5 rows staying for a second confirmation
+    # (the round-7 demotion pool)
     "q108_source_shingle_overlap",
     "q109_gap_fill",
     "q110_unigram_quality",
@@ -45,27 +75,12 @@ MUST_BE_IN_WINDOW = {
     "q129_quality_classifier",
     "q130_constraint_report",
     "q131_bigram_quality",
-    # single-green round-4 rows staying for a second confirmation
-    "q89_volume_shipping",
-    "q90_product_type_profit",
-    "q91_brand_size_disjunction",
+    # retained twice-green machinery pins (only in-window entries
+    # exercising SimHash banding / health gates / segment winner
+    # election / IVF index / PQ-ADC end-to-end)
     "q92_simhash_hamming_pairs",
-    "q93_stratified_split",
-    "q94_length_curriculum",
-    "q95_group_topk_sample",
-    "q96_tfidf_cosine_pairs",
-    "q97_shuffle_shards",
-    "q98_returned_item_customers",
-    "q99_customer_order_distribution",
-    "q100_batch_ann_topk",
     "q101_corpus_health",
-    "q102_market_share",
-    "q103_top_supplier",
-    "q104_part_supplier_variety",
-    "q105_excess_shippers",
     "q106_segment_dedup",
-    "q107_overlap_chunks",
-    "q35_skill_match_scores",
     "q64_ivf_ann",
     "q75_pq_adc_topk",
     # permanent multi-green anchors (flagship / ETL / LSH / corpus)
@@ -78,8 +93,19 @@ MUST_BE_IN_WINDOW = {
 
 def test_window_is_all_oracle_backed():
     window = list(QUERIES)[:DRIVER_WINDOW]
-    rows_only = [n for n in window if QUERIES[n].oracle is None]
+    rows_only = [
+        n
+        for n in window
+        if QUERIES[n].oracle is None and n not in ROWS_ONLY_WINDOW_EXCEPTIONS
+    ]
     assert not rows_only, f"rows-only entries waste driver budget: {rows_only}"
+
+
+def test_window_exactly_filled():
+    # MUST_BE_IN_WINDOW is the complete slot plan this round — if it
+    # and the window ever disagree in size, a slot is being wasted or
+    # a promotion silently fell out of the prefix.
+    assert len(MUST_BE_IN_WINDOW) == DRIVER_WINDOW
 
 
 def test_scale_tail_inside_window():
