@@ -33,8 +33,11 @@ def connected_components(
     log2(component diameter) instead of diameter — the q66
     discipline generalized to arbitrary edge tables. Each round is
     two hash-shuffles linear in edges; lineage is cut per round by
-    eager localCheckpoint. Sets ``connected_components.last_rounds``
-    for observability (bench/regression use)."""
+    eager localCheckpoint. The round count rides on the RETURNED
+    DataFrame as ``result.last_rounds`` (observability for bench /
+    regression use) — per-call state, not an attribute on this
+    function, which two concurrent callers on one driver would
+    clobber."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -45,7 +48,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    connected_components.last_rounds = 0
+    rounds = 0
     for _round in range(max_rounds):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -80,10 +83,12 @@ def connected_components(
             merged.filter(F.col("new_label") != F.col("label")).limit(1).count()
         )
         labels = merged.select("node", F.col("new_label").alias("label"))
-        connected_components.last_rounds = _round + 1
+        rounds = _round + 1
         if changed == 0:
             break
-    return labels.select("node", F.col("label").alias("component"))
+    result = labels.select("node", F.col("label").alias("component"))
+    result.last_rounds = rounds
+    return result
 
 
 def pagerank(

@@ -32,11 +32,18 @@ SEED = 42
 @dataclass
 class IVFIndex:
     """Coarse-quantized vector table: rows carry their cell id;
-    centroids is a tiny (nlist x dim) table kept broadcast-able."""
+    centroids is a tiny (nlist x dim) table kept broadcast-able.
+    ``id_col``/``vec_col`` record the column contract so every
+    consumer (ivf_search's latest-wins window and output schema)
+    resolves names from the index instead of assuming defaults —
+    an index built over a custom id column would otherwise silently
+    skip dedup-by-id."""
 
-    assigned: DataFrame  # vec_id, embedding, cell
+    assigned: DataFrame  # <id_col>, <vec_col>, [metadata...], cell
     centroids: DataFrame  # cell, centroid (array<double>)
     nlist: int
+    id_col: str = "vec_id"
+    vec_col: str = "embedding"
 
 
 def build_ivf_index(
@@ -66,7 +73,13 @@ def build_ivf_index(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         ["cell", "centroid"],
     )
-    return IVFIndex(assigned=assigned, centroids=centroids, nlist=nlist)
+    return IVFIndex(
+        assigned=assigned,
+        centroids=centroids,
+        nlist=nlist,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
 
 
 def ivf_search(
@@ -115,7 +128,10 @@ def ivf_search(
     if "_bid" in cand.columns:
         from pyspark.sql.window import Window
 
-        w = Window.partitionBy("vec_id").orderBy(F.desc("_bid"))
+        # dedup on the INDEX'S id column (recorded at build/load
+        # time), not a hardcoded default — a custom-id index must
+        # resolve its re-ingested versions too
+        w = Window.partitionBy(index.id_col).orderBy(F.desc("_bid"))
         cand = (
             cand.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
@@ -125,11 +141,13 @@ def ivf_search(
         cand = cand.filter(F.expr(where) if isinstance(where, str) else where)
     return (
         cand.select(
-            "vec_id",
+            index.id_col,
             "cell",
-            F.round(cosine_similarity(F.col("embedding"), q), 6).alias("cosine"),
+            F.round(
+                cosine_similarity(F.col(index.vec_col), q), 6
+            ).alias("cosine"),
         )
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .orderBy(F.desc("cosine"), F.asc(index.id_col))
         .limit(k)
     )
 
@@ -326,10 +344,16 @@ def load_ivf_index(spark: SparkSession, path: str) -> IVFIndex:
         )
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
+    # the recorded column contract names the id and vector columns
+    # (columns[0]/columns[1] by build_ivf_index's projection order);
+    # a pre-upgrade meta without it keeps the defaults
+    cols = meta.get("columns") or ["vec_id", "embedding"]
     return IVFIndex(
         assigned=spark.read.parquet(os.path.join(path, "assigned")),
         centroids=spark.read.parquet(os.path.join(path, "centroids")),
         nlist=int(meta["nlist"]),
+        id_col=cols[0],
+        vec_col=cols[1],
     )
 
 

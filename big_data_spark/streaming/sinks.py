@@ -290,6 +290,25 @@ def start_scd2_stream(
             # guaranteed by the query-id check above whenever both
             # ids are recoverable.)
             return
+        if prev is not None and batch_id < int(
+            os.path.basename(prev).split("-", 1)[1]
+        ):
+            # batch ids are monotonic WITHIN a generation (foreachBatch
+            # is sequential and a crash replays only the newest), so a
+            # LOWER id than the current snapshot proves a foreign
+            # generation even when the manifest predates run-id
+            # binding (no second line) — without this, a fresh
+            # checkpoint's v-0 would repoint the manifest to what the
+            # version sort considers the OLDEST snapshot and the
+            # retention sweep could delete it immediately.
+            raise RuntimeError(
+                f"batch id {batch_id} is older than the current "
+                f"snapshot {os.path.basename(prev)!r} under "
+                f"{dim_dir!r}: batch ids have restarted, so checkpoint "
+                f"{checkpoint_dir!r} is a foreign generation. Resume "
+                "from the original checkpoint, or start against a "
+                "fresh dim_dir (seed it from read_scd2_dim if needed)."
+            )
         if prev is not None:
             dim = spark.read.parquet(prev)
         else:
@@ -313,7 +332,11 @@ def start_scd2_stream(
             f.write(version if run_id is None else f"{version}\n{run_id}")
         os.replace(tmp, os.path.join(dim_dir, SCD2_MANIFEST))
         for name in list_scd2_versions(dim_dir)[: -max(1, keep_versions)]:
-            shutil.rmtree(os.path.join(dim_dir, name), ignore_errors=True)
+            # never delete the snapshot the manifest points at — the
+            # final backstop against a dangling manifest no matter how
+            # the version sort and the current pointer ever disagree
+            if name != version:
+                shutil.rmtree(os.path.join(dim_dir, name), ignore_errors=True)
 
     writer = (
         stream.writeStream.foreachBatch(merge)
@@ -822,17 +845,24 @@ def compact_trending_partials(
             "user_id",
             "n_events",
             F.col("t_us").alias("new_anchor"),
-            (
+            # round each rescaled per-partial term BEFORE the sum and
+            # sum exact decimals (q145's round-then-decimal-sum rule):
+            # an IEEE double sum is partition-order-dependent in its
+            # last ulp, which could flip the stored 8th decimal
+            F.round(
                 F.col("decayed_sum").cast("double")
                 * F.pow(
                     0.5, (F.col("t_us") - F.col("anchor_us")) / F.lit(h_us)
-                )
-            ).alias("s"),
+                ),
+                8,
+            )
+            .cast("decimal(27,8)")
+            .alias("s"),
         )
         .groupBy("user_id", F.col("new_anchor").alias("anchor_us"))
         .agg(
             F.sum("n_events").alias("n_events"),
-            F.round(F.sum("s"), 8).cast("decimal(38,8)").alias("decayed_sum"),
+            F.sum("s").cast("decimal(38,8)").alias("decayed_sum"),
         )
         .select("user_id", "anchor_us", "n_events", "decayed_sum")
         .write.mode("overwrite")
@@ -999,17 +1029,23 @@ def read_streaming_ivf(spark, index_path: str):
     assigned = parts[0]
     for p in parts[1:]:
         assigned = assigned.unionByName(p)
+    # resolve the id/vector columns from the recorded column contract
+    # (columns[0]/[1]) so ivf_search's latest-wins window dedups a
+    # custom-id index too; pre-upgrade meta keeps the defaults
+    cols = meta.get("columns") or ["vec_id", "embedding"]
     return IVFIndex(
         assigned=assigned,
         centroids=spark.read.parquet(os.path.join(index_path, "centroids")),
         nlist=int(meta["nlist"]),
+        id_col=cols[0],
+        vec_col=cols[1],
     )
 
 
 def compact_streaming_ivf(
     spark,
     index_path: str,
-    id_col: str = "vec_id",
+    id_col: str | None = None,
 ) -> int:
     """Fold finalized streamed batches into a rewritten
     cell-partitioned base, resolving latest-wins per vec_id GLOBALLY
@@ -1031,10 +1067,20 @@ def compact_streaming_ivf(
     every stale base version, and the superseded plain batch dir runs
     AFTER the flip, best-effort, retried on the next compaction.
 
-    Cost: one full shuffle of the index on vec_id (the latest-wins
-    window) + one cell-partitioned rewrite — the standard periodic
-    LSM-style compaction trade; probe reads between compactions pay
-    only the per-cell window in ivf_search."""
+    Cost: one full shuffle of the index on the id column (the
+    latest-wins window) + one cell-partitioned rewrite — the standard
+    periodic LSM-style compaction trade; probe reads between
+    compactions pay only the per-cell window in ivf_search.
+
+    ``id_col`` defaults to the index's recorded column contract
+    (meta.json columns[0]) — pass it only to override a pre-upgrade
+    meta that never recorded one."""
+    if id_col is None:
+        import json
+
+        with open(os.path.join(index_path, "meta.json")) as f:
+            cols = json.load(f).get("columns")
+        id_col = cols[0] if cols else "vec_id"
     manifest = os.path.join(index_path, IVF_BASE_MANIFEST)
     version, folded, prev_run = _fold_manifest_state(manifest)
     stream_dir = os.path.join(index_path, IVF_STREAM_DIR)
@@ -1110,20 +1156,23 @@ def start_pq_ingest_stream(
     latest-wins in ``read_streaming_pq`` never ties on _bid.
 
     There is no fold manifest, so a same-generation replayed batch id
-    just overwrites its partition. Caveat (same as the partials
-    discipline, docs/streaming.md): cross-batch latest-wins ordering
-    is only meaningful within one checkpoint generation — a FRESH
-    checkpoint may re-batch the source differently, leaving a stale
-    copy of an updated vector in a higher-numbered partition that
-    silently wins. Pair an existing ``codes_stream`` with a fresh
-    checkpoint only for stable update-free sources; for update
-    streams keep the checkpoint or re-ingest into a fresh dir."""
+    just overwrites its partition. Cross-batch latest-wins ordering,
+    however, is only meaningful within one checkpoint generation — a
+    FRESH checkpoint may re-batch the source differently, leaving a
+    stale copy of an updated vector in a higher-numbered partition
+    that silently wins — so the write path is generation-BOUND
+    (_guard_pq_generation, the SCD2/IVF contract): the first batch
+    records the owning streaming-query id in ``codes_stream/_RUN``
+    and any later foreign generation is rejected loudly. To re-ingest
+    under a new generation, use a fresh index dir (or restore the
+    original checkpoint)."""
 
     def ingest(batch: DataFrame, batch_id: int) -> None:
         import json
 
         if batch.isEmpty():
             return
+        _guard_pq_generation(index_path, checkpoint_dir)
         from ..operators.similarity import pq_encode_columns
 
         with open(os.path.join(index_path, "meta.json")) as f:
@@ -1147,6 +1196,45 @@ def start_pq_ingest_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _guard_pq_generation(index_path: str, checkpoint_dir: str) -> None:
+    """read_streaming_pq resolves a re-ingested vec_id LATEST-WINS by
+    batch id, and batch ids are only ordered WITHIN one checkpoint
+    generation — a fresh checkpoint restarts numbering, so a stale
+    copy of an updated vector could land in a higher-numbered
+    partition and silently win. _guard_run_generation's mirror for
+    the manifest-less PQ layout: the first write records the owning
+    streaming-query id in a ``codes_stream/_RUN`` sidecar; once ANY
+    cross-batch state exists, a different generation is rejected at
+    the write path. Recovery: restore the original checkpoint, or
+    re-ingest into a fresh index dir. Pre-upgrade state (partitions
+    but no sidecar) is adopted by the first guarded writer — the same
+    one-transition window as the fold-manifest upgrade path."""
+    qid = _checkpoint_query_id(checkpoint_dir)
+    if qid is None:
+        return
+    stream_dir = os.path.join(index_path, "codes_stream")
+    owner = _run_sidecar_id(stream_dir)
+    if (
+        owner is not None
+        and owner != qid
+        and glob.glob(os.path.join(stream_dir, "batch_id=*"))
+    ):
+        raise RuntimeError(
+            f"{stream_dir} was ingested under streaming-query id "
+            f"{owner}; checkpoint {checkpoint_dir} is a different "
+            f"generation ({qid}) whose restarted batch ids would "
+            "corrupt the cross-batch latest-wins order. Restore the "
+            "original checkpoint, or re-ingest into a fresh index dir."
+        )
+    if owner != qid:
+        os.makedirs(stream_dir, exist_ok=True)
+        sidecar = os.path.join(stream_dir, RUN_SIDECAR)
+        tmp = sidecar + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(qid)
+        os.replace(tmp, sidecar)
 
 
 def _merge_latest_wins(parts: list, id_col: str) -> DataFrame:
@@ -1406,17 +1494,24 @@ def read_trending(
         .select(
             "user_id",
             "n_events",
-            (
+            # round-then-exact-decimal-sum (q145's determinism rule):
+            # summing unrounded doubles across partials is partition-
+            # order-dependent in the last ulp, which can flip the
+            # rounded score or a top-k tie between runs
+            F.round(
                 F.col("decayed_sum").cast("double")
                 * F.pow(
                     0.5, (F.col("t_us") - F.col("anchor_us")) / F.lit(h_us)
-                )
-            ).alias("s"),
+                ),
+                8,
+            )
+            .cast("decimal(27,8)")
+            .alias("s"),
         )
         .groupBy("user_id")
         .agg(
             F.sum("n_events").cast("long").alias("n_events"),
-            F.round(F.sum("s"), 6).alias("hot_score"),
+            F.round(F.sum("s").cast("double"), 6).alias("hot_score"),
         )
     )
     if k is None:

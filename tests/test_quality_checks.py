@@ -250,10 +250,13 @@ def test_connected_components_generic_edges(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], "u long, v long"
     )
-    got = {r["node"]: r["component"] for r in connected_components(chain).collect()}
+    cc = connected_components(chain)
+    got = {r["node"]: r["component"] for r in cc.collect()}
     assert set(got.values()) == {0} and len(got) == 64
-    # diameter 63; pointer jumping squares coverage per round
-    assert connected_components.last_rounds <= 10, connected_components.last_rounds
+    # diameter 63; pointer jumping squares coverage per round — the
+    # round count rides on the returned frame (per-call state; a
+    # function attribute would be clobbered by concurrent callers)
+    assert cc.last_rounds <= 10, cc.last_rounds
 
 
 def test_connected_components_fuzz_vs_bfs(spark):

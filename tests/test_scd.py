@@ -341,6 +341,79 @@ def test_scd2_fresh_checkpoint_on_existing_dim_fails_loudly(spark, tmp_path):
         run(str(tmp_path / "c2"))
 
 
+def test_scd2_pre_upgrade_manifest_rejects_restarted_batch_ids(
+    spark, tmp_path
+):
+    """A PRE-UPGRADE manifest (no run-id line) makes the query-id
+    guard inert, but batch ids are monotonic within a generation — so
+    a fresh checkpoint replaying batch 0 into a dim already at v-1
+    must STILL fail loudly (previously it repointed the manifest to
+    v-0, which the numeric version sort makes the OLDEST snapshot, so
+    the retention sweep could delete the just-committed current
+    version and leave the manifest dangling). The current snapshot
+    must survive the rejected write untouched."""
+    import os
+
+    import pytest as _pytest
+
+    from big_data_spark.streaming.sinks import (
+        SCD2_MANIFEST,
+        read_scd2_dim,
+        start_scd2_stream,
+    )
+
+    src = tmp_path / "updates"
+    src.mkdir()
+    for name, rows in (
+        ("a", [(1, "BUILDING", "2026-01-01T00:00:00")]),
+        ("b", [(1, "MACHINERY", "2026-02-01T00:00:00")]),
+    ):
+        spark.createDataFrame(
+            rows, "cust_id long, segment string, ts_s string"
+        ).coalesce(1).write.mode("overwrite").json(str(src / name))
+
+    dim_dir = str(tmp_path / "dim")
+
+    def run(ckpt: str):
+        stream = (
+            spark.readStream.schema(
+                "cust_id long, segment string, ts_s string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src / "*"))
+            .withColumn("ts", F.to_timestamp("ts_s"))
+            .drop("ts_s")
+        )
+        q = start_scd2_stream(
+            stream, dim_dir, ckpt, key="cust_id", tracked=["segment"]
+        )
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "c1"))  # two batches -> dim at v-1
+    before = sorted(map(tuple, read_scd2_dim(spark, dim_dir).collect()))
+
+    # simulate the pre-upgrade manifest: strip the run-id line
+    manifest = os.path.join(dim_dir, SCD2_MANIFEST)
+    with open(manifest) as f:
+        version_line = f.read().splitlines()[0]
+    assert version_line == "v-1"
+    with open(manifest, "w") as f:
+        f.write(version_line)
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with _pytest.raises(
+        StreamingQueryException, match="foreign generation"
+    ):
+        run(str(tmp_path / "c2"))  # fresh checkpoint replays batch 0
+
+    # manifest still points at the surviving v-1 snapshot
+    with open(manifest) as f:
+        assert f.read().splitlines()[0] == "v-1"
+    after = sorted(map(tuple, read_scd2_dim(spark, dim_dir).collect()))
+    assert after == before
+
+
 def test_scd2_random_sequences_keep_invariants(spark):
     """Randomized SCD-2 invariant check: applying time-ordered update
     batches sequentially must always leave (per key) exactly one

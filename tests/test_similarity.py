@@ -224,6 +224,87 @@ def test_ivf_index_save_load_roundtrip(spark, emb, query_vec, tmp_path):
     assert "PartitionFilters: [" in plan and "cell" in plan.split("PartitionFilters:")[1][:80], plan
 
 
+def test_ivf_custom_id_column_contract(spark, emb, query_vec, tmp_path):
+    """An index built over a NON-default id column works end-to-end:
+    meta.json's column contract records it, load_ivf_index /
+    read_streaming_ivf resolve it back, ivf_search's latest-wins
+    window dedups on IT (a hardcoded vec_id would miss the dedup or
+    fail outright), the output schema names it, and
+    compact_streaming_ivf folds with it by default (id_col=None →
+    meta columns[0])."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from big_data_spark.operators.similarity import (
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from big_data_spark.streaming.sinks import (
+        compact_streaming_ivf,
+        read_streaming_ivf,
+        start_vector_ingest_stream,
+    )
+
+    docs = emb.withColumnRenamed("vec_id", "doc_id")
+    index = build_ivf_index(docs, nlist=8, id_col="doc_id")
+    idx_dir = str(tmp_path / "ivf_doc")
+    save_ivf_index(index, idx_dir)
+    loaded = load_ivf_index(spark, idx_dir)
+    assert (loaded.id_col, loaded.vec_col) == ("doc_id", "embedding")
+    batch_hits = [
+        tuple(r) for r in ivf_search(index, query_vec, k=10).collect()
+    ]
+    assert ivf_search(loaded, query_vec, k=10).columns[0] == "doc_id"
+    assert [
+        tuple(r) for r in ivf_search(loaded, query_vec, k=10).collect()
+    ] == batch_hits
+
+    # streaming-only twin over the custom id; second batch RE-INGESTS
+    # 50 existing ids, so the latest-wins window must dedup on doc_id
+    idx2 = str(tmp_path / "ivf_doc_stream")
+    os.makedirs(idx2)
+    shutil.copytree(
+        os.path.join(idx_dir, "centroids"), os.path.join(idx2, "centroids")
+    )
+    shutil.copy(
+        os.path.join(idx_dir, "meta.json"), os.path.join(idx2, "meta.json")
+    )
+    src = tmp_path / "docvecs"
+    src.mkdir()
+    docs.coalesce(1).write.parquet(str(src / "a"))
+    docs.filter(F.col("doc_id") % 10 == 0).coalesce(1).write.parquet(
+        str(src / "b")
+    )
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = start_vector_ingest_stream(
+            stream, idx2, ckpt, id_col="doc_id"
+        )
+        q.awaitTermination(180)
+
+    run(str(tmp_path / "ck_doc"))
+    live = read_streaming_ivf(spark, idx2)
+    assert (live.id_col, live.vec_col) == ("doc_id", "embedding")
+    hits = ivf_search(live, query_vec, k=10).collect()
+    ids = [r["doc_id"] for r in hits]
+    assert len(ids) == len(set(ids)) == 10, ids
+    assert [tuple(r) for r in hits] == batch_hits
+
+    # default-id compaction resolves doc_id from the column contract
+    assert compact_streaming_ivf(spark, idx2) == 1
+    live2 = read_streaming_ivf(spark, idx2)
+    assert [
+        tuple(r) for r in ivf_search(live2, query_vec, k=10).collect()
+    ] == batch_hits
+
+
 def test_pq_index_save_load_roundtrip(spark, emb, query_vec, tmp_path):
     """A reloaded PQ index reproduces ADC search results exactly —
     codes + codebooks survive the parquet/JSON roundtrip."""
@@ -753,9 +834,12 @@ def test_streaming_pq_ingest_matches_batch(spark, emb, query_vec, tmp_path):
     """start_pq_ingest_stream: vectors streamed into a trained PQ
     index get the SAME codes KMeans.transform gave them batch-side
     (pq_encode_columns parity), ADC search over the streamed index
-    equals the batch index, a fresh-checkpoint replay changes
-    nothing, and a re-ingested update resolves latest-wins (the
-    vector adopts its donor's codes, no duplicate vec_id)."""
+    equals the batch index, a FRESH checkpoint over existing
+    cross-batch state is rejected loudly (generation binding — the
+    SCD2/IVF contract; restarted batch ids would corrupt the
+    latest-wins order), a same-generation restart replays cleanly,
+    and a re-ingested update resolves latest-wins (the vector adopts
+    its donor's codes, no duplicate vec_id)."""
     import os
     import shutil
 
@@ -817,13 +901,26 @@ def test_streaming_pq_ingest_matches_batch(spark, emb, query_vec, tmp_path):
         tuple(r) for r in pq_adc_search(live, query_vec, k=10).collect()
     ] == batch_hits
 
-    run(str(tmp_path / "c2"))  # fresh-checkpoint replay: no manifest,
-    live2 = read_streaming_pq(spark, d2)  # content-identical overwrite
-    got2 = {
+    # a FRESH checkpoint over the existing codes_stream is a foreign
+    # generation — its restarted batch ids could let a stale copy of
+    # an updated vector win, so the write path rejects it loudly
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="different[\\s\\S]*generation"):
+        run(str(tmp_path / "c2"))
+    live2 = read_streaming_pq(spark, d2)  # state untouched by the
+    got2 = {  # rejected generation
         r["vec_id"]: tuple(r[f"code_{s}"] for s in range(8))
         for r in live2.codes.collect()
     }
     assert got2 == batch_codes
+
+    # same-generation restart (the ORIGINAL checkpoint) replays clean
+    run(str(tmp_path / "c1"))
+    assert {
+        r["vec_id"]: tuple(r[f"code_{s}"] for s in range(8))
+        for r in read_streaming_pq(spark, d2).codes.collect()
+    } == batch_codes
 
     # update stream: vec x adopts vec y's embedding -> latest-wins
     # gives x exactly y's codes, exactly once
@@ -831,7 +928,7 @@ def test_streaming_pq_ingest_matches_batch(spark, emb, query_vec, tmp_path):
     emb.filter(F.col("vec_id") == y_id).select(
         F.lit(int(x_id)).cast("long").alias("vec_id"), "embedding", "label"
     ).coalesce(1).write.parquet(str(src / "u"))
-    run(str(tmp_path / "c2"))  # same checkpoint continues (batch 2)
+    run(str(tmp_path / "c1"))  # same generation continues (batch 2)
     live3 = read_streaming_pq(spark, d2)
     got3 = {
         r["vec_id"]: tuple(r[f"code_{s}"] for s in range(8))
