@@ -44,6 +44,10 @@ class IVFIndex:
     nlist: int
     id_col: str = "vec_id"
     vec_col: str = "embedding"
+    # per-(cell, metadata-values) row counts recorded at save /
+    # refresh time ({"columns": [...], "rows": [[cell, v..., n]]}) —
+    # the selectivity estimate behind ivf_search(auto_nprobe=True)
+    cell_stats: dict | None = None
 
 
 def build_ivf_index(
@@ -88,6 +92,7 @@ def ivf_search(
     k: int = 10,
     nprobe: int = 4,
     where=None,
+    auto_nprobe: bool = False,
 ) -> DataFrame:
     """Top-k cosine neighbors probing the nprobe nearest cells.
 
@@ -109,10 +114,33 @@ def ivf_search(
       matches resurrect into the results. (On the plain batch layout
       there is no version column and Catalyst pushes the predicate
       into the pruned scan.)
-    - Selective predicates thin every probed cell — callers must
+    - Selective predicates thin every probed cell — the search must
       OVER-PROBE (nprobe ≈ unfiltered-nprobe / selectivity, capped at
       nlist) or top-k starves; see q152/SCALING.md.
+
+    ``auto_nprobe=True`` applies the over-probe rule automatically:
+    ``nprobe`` is read as the UNFILTERED base and scaled by the
+    predicate's estimated selectivity —
+    ``min(nlist, ceil(base / max(sel, base/nlist)))`` — so callers
+    stop hand-tuning per filter. Selectivity comes from the index's
+    recorded per-cell metadata histogram (meta.json ``cell_stats``, a
+    driver-side estimate costing one tiny local job); an index
+    without stats (unsaved, high-cardinality metadata, or a predicate
+    over unrecorded columns) falls back to one counting aggregate
+    over the corpus. Streamed-but-uncompacted rows are not in the
+    stats — the estimate tracks the last save/compaction, which is
+    what a persisted serving index is. The chosen cell count rides on
+    the returned frame as ``result.effective_nprobe``.
     """
+    if auto_nprobe and where is not None:
+        sel = _estimate_selectivity(index, where)
+        if sel is not None:
+            import math
+
+            nprobe = min(
+                index.nlist,
+                int(math.ceil(nprobe / max(sel, nprobe / index.nlist))),
+            )
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     probe_cells = [
         r["cell"]
@@ -139,7 +167,7 @@ def ivf_search(
         )
     if where is not None:
         cand = cand.filter(F.expr(where) if isinstance(where, str) else where)
-    return (
+    out = (
         cand.select(
             index.id_col,
             "cell",
@@ -150,6 +178,43 @@ def ivf_search(
         .orderBy(F.desc("cosine"), F.asc(index.id_col))
         .limit(k)
     )
+    out.effective_nprobe = len(probe_cells)
+    return out
+
+
+def _estimate_selectivity(index: IVFIndex, where) -> float | None:
+    """Fraction of index rows matching ``where``, estimated from the
+    recorded per-cell metadata histogram (a tiny driver-local frame —
+    the predicate is evaluated by Spark against it, so ANY expression
+    over the recorded columns works), falling back to one counting
+    aggregate over the corpus when no usable stats exist. Returns
+    None when even the fallback cannot evaluate the predicate."""
+    pred = F.expr(where) if isinstance(where, str) else where
+    spark = index.assigned.sparkSession
+    stats = index.cell_stats
+    if stats and stats.get("rows"):
+        total = sum(r[-1] for r in stats["rows"])
+        if total > 0:
+            try:
+                sdf = spark.createDataFrame(
+                    [tuple(r) for r in stats["rows"]],
+                    ["cell", *stats["columns"], "n"],
+                )
+                matched = (
+                    sdf.filter(pred).agg(F.sum("n").alias("m")).first()["m"]
+                    or 0
+                )
+                return matched / total
+            except Exception:
+                pass  # predicate over unrecorded columns — fall back
+    try:
+        row = index.assigned.agg(
+            F.count("*").alias("t"),
+            F.count_if(pred).alias("m"),
+        ).first()
+    except Exception:
+        return None
+    return (row["m"] / row["t"]) if row["t"] else None
 
 
 @dataclass
@@ -292,11 +357,54 @@ def brute_force_topk(
     )
 
 
+CELL_STATS_MAX_ROWS = 4096
+
+
+def compute_cell_stats(
+    assigned: DataFrame, id_col: str, vec_col: str
+) -> dict | None:
+    """Per-(cell, metadata-values) row counts over an assigned-vector
+    table — the tiny histogram ivf_search(auto_nprobe=True) estimates
+    predicate selectivity from without scanning the corpus. Only
+    recorded when the combination count stays driver-bounded
+    (CELL_STATS_MAX_ROWS) and the values are JSON-serializable; a
+    high-cardinality metadata surface simply gets no stats (callers
+    fall back to a counting aggregate)."""
+    import json
+
+    meta_cols = [
+        c for c in assigned.columns if c not in (id_col, vec_col, "cell")
+    ]
+    if not meta_cols:
+        return None
+    rows = (
+        assigned.groupBy("cell", *meta_cols)
+        .agg(F.count("*").alias("n"))
+        .limit(CELL_STATS_MAX_ROWS + 1)
+        .collect()
+    )
+    if len(rows) > CELL_STATS_MAX_ROWS:
+        return None
+    stats = {
+        "columns": meta_cols,
+        "rows": [
+            [r["cell"], *[r[c] for c in meta_cols], r["n"]] for r in rows
+        ],
+    }
+    try:
+        json.dumps(stats)
+    except TypeError:
+        return None
+    return stats
+
+
 def save_ivf_index(index: IVFIndex, path: str) -> None:
     """Persist the index in its production layout: vectors partitioned
     by cell (each probe's read is directory-pruned to its cells — the
     module-docstring promise made physical), centroids + metadata as
-    tiny side tables."""
+    tiny side tables. Metadata-carrying indexes also record the
+    per-cell metadata histogram (selectivity stats for auto
+    over-probing in filtered search)."""
     import json
     import os
 
@@ -305,6 +413,9 @@ def save_ivf_index(index: IVFIndex, path: str) -> None:
     )
     index.centroids.write.mode("overwrite").parquet(
         os.path.join(path, "centroids")
+    )
+    stats = index.cell_stats or compute_cell_stats(
+        index.assigned, index.id_col, index.vec_col
     )
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(
@@ -315,6 +426,7 @@ def save_ivf_index(index: IVFIndex, path: str) -> None:
                 # these columns so base and stream leaves can never
                 # drift apart schema-wise
                 "columns": [c for c in index.assigned.columns if c != "cell"],
+                "cell_stats": stats,
             },
             f,
         )
@@ -354,6 +466,7 @@ def load_ivf_index(spark: SparkSession, path: str) -> IVFIndex:
         nlist=int(meta["nlist"]),
         id_col=cols[0],
         vec_col=cols[1],
+        cell_stats=meta.get("cell_stats"),
     )
 
 

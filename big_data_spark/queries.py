@@ -8576,8 +8576,11 @@ def q152_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     2. OVER-PROBING: nprobe doubles q64's (4 vs 2) because the filter
        thins every probed cell; matching nprobe to the unfiltered case
        starves top-k under selective predicates (the classic filtered-
-       ANN recall failure). The production rule of thumb — scale
-       nprobe by ~1/selectivity, capped — is documented in SCALING.md.
+       ANN recall failure). The production rule — scale nprobe by
+       ~1/selectivity, capped at nlist — is automated on the reusable
+       surface (``ivf_search(where=..., auto_nprobe=True)`` estimates
+       selectivity from the index's recorded per-cell metadata
+       histogram); documented in SCALING.md.
 
     Exact inside probed cells: cosine + TakeOrderedAndProject, ordered
     by rounded score so engines agree on ties."""

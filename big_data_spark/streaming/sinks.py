@@ -1039,6 +1039,7 @@ def read_streaming_ivf(spark, index_path: str):
         nlist=int(meta["nlist"]),
         id_col=cols[0],
         vec_col=cols[1],
+        cell_stats=meta.get("cell_stats"),
     )
 
 
@@ -1075,9 +1076,9 @@ def compact_streaming_ivf(
     ``id_col`` defaults to the index's recorded column contract
     (meta.json columns[0]) — pass it only to override a pre-upgrade
     meta that never recorded one."""
-    if id_col is None:
-        import json
+    import json
 
+    if id_col is None:
         with open(os.path.join(index_path, "meta.json")) as f:
             cols = json.load(f).get("columns")
         id_col = cols[0] if cols else "vec_id"
@@ -1132,6 +1133,26 @@ def compact_streaming_ivf(
     # best-effort cleanup AFTER the flip (leftovers are excluded by
     # readers; the pre-sweep above repairs a crash here next run)
     _sweep_ivf(index_path, set(all_folded), new_version)
+    # refresh the selectivity stats over the rewritten base so
+    # auto-nprobe estimates track the folded state (advisory — a
+    # crash before this leaves the previous estimate, never a wrong
+    # result); atomic rewrite preserving every other meta key
+    from ..operators.similarity import compute_cell_stats
+
+    with open(os.path.join(index_path, "meta.json")) as f:
+        meta = json.load(f)
+    cols = meta.get("columns") or [id_col, "embedding"]
+    meta["cell_stats"] = compute_cell_stats(
+        spark.read.parquet(
+            os.path.join(index_path, f"assigned-v{new_version}")
+        ),
+        cols[0],
+        cols[1],
+    )
+    tmp = os.path.join(index_path, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_path, "meta.json"))
     return len(foldable)
 
 
