@@ -232,6 +232,44 @@ def equi_frequency_buckets(
     )
 
 
+def rfm_scores(cust: DataFrame) -> DataFrame:
+    """Quintile scoring + lifecycle segmentation over a per-customer
+    metrics table (o_custkey, recency_days, frequency, monetary,
+    mon_band) — the scoring half of RFM, shared by q142 (one-shot
+    batch) and streaming.sinks.read_rfm (the incremental twin) so
+    both paths bucket and label IDENTICALLY: each quintile uses
+    equi_frequency_buckets (histogram-exact, deterministic on ties —
+    never ntile over a corpus-wide window), and the lifecycle label
+    is the standard R/F threshold matrix. The caller materializes
+    ``cust`` once (localCheckpoint) — it feeds three histogram builds
+    plus three broadcast map join-backs."""
+    b = equi_frequency_buckets(cust, "recency_days", 5, "r_bucket")
+    b = equi_frequency_buckets(b, "frequency", 5, "f_bucket")
+    b = equi_frequency_buckets(b, "mon_band", 5, "m_bucket")
+    r, f_, m = (
+        (5 - F.col("r_bucket")).cast("int"),
+        (F.col("f_bucket") + 1).cast("int"),
+        (F.col("m_bucket") + 1).cast("int"),
+    )
+    segment = (
+        F.when((r >= 4) & (f_ >= 4) & (m >= 4), "champion")
+        .when((r >= 4) & (f_ <= 2), "new")
+        .when((r <= 2) & (f_ >= 4), "at_risk")
+        .when((r <= 2) & (f_ <= 2), "hibernating")
+        .otherwise("regular")
+    )
+    return b.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r.alias("r_score"),
+        f_.alias("f_score"),
+        m.alias("m_score"),
+        segment.alias("segment"),
+    ).orderBy("o_custkey")
+
+
 def write_bucketed(
     df: DataFrame,
     name: str,

@@ -7553,8 +7553,11 @@ def q142_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram-exact binning on continuous values). One orders scan
     feeds all three metrics; the anchor date is a broadcast 1-row
     agg. Scores are deterministic because equal metric values always
-    share a bucket (ntile's row-level tie-breaking is not)."""
-    from .operators.relational import equi_frequency_buckets
+    share a bucket (ntile's row-level tie-breaking is not). The
+    scoring half is the shared operators.relational.rfm_scores —
+    streaming.sinks.read_rfm (the incremental twin over associative
+    per-customer partials) labels through the identical machinery."""
+    from .operators.relational import rfm_scores
 
     orders = _t(spark, sf_dir, "orders")
     anchor = orders.agg(F.max("o_orderdate").alias("anchor"))
@@ -7579,31 +7582,7 @@ def q142_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one customer-level materialization replaces 32 orders scans
         .localCheckpoint()
     )
-    b = equi_frequency_buckets(cust, "recency_days", 5, "r_bucket")
-    b = equi_frequency_buckets(b, "frequency", 5, "f_bucket")
-    b = equi_frequency_buckets(b, "mon_band", 5, "m_bucket")
-    r, f_, m = (
-        (5 - F.col("r_bucket")).cast("int"),
-        (F.col("f_bucket") + 1).cast("int"),
-        (F.col("m_bucket") + 1).cast("int"),
-    )
-    segment = (
-        F.when((r >= 4) & (f_ >= 4) & (m >= 4), "champion")
-        .when((r >= 4) & (f_ <= 2), "new")
-        .when((r <= 2) & (f_ >= 4), "at_risk")
-        .when((r <= 2) & (f_ <= 2), "hibernating")
-        .otherwise("regular")
-    )
-    return b.select(
-        "o_custkey",
-        "recency_days",
-        "frequency",
-        "monetary",
-        r.alias("r_score"),
-        f_.alias("f_score"),
-        m.alias("m_score"),
-        segment.alias("segment"),
-    ).orderBy("o_custkey")
+    return rfm_scores(cust)
 
 
 @register(

@@ -1629,6 +1629,186 @@ def read_corpus_health(spark, partials_dir: str) -> DataFrame:
     )
 
 
+def start_active_users_stream(
+    events_stream: DataFrame,
+    partials_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming twin of q133's sliding DAU/WAU: each micro-batch
+    writes per-day HLL partials of user_id (plus an exact event
+    count) into its own batch_id partition — the operators/sketches
+    daily-sketch discipline maintained incrementally. COUNT DISTINCT
+    does not decompose over frames OR over micro-batches, but the HLL
+    register state is a pure elementwise max, so per-batch partials
+    union to exactly the sketch a one-shot batch pass builds —
+    ``read_active_users`` answers daily and trailing-window actives
+    from day-sized sketch rows, never rescanning events. Same
+    exactly-once contract as start_rollup_stream (a replayed batch
+    overwrites its own partition with identical content)."""
+
+    def write_partial(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():  # a 0-row write creates a schema-less dir
+            return
+        (
+            batch.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+            .agg(
+                F.hll_sketch_agg("user_id").alias("users_hll"),
+                F.count("*").alias("n_events"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(partials_dir)
+        )
+
+    writer = (
+        events_stream.writeStream.foreachBatch(write_partial)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_active_users(
+    spark, partials_dir: str, window_days: int = 7
+) -> DataFrame:
+    """The live DAU/WAU view over the streamed daily HLL partials:
+    per-batch sketches union into one sketch per day (day-sized
+    table), each day-sketch contributes to its ≤``window_days``
+    trailing window ends via the q133 pair-explode — 7× a DAYS-count
+    table of KB sketch rows, never 7× events — and the per-window
+    union estimates the distinct actives. Trailing windows clip at
+    the observed max day (q133's broadcast bound). Approximate where
+    q133 is exact (the HLL trade that makes 1000-day lookbacks read
+    KBs); counts carry the sketch's ~2% error."""
+    daily = (
+        spark.read.parquet(partials_dir)
+        .groupBy("day")
+        .agg(F.hll_union_agg("users_hll").alias("users_hll"))
+        # referenced by dau, the window explode, and the bounds agg —
+        # pay the partial merge once (days-sized result)
+        .localCheckpoint()
+    )
+    bounds = daily.agg(F.max("day").alias("dmax"))
+    dau = daily.select(
+        "day", F.hll_sketch_estimate("users_hll").alias("dau")
+    )
+    contrib = (
+        daily.select(
+            "users_hll",
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.col("day")
+                    + F.expr(f"INTERVAL {int(window_days) - 1} DAY"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("wend"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("wend") <= F.col("dmax"))
+    )
+    wau = contrib.groupBy("wend").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("users_hll")).alias("wau")
+    )
+    return (
+        dau.join(wau, dau.day == wau.wend)
+        .select("day", "dau", "wau")
+        .orderBy("day")
+    )
+
+
+def start_rfm_stream(
+    orders_stream: DataFrame,
+    partials_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming twin of q142's RFM segmentation — the documented
+    update algebra made executable: every per-customer input to the
+    scoring is an ASSOCIATIVE sufficient statistic (max last-order
+    date for recency, order count for frequency, exact-decimal price
+    sum for monetary), so each micro-batch lands a customer-level
+    partial in its own batch_id partition and ``read_rfm`` merges
+    (max / sum / sum) and re-scores — never rescanning orders.
+    Partials are |customers-per-batch| rows. Same exactly-once
+    contract as start_rollup_stream (a replayed batch overwrites its
+    own partition with identical content; all merges associative, so
+    the merged view always equals the batch recompute EXACTLY — the
+    decimal sum and date max carry no float drift)."""
+
+    def write_partial(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():  # a 0-row write creates a schema-less dir
+            return
+        (
+            batch.groupBy("o_custkey")
+            .agg(
+                F.max("o_orderdate").alias("last_order"),
+                F.count("*").alias("frequency"),
+                # pin the stored width: sum(decimal(27,2)) infers
+                # (37,2) — cast so partials never schema-clash
+                F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+                .cast("decimal(38,2)")
+                .alias("monetary_sum"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(partials_dir)
+        )
+
+    writer = (
+        orders_stream.writeStream.foreachBatch(write_partial)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_rfm(spark, partials_dir: str) -> DataFrame:
+    """The live RFM view: merge the per-batch customer partials
+    (max last-order / summed count / exact-decimal monetary sum),
+    rebuild q142's customer metrics table against the merged anchor
+    (max order date seen so far), and score through the SAME shared
+    quintile machinery (operators.relational.rfm_scores) — so the
+    streaming view equals q142's one-shot batch output exactly, not
+    within tolerance."""
+    from ..operators.relational import rfm_scores
+
+    merged = (
+        spark.read.parquet(partials_dir)
+        .groupBy("o_custkey")
+        .agg(
+            F.max("last_order").alias("last_order"),
+            F.sum("frequency").cast("long").alias("frequency"),
+            F.sum("monetary_sum").cast("decimal(38,2)").alias("monetary_sum"),
+        )
+    )
+    anchor = merged.agg(F.max("last_order").alias("anchor"))
+    cust = (
+        merged.crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff("anchor", "last_order").alias("recency_days"),
+            "frequency",
+            F.col("monetary_sum").cast("double").alias("monetary"),
+            F.floor(F.col("monetary_sum").cast("double") / 1000)
+            .cast("long")
+            .alias("mon_band"),
+        )
+        # three histogram builds + three map join-backs read this
+        .localCheckpoint()
+    )
+    return rfm_scores(cust)
+
+
 def start_contract_gate_stream(
     stream: DataFrame,
     checks,

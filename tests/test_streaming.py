@@ -1265,6 +1265,184 @@ def test_streaming_corpus_health_matches_batch(spark, tmp_path):
     }
 
 
+def test_streaming_active_users_matches_batch(spark, tmp_path):
+    """start_active_users_stream (q133's incremental twin): the
+    merged DAU/WAU view from per-micro-batch HLL partials equals the
+    SAME sketch math over a one-shot batch pass exactly (HLL
+    registers are elementwise max, so micro-batch partitioning is
+    invisible to the union), tracks q133's exact distinct counts
+    within the sketch bound, and a true post-commit crash replay
+    (deleted commits/N) changes nothing."""
+    import contextlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from big_data_spark.catalog import load_table
+    from big_data_spark.streaming.sinks import (
+        read_active_users,
+        start_active_users_stream,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    # three time-ordered micro-batches
+    ordered = ev.orderBy("ts", "user_id")
+    a = ordered.limit(400)
+    b = ordered.limit(800).subtract(a)
+    c = ev.subtract(a).subtract(b)
+    for name, part in (("a", a), ("b", b), ("c", c)):
+        part.coalesce(1).write.parquet(str(src / name))
+
+    partials = str(tmp_path / "partials")
+    ckpt = str(tmp_path / "ck")
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema(a.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = start_active_users_stream(stream, partials, ck)
+        q.awaitTermination(180)
+
+    run(ckpt)
+    got = {
+        r["day"]: (r["dau"], r["wau"])
+        for r in read_active_users(spark, partials).collect()
+    }
+
+    # batch twin: ONE daily-sketch partial over everything, read
+    # through the identical path — mergeability makes them equal
+    batch_partials = str(tmp_path / "batch_partials")
+    (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.hll_sketch_agg("user_id").alias("users_hll"),
+            F.count("*").alias("n_events"),
+        )
+        .withColumn("batch_id", F.lit(0))
+        .write.partitionBy("batch_id")
+        .parquet(batch_partials)
+    )
+    want = {
+        r["day"]: (r["dau"], r["wau"])
+        for r in read_active_users(spark, batch_partials).collect()
+    }
+    assert got == want
+
+    # exact anchor: q133's pair-explode DAU/WAU, within HLL bound
+    du = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    bounds = du.agg(F.max("day").alias("dmax"))
+    exact_dau = {
+        r["day"]: r["dau"]
+        for r in du.groupBy("day").agg(F.count("*").alias("dau")).collect()
+    }
+    exact_wau = {
+        r["wend"]: r["wau"]
+        for r in du.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.col("day") + F.expr("INTERVAL 6 DAY"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("wend"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("wend") <= F.col("dmax"))
+        .select("wend", "user_id")
+        .distinct()
+        .groupBy("wend")
+        .agg(F.count("*").alias("wau"))
+        .collect()
+    }
+    assert set(got) == set(exact_dau)
+    for day, (dau, wau) in got.items():
+        assert abs(dau - exact_dau[day]) / exact_dau[day] < 0.05, day
+        assert abs(wau - exact_wau[day]) / exact_wau[day] < 0.05, day
+
+    # post-commit crash replay: the last batch re-lands identical
+    n = max(
+        int(f) for f in os.listdir(os.path.join(ckpt, "commits"))
+        if not f.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", str(n)))
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(os.path.join(ckpt, "commits", f".{n}.crc"))
+    run(ckpt)
+    got2 = {
+        r["day"]: (r["dau"], r["wau"])
+        for r in read_active_users(spark, partials).collect()
+    }
+    assert got2 == got
+
+
+def test_streaming_rfm_matches_batch_exactly(spark, tmp_path):
+    """start_rfm_stream (q142's incremental twin): every per-customer
+    input is an associative sufficient statistic (max date / count /
+    exact-decimal sum), so the merged streaming view must equal
+    q142's one-shot batch output EXACTLY — same quintile buckets,
+    same segments, no tolerance — and a post-commit crash replay
+    changes nothing."""
+    import contextlib
+    import os
+
+    from big_data_spark.catalog import load_table
+    from big_data_spark.queries import QUERIES
+    from big_data_spark.streaming.sinks import read_rfm, start_rfm_stream
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    # key-parity split into three micro-batches (deterministic)
+    for name, pred in (
+        ("a", "o_custkey % 3 = 0"),
+        ("b", "o_custkey % 3 = 1"),
+        ("c", "o_custkey % 3 = 2"),
+    ):
+        orders.filter(pred).coalesce(1).write.parquet(str(src / name))
+
+    partials = str(tmp_path / "partials")
+    ckpt = str(tmp_path / "ck")
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = start_rfm_stream(stream, partials, ck)
+        q.awaitTermination(180)
+
+    run(ckpt)
+    got = [tuple(r) for r in read_rfm(spark, partials).collect()]
+    want = [
+        tuple(r) for r in QUERIES["q142_rfm_segments"].fn(spark, sf).collect()
+    ]
+    assert got == want
+
+    # post-commit crash replay: the last batch re-lands identically
+    n = max(
+        int(f) for f in os.listdir(os.path.join(ckpt, "commits"))
+        if not f.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", str(n)))
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(os.path.join(ckpt, "commits", f".{n}.crc"))
+    run(ckpt)
+    assert [tuple(r) for r in read_rfm(spark, partials).collect()] == want
+
+
 def test_contract_gate_stream_blocks_violating_batch(spark, tmp_path):
     """Streaming data-contract gate: a clean batch lands (with its
     verdict report); a violating batch writes its report and FAILS
