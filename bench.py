@@ -111,6 +111,12 @@ BENCH_QUERIES = [
     "q151_srm_check",
     "q152_filtered_ann",
     "q153_join_explosion_audit",
+    # round-6 additions
+    "q154_khop_reachability",
+    "q155_weighted_quantiles",
+    "q156_largest_remainder_alloc",
+    "q157_cdc_log_compaction",
+    "q158_golden_record",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

@@ -208,3 +208,57 @@ def pagerank(
         if (_k + 1) % 3 == 0 or _k == iters - 1:
             scores = scores.localCheckpoint(eager=True)
     return scores.select(F.col("u").alias("node"), "score")
+
+
+def k_hop_counts(
+    edges: DataFrame,
+    seeds: DataFrame,
+    hops: int = 3,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Multi-source BFS over an undirected graph (canonical one-row-
+    per-edge input, either orientation): per (seed, hop) count of
+    nodes first reached at exactly that hop — the friends-of-friends /
+    neighborhood-growth primitive behind graph features ("audience
+    within 3 hops") and blast-radius queries.
+
+    Distributed discipline: the frontier is a (seed, node) table;
+    each hop is ONE equi-join frontier⋈edges plus a distinct and a
+    LEFT ANTI against the visited set (so a node reached at hop h is
+    never recounted at h+1 — per SEED, which is what makes this
+    multi-source: state is per (seed, node), bounded by the reachable
+    set, never global). Lineage cut per hop with eager
+    localCheckpoints (the q66 discipline); work per hop is linear in
+    frontier-incident edges, and the whole traversal is ``hops``
+    rounds — never an all-pairs closure. A seed that discovers no new
+    node at hop h simply has no row there (its frontier went dry).
+
+    ``seeds`` is a 1-column DataFrame of seed node ids."""
+    seed_col = seeds.columns[0]
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    frontier = seeds.select(
+        F.col(seed_col).alias("seed"), F.col(seed_col).alias("node")
+    ).distinct()
+    visited = frontier.localCheckpoint(eager=True)
+    frontier = visited
+    out = None
+    for hop in range(1, int(hops) + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["a"])
+            .select("seed", F.col("b").alias("node"))
+            .distinct()
+        )
+        new = nxt.join(visited, ["seed", "node"], "left_anti").localCheckpoint(
+            eager=True
+        )
+        counts = new.groupBy("seed").agg(
+            F.count("*").cast("long").alias("n_new")
+        ).select("seed", F.lit(hop).cast("int").alias("hop"), "n_new")
+        out = counts if out is None else out.unionByName(counts)
+        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    return out.orderBy("seed", "hop")

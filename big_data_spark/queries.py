@@ -8663,6 +8663,400 @@ def q153_join_explosion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q154_khop_reachability",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    capped AS (
+      SELECT l_orderkey, l_partkey FROM op
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                 ORDER BY l_partkey) <= 64
+    ),
+    e0 AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM capped a JOIN capped b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), eu AS (
+      SELECT u, v FROM e0 GROUP BY u, v HAVING COUNT(*) >= 2
+    ), edges AS (
+      SELECT u, v FROM eu UNION ALL SELECT v AS u, u AS v FROM eu
+    ), seeds AS (
+      SELECT DISTINCT u AS seed FROM edges ORDER BY seed LIMIT 5
+    ),
+    h1 AS (
+      SELECT DISTINCT s.seed, e.v AS node
+      FROM seeds s JOIN edges e ON e.u = s.seed
+      WHERE e.v <> s.seed
+    ),
+    h2 AS (
+      SELECT DISTINCT h1.seed, e.v AS node
+      FROM h1 JOIN edges e ON e.u = h1.node
+      WHERE e.v <> h1.seed
+        AND NOT EXISTS (SELECT 1 FROM h1 p
+                        WHERE p.seed = h1.seed AND p.node = e.v)
+    ),
+    h3 AS (
+      SELECT DISTINCT h2.seed, e.v AS node
+      FROM h2 JOIN edges e ON e.u = h2.node
+      WHERE e.v <> h2.seed
+        AND NOT EXISTS (SELECT 1 FROM h1 p
+                        WHERE p.seed = h2.seed AND p.node = e.v)
+        AND NOT EXISTS (SELECT 1 FROM h2 p
+                        WHERE p.seed = h2.seed AND p.node = e.v)
+    )
+    SELECT seed, CAST(hop AS INT) AS hop, CAST(n AS BIGINT) AS n_new
+    FROM (
+      SELECT seed, 1 AS hop, COUNT(*) AS n FROM h1 GROUP BY seed
+      UNION ALL SELECT seed, 2, COUNT(*) FROM h2 GROUP BY seed
+      UNION ALL SELECT seed, 3, COUNT(*) FROM h3 GROUP BY seed
+    ) ORDER BY seed, hop
+    """,
+    "graph",
+    "traversal",
+)
+def q154_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source k-hop reachability (BFS) over the co-purchase
+    graph — the neighborhood-growth primitive behind graph features
+    ("audience within 3 hops of these products") and blast-radius
+    analysis, distinct from the engine's other graph shapes: q66/q141
+    compute global structure, this TRAVERSES from a seed set. For the
+    5 lowest-id parts in the graph: how many parts are first reached
+    at hops 1, 2, 3. The operator (operators.graph.k_hop_counts)
+    keeps per-(seed, node) frontier state: each hop is one equi-join
+    frontier⋈edges + distinct + LEFT ANTI against the visited set, so
+    a node counts once at its MINIMUM hop per seed and work per hop
+    is linear in frontier-incident edges — never an all-pairs
+    transitive closure. Lineage is cut per hop (the q66 discipline).
+    Edges reuse q141's support-≥2 basket graph, baskets capped at 64
+    (the q128 guard); the oracle unrolls the three hops as
+    anti-joined CTE levels."""
+    from .operators.graph import k_hop_counts
+
+    pairs = _copurchase_pairs(
+        _t(spark, sf_dir, "lineitem"), max_basket_items=64
+    )
+    edges = (
+        pairs.groupBy(
+            F.col("part_a").alias("u"), F.col("part_b").alias("v")
+        )
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    # seeds come from the SYMMETRIZED endpoint set: the 5 smallest
+    # node ids overall (a low-id node whose neighbors are all smaller
+    # would never appear on the canonical u side)
+    seeds = (
+        edges.select(F.col("u").alias("seed"))
+        .unionByName(edges.select(F.col("v").alias("seed")))
+        .distinct()
+        .orderBy("seed")
+        .limit(5)
+    )
+    return k_hop_counts(edges, seeds, hops=3)
+
+
+@register(
+    "q155_weighted_quantiles",
+    """
+    WITH h AS (
+      SELECT l_returnflag AS flag, l_discount AS v,
+             SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), c AS (
+      SELECT flag, v,
+             SUM(w) OVER (PARTITION BY flag ORDER BY v) AS cum,
+             SUM(w) OVER (PARTITION BY flag) AS tot
+      FROM h
+    )
+    SELECT flag,
+           MIN(CASE WHEN cum * 2 >= tot THEN v END) AS wp50_discount,
+           MIN(CASE WHEN cum * 10 >= tot * 9 THEN v END) AS wp90_discount
+    FROM c GROUP BY flag ORDER BY flag
+    """,
+    "agg",
+    "quantiles",
+)
+def q155_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED quantiles per group — "what discount does the median
+    revenue DOLLAR get?" (revenue-weighted p50/p90 of discount per
+    return flag). Ordinary percentiles (q119) weight every row
+    equally; weighting by a measure is the form pricing/traffic
+    analysis actually needs, and no built-in aggregate computes it.
+    Scale form: reduce to the (group, value) WEIGHT HISTOGRAM first —
+    bounded by distinct values (11 discounts), never rows — then one
+    cumulative window over the histogram; the weighted p-quantile is
+    the smallest value whose cumulative weight reaches p of the
+    total. Weights sum as exact decimals and the threshold test is
+    pure decimal arithmetic (cum·2 ≥ tot, cum·10 ≥ 9·tot) — no
+    float comparisons, so both engines pick the identical value. For
+    continuous value columns, discretize first (q142's band
+    discipline, documented precondition)."""
+    li = _t(spark, sf_dir, "lineitem")
+    h = li.groupBy(
+        F.col("l_returnflag").alias("flag"), F.col("l_discount").alias("v")
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(27,2)")).alias("w")
+    )
+    wc = Window.partitionBy("flag").orderBy("v")
+    c = h.select(
+        "flag",
+        "v",
+        F.sum("w").over(wc).alias("cum"),
+        F.sum("w").over(Window.partitionBy("flag")).alias("tot"),
+    )
+    return (
+        c.groupBy("flag")
+        .agg(
+            F.min(
+                F.when(F.col("cum") * 2 >= F.col("tot"), F.col("v"))
+            ).alias("wp50_discount"),
+            F.min(
+                F.when(F.col("cum") * 10 >= F.col("tot") * 9, F.col("v"))
+            ).alias("wp90_discount"),
+        )
+        .orderBy("flag")
+    )
+
+
+@register(
+    "q156_largest_remainder_alloc",
+    """
+    WITH w AS (
+      SELECT c_nationkey AS nation, COUNT(*) AS n_cust
+      FROM customer GROUP BY 1
+    ), t AS (SELECT SUM(n_cust) AS tot FROM w),
+    q AS (
+      SELECT nation, n_cust,
+             (1000 * n_cust) // tot AS base,
+             (1000 * n_cust) % tot AS rem
+      FROM w, t
+    ), l AS (SELECT 1000 - SUM(base) AS leftover FROM q),
+    r AS (
+      SELECT nation, n_cust, base, rem,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, nation) AS rk
+      FROM q
+    )
+    SELECT nation, CAST(n_cust AS BIGINT) AS n_cust,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS INT) AS alloc
+    FROM r, l ORDER BY nation
+    """,
+    "agg",
+    "allocation",
+)
+def q156_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer quota allocation by the largest-remainder (Hamilton)
+    method: split exactly 1000 sample slots across nations
+    proportional to customer counts — the deterministic allocator
+    behind stratified sampling budgets (q93/q147 draw WITHIN strata;
+    this decides each stratum's integer quota so the draws sum to
+    the global budget EXACTLY, which naive per-stratum rounding does
+    not). All arithmetic is integer (floor quotas via integer
+    division, remainders as integer numerators), so both engines
+    agree bit-for-bit with no float epsilon; the remainder ranking
+    window runs over the GROUP table (25 nations — dimension-sized,
+    q134's constant-size discipline), and Σ alloc == 1000 by
+    construction (leftover < #groups). The group histogram is one
+    map-side-combined agg over customers; everything after is
+    driver-invisible dimension work."""
+    w = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    t = w.agg(F.sum("n_cust").alias("tot"))
+    q = w.crossJoin(F.broadcast(t)).select(
+        "nation",
+        "n_cust",
+        F.expr("(1000 * n_cust) DIV tot").alias("base"),
+        ((F.lit(1000) * F.col("n_cust")) % F.col("tot")).alias("rem"),
+    )
+    lft = q.agg((F.lit(1000) - F.sum("base")).alias("leftover"))
+    rk = F.row_number().over(Window.orderBy(F.desc("rem"), "nation"))
+    return (
+        q.withColumn("rk", rk)
+        .crossJoin(F.broadcast(lft))
+        .select(
+            "nation",
+            F.col("n_cust").cast("long").alias("n_cust"),
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("int")
+            .alias("alloc"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "q157_cdc_log_compaction",
+    """
+    WITH log AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'error' THEN 'delete'
+                  ELSE 'upsert' END AS op
+      FROM events
+    ), ranked AS (
+      SELECT user_id, op, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_versions
+      FROM log
+    )
+    SELECT user_id, value AS last_value, ts AS last_ts,
+           CAST(n_versions AS BIGINT) AS n_versions
+    FROM ranked WHERE rn = 1 AND op = 'upsert'
+    ORDER BY user_id
+    """,
+    "window",
+    "cdc",
+)
+def q157_cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction — reconstruct the current snapshot from an
+    append-only change log (the log-to-table direction of the SCD-2
+    sink, and what Delta/Hudi/Iceberg MERGE does between checkpoints):
+    per key keep ONLY the latest operation (ts, then event_id as the
+    total tiebreak — a log position, so replays are deterministic),
+    drop keys whose latest op is a DELETE tombstone ('error' events
+    stand in as tombstones), and report how many superseded versions
+    each surviving key carried (compaction telemetry — the write
+    amplification a physical compaction would reclaim). One keyed
+    window over the log, partitioned by key: no joins, no global
+    sort; at 100 TB this is the standard shuffle-on-key pass every
+    log-structured table maintenance runs. Deletes are filtered
+    AFTER the latest-wins election — filtering tombstones first
+    would resurrect the previous version (the same
+    superseded-row hazard ivf_search guards against)."""
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", "delete")
+        .otherwise("upsert")
+        .alias("op"),
+    )
+    wk = Window.partitionBy("user_id")
+    wr = wk.orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        log.withColumn("rn", F.row_number().over(wr))
+        .withColumn("n_versions", F.count("*").over(wk))
+        .filter((F.col("rn") == 1) & (F.col("op") == "upsert"))
+        .select(
+            "user_id",
+            F.col("value").alias("last_value"),
+            F.col("ts").alias("last_ts"),
+            F.col("n_versions").cast("long").alias("n_versions"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q158_golden_record",
+    """
+    WITH RECURSIVE names AS (
+      SELECT p_name AS name, COUNT(*) AS n,
+             MAX(p_retailprice) AS max_price
+      FROM part GROUP BY 1
+    ), cand AS (
+      SELECT a.name AS name_a, b.name AS name_b
+      FROM names a JOIN names b
+        ON length(b.name) BETWEEN length(a.name) - 2
+                               AND length(a.name) + 2
+       AND a.name < b.name
+      WHERE levenshtein(a.name, b.name) <= 2
+    ), edges AS (
+      SELECT name_a AS a, name_b AS b FROM cand
+      UNION SELECT name_b AS a, name_a AS b FROM cand
+    ), reach AS (
+      SELECT name AS node, name AS r FROM names
+      UNION
+      SELECT e.a AS node, reach.r
+      FROM edges e JOIN reach ON reach.node = e.b
+    ), comp AS (
+      SELECT node, MIN(r) AS rep FROM reach GROUP BY node
+    )
+    SELECT c.rep AS golden_name,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(SUM(n.n) AS BIGINT) AS n_parts,
+           MAX(n.max_price) AS max_price
+    FROM comp c JOIN names n ON c.node = n.name
+    GROUP BY c.rep HAVING COUNT(*) >= 2
+    ORDER BY golden_name
+    """,
+    "dedup",
+    "entity-resolution",
+    "iterative",
+)
+def q158_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution to a GOLDEN RECORD (MDM survivorship): q127
+    finds the fuzzy-match pairs, but a master-data pipeline needs the
+    transitive CLUSTERS those pairs imply (A~B, B~C ⇒ one entity even
+    when A~C exceeds the edit bound) and one surviving record per
+    cluster. Composition of three pinned pieces: q127's length-
+    blocked Levenshtein edges over the DISTINCT-name table (vocab-
+    sized), operators.graph.connected_components (pointer-jumped min-
+    label propagation — log-round, never doc-doc pairs), and
+    field-level survivorship on the cluster (canonical name = the
+    component's min label; counts SUM; price survives as MAX — each
+    field gets its own merge rule, the MDM pattern). Output: one row
+    per multi-variant entity. The oracle replays the fixpoint as a
+    recursive CTE over the same edges (string min-labels —
+    lexicographic in both engines over ASCII names)."""
+    from .operators.graph import connected_components
+
+    names = (
+        _t(spark, sf_dir, "part")
+        .groupBy(F.col("p_name").alias("name"))
+        .agg(
+            F.count("*").alias("n"),
+            F.max("p_retailprice").alias("max_price"),
+        )
+        .localCheckpoint()  # feeds the blocked join twice + the final
+    )
+    a = names.select(
+        F.col("name").alias("name_a"),
+        F.explode(
+            F.sequence(F.length("name") - 2, F.length("name") + 2)
+        ).alias("blen"),
+    )
+    b = names.select(
+        F.col("name").alias("name_b"), F.length("name").alias("blen")
+    )
+    edges = (
+        a.join(b, "blen")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= 2)
+        .select("name_a", "name_b")
+    )
+    comp = connected_components(edges, src="name_a", dst="name_b")
+    # singleton names never enter the edge list; join back LEFT so
+    # they survive as their own component before the >=2 filter
+    labeled = names.join(
+        comp, names["name"] == comp["node"], "left"
+    ).select(
+        F.coalesce(F.col("component"), F.col("name")).alias("rep"),
+        "n",
+        "max_price",
+    )
+    return (
+        labeled.groupBy(F.col("rep").alias("golden_name"))
+        .agg(
+            F.count("*").cast("long").alias("n_variants"),
+            F.sum("n").cast("long").alias("n_parts"),
+            F.max("max_price").alias("max_price"),
+        )
+        .filter(F.col("n_variants") >= 2)
+        .orderBy("golden_name")
+    )
+
+
 # =========================================================================
 # Registry ordering (driver check-window priority)
 # =========================================================================
@@ -8789,6 +9183,19 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q152_filtered_ann",
     # q153↔q134 (same constant-size top-k + broadcast-total shape).
     "q153_join_explosion_audit",
+    # round-6 ADDITIONS (never checked): round-8 certification
+    # backlog, behind the committed round-7 tranche above. In-window
+    # representatives: q154↔q66/q141 (iterative frontier joins +
+    # eager checkpoints over the same capped basket edges);
+    # q155↔q119/q114 (histogram-cumulative quantile discipline);
+    # q156↔q134 (dimension-sized ranking window + broadcast total);
+    # q157↔q124/q109 (keyed latest-wins window, total tiebreak);
+    # q158↔q66+q127 (the exact machinery composition, min-label CC).
+    "q154_khop_reachability",
+    "q155_weighted_quantiles",
+    "q156_largest_remainder_alloc",
+    "q157_cdc_log_compaction",
+    "q158_golden_record",
     # round-6 demotions next (freshest prev-pass evidence, 2× green
     # in r04+r05):
     "q89_volume_shipping",

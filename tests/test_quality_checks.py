@@ -306,6 +306,42 @@ def test_connected_components_fuzz_vs_bfs(spark):
         assert got == want, f"seed={seed}"
 
 
+def test_k_hop_counts_hand_graphs(spark):
+    """k_hop_counts on hand-checkable shapes: a path counts exactly
+    one new node per hop from an endpoint seed; a star reaches every
+    leaf at hop 1 and nothing later (dry frontier emits no row); a
+    cycle seed must never re-count itself or already-visited nodes
+    (the per-seed anti-join), and multi-seed state stays per-seed."""
+    from big_data_spark.operators.graph import k_hop_counts
+
+    def run(es, seeds, hops=3):
+        edges = spark.createDataFrame(es, "u long, v long")
+        sdf = spark.createDataFrame([(s,) for s in seeds], "seed long")
+        return {
+            (r["seed"], r["hop"]): r["n_new"]
+            for r in k_hop_counts(edges, sdf, hops=hops).collect()
+        }
+
+    # path 0-1-2-3-4-5: from 0, one new node per hop
+    path = [(i, i + 1) for i in range(5)]
+    assert run(path, [0]) == {(0, 1): 1, (0, 2): 1, (0, 3): 1}
+    # star 0-{1..4}: all leaves at hop 1, then dry (no rows at 2/3)
+    star = [(0, i) for i in range(1, 5)]
+    assert run(star, [0]) == {(0, 1): 4}
+    # leaf seed on the star: hub at hop 1, the 3 other leaves at hop 2
+    assert run(star, [1]) == {(1, 1): 1, (1, 2): 3}
+    # 4-cycle: two neighbors at hop 1, the opposite node at hop 2,
+    # nothing at hop 3 (the seed itself never re-counts)
+    cyc = [(0, 1), (1, 2), (2, 3), (0, 3)]
+    assert run(cyc, [0]) == {(0, 1): 2, (0, 2): 1}
+    # two seeds on the path keep independent frontiers
+    got = run(path, [0, 5])
+    assert got == {
+        (0, 1): 1, (0, 2): 1, (0, 3): 1,
+        (5, 1): 1, (5, 2): 1, (5, 3): 1,
+    }
+
+
 def test_pagerank_fuzz_vs_numpy(spark):
     """Randomized cross-check: the distributed fixed-point iteration
     equals a dense NumPy power iteration (same damping, iterations,
