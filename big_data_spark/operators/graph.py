@@ -259,6 +259,10 @@ def k_hop_counts(
             F.count("*").cast("long").alias("n_new")
         ).select("seed", F.lit(hop).cast("int").alias("hop"), "n_new")
         out = counts if out is None else out.unionByName(counts)
-        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        # visited stays a LAZY union of already-materialized hop
+        # frontiers — unioning checkpointed pieces recomputes nothing,
+        # so checkpointing the union again would only buy an extra
+        # action per hop (one materialization per hop, not two)
+        visited = visited.unionByName(new)
         frontier = new
     return out.orderBy("seed", "hop")
