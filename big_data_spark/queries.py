@@ -8865,6 +8865,10 @@ def q156_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "customer")
         .groupBy(F.col("c_nationkey").alias("nation"))
         .agg(F.count("*").alias("n_cust"))
+        # the group histogram feeds both the quota math and the total;
+        # materialize the 25-row result once instead of scanning
+        # customers twice (the shared-intermediate discipline)
+        .localCheckpoint()
     )
     t = w.agg(F.sum("n_cust").alias("tot"))
     q = w.crossJoin(F.broadcast(t)).select(

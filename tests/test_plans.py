@@ -721,3 +721,49 @@ def test_weighted_sample_uses_group_limit(spark):
     plan = formatted_plan(df)
     assert "WindowGroupLimit" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_weighted_quantiles_window_on_histogram(spark):
+    """q155: the cumulative-weight window must consume the (group,
+    value) WEIGHT HISTOGRAM (post-aggregation), never raw lineitem —
+    Window above HashAggregate, exactly the q94/q114 discipline with
+    weights instead of counts."""
+    df = q(spark, "q155_weighted_quantiles")
+    plan = formatted_plan(df)
+    assert "Window" in plan, plan
+    assert plan.index("Window") > plan.index("HashAggregate"), plan
+
+
+def test_cdc_compaction_single_shuffle(spark):
+    """q157: latest-wins election + version count share the user_id
+    partitioning — ONE hash exchange reconstructs the snapshot (the
+    LSM-compaction cost model); the only other exchange allowed is
+    the final presentation sort's range partitioning."""
+    df = q(spark, "q157_cdc_log_compaction")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert count_shuffles(df) <= 2, plan  # hash + presentation sort
+
+
+def test_allocation_windows_on_dimension_table(spark):
+    """q156: the remainder-ranking window runs over the materialized
+    nation-count histogram (25 rows — customers are scanned ONCE, at
+    the shared-intermediate checkpoint, never once per consumer) and
+    the 1-row total/leftover ride broadcasts; no cartesian blowup
+    (the 1-row broadcast cross joins are nested-loop by name but
+    1×N by construction)."""
+    df = q(spark, "q156_largest_remainder_alloc")
+    plan = formatted_plan(df)
+    assert "Window" in plan, plan
+    assert plan.count("customer.parquet") == 0, plan  # pre-materialized
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_khop_frontier_stays_keyed(spark):
+    """q154: the final hop's plan (frontiers feed from checkpointed
+    state) must stay equi-join + anti-join — no cartesian, no
+    nested-loop fallback."""
+    df = q(spark, "q154_khop_reachability")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
