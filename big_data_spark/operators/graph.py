@@ -235,6 +235,8 @@ def k_hop_counts(
     node at hop h simply has no row there (its frontier went dry).
 
     ``seeds`` is a 1-column DataFrame of seed node ids."""
+    if int(hops) < 1:
+        raise ValueError(f"hops must be >= 1, got {hops}")
     seed_col = seeds.columns[0]
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.unionByName(

@@ -152,19 +152,14 @@ def ivf_search(
         .limit(nprobe)
         .collect()
     ]
-    cand = index.assigned.filter(F.col("cell").isin(probe_cells))
-    if "_bid" in cand.columns:
-        from pyspark.sql.window import Window
-
-        # dedup on the INDEX'S id column (recorded at build/load
-        # time), not a hardcoded default — a custom-id index must
-        # resolve its re-ingested versions too
-        w = Window.partitionBy(index.id_col).orderBy(F.desc("_bid"))
-        cand = (
-            cand.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", "_bid")
-        )
+    # latest-wins AFTER the cell filter: candidates stay partition-
+    # pruned (a pre-filter window would force a full-index scan); the
+    # documented caveat — a cross-cell update's superseded row in an
+    # unprobed old cell — is removed by compaction, not here
+    cand = _latest_wins(
+        index.assigned.filter(F.col("cell").isin(probe_cells)),
+        index.id_col,
+    )
     if where is not None:
         cand = cand.filter(F.expr(where) if isinstance(where, str) else where)
     out = (
@@ -182,13 +177,34 @@ def ivf_search(
     return out
 
 
+def _latest_wins(df: DataFrame, id_col: str) -> DataFrame:
+    """Resolve a versioned vector table (``_bid`` column — the
+    streaming-merged layout) to each id's newest row and drop the
+    version column; a frame without ``_bid`` passes through
+    untouched. Dedup keys on the INDEX'S id column, never a
+    hardcoded default."""
+    if "_bid" not in df.columns:
+        return df
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("_bid"))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_bid")
+    )
+
+
 def _estimate_selectivity(index: IVFIndex, where) -> float | None:
     """Fraction of index rows matching ``where``, estimated from the
     recorded per-cell metadata histogram (a tiny driver-local frame —
     the predicate is evaluated by Spark against it, so ANY expression
     over the recorded columns works), falling back to one counting
     aggregate over the corpus when no usable stats exist. Returns
-    None when even the fallback cannot evaluate the predicate."""
+    None when even the fallback cannot evaluate the predicate. The
+    fallback resolves latest-wins FIRST on versioned layouts —
+    superseded rows of re-ingested ids carry stale metadata that
+    would bias the estimate toward the old distribution."""
     pred = F.expr(where) if isinstance(where, str) else where
     spark = index.assigned.sparkSession
     stats = index.cell_stats
@@ -208,7 +224,7 @@ def _estimate_selectivity(index: IVFIndex, where) -> float | None:
             except Exception:
                 pass  # predicate over unrecorded columns — fall back
     try:
-        row = index.assigned.agg(
+        row = _latest_wins(index.assigned, index.id_col).agg(
             F.count("*").alias("t"),
             F.count_if(pred).alias("m"),
         ).first()
@@ -365,13 +381,17 @@ def compute_cell_stats(
 ) -> dict | None:
     """Per-(cell, metadata-values) row counts over an assigned-vector
     table — the tiny histogram ivf_search(auto_nprobe=True) estimates
-    predicate selectivity from without scanning the corpus. Only
-    recorded when the combination count stays driver-bounded
-    (CELL_STATS_MAX_ROWS) and the values are JSON-serializable; a
-    high-cardinality metadata surface simply gets no stats (callers
-    fall back to a counting aggregate)."""
+    predicate selectivity from without scanning the corpus. A
+    versioned input (``_bid``, the streaming-merged layout) resolves
+    latest-wins first — superseded rows would both skew the counts
+    and fragment the histogram per batch. Only recorded when the
+    combination count stays driver-bounded (CELL_STATS_MAX_ROWS) and
+    the values are JSON-serializable; a high-cardinality metadata
+    surface simply gets no stats (callers fall back to a counting
+    aggregate)."""
     import json
 
+    assigned = _latest_wins(assigned, id_col)
     meta_cols = [
         c for c in assigned.columns if c not in (id_col, vec_col, "cell")
     ]
@@ -404,19 +424,24 @@ def save_ivf_index(index: IVFIndex, path: str) -> None:
     module-docstring promise made physical), centroids + metadata as
     tiny side tables. Metadata-carrying indexes also record the
     per-cell metadata histogram (selectivity stats for auto
-    over-probing in filtered search)."""
+    over-probing in filtered search) — recomputed from the CURRENT
+    assigned table on every save, never copied from the in-memory
+    index, so re-saving a merged/streamed index can't persist a stale
+    distribution. A versioned input (``_bid`` — saving a streaming-
+    merged index IS its compaction) resolves latest-wins before
+    anything lands, so the written base carries one row per id and no
+    version column leaks into the data or the column contract."""
     import json
     import os
 
-    index.assigned.write.mode("overwrite").partitionBy("cell").parquet(
+    assigned = _latest_wins(index.assigned, index.id_col)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(path, "assigned")
     )
     index.centroids.write.mode("overwrite").parquet(
         os.path.join(path, "centroids")
     )
-    stats = index.cell_stats or compute_cell_stats(
-        index.assigned, index.id_col, index.vec_col
-    )
+    stats = compute_cell_stats(assigned, index.id_col, index.vec_col)
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(
             {
@@ -425,7 +450,7 @@ def save_ivf_index(index: IVFIndex, path: str) -> None:
                 # streaming ingest projects every batch to exactly
                 # these columns so base and stream leaves can never
                 # drift apart schema-wise
-                "columns": [c for c in index.assigned.columns if c != "cell"],
+                "columns": [c for c in assigned.columns if c != "cell"],
                 "cell_stats": stats,
             },
             f,

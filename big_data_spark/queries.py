@@ -7042,6 +7042,29 @@ def _copurchase_pairs(
     ).select("p.part_a", "p.part_b")
 
 
+def _copurchase_edges(
+    li: DataFrame,
+    min_support: int = 2,
+    max_basket_items: int | None = 64,
+) -> DataFrame:
+    """Support-filtered co-purchase edge table (u < v canonical, one
+    row per edge) — the graph q141 (triangles), q154 (k-hop BFS), and
+    the skew-guard A/B tool all analyze; ONE recipe so the support
+    floor, cap wiring, and checkpoint discipline can never diverge
+    between the queries and the benchmark measuring them. The edge
+    list is localCheckpointed: every consumer references it several
+    times (wedge-join sides, frontier hops, edge counts) and would
+    otherwise recompute the whole basket pipeline per reference."""
+    pairs = _copurchase_pairs(li, max_basket_items=max_basket_items)
+    return (
+        pairs.groupBy(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_support)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+
+
 def _bm25_doc_scores(
     spark: SparkSession, sf_dir: str, terms: list[str], prepared=None
 ) -> DataFrame:
@@ -7461,23 +7484,12 @@ def q141_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     two paths is pinned on hub graphs and this very edge set in
     tests/test_quality_checks.py. Baskets are capped at 64 items
     (the q128 guard), replayed identically by the oracle."""
-    pairs = _copurchase_pairs(
-        _t(spark, sf_dir, "lineitem"), max_basket_items=64
-    )
-    edges = (
-        pairs.groupBy(
-            F.col("part_a").alias("u"), F.col("part_b").alias("v")
-        )
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("u", "v")
-        # the edge list is referenced 4x (three wedge-join sides + the
-        # edge count); without materialization Spark recomputes the
-        # whole basket pipeline per reference (measured: 8 scans).
-        # localCheckpoint pays the support-filtered edge table once —
-        # exactly the "write the intermediate" a 100 TB run would do.
-        .localCheckpoint()
-    )
+    # the edge list is referenced 4x (three wedge-join sides + the
+    # edge count); _copurchase_edges localCheckpoints it — without
+    # materialization Spark recomputes the whole basket pipeline per
+    # reference (measured: 8 scans), exactly the "write the
+    # intermediate" a 100 TB run would do.
+    edges = _copurchase_edges(_t(spark, sf_dir, "lineitem"))
     from .operators.relational import triangle_count
 
     tri = triangle_count(edges)
@@ -8732,18 +8744,7 @@ def q154_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-joined CTE levels."""
     from .operators.graph import k_hop_counts
 
-    pairs = _copurchase_pairs(
-        _t(spark, sf_dir, "lineitem"), max_basket_items=64
-    )
-    edges = (
-        pairs.groupBy(
-            F.col("part_a").alias("u"), F.col("part_b").alias("v")
-        )
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("u", "v")
-        .localCheckpoint()
-    )
+    edges = _copurchase_edges(_t(spark, sf_dir, "lineitem"))
     # seeds come from the SYMMETRIZED endpoint set: the 5 smallest
     # node ids overall (a low-id node whose neighbors are all smaller
     # would never appear on the canonical u side)
@@ -8926,9 +8927,10 @@ def q157_cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     per key keep ONLY the latest operation (ts, then event_id as the
     total tiebreak — a log position, so replays are deterministic),
     drop keys whose latest op is a DELETE tombstone ('error' events
-    stand in as tombstones), and report how many superseded versions
-    each surviving key carried (compaction telemetry — the write
-    amplification a physical compaction would reclaim). One keyed
+    stand in as tombstones), and report each surviving key's TOTAL
+    log-entry count (survivor + superseded + tombstones — the rows a
+    physical compaction would visit; reclaimable rows are
+    n_versions − 1). One keyed
     window over the log, partitioned by key: no joins, no global
     sort; at 100 TB this is the standard shuffle-on-key pass every
     log-structured table maintenance runs. Deletes are filtered

@@ -289,6 +289,25 @@ def start_scd2_stream(
             # the correct replay action is a no-op. (Same-run is
             # guaranteed by the query-id check above whenever both
             # ids are recoverable.)
+            if manifest_run is None and run_id is not None:
+                # PRE-UPGRADE manifest (no run-id line): this id
+                # collision is ambiguous — a genuine post-commit
+                # replay at the upgrade boundary, OR a fresh
+                # checkpoint's first batch colliding with the current
+                # version (most commonly batch 0 vs a dim at v-0),
+                # whose data a silent no-op would permanently drop.
+                # Fail loudly; both recoveries are cheap and explicit.
+                raise RuntimeError(
+                    f"batch {batch_id} collides with the current "
+                    f"snapshot {version!r} under {dim_dir!r}, and the "
+                    "manifest predates generation binding — cannot "
+                    "tell a genuine crash replay from a fresh "
+                    "checkpoint's restarted batch ids. If this IS the "
+                    "original stream replaying, append the line "
+                    f"{run_id!r} to {SCD2_MANIFEST} and restart; "
+                    "otherwise start the new stream against a fresh "
+                    "dim_dir (seed it from read_scd2_dim if needed)."
+                )
             return
         if prev is not None and batch_id < int(
             os.path.basename(prev).split("-", 1)[1]

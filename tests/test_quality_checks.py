@@ -340,6 +340,11 @@ def test_k_hop_counts_hand_graphs(spark):
         (0, 1): 1, (0, 2): 1, (0, 3): 1,
         (5, 1): 1, (5, 2): 1, (5, 3): 1,
     }
+    # hops < 1 is a caller error, not a confusing None crash
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hops"):
+        run(path, [0], hops=0)
 
 
 def test_pagerank_fuzz_vs_numpy(spark):

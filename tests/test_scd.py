@@ -414,6 +414,76 @@ def test_scd2_pre_upgrade_manifest_rejects_restarted_batch_ids(
     assert after == before
 
 
+def test_scd2_pre_upgrade_equal_id_collision_is_ambiguous(
+    spark, tmp_path
+):
+    """The equal-id collision on a PRE-UPGRADE manifest (batch 0 vs a
+    dim at v-0, no run-id line) cannot be told apart from a genuine
+    post-commit crash replay — silently no-opping would drop a fresh
+    generation's first batch forever, so it must FAIL with the
+    recovery instructions; appending the query-id line per those
+    instructions then lets the genuine replay complete as a no-op."""
+    import contextlib
+    import os
+
+    import pytest as _pytest
+
+    from big_data_spark.streaming.sinks import (
+        SCD2_MANIFEST,
+        _checkpoint_query_id,
+        read_scd2_dim,
+        start_scd2_stream,
+    )
+
+    src = tmp_path / "updates"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "BUILDING", "2026-01-01T00:00:00")],
+        "cust_id long, segment string, ts_s string",
+    ).coalesce(1).write.mode("overwrite").json(str(src / "a"))
+
+    dim_dir = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "c1")
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema(
+                "cust_id long, segment string, ts_s string"
+            )
+            .json(str(src / "*"))
+            .withColumn("ts", F.to_timestamp("ts_s"))
+            .drop("ts_s")
+        )
+        q = start_scd2_stream(
+            stream, dim_dir, ck, key="cust_id", tracked=["segment"]
+        )
+        q.awaitTermination(120)
+
+    run(ckpt)  # one batch -> dim at v-0
+    before = sorted(map(tuple, read_scd2_dim(spark, dim_dir).collect()))
+
+    # strip the run-id line (pre-upgrade manifest) AND simulate the
+    # post-commit crash (deleted commit) -> the replay is ambiguous
+    manifest = os.path.join(dim_dir, SCD2_MANIFEST)
+    with open(manifest, "w") as f:
+        f.write("v-0")
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(os.path.join(ckpt, "commits", ".0.crc"))
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with _pytest.raises(StreamingQueryException, match="collides"):
+        run(ckpt)
+
+    # recovery per the error message: re-bind the manifest to the
+    # original query id -> the genuine replay no-ops cleanly
+    with open(manifest, "w") as f:
+        f.write(f"v-0\n{_checkpoint_query_id(ckpt)}")
+    run(ckpt)
+    assert sorted(map(tuple, read_scd2_dim(spark, dim_dir).collect())) == before
+
+
 def test_scd2_random_sequences_keep_invariants(spark):
     """Randomized SCD-2 invariant check: applying time-ordered update
     batches sequentially must always leave (per key) exactly one

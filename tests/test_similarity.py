@@ -305,6 +305,82 @@ def test_ivf_custom_id_column_contract(spark, emb, query_vec, tmp_path):
     ] == batch_hits
 
 
+def test_save_merged_index_resolves_versions_and_refreshes_stats(
+    spark, emb, query_vec, tmp_path
+):
+    """Re-saving a streaming-merged index via save_ivf_index IS its
+    compaction: latest-wins resolves before anything lands (no _bid
+    in the written data or the column contract, one row per id), and
+    the selectivity histogram is recomputed from the CURRENT rows —
+    never copied from the in-memory index — so an update stream that
+    shifts the metadata distribution can't leave auto-nprobe
+    estimating against the stale one. The stats-less fallback must
+    apply the same latest-wins (superseded rows carry old labels)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from big_data_spark.operators.similarity import (
+        IVFIndex,
+        _estimate_selectivity,
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from big_data_spark.streaming.sinks import (
+        read_streaming_ivf,
+        start_vector_ingest_stream,
+    )
+
+    idx_dir = str(tmp_path / "ivf")
+    save_ivf_index(build_ivf_index(emb, nlist=8, keep_cols=("label",)), idx_dir)
+
+    # update stream: every label-0 vector re-ingests as label 99
+    src = tmp_path / "src"
+    src.mkdir()
+    flipped = emb.filter(F.col("label") == 0).select(
+        "vec_id", "embedding", F.lit(99).cast(emb.schema["label"].dataType).alias("label")
+    )
+    n_flipped = flipped.count()
+    flipped.coalesce(1).write.parquet(str(src / "u"))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = start_vector_ingest_stream(stream, idx_dir, str(tmp_path / "ck"))
+    q.awaitTermination(180)
+
+    live = read_streaming_ivf(spark, idx_dir)
+    assert "_bid" in live.assigned.columns  # versioned layout in play
+
+    out_dir = str(tmp_path / "ivf_resaved")
+    save_ivf_index(live, out_dir)
+    re = load_ivf_index(spark, out_dir)
+    assert "_bid" not in re.assigned.columns
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    assert "_bid" not in meta["columns"]
+    assert re.assigned.count() == emb.count()  # one row per id
+    # stats reflect the POST-update distribution
+    hist = {}
+    for row in meta["cell_stats"]["rows"]:
+        hist[row[1]] = hist.get(row[1], 0) + row[-1]
+    assert hist.get(0, 0) == 0 and hist[99] == n_flipped, hist
+    # and the stats-less fallback resolves latest-wins the same way
+    live2 = read_streaming_ivf(spark, idx_dir)
+    bare = IVFIndex(
+        assigned=live2.assigned,
+        centroids=live2.centroids,
+        nlist=live2.nlist,
+        cell_stats=None,
+    )
+    sel0 = _estimate_selectivity(bare, "label = 0")
+    sel99 = _estimate_selectivity(bare, "label = 99")
+    assert sel0 == 0.0
+    assert abs(sel99 - n_flipped / emb.count()) < 1e-12
+
+
 def test_pq_index_save_load_roundtrip(spark, emb, query_vec, tmp_path):
     """A reloaded PQ index reproduces ADC search results exactly —
     codes + codebooks survive the parquet/JSON roundtrip."""

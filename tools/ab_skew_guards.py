@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from big_data_spark.catalog import load_table
 from big_data_spark.operators.relational import triangle_count
-from big_data_spark.queries import _copurchase_pairs
+from big_data_spark.queries import _copurchase_edges, _copurchase_pairs
 from big_data_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -46,14 +46,7 @@ def _q128(spark, cap):
 
 def _q141(spark, degree_ordered):
     li = load_table(spark, SF_DIR, "lineitem")
-    pairs = _copurchase_pairs(li, max_basket_items=64)
-    edges = (
-        pairs.groupBy(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("u", "v")
-        .localCheckpoint()
-    )
+    edges = _copurchase_edges(li)  # the exact q141/q154 edge recipe
     tri = triangle_count(edges, degree_ordered=degree_ordered)
     n_edges = edges.agg(F.count("*").alias("n_edges"))
     return n_edges.crossJoin(tri).select("n_edges", "n_triangles")
