@@ -219,6 +219,61 @@ def read_scd2_dim(spark, dim_dir: str, version: str | None = None) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def scd2_version_diff(
+    spark,
+    dim_dir: str,
+    v_from: str,
+    v_to: str,
+    key: str,
+    tracked: list[str],
+) -> DataFrame:
+    """Change feed between two RETAINED SCD-2 snapshot versions
+    (``keep_versions`` > 1 keeps the time-travel window) — what a
+    table format's CDF would emit for the span, computed from plain
+    snapshots via operators.relational.snapshot_diff. The history-row
+    identity (business key, valid_from) is unique by the SCD-2
+    invariant, so it forms the diff key (joined with an ASCII unit
+    separator — content digests move through the full-outer join,
+    never rows). Returns (key-as-string, valid_from, change_type):
+
+    - 'insert' — a history row opened after ``v_from`` (new key or
+      new version of an existing key),
+    - 'update' — an existing row whose (tracked..., valid_to,
+      is_current) changed, i.e. the version was CLOSED by a later
+      update,
+    - 'delete' — a history row present in ``v_from`` but missing
+      from ``v_to``: an append-only dimension must NEVER produce
+      this; surfacing it (rather than masking) makes the diff a
+      history-rewrite integrity check when pointed backward or at a
+      tampered snapshot."""
+    from ..operators.relational import snapshot_diff
+
+    sep = "\x1f"
+
+    def prep(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "_hk",
+            F.concat_ws(
+                sep,
+                F.col(key).cast("string"),
+                F.unix_micros("valid_from").cast("string"),
+            ),
+        )
+
+    old = prep(read_scd2_dim(spark, dim_dir, version=v_from))
+    new = prep(read_scd2_dim(spark, dim_dir, version=v_to))
+    cmp_cols = [*tracked, "valid_to", "is_current"]
+    d = snapshot_diff(old, new, key="_hk", compare_cols=cmp_cols)
+    parts = F.split(F.col("_hk"), sep)
+    return d.select(
+        parts.getItem(0).alias(key),
+        F.timestamp_micros(parts.getItem(1).cast("long")).alias(
+            "valid_from"
+        ),
+        "change_type",
+    )
+
+
 def start_scd2_stream(
     stream: DataFrame,
     dim_dir: str,

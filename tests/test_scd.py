@@ -484,6 +484,85 @@ def test_scd2_pre_upgrade_equal_id_collision_is_ambiguous(
     assert sorted(map(tuple, read_scd2_dim(spark, dim_dir).collect())) == before
 
 
+def test_scd2_version_diff_change_feed(spark, tmp_path):
+    """scd2_version_diff between retained snapshots: versions opened
+    after v_from report 'insert', versions CLOSED by a later update
+    report 'update', an unchanged dimension span diffs empty, and
+    pointing the diff backward surfaces the removed history rows as
+    'delete' — the append-only integrity signal."""
+    from big_data_spark.streaming.sinks import (
+        list_scd2_versions,
+        scd2_version_diff,
+        start_scd2_stream,
+    )
+
+    src = tmp_path / "updates"
+    src.mkdir()
+    batches = [
+        ("a", [(1, "BUILDING", "2026-01-01T00:00:00"),
+               (2, "AUTOMOBILE", "2026-01-01T00:00:00")]),
+        ("b", [(1, "MACHINERY", "2026-02-01T00:00:00")]),
+        ("c", [(3, "FURNITURE", "2026-03-01T00:00:00")]),
+    ]
+    for name, rows in batches:
+        spark.createDataFrame(
+            rows, "cust_id long, segment string, ts_s string"
+        ).coalesce(1).write.mode("overwrite").json(str(src / name))
+    stream = (
+        spark.readStream.schema("cust_id long, segment string, ts_s string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src / "*"))
+        .withColumn("ts", F.to_timestamp("ts_s"))
+        .drop("ts_s")
+    )
+    dim_dir = str(tmp_path / "dim")
+    q = start_scd2_stream(
+        stream, dim_dir, str(tmp_path / "ck"), key="cust_id",
+        tracked=["segment"], keep_versions=3,
+    )
+    q.awaitTermination(120)
+    versions = list_scd2_versions(dim_dir)
+    assert versions == ["v-0", "v-1", "v-2"], versions
+
+    d01 = {
+        (r["cust_id"], str(r["valid_from"]), r["change_type"])
+        for r in scd2_version_diff(
+            spark, dim_dir, "v-0", "v-1", key="cust_id",
+            tracked=["segment"],
+        ).collect()
+    }
+    # batch b: cust 1's 2026-01 version CLOSED (update) + a new
+    # 2026-02 version opened (insert); cust 2 untouched
+    assert d01 == {
+        ("1", "2026-01-01 00:00:00", "update"),
+        ("1", "2026-02-01 00:00:00", "insert"),
+    }, d01
+
+    d12 = {
+        (r["cust_id"], r["change_type"])
+        for r in scd2_version_diff(
+            spark, dim_dir, "v-1", "v-2", key="cust_id",
+            tracked=["segment"],
+        ).collect()
+    }
+    assert d12 == {("3", "insert")}, d12  # batch c: brand-new key
+
+    # identical span -> empty feed
+    assert scd2_version_diff(
+        spark, dim_dir, "v-2", "v-2", key="cust_id", tracked=["segment"]
+    ).count() == 0
+
+    # backward diff: the v-2-only rows surface as history REWRITE
+    back = {
+        (r["cust_id"], r["change_type"])
+        for r in scd2_version_diff(
+            spark, dim_dir, "v-2", "v-0", key="cust_id",
+            tracked=["segment"],
+        ).collect()
+    }
+    assert ("3", "delete") in back and ("1", "delete") in back, back
+
+
 def test_scd2_random_sequences_keep_invariants(spark):
     """Randomized SCD-2 invariant check: applying time-ordered update
     batches sequentially must always leave (per key) exactly one
