@@ -117,6 +117,8 @@ BENCH_QUERIES = [
     "q156_largest_remainder_alloc",
     "q157_cdc_log_compaction",
     "q158_golden_record",
+    "q159_quota_sample",
+    "q160_last_touch_attribution",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

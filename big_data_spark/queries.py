@@ -9063,6 +9063,202 @@ def q158_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q159_quota_sample",
+    """
+    WITH w AS (
+      SELECT c_nationkey AS nation, COUNT(*) AS n_cust
+      FROM customer GROUP BY 1
+    ), t AS (SELECT SUM(n_cust) AS tot FROM w),
+    q AS (
+      SELECT nation, n_cust,
+             (1000 * n_cust) // tot AS base,
+             (1000 * n_cust) % tot AS rem
+      FROM w, t
+    ), l AS (SELECT 1000 - SUM(base) AS leftover FROM q),
+    alloc AS (
+      SELECT nation,
+             base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC,
+                                                 nation) <= leftover
+                    THEN 1 ELSE 0 END AS alloc
+      FROM q, l
+    ), drawn AS (
+      SELECT c.c_nationkey AS nation, c.c_custkey
+      FROM customer c JOIN alloc a ON c.c_nationkey = a.nation
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY c.c_nationkey
+        ORDER BY md5('quota:' || CAST(c.c_custkey AS VARCHAR)),
+                 c.c_custkey) <= a.alloc
+    )
+    SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_drawn,
+           MIN(c_custkey) AS min_key,
+           MAX(c_custkey) AS max_key,
+           ('0x' || substring(md5(string_agg(
+               CAST(c_custkey AS VARCHAR), ','
+               ORDER BY c_custkey)), 1, 8))::BIGINT AS sample_digest
+    FROM drawn GROUP BY nation ORDER BY nation
+    """,
+    "sampling",
+    "allocation",
+)
+def q159_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota-consistent stratified sampling — q156's allocator and
+    q93's deterministic draw COMPOSED: allocate exactly 1000 slots
+    across nations by largest remainder, then draw exactly that many
+    customers per nation in seeded-md5 order (retry-stable, no RNG) —
+    so the drawn sample hits the global budget EXACTLY, which
+    per-stratum fraction rounding cannot guarantee. The per-group k
+    VARIES (it comes from the broadcast quota dim), so the rank
+    filter is a plain per-group window joined against the quota —
+    WindowGroupLimit needs a constant k; the variable-k form still
+    shuffles once on the stratum key with dimension-sized side
+    inputs. Output is per-nation (count, key range, and an md5 digest
+    of the drawn key set) so the oracle pins the EXACT membership
+    without emitting 1000 rows."""
+    w = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(F.count("*").alias("n_cust"))
+        .localCheckpoint()  # feeds quota math + total (one scan)
+    )
+    t = w.agg(F.sum("n_cust").alias("tot"))
+    q = w.crossJoin(F.broadcast(t)).select(
+        "nation",
+        "n_cust",
+        F.expr("(1000 * n_cust) DIV tot").alias("base"),
+        ((F.lit(1000) * F.col("n_cust")) % F.col("tot")).alias("rem"),
+    )
+    lft = q.agg((F.lit(1000) - F.sum("base")).alias("leftover"))
+    rk = F.row_number().over(Window.orderBy(F.desc("rem"), "nation"))
+    alloc = (
+        q.withColumn("rk", rk)
+        .crossJoin(F.broadcast(lft))
+        .select(
+            "nation",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            ).alias("alloc"),
+        )
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"), "c_custkey"
+    )
+    draw_key = F.md5(
+        F.concat(F.lit("quota:"), F.col("c_custkey").cast("string"))
+    )
+    wd = Window.partitionBy("nation").orderBy(draw_key, "c_custkey")
+    drawn = (
+        cust.join(F.broadcast(alloc), "nation")
+        .withColumn("_rn", F.row_number().over(wd))
+        .filter(F.col("_rn") <= F.col("alloc"))
+    )
+    digest = F.conv(
+        F.substring(
+            F.md5(
+                F.array_join(
+                    F.array_sort(F.collect_list("c_custkey")), ","
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        drawn.groupBy("nation")
+        .agg(
+            F.count("*").cast("long").alias("n_drawn"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+            digest.alias("sample_digest"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "q160_last_touch_attribution",
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_id, event_type, value FROM events
+    ), carried AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS touch_type,
+             LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                             THEN ts END IGNORE NULLS)
+               OVER w AS touch_ts
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT COALESCE(CASE WHEN touch_ts >= ts - INTERVAL 7 DAY
+                         THEN touch_type END, 'direct') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS revenue
+    FROM carried
+    WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+    "window",
+    "attribution",
+)
+def q160_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the
+    user's most recent preceding click/view within a 7-day lookback,
+    else the 'direct' channel — the product-analytics revenue
+    breakdown every growth team runs. The touch carry is ONE
+    last_value(ignoreNulls) window per carried field over the
+    user-time ordering (q109's LOCF machinery pointed at events
+    rather than a gap grid; frame ends at 1 PRECEDING so a purchase
+    never attributes to itself), with (ts, event_id) as the total
+    tiebreak (q157's log-position discipline) so same-timestamp
+    replays attribute identically. One keyed shuffle for the window,
+    map-side-combinable final rollup, revenue as exact decimal sums —
+    at 100 TB this is the single shuffle-on-user pass every
+    sessionization already pays."""
+    ev = _t(spark, sf_dir, "events")
+    is_touch = F.col("event_type").isin("click", "view")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    channel = F.coalesce(
+        F.when(
+            F.col("touch_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAY"),
+            F.col("touch_type"),
+        ),
+        F.lit("direct"),
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .groupBy(channel.alias("channel"))
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
 # =========================================================================
 # Registry ordering (driver check-window priority)
 # =========================================================================
@@ -9202,6 +9398,11 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q156_largest_remainder_alloc",
     "q157_cdc_log_compaction",
     "q158_golden_record",
+    # q159↔q156+q93 (the composition: quota dim + seeded-md5 draw,
+    # variable-k per-group rank); q160↔q109/q157 (LOCF carry window
+    # with the log-position tiebreak).
+    "q159_quota_sample",
+    "q160_last_touch_attribution",
     # round-6 demotions next (freshest prev-pass evidence, 2× green
     # in r04+r05):
     "q89_volume_shipping",
