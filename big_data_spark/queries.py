@@ -8821,6 +8821,40 @@ def q155_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _largest_remainder_alloc(
+    w: DataFrame, key_col: str, weight_col: str, budget: int
+) -> DataFrame:
+    """Hamilton-method integer quotas over a (key, weight) histogram:
+    floor quotas and remainders in pure integer arithmetic, the
+    remainder ranking over the group table, Σ alloc == budget by
+    construction (leftover < #groups). Shared by q156 (the allocator
+    as a query) and q159 (allocation driving a stratified draw) — one
+    recipe so a tie-break or budget change can never diverge. Returns
+    (key_col, weight_col, alloc). The caller materializes ``w``
+    (localCheckpoint) — it feeds the quota math AND the total."""
+    t = w.agg(F.sum(weight_col).alias("tot"))
+    q = w.crossJoin(F.broadcast(t)).select(
+        key_col,
+        weight_col,
+        F.expr(f"({budget} * {weight_col}) DIV tot").alias("base"),
+        ((F.lit(budget) * F.col(weight_col)) % F.col("tot")).alias("rem"),
+    )
+    lft = q.agg((F.lit(budget) - F.sum("base")).alias("leftover"))
+    rk = F.row_number().over(Window.orderBy(F.desc("rem"), key_col))
+    return (
+        q.withColumn("rk", rk)
+        .crossJoin(F.broadcast(lft))
+        .select(
+            key_col,
+            weight_col,
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            ).alias("alloc"),
+        )
+    )
+
+
 @register(
     "q156_largest_remainder_alloc",
     """
@@ -8871,27 +8905,12 @@ def q156_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         # customers twice (the shared-intermediate discipline)
         .localCheckpoint()
     )
-    t = w.agg(F.sum("n_cust").alias("tot"))
-    q = w.crossJoin(F.broadcast(t)).select(
-        "nation",
-        "n_cust",
-        F.expr("(1000 * n_cust) DIV tot").alias("base"),
-        ((F.lit(1000) * F.col("n_cust")) % F.col("tot")).alias("rem"),
-    )
-    lft = q.agg((F.lit(1000) - F.sum("base")).alias("leftover"))
-    rk = F.row_number().over(Window.orderBy(F.desc("rem"), "nation"))
     return (
-        q.withColumn("rk", rk)
-        .crossJoin(F.broadcast(lft))
+        _largest_remainder_alloc(w, "nation", "n_cust", 1000)
         .select(
             "nation",
             F.col("n_cust").cast("long").alias("n_cust"),
-            (
-                F.col("base")
-                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
-            )
-            .cast("int")
-            .alias("alloc"),
+            F.col("alloc").cast("int").alias("alloc"),
         )
         .orderBy("nation")
     )
@@ -9121,25 +9140,8 @@ def q159_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_cust"))
         .localCheckpoint()  # feeds quota math + total (one scan)
     )
-    t = w.agg(F.sum("n_cust").alias("tot"))
-    q = w.crossJoin(F.broadcast(t)).select(
-        "nation",
-        "n_cust",
-        F.expr("(1000 * n_cust) DIV tot").alias("base"),
-        ((F.lit(1000) * F.col("n_cust")) % F.col("tot")).alias("rem"),
-    )
-    lft = q.agg((F.lit(1000) - F.sum("base")).alias("leftover"))
-    rk = F.row_number().over(Window.orderBy(F.desc("rem"), "nation"))
-    alloc = (
-        q.withColumn("rk", rk)
-        .crossJoin(F.broadcast(lft))
-        .select(
-            "nation",
-            (
-                F.col("base")
-                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
-            ).alias("alloc"),
-        )
+    alloc = _largest_remainder_alloc(w, "nation", "n_cust", 1000).select(
+        "nation", "alloc"
     )
     cust = _t(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nation"), "c_custkey"
@@ -9183,6 +9185,7 @@ def q159_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH ev AS (
       SELECT user_id, ts, event_id, event_type, value FROM events
+      WHERE event_type IN ('click', 'view', 'purchase')
     ), carried AS (
       SELECT user_id, ts, event_id, event_type, value,
              LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
@@ -9216,11 +9219,16 @@ def q160_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than a gap grid; frame ends at 1 PRECEDING so a purchase
     never attributes to itself), with (ts, event_id) as the total
     tiebreak (q157's log-position discipline) so same-timestamp
-    replays attribute identically. One keyed shuffle for the window,
-    map-side-combinable final rollup, revenue as exact decimal sums —
-    at 100 TB this is the single shuffle-on-user pass every
-    sessionization already pays."""
-    ev = _t(spark, sf_dir, "events")
+    replays attribute identically. Non-participating event types
+    filter out BEFORE the window (pushed to the scan) — last_value
+    ignoreNulls would skip them anyway, but they'd still pay the
+    user-keyed shuffle and sort (~40% of rows here). One keyed
+    shuffle for the window, map-side-combinable final rollup, revenue
+    as exact decimal sums — at 100 TB this is the single
+    shuffle-on-user pass every sessionization already pays."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
     is_touch = F.col("event_type").isin("click", "view")
     w = (
         Window.partitionBy("user_id")
@@ -9251,9 +9259,7 @@ def q160_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(channel.alias("channel"))
         .agg(
             F.count("*").cast("long").alias("n_purchases"),
-            F.sum(F.col("value").cast("decimal(27,2)"))
-            .cast("double")
-            .alias("revenue"),
+            _dsum(F.col("value"), "revenue"),
         )
         .orderBy("channel")
     )

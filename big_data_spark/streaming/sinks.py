@@ -245,13 +245,29 @@ def scd2_version_diff(
       from ``v_to``: an append-only dimension must NEVER produce
       this; surfacing it (rather than masking) makes the diff a
       history-rewrite integrity check when pointed backward or at a
-      tampered snapshot."""
+      tampered snapshot.
+
+    Nullable content columns (``valid_to`` is NULL on every current
+    row; tracked columns may be NULL) get explicit per-column null
+    markers before digesting — snapshot_diff's concat_ws skips NULLs,
+    so without markers a NULL→value shift between adjacent columns
+    could collide digests and mask exactly the rewrite this is meant
+    to surface. The business key keeps its ORIGINAL type in the
+    output: the diff joins back to the snapshots on the surrogate
+    (collision-free: valid_from renders as pure digits, so the
+    separator cannot be forged by a key containing it) instead of
+    parsing columns out of a string."""
     from ..operators.relational import snapshot_diff
 
     sep = "\x1f"
+    # one guaranteed-absent token per NULL: concat_ws drops NULLs, so
+    # an unmarked (NULL,'x') row would digest like ('x',NULL)
+    null_mark = "\x00<NULL>"
+    cmp_cols = [*tracked, "valid_to", "is_current"]
+    marked = [f"_m_{c}" for c in cmp_cols]
 
     def prep(df: DataFrame) -> DataFrame:
-        return df.withColumn(
+        out = df.withColumn(
             "_hk",
             F.concat_ws(
                 sep,
@@ -259,19 +275,21 @@ def scd2_version_diff(
                 F.unix_micros("valid_from").cast("string"),
             ),
         )
+        for c, m in zip(cmp_cols, marked):
+            out = out.withColumn(
+                m, F.coalesce(F.col(c).cast("string"), F.lit(null_mark))
+            )
+        return out
 
     old = prep(read_scd2_dim(spark, dim_dir, version=v_from))
     new = prep(read_scd2_dim(spark, dim_dir, version=v_to))
-    cmp_cols = [*tracked, "valid_to", "is_current"]
-    d = snapshot_diff(old, new, key="_hk", compare_cols=cmp_cols)
-    parts = F.split(F.col("_hk"), sep)
-    return d.select(
-        parts.getItem(0).alias(key),
-        F.timestamp_micros(parts.getItem(1).cast("long")).alias(
-            "valid_from"
-        ),
-        "change_type",
+    d = snapshot_diff(old, new, key="_hk", compare_cols=marked)
+    ids = (
+        old.select("_hk", key, "valid_from")
+        .unionByName(new.select("_hk", key, "valid_from"))
+        .distinct()
     )
+    return d.join(ids, "_hk").select(key, "valid_from", "change_type")
 
 
 def start_scd2_stream(

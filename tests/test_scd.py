@@ -487,7 +487,8 @@ def test_scd2_pre_upgrade_equal_id_collision_is_ambiguous(
 def test_scd2_version_diff_change_feed(spark, tmp_path):
     """scd2_version_diff between retained snapshots: versions opened
     after v_from report 'insert', versions CLOSED by a later update
-    report 'update', an unchanged dimension span diffs empty, and
+    report 'update' (the business key keeps its original type), an
+    unchanged dimension span diffs empty, and
     pointing the diff backward surfaces the removed history rows as
     'delete' — the append-only integrity signal."""
     from big_data_spark.streaming.sinks import (
@@ -534,8 +535,8 @@ def test_scd2_version_diff_change_feed(spark, tmp_path):
     # batch b: cust 1's 2026-01 version CLOSED (update) + a new
     # 2026-02 version opened (insert); cust 2 untouched
     assert d01 == {
-        ("1", "2026-01-01 00:00:00", "update"),
-        ("1", "2026-02-01 00:00:00", "insert"),
+        (1, "2026-01-01 00:00:00", "update"),
+        (1, "2026-02-01 00:00:00", "insert"),
     }, d01
 
     d12 = {
@@ -545,7 +546,7 @@ def test_scd2_version_diff_change_feed(spark, tmp_path):
             tracked=["segment"],
         ).collect()
     }
-    assert d12 == {("3", "insert")}, d12  # batch c: brand-new key
+    assert d12 == {(3, "insert")}, d12  # batch c: brand-new key
 
     # identical span -> empty feed
     assert scd2_version_diff(
@@ -560,7 +561,7 @@ def test_scd2_version_diff_change_feed(spark, tmp_path):
             tracked=["segment"],
         ).collect()
     }
-    assert ("3", "delete") in back and ("1", "delete") in back, back
+    assert (3, "delete") in back and (1, "delete") in back, back
 
 
 def test_scd2_random_sequences_keep_invariants(spark):
