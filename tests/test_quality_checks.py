@@ -347,6 +347,82 @@ def test_k_hop_counts_hand_graphs(spark):
         run(path, [0], hops=0)
 
 
+def test_k_hop_counts_fuzz_vs_bfs(spark):
+    """Randomized cross-check: per-(seed, hop) first-reach counts
+    from the distributed frontier traversal equal a plain-Python BFS
+    on sparse random graphs (multiple components, dry frontiers, and
+    seeds that reach nothing all occur at these densities)."""
+    import random
+    from collections import deque
+
+    from big_data_spark.operators.graph import k_hop_counts
+
+    for seed in (11, 29):
+        rng = random.Random(seed)
+        n = 40
+        es = sorted(
+            {
+                (a, b)
+                for _ in range(50)
+                for a, b in [sorted(rng.sample(range(n), 2))]
+            }
+        )
+        adj: dict = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        seeds = sorted(rng.sample(sorted(adj), 4))
+        want = {}
+        for s in seeds:
+            dist = {s: 0}
+            dq = deque([s])
+            while dq:
+                x = dq.popleft()
+                for y in adj[x]:
+                    if y not in dist:
+                        dist[y] = dist[x] + 1
+                        dq.append(y)
+            for node, d in dist.items():
+                if 1 <= d <= 3:
+                    want[(s, d)] = want.get((s, d), 0) + 1
+        edges = spark.createDataFrame(es, "u long, v long")
+        sdf = spark.createDataFrame([(s,) for s in seeds], "seed long")
+        got = {
+            (r["seed"], r["hop"]): r["n_new"]
+            for r in k_hop_counts(edges, sdf, hops=3).collect()
+        }
+        assert got == want, f"seed={seed}"
+
+
+def test_largest_remainder_quota_rule_fuzz(spark):
+    """Property check for the shared Hamilton allocator: for random
+    weight histograms and several budgets, Σ alloc == budget exactly
+    and every group's allocation satisfies the QUOTA RULE —
+    floor(exact quota) <= alloc <= ceil(exact quota) — the defining
+    property of largest-remainder apportionment."""
+    import math
+    import random
+
+    from big_data_spark.queries import _largest_remainder_alloc
+
+    rng = random.Random(42)
+    for trial in range(3):
+        groups = [(i, rng.randint(1, 500)) for i in range(rng.randint(3, 12))]
+        total = sum(w for _, w in groups)
+        w = spark.createDataFrame(groups, "g long, n long")
+        for budget in (10, 137, 1000):
+            got = {
+                r["g"]: r["alloc"]
+                for r in _largest_remainder_alloc(w, "g", "n", budget).collect()
+            }
+            assert sum(got.values()) == budget, (trial, budget, got)
+            for g, weight in groups:
+                quota = budget * weight / total
+                assert math.floor(quota) <= got[g] <= math.ceil(quota), (
+                    trial, budget, g, quota, got[g],
+                )
+
+
 def test_pagerank_fuzz_vs_numpy(spark):
     """Randomized cross-check: the distributed fixed-point iteration
     equals a dense NumPy power iteration (same damping, iterations,
