@@ -551,9 +551,24 @@ def save_pq_index(index: PQIndex, path: str) -> None:
 
 
 def load_pq_index(spark: SparkSession, path: str) -> PQIndex:
+    """Reload a saved BATCH PQ index. An index that has received
+    streaming ingest (or been compacted) must load through
+    streaming.sinks.read_streaming_pq — this loader's plain ``codes``
+    dir would be a silently stale subset there, so that pairing
+    fails loudly instead (the load_ivf_index contract)."""
     import json
     import os
 
+    from ..streaming.sinks import PQ_BASE_MANIFEST, PQ_STREAM_DIR
+
+    if os.path.isdir(os.path.join(path, PQ_STREAM_DIR)) or os.path.exists(
+        os.path.join(path, PQ_BASE_MANIFEST)
+    ):
+        raise ValueError(
+            f"{path} has streaming ingest/compaction state; "
+            "load it via streaming.sinks.read_streaming_pq — "
+            "load_pq_index would return a stale batch-only subset"
+        )
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     return PQIndex(

@@ -732,6 +732,8 @@ def start_trending_stream(
 TRENDING_BASE_MANIFEST = "_BASE"
 IVF_BASE_MANIFEST = "_IVF_BASE"
 IVF_STREAM_DIR = "assigned_stream"
+PQ_BASE_MANIFEST = "_PQ_BASE"
+PQ_STREAM_DIR = "codes_stream"
 RUN_SIDECAR = "_RUN"
 
 
@@ -1298,7 +1300,7 @@ def start_pq_ingest_stream(
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
-            .parquet(os.path.join(index_path, "codes_stream"))
+            .parquet(os.path.join(index_path, PQ_STREAM_DIR))
         )
 
     writer = (
@@ -1327,8 +1329,12 @@ def _guard_pq_generation(index_path: str, checkpoint_dir: str) -> None:
     qid = _checkpoint_query_id(checkpoint_dir)
     if qid is None:
         return
-    stream_dir = os.path.join(index_path, "codes_stream")
-    owner = _run_sidecar_id(stream_dir)
+    stream_dir = os.path.join(index_path, PQ_STREAM_DIR)
+    # the sidecar is the primary binding; the compaction manifest's
+    # recorded run id backs it up if the sidecar ever goes missing
+    owner = _run_sidecar_id(stream_dir) or _fold_manifest_state(
+        os.path.join(index_path, PQ_BASE_MANIFEST)
+    )[2]
     if (
         owner is not None
         and owner != qid
@@ -1383,20 +1389,29 @@ def read_streaming_pq(spark, index_path: str, id_col: str = "vec_id"):
 
     with open(os.path.join(index_path, "meta.json")) as f:
         meta = json.load(f)
+    version, folded, _run = _fold_manifest_state(
+        os.path.join(index_path, PQ_BASE_MANIFEST)
+    )
     parts = []
-    codes_dir = os.path.join(index_path, "codes")
+    codes_dir = os.path.join(
+        index_path, "codes" if version is None else f"codes-v{version}"
+    )
     if _has_committed_files(codes_dir):
         parts.append(
             spark.read.parquet(codes_dir).withColumn(
                 "_bid", F.lit(-1).cast("long")
             )
         )
-    stream_dir = os.path.join(index_path, "codes_stream")
+    stream_dir = os.path.join(index_path, PQ_STREAM_DIR)
     if glob.glob(os.path.join(stream_dir, "batch_id=*")):
+        s = spark.read.parquet(stream_dir)
+        if folded:  # folded ids live in the versioned base; their
+            # partitions may still exist after a cleanup crash
+            s = s.filter(~F.col("batch_id").isin(sorted(folded)))
         parts.append(
-            spark.read.parquet(stream_dir)
-            .withColumn("_bid", F.col("batch_id").cast("long"))
-            .drop("batch_id")
+            s.withColumn("_bid", F.col("batch_id").cast("long")).drop(
+                "batch_id"
+            )
         )
     if not parts:
         raise FileNotFoundError(f"no codes under {index_path}")
@@ -1408,6 +1423,92 @@ def read_streaming_pq(spark, index_path: str, id_col: str = "vec_id"):
         ksub=int(meta["ksub"]),
         dsub=int(meta["dsub"]),
     )
+
+
+def _sweep_pq(
+    index_path: str, folded: set, keep_version: int | None
+) -> None:
+    """PQ twin of _sweep_ivf: folded stream partitions, stale base
+    versions, and (once any fold exists) the superseded plain batch
+    dir."""
+    stream_dir = os.path.join(index_path, PQ_STREAM_DIR)
+    for d in glob.glob(os.path.join(stream_dir, "batch_id=*")):
+        if int(d.rsplit("batch_id=", 1)[1]) in folded:
+            shutil.rmtree(d, ignore_errors=True)
+    for d in glob.glob(os.path.join(index_path, "codes-v*")):
+        if keep_version is None or d != os.path.join(
+            index_path, f"codes-v{keep_version}"
+        ):
+            shutil.rmtree(d, ignore_errors=True)
+    if keep_version is not None:
+        shutil.rmtree(os.path.join(index_path, "codes"), ignore_errors=True)
+
+
+def compact_streaming_pq(
+    spark, index_path: str, id_col: str = "vec_id"
+) -> int:
+    """Fold finalized streamed PQ batches into a rewritten single
+    code-table base, resolving latest-wins per id GLOBALLY — the
+    partial-count hygiene compact_streaming_ivf provides for the IVF
+    layout (ADC has no pruning structure to preserve, so the base is
+    one plain parquet table; what compaction buys here is a bounded
+    partition count and a read path whose per-search latest-wins
+    window shrinks to the uncompacted tail). Returns the number of
+    stream batches folded.
+
+    Same crash-safe discipline as the IVF/trending compactions: new
+    base in ``codes-v{n}``, ONE atomic ``_PQ_BASE`` manifest flip
+    (readers exclude folded batch ids even if their partitions
+    survive a cleanup crash), folded ids bound to the checkpoint
+    generation that numbered them (the ``codes_stream/_RUN`` sidecar
+    the write-path guard already maintains), the NEWEST batch never
+    folds (its crash-replay window), and sweeps run before AND after
+    the flip so any crash window is repaired by the next run."""
+    manifest = os.path.join(index_path, PQ_BASE_MANIFEST)
+    version, folded, prev_run = _fold_manifest_state(manifest)
+    stream_dir = os.path.join(index_path, PQ_STREAM_DIR)
+    # sweep leftovers of any earlier crash between flip and cleanup
+    # FIRST (every invocation, not only folding ones)
+    _sweep_pq(index_path, folded, version)
+    leaves = glob.glob(os.path.join(stream_dir, "batch_id=*"))
+    ids = {int(d.rsplit("batch_id=", 1)[1]) for d in leaves}
+    live = sorted(ids - folded)
+    if len(live) < 2:  # newest never folds; nothing else to fold
+        return 0
+    foldable = live[:-1]
+    base_dir = os.path.join(
+        index_path, "codes" if version is None else f"codes-v{version}"
+    )
+    parts = []
+    if _has_committed_files(base_dir):
+        parts.append(
+            spark.read.parquet(base_dir).withColumn(
+                "_bid", F.lit(-1).cast("long")
+            )
+        )
+    parts.append(
+        spark.read.parquet(stream_dir)
+        .filter(F.col("batch_id").isin(foldable))
+        .withColumn("_bid", F.col("batch_id").cast("long"))
+        .drop("batch_id")
+    )
+    new_version = 0 if version is None else version + 1
+    (
+        _merge_latest_wins(parts, id_col)
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_path, f"codes-v{new_version}"))
+    )
+    all_folded = sorted(folded | set(foldable))
+    _flip_fold_manifest(
+        manifest,
+        new_version,
+        all_folded,
+        prev_run or _run_sidecar_id(stream_dir),
+    )
+    # best-effort cleanup AFTER the flip (leftovers are excluded by
+    # readers; the pre-sweep above repairs a crash here next run)
+    _sweep_pq(index_path, set(all_folded), new_version)
+    return len(foldable)
 
 
 def start_cell_histogram_stream(

@@ -305,6 +305,124 @@ def test_ivf_custom_id_column_contract(spark, emb, query_vec, tmp_path):
     ] == batch_hits
 
 
+def test_pq_compaction_preserves_view_and_crash_windows(
+    spark, emb, query_vec, tmp_path
+):
+    """compact_streaming_pq folds finalized batches into a versioned
+    base without changing the live view (latest-wins is associative),
+    never folds the newest batch, is idempotent, survives the crash
+    windows (orphan base dir, resurrected folded partitions), and the
+    plain load_pq_index refuses streaming/compacted state."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from big_data_spark.operators.similarity import (
+        build_pq_index,
+        load_pq_index,
+        pq_adc_search,
+        save_pq_index,
+    )
+    from big_data_spark.streaming.sinks import (
+        compact_streaming_pq,
+        read_streaming_pq,
+        start_pq_ingest_stream,
+    )
+
+    d = str(tmp_path / "pq")
+    save_pq_index(build_pq_index(emb, m=4, ksub=8), d)
+
+    # three micro-batches: full corpus, then two overlapping update
+    # waves (ids adopt donor embeddings -> latest batch must win)
+    src = tmp_path / "vecs"
+    src.mkdir()
+    emb.coalesce(1).write.parquet(str(src / "a"))
+    donors = {r["vec_id"]: r for r in emb.filter("vec_id < 40").collect()}
+    ids = sorted(donors)
+
+    def wave(name, pairs):
+        rows = [
+            (int(v), list(donors[d_]["embedding"]), donors[d_]["label"])
+            for v, d_ in pairs
+        ]
+        spark.createDataFrame(rows, emb.schema).coalesce(1).write.parquet(
+            str(src / name)
+        )
+
+    wave("b", [(ids[0], ids[1]), (ids[2], ids[3])])
+    wave("c", [(ids[0], ids[4]), (ids[5], ids[6])])  # overlaps b on ids[0]
+
+    ckpt = str(tmp_path / "ck")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = start_pq_ingest_stream(stream, d, ckpt)
+    q.awaitTermination(180)
+
+    def view():
+        live = read_streaming_pq(spark, d)
+        return {
+            r["vec_id"]: tuple(r[f"code_{s}"] for s in range(4))
+            for r in live.codes.collect()
+        }
+
+    before = view()
+    hits_before = [
+        tuple(r)
+        for r in pq_adc_search(
+            read_streaming_pq(spark, d), query_vec, k=10
+        ).collect()
+    ]
+
+    # stash a partial that will fold, to resurrect later
+    shutil.copytree(os.path.join(d, "codes_stream", "batch_id=0"),
+                    str(tmp_path / "stash0"))
+    # crash window A: an orphan base never flipped into the manifest
+    os.makedirs(os.path.join(d, "codes-v7"), exist_ok=True)
+
+    assert compact_streaming_pq(spark, d) == 2  # 3 live -> newest kept
+    names = sorted(os.listdir(d))
+    assert "_PQ_BASE" in names and "codes-v0" in names, names
+    assert "codes-v7" not in names, names  # orphan swept
+    assert "codes" not in names, names  # superseded plain base swept
+    assert view() == before
+    assert [
+        tuple(r)
+        for r in pq_adc_search(
+            read_streaming_pq(spark, d), query_vec, k=10
+        ).collect()
+    ] == hits_before
+
+    assert compact_streaming_pq(spark, d) == 0  # idempotent
+
+    # crash window B: a folded partition resurrects after the flip —
+    # readers must exclude it; the next compaction run sweeps it
+    shutil.copytree(str(tmp_path / "stash0"),
+                    os.path.join(d, "codes_stream", "batch_id=0"))
+    assert view() == before
+    compact_streaming_pq(spark, d)
+    assert not os.path.isdir(os.path.join(d, "codes_stream", "batch_id=0"))
+
+    # the plain batch loader refuses streaming/compacted state
+    with _pytest.raises(ValueError, match="read_streaming_pq"):
+        load_pq_index(spark, d)
+
+    # a fresh checkpoint remains a foreign generation after folds
+    stream2 = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q2 = start_pq_ingest_stream(stream2, d, str(tmp_path / "ck2"))
+    with _pytest.raises(Exception, match="different[\\s\\S]*generation"):
+        q2.awaitTermination(180)
+    assert view() == before
+
+
 def test_save_merged_index_resolves_versions_and_refreshes_stats(
     spark, emb, query_vec, tmp_path
 ):
