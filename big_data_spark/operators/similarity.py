@@ -545,6 +545,12 @@ def save_pq_index(index: PQIndex, path: str) -> None:
                 "ksub": index.ksub,
                 "dsub": index.dsub,
                 "codebooks": index.codebooks,
+                # the id-column contract (codes' first column by
+                # build_pq_index's projection): streaming ingest,
+                # read, and compaction resolve it from here so a
+                # custom-id index works without re-passing id_col at
+                # every call site (the IVF columns-contract pattern)
+                "id_col": index.codes.columns[0],
             },
             f,
         )

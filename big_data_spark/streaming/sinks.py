@@ -833,43 +833,130 @@ def _trending_base_state(partials_dir: str) -> tuple[int | None, set]:
     return version, folded
 
 
+def _sweep_versioned_base(
+    root: str,
+    leaf_glob: str,
+    base_prefix: str,
+    plain_base: str | None,
+    folded: set,
+    keep_version: int | None,
+) -> None:
+    """The ONE sweep every versioned-base compaction uses (trending /
+    IVF / PQ): folded stream leaves, every base version except
+    ``keep_version``, and — once a fold exists — the superseded plain
+    base dir (``None`` for layouts without one). Removal is always
+    safe: everything removed is already excluded by manifest-resolving
+    readers. Runs before AND after each flip so a crash between flip
+    and cleanup is repaired by the next run."""
+    for d in glob.glob(os.path.join(root, leaf_glob)):
+        if int(d.rsplit("batch_id=", 1)[1]) in folded:
+            shutil.rmtree(d, ignore_errors=True)
+    for d in glob.glob(os.path.join(root, base_prefix + "*")):
+        if keep_version is None or d != os.path.join(
+            root, f"{base_prefix}{keep_version}"
+        ):
+            shutil.rmtree(d, ignore_errors=True)
+    if plain_base is not None and keep_version is not None:
+        shutil.rmtree(os.path.join(root, plain_base), ignore_errors=True)
+
+
 def _sweep_trending(
     partials_dir: str, folded: set, keep_version: int | None
 ) -> None:
-    """Remove folded batch partitions and every base version except
-    ``keep_version`` — all already excluded by readers, so removal is
-    always safe. Called before AND after each flip so a crash between
-    flip and cleanup is repaired by the next compaction run."""
-    for i in sorted(folded):
-        shutil.rmtree(
-            os.path.join(partials_dir, f"batch_id={i}"), ignore_errors=True
-        )
-    for d in glob.glob(os.path.join(partials_dir, "_base-v*")):
-        if keep_version is None or d != os.path.join(
-            partials_dir, f"_base-v{keep_version}"
-        ):
-            shutil.rmtree(d, ignore_errors=True)
+    _sweep_versioned_base(
+        partials_dir, "batch_id=*", "_base-v", None, folded, keep_version
+    )
 
 
 def _sweep_ivf(
     index_path: str, folded: set, keep_version: int | None
 ) -> None:
-    """IVF twin of _sweep_trending: folded stream leaves, stale base
-    versions, and (once any fold exists) the superseded plain batch
-    dir."""
-    stream_dir = os.path.join(index_path, IVF_STREAM_DIR)
-    for d in glob.glob(os.path.join(stream_dir, "cell=*", "batch_id=*")):
-        if int(d.rsplit("batch_id=", 1)[1]) in folded:
-            shutil.rmtree(d, ignore_errors=True)
-    for d in glob.glob(os.path.join(index_path, "assigned-v*")):
-        if keep_version is None or d != os.path.join(
-            index_path, f"assigned-v{keep_version}"
-        ):
-            shutil.rmtree(d, ignore_errors=True)
-    if keep_version is not None:
-        shutil.rmtree(
-            os.path.join(index_path, "assigned"), ignore_errors=True
+    _sweep_versioned_base(
+        index_path,
+        os.path.join(IVF_STREAM_DIR, "cell=*", "batch_id=*"),
+        "assigned-v",
+        "assigned",
+        folded,
+        keep_version,
+    )
+
+
+def _compact_stream_base(
+    spark,
+    root: str,
+    *,
+    manifest_name: str,
+    stream_dir_name: str,
+    leaf_pattern: str,
+    base_prefix: str,
+    plain_base: str,
+    id_col: str,
+    sidecar_dir: str,
+    partition_by: tuple = (),
+) -> tuple[int, int | None]:
+    """The crash-safe versioned-base compaction core shared by the
+    IVF and PQ index maintainers (trending shares the sweep/manifest
+    machinery but folds with rescale algebra, so it keeps its own
+    fold body): pre-sweep, NEWEST batch never folds (its crash-replay
+    window), global latest-wins rewrite into ``{base_prefix}{n}``,
+    ONE atomic manifest flip binding folded ids to the owning
+    streaming-query generation (prev binding never silently rebound),
+    post-sweep. One copy of the discipline — a crash-safety fix lands
+    everywhere at once. Returns (batches folded, new version or
+    None)."""
+    manifest = os.path.join(root, manifest_name)
+    version, folded, prev_run = _fold_manifest_state(manifest)
+    leaf_glob = os.path.join(stream_dir_name, leaf_pattern)
+
+    def sweep(f: set, keep: int | None) -> None:
+        _sweep_versioned_base(
+            root, leaf_glob, base_prefix, plain_base, f, keep
         )
+
+    # sweep leftovers of any earlier crash between flip and cleanup
+    # FIRST (every invocation, not only folding ones)
+    sweep(folded, version)
+    stream_dir = os.path.join(root, stream_dir_name)
+    leaves = glob.glob(os.path.join(root, leaf_glob))
+    ids = {int(d.rsplit("batch_id=", 1)[1]) for d in leaves}
+    live = sorted(ids - folded)
+    if len(live) < 2:  # newest never folds; nothing else to fold
+        return 0, version
+    foldable = live[:-1]
+    base_dir = os.path.join(
+        root, plain_base if version is None else f"{base_prefix}{version}"
+    )
+    # preserve EVERY column (vector/codes + any metadata) — a fixed
+    # projection here would silently strip columns at the first fold
+    parts = []
+    if _has_committed_files(base_dir):
+        parts.append(
+            spark.read.parquet(base_dir).withColumn(
+                "_bid", F.lit(-1).cast("long")
+            )
+        )
+    parts.append(
+        spark.read.parquet(stream_dir)
+        .filter(F.col("batch_id").isin(foldable))
+        .withColumn("_bid", F.col("batch_id").cast("long"))
+        .drop("batch_id")
+    )
+    new_version = 0 if version is None else version + 1
+    writer = _merge_latest_wins(parts, id_col).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(os.path.join(root, f"{base_prefix}{new_version}"))
+    all_folded = sorted(folded | set(foldable))
+    _flip_fold_manifest(
+        manifest,
+        new_version,
+        all_folded,
+        prev_run or _run_sidecar_id(sidecar_dir),
+    )
+    # best-effort cleanup AFTER the flip (leftovers are excluded by
+    # readers; the pre-sweep above repairs a crash here next run)
+    sweep(set(all_folded), new_version)
+    return len(foldable), new_version
 
 
 def compact_trending_partials(
@@ -1176,57 +1263,20 @@ def compact_streaming_ivf(
         with open(os.path.join(index_path, "meta.json")) as f:
             cols = json.load(f).get("columns")
         id_col = cols[0] if cols else "vec_id"
-    manifest = os.path.join(index_path, IVF_BASE_MANIFEST)
-    version, folded, prev_run = _fold_manifest_state(manifest)
-    stream_dir = os.path.join(index_path, IVF_STREAM_DIR)
-    # sweep leftovers of any earlier crash between flip and cleanup
-    # FIRST (every invocation, not only folding ones)
-    _sweep_ivf(index_path, folded, version)
-    leaves = glob.glob(os.path.join(stream_dir, "cell=*", "batch_id=*"))
-    ids = {int(d.rsplit("batch_id=", 1)[1]) for d in leaves}
-    live = sorted(ids - folded)
-    if len(live) < 2:  # newest never folds; nothing else to fold
-        return 0
-    foldable = live[:-1]
-    base_dir = os.path.join(
+    folded_n, new_version = _compact_stream_base(
+        spark,
         index_path,
-        "assigned" if version is None else f"assigned-v{version}",
+        manifest_name=IVF_BASE_MANIFEST,
+        stream_dir_name=IVF_STREAM_DIR,
+        leaf_pattern=os.path.join("cell=*", "batch_id=*"),
+        base_prefix="assigned-v",
+        plain_base="assigned",
+        id_col=id_col,
+        sidecar_dir=index_path,
+        partition_by=("cell",),
     )
-    # preserve EVERY column (vector + any metadata the index carries
-    # for filtered search) — a fixed projection here would silently
-    # strip metadata at the first compaction
-    parts = []
-    if _has_committed_files(base_dir):
-        parts.append(
-            spark.read.parquet(base_dir).withColumn(
-                "_bid", F.lit(-1).cast("long")
-            )
-        )
-    parts.append(
-        spark.read.parquet(stream_dir)
-        .filter(F.col("batch_id").isin(foldable))
-        .withColumn("_bid", F.col("batch_id").cast("long"))
-        .drop("batch_id")
-    )
-    new_version = 0 if version is None else version + 1
-    (
-        _merge_latest_wins(parts, id_col)
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(os.path.join(index_path, f"assigned-v{new_version}"))
-    )
-    all_folded = sorted(folded | set(foldable))
-    # manifest binding first (established bindings are never silently
-    # rebound), sidecar for the first-ever fold
-    _flip_fold_manifest(
-        manifest,
-        new_version,
-        all_folded,
-        prev_run or _run_sidecar_id(index_path),
-    )
-    # best-effort cleanup AFTER the flip (leftovers are excluded by
-    # readers; the pre-sweep above repairs a crash here next run)
-    _sweep_ivf(index_path, set(all_folded), new_version)
+    if not folded_n:
+        return 0
     # refresh the selectivity stats over the rewritten base so
     # auto-nprobe estimates track the folded state (advisory — a
     # crash before this leaves the previous estimate, never a wrong
@@ -1247,14 +1297,14 @@ def compact_streaming_ivf(
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, os.path.join(index_path, "meta.json"))
-    return len(foldable)
+    return folded_n
 
 
 def start_pq_ingest_stream(
     vectors_stream: DataFrame,
     index_path: str,
     checkpoint_dir: str,
-    id_col: str = "vec_id",
+    id_col: str | None = None,
     vec_col: str = "embedding",
     available_now: bool = True,
 ) -> StreamingQuery:
@@ -1270,17 +1320,21 @@ def start_pq_ingest_stream(
     before encoding (the IVF ingest's invariant) so the cross-batch
     latest-wins in ``read_streaming_pq`` never ties on _bid.
 
-    There is no fold manifest, so a same-generation replayed batch id
-    just overwrites its partition. Cross-batch latest-wins ordering,
-    however, is only meaningful within one checkpoint generation — a
-    FRESH checkpoint may re-batch the source differently, leaving a
-    stale copy of an updated vector in a higher-numbered partition
-    that silently wins — so the write path is generation-BOUND
+    A same-generation replayed batch id just overwrites its partition
+    (or, once folded into the ``_PQ_BASE`` compaction manifest by
+    compact_streaming_pq, is excluded by the reader — the fold is its
+    committed content). Cross-batch latest-wins ordering, however, is
+    only meaningful within one checkpoint generation — a FRESH
+    checkpoint may re-batch the source differently, leaving a stale
+    copy of an updated vector in a higher-numbered partition that
+    silently wins (and colliding with folded ids would silently DROP
+    its batches) — so the write path is generation-BOUND
     (_guard_pq_generation, the SCD2/IVF contract): the first batch
     records the owning streaming-query id in ``codes_stream/_RUN``
     and any later foreign generation is rejected loudly. To re-ingest
     under a new generation, use a fresh index dir (or restore the
-    original checkpoint)."""
+    original checkpoint). ``id_col=None`` resolves the id column
+    recorded in meta.json at save time."""
 
     def ingest(batch: DataFrame, batch_id: int) -> None:
         import json
@@ -1292,10 +1346,11 @@ def start_pq_ingest_stream(
 
         with open(os.path.join(index_path, "meta.json")) as f:
             meta = json.load(f)
+        key = id_col or meta.get("id_col", "vec_id")
         (
-            batch.groupBy(id_col)
+            batch.groupBy(key)
             .agg(F.any_value(vec_col).alias(vec_col))
-            .select(id_col, *pq_encode_columns(meta["codebooks"], vec_col))
+            .select(key, *pq_encode_columns(meta["codebooks"], vec_col))
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -1319,33 +1374,42 @@ def _guard_pq_generation(index_path: str, checkpoint_dir: str) -> None:
     generation — a fresh checkpoint restarts numbering, so a stale
     copy of an updated vector could land in a higher-numbered
     partition and silently win. _guard_run_generation's mirror for
-    the manifest-less PQ layout: the first write records the owning
-    streaming-query id in a ``codes_stream/_RUN`` sidecar; once ANY
-    cross-batch state exists, a different generation is rejected at
-    the write path. Recovery: restore the original checkpoint, or
-    re-ingest into a fresh index dir. Pre-upgrade state (partitions
-    but no sidecar) is adopted by the first guarded writer — the same
-    one-transition window as the fold-manifest upgrade path."""
+    the PQ layout: the first write records the owning streaming-query
+    id in a ``codes_stream/_RUN`` sidecar; a different generation is
+    rejected at the write path once ANY cross-batch state exists —
+    live stream partitions, OR ids already folded into the
+    ``_PQ_BASE`` compaction manifest (a foreign generation's
+    restarted batches would collide with folded ids and be silently
+    EXCLUDED by the reader — permanent data loss, the exact case
+    _guard_run_generation rejects unconditionally). Recovery: restore
+    the original checkpoint, or re-ingest into a fresh index dir.
+    Pre-upgrade state (partitions but no sidecar) is adopted by the
+    first guarded writer — the same one-transition window as the
+    fold-manifest upgrade path."""
     qid = _checkpoint_query_id(checkpoint_dir)
     if qid is None:
         return
     stream_dir = os.path.join(index_path, PQ_STREAM_DIR)
+    _, folded, manifest_run = _fold_manifest_state(
+        os.path.join(index_path, PQ_BASE_MANIFEST)
+    )
     # the sidecar is the primary binding; the compaction manifest's
     # recorded run id backs it up if the sidecar ever goes missing
-    owner = _run_sidecar_id(stream_dir) or _fold_manifest_state(
-        os.path.join(index_path, PQ_BASE_MANIFEST)
-    )[2]
+    # (e.g. the stream dir was cleared after a full fold)
+    owner = _run_sidecar_id(stream_dir) or manifest_run
     if (
         owner is not None
         and owner != qid
-        and glob.glob(os.path.join(stream_dir, "batch_id=*"))
+        and (folded or glob.glob(os.path.join(stream_dir, "batch_id=*")))
     ):
         raise RuntimeError(
             f"{stream_dir} was ingested under streaming-query id "
             f"{owner}; checkpoint {checkpoint_dir} is a different "
             f"generation ({qid}) whose restarted batch ids would "
-            "corrupt the cross-batch latest-wins order. Restore the "
-            "original checkpoint, or re-ingest into a fresh index dir."
+            "corrupt the cross-batch latest-wins order (or collide "
+            "with manifest-folded ids and be silently excluded). "
+            "Restore the original checkpoint, or re-ingest into a "
+            "fresh index dir."
         )
     if owner != qid:
         os.makedirs(stream_dir, exist_ok=True)
@@ -1374,21 +1438,24 @@ def _merge_latest_wins(parts: list, id_col: str) -> DataFrame:
     )
 
 
-def read_streaming_pq(spark, index_path: str, id_col: str = "vec_id"):
+def read_streaming_pq(spark, index_path: str, id_col: str | None = None):
     """The live PQ index: batch-encoded codes (if any) merged with
     everything streamed so far, duplicates of a re-ingested vec_id
     resolved LATEST-WINS (the stream wins over the batch build, newer
     batches win over older). The resolved codes feed pq_adc_search /
     pq_search_refined unchanged — ADC scans the whole codes table, so
     unlike the IVF layout there is no pruning structure to preserve
-    and resolution happens eagerly here. ``id_col`` must match the
-    one the ingest sink landed."""
+    and resolution happens eagerly here. ``id_col=None`` resolves the
+    id column recorded in meta.json at save time (it must match the
+    one the ingest sink landed)."""
     import json
 
     from ..operators.similarity import PQIndex
 
     with open(os.path.join(index_path, "meta.json")) as f:
         meta = json.load(f)
+    if id_col is None:
+        id_col = meta.get("id_col", "vec_id")
     version, folded, _run = _fold_manifest_state(
         os.path.join(index_path, PQ_BASE_MANIFEST)
     )
@@ -1425,27 +1492,8 @@ def read_streaming_pq(spark, index_path: str, id_col: str = "vec_id"):
     )
 
 
-def _sweep_pq(
-    index_path: str, folded: set, keep_version: int | None
-) -> None:
-    """PQ twin of _sweep_ivf: folded stream partitions, stale base
-    versions, and (once any fold exists) the superseded plain batch
-    dir."""
-    stream_dir = os.path.join(index_path, PQ_STREAM_DIR)
-    for d in glob.glob(os.path.join(stream_dir, "batch_id=*")):
-        if int(d.rsplit("batch_id=", 1)[1]) in folded:
-            shutil.rmtree(d, ignore_errors=True)
-    for d in glob.glob(os.path.join(index_path, "codes-v*")):
-        if keep_version is None or d != os.path.join(
-            index_path, f"codes-v{keep_version}"
-        ):
-            shutil.rmtree(d, ignore_errors=True)
-    if keep_version is not None:
-        shutil.rmtree(os.path.join(index_path, "codes"), ignore_errors=True)
-
-
 def compact_streaming_pq(
-    spark, index_path: str, id_col: str = "vec_id"
+    spark, index_path: str, id_col: str | None = None
 ) -> int:
     """Fold finalized streamed PQ batches into a rewritten single
     code-table base, resolving latest-wins per id GLOBALLY — the
@@ -1456,59 +1504,36 @@ def compact_streaming_pq(
     window shrinks to the uncompacted tail). Returns the number of
     stream batches folded.
 
-    Same crash-safe discipline as the IVF/trending compactions: new
-    base in ``codes-v{n}``, ONE atomic ``_PQ_BASE`` manifest flip
-    (readers exclude folded batch ids even if their partitions
-    survive a cleanup crash), folded ids bound to the checkpoint
-    generation that numbered them (the ``codes_stream/_RUN`` sidecar
-    the write-path guard already maintains), the NEWEST batch never
-    folds (its crash-replay window), and sweeps run before AND after
-    the flip so any crash window is repaired by the next run."""
-    manifest = os.path.join(index_path, PQ_BASE_MANIFEST)
-    version, folded, prev_run = _fold_manifest_state(manifest)
-    stream_dir = os.path.join(index_path, PQ_STREAM_DIR)
-    # sweep leftovers of any earlier crash between flip and cleanup
-    # FIRST (every invocation, not only folding ones)
-    _sweep_pq(index_path, folded, version)
-    leaves = glob.glob(os.path.join(stream_dir, "batch_id=*"))
-    ids = {int(d.rsplit("batch_id=", 1)[1]) for d in leaves}
-    live = sorted(ids - folded)
-    if len(live) < 2:  # newest never folds; nothing else to fold
-        return 0
-    foldable = live[:-1]
-    base_dir = os.path.join(
-        index_path, "codes" if version is None else f"codes-v{version}"
+    Same crash-safe discipline as the IVF/trending compactions — ONE
+    shared core (_compact_stream_base): new base in ``codes-v{n}``,
+    one atomic ``_PQ_BASE`` manifest flip (readers exclude folded
+    batch ids even if their partitions survive a cleanup crash),
+    folded ids bound to the checkpoint generation that numbered them
+    (the ``codes_stream/_RUN`` sidecar the write-path guard already
+    maintains), the NEWEST batch never folds (its crash-replay
+    window), and sweeps run before AND after the flip so any crash
+    window is repaired by the next run.
+
+    ``id_col`` defaults to the id column recorded in meta.json at
+    save time — pass it only to override a pre-upgrade meta that
+    never recorded one."""
+    if id_col is None:
+        import json
+
+        with open(os.path.join(index_path, "meta.json")) as f:
+            id_col = json.load(f).get("id_col", "vec_id")
+    folded_n, _version = _compact_stream_base(
+        spark,
+        index_path,
+        manifest_name=PQ_BASE_MANIFEST,
+        stream_dir_name=PQ_STREAM_DIR,
+        leaf_pattern="batch_id=*",
+        base_prefix="codes-v",
+        plain_base="codes",
+        id_col=id_col,
+        sidecar_dir=os.path.join(index_path, PQ_STREAM_DIR),
     )
-    parts = []
-    if _has_committed_files(base_dir):
-        parts.append(
-            spark.read.parquet(base_dir).withColumn(
-                "_bid", F.lit(-1).cast("long")
-            )
-        )
-    parts.append(
-        spark.read.parquet(stream_dir)
-        .filter(F.col("batch_id").isin(foldable))
-        .withColumn("_bid", F.col("batch_id").cast("long"))
-        .drop("batch_id")
-    )
-    new_version = 0 if version is None else version + 1
-    (
-        _merge_latest_wins(parts, id_col)
-        .write.mode("overwrite")
-        .parquet(os.path.join(index_path, f"codes-v{new_version}"))
-    )
-    all_folded = sorted(folded | set(foldable))
-    _flip_fold_manifest(
-        manifest,
-        new_version,
-        all_folded,
-        prev_run or _run_sidecar_id(stream_dir),
-    )
-    # best-effort cleanup AFTER the flip (leftovers are excluded by
-    # readers; the pre-sweep above repairs a crash here next run)
-    _sweep_pq(index_path, set(all_folded), new_version)
-    return len(foldable)
+    return folded_n
 
 
 def start_cell_histogram_stream(

@@ -304,6 +304,39 @@ def test_ivf_custom_id_column_contract(spark, emb, query_vec, tmp_path):
         tuple(r) for r in ivf_search(live2, query_vec, k=10).collect()
     ] == batch_hits
 
+    # the PQ layout records the same contract: a custom-id PQ index
+    # streams, reads, and compacts with NO id_col re-passed anywhere
+    import json
+
+    from big_data_spark.operators.similarity import (
+        build_pq_index,
+        save_pq_index,
+    )
+    from big_data_spark.streaming.sinks import (
+        compact_streaming_pq,
+        read_streaming_pq,
+        start_pq_ingest_stream,
+    )
+
+    pq_dir = str(tmp_path / "pq_doc")
+    save_pq_index(build_pq_index(docs, m=4, ksub=8, id_col="doc_id"), pq_dir)
+    with open(os.path.join(pq_dir, "meta.json")) as f:
+        assert json.load(f)["id_col"] == "doc_id"
+    stream_pq = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    qpq = start_pq_ingest_stream(stream_pq, pq_dir, str(tmp_path / "ck_pq"))
+    qpq.awaitTermination(180)
+    live_pq = read_streaming_pq(spark, pq_dir)
+    n_ids = live_pq.codes.select("doc_id").distinct().count()
+    assert live_pq.codes.count() == n_ids == docs.count()  # deduped
+    assert compact_streaming_pq(spark, pq_dir) == 1
+    after_pq = read_streaming_pq(spark, pq_dir)
+    assert after_pq.codes.count() == docs.count()
+    assert "doc_id" in after_pq.codes.columns
+
 
 def test_pq_compaction_preserves_view_and_crash_windows(
     spark, emb, query_vec, tmp_path
@@ -421,6 +454,24 @@ def test_pq_compaction_preserves_view_and_crash_windows(
     with _pytest.raises(Exception, match="different[\\s\\S]*generation"):
         q2.awaitTermination(180)
     assert view() == before
+
+    # the hard case: operator clears the stream dir — the NEWEST
+    # (never-folded) batch's updates are gone with it and the _RUN
+    # sidecar too, but the manifest's folded ids STILL prove a
+    # foreign generation, whose restarted batches the reader would
+    # silently exclude forever (pre-fix, the empty stream glob
+    # disarmed the guard and the sidecar silently rebound)
+    shutil.rmtree(os.path.join(d, "codes_stream"))
+    folded_view = view()  # base-only: folded batches 0+1, sans batch 2
+    stream3 = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q3 = start_pq_ingest_stream(stream3, d, str(tmp_path / "ck3"))
+    with _pytest.raises(Exception, match="different[\\s\\S]*generation"):
+        q3.awaitTermination(180)
+    assert view() == folded_view  # nothing landed, nothing rebound
 
 
 def test_save_merged_index_resolves_versions_and_refreshes_stats(
