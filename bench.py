@@ -119,6 +119,14 @@ BENCH_QUERIES = [
     "q158_golden_record",
     "q159_quota_sample",
     "q160_last_touch_attribution",
+    # round-6 late additions: the statistics/audit family
+    "q161_revenue_lorenz",
+    "q162_chisq_independence",
+    "q163_cusum_changepoint",
+    "q164_calibration_bins",
+    "q165_int8_quantization",
+    "q166_ks_two_sample",
+    "q167_zipf_slope",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

@@ -6299,6 +6299,21 @@ def q128_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _clf_token_weight(t: Column) -> Column:
+    """Hashed-bag-of-words stand-in weight for one token: md5 into one
+    of 64 buckets, weight (bucket-32)/32 — an exact multiple of 2^-5,
+    so float accumulation over tokens is EXACT and order-independent.
+    Shared by q129 (inference) and q164 (calibration audit); the two
+    MUST score identically or the audit audits a different model."""
+    b = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("clf:"), t)), 1, 4), 16, 10
+        ).cast("long")
+        % 64
+    )
+    return (b - 32) / F.lit(32.0)
+
+
 @register(
     "q129_quality_classifier",
     """
@@ -6337,22 +6352,15 @@ def q129_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the parquet scan. Only the sigmoid is rounded (libm last-ulp
     guard); the keep decision thresholds the pre-sigmoid margin at 0,
     which is exact."""
-    def _wtok(t: Column) -> Column:
-        b = (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit("clf:"), t)), 1, 4), 16, 10
-            ).cast("long")
-            % 64
-        )
-        return (b - 32) / F.lit(32.0)
-
     toks = F.filter(F.split("text", " "), lambda t: t != "")
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", toks.alias("toks"))
         .filter(F.size("toks") > 0)
     )
-    wsum = F.aggregate("toks", F.lit(0.0), lambda acc, t: acc + _wtok(t))
+    wsum = F.aggregate(
+        "toks", F.lit(0.0), lambda acc, t: acc + _clf_token_weight(t)
+    )
     z = F.col("wsum") / F.col("n_tokens")
     return (
         docs.select(
@@ -9265,6 +9273,690 @@ def q160_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q161_revenue_lorenz",
+    """
+    WITH rev AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS rev
+      FROM orders GROUP BY 1
+    ), bucketed AS (
+      SELECT CAST(floor(CAST(rev AS DOUBLE) / 100000) AS BIGINT)
+               AS rev_bucket,
+             COUNT(*) AS n_customers, SUM(rev) AS bucket_rev
+      FROM rev GROUP BY 1
+    )
+    SELECT rev_bucket,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           CAST(bucket_rev AS DOUBLE) AS bucket_revenue,
+           round(CAST(SUM(n_customers) OVER (ORDER BY rev_bucket)
+                      AS DOUBLE)
+                 / CAST(SUM(n_customers) OVER () AS DOUBLE),
+                 8) AS cum_pop_share,
+           round(CAST(SUM(bucket_rev) OVER (ORDER BY rev_bucket)
+                      AS DOUBLE)
+                 / CAST(SUM(bucket_rev) OVER () AS DOUBLE),
+                 8) AS cum_rev_share
+    FROM bucketed ORDER BY rev_bucket
+    """,
+    "agg",
+    "window",
+    "concentration",
+)
+def q161_revenue_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Lorenz) table: how much of total revenue
+    the bottom X% of customers account for — the whale-curve every
+    revenue team reads (top-decile share, Gini by trapezoid, both fall
+    straight out of the cum columns). GROUPED Lorenz discipline: exact
+    per-customer ranking needs a global sort over the customer
+    dimension (~1.5B rows at 100 TB — a single-partition window, the
+    one shape this repo bans), so customers land on a FIXED $100k
+    revenue grid first. The grid is value-bounded, not data-bounded:
+    the cumulative window runs over ≤ a few thousand bucket rows no
+    matter the scale, and within-bucket revenue stays an exact decimal
+    sum, so the Lorenz points are exact for the grid (the standard
+    grouped-data estimator). One map-side-combinable shuffle per
+    groupBy; shares divide exact decimals as doubles, rounded 8."""
+    rev = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)")).alias("rev")
+        )
+    )
+    bucketed = rev.groupBy(
+        F.floor(F.col("rev").cast("double") / 100000)
+        .cast("long")
+        .alias("rev_bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("rev").alias("bucket_rev"),
+    )
+    wcum = Window.orderBy("rev_bucket")
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        bucketed.select(
+            "rev_bucket",
+            "n_customers",
+            F.col("bucket_rev").cast("double").alias("bucket_revenue"),
+            F.round(
+                F.sum("n_customers").over(wcum).cast("double")
+                / F.sum("n_customers").over(wall).cast("double"),
+                8,
+            ).alias("cum_pop_share"),
+            F.round(
+                F.sum("bucket_rev").over(wcum).cast("double")
+                / F.sum("bucket_rev").over(wall).cast("double"),
+                8,
+            ).alias("cum_rev_share"),
+        )
+        .orderBy("rev_bucket")
+    )
+
+
+@register(
+    "q162_chisq_independence",
+    """
+    WITH cells AS (
+      SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+             COUNT(*) AS obs
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ), t AS (
+      SELECT seg, pri, obs,
+             SUM(obs) OVER (PARTITION BY seg) AS rt,
+             SUM(obs) OVER (PARTITION BY pri) AS ct,
+             SUM(obs) OVER () AS n
+      FROM cells
+    ), terms AS (
+      SELECT seg, pri, n,
+             round(
+               (CAST(obs AS DOUBLE)
+                - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               * (CAST(obs AS DOUBLE)
+                  - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+               / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                  / CAST(n AS DOUBLE)),
+               8) AS term
+      FROM t
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST((COUNT(DISTINCT seg) - 1) * (COUNT(DISTINCT pri) - 1)
+                AS BIGINT) AS dof,
+           round(CAST(SUM(CAST(term AS DECIMAL(27,8))) AS DOUBLE),
+                 6) AS chi2,
+           round(sqrt(
+             CAST(SUM(CAST(term AS DECIMAL(27,8))) AS DOUBLE)
+             / (CAST(MAX(n) AS DOUBLE)
+                * LEAST(COUNT(DISTINCT seg) - 1,
+                        COUNT(DISTINCT pri) - 1))), 6) AS cramers_v
+    FROM terms
+    """,
+    "stats",
+    "agg",
+)
+def q162_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence for two categorical columns
+    (market segment x order priority) + Cramer's V effect size — the
+    contingency-table sibling of q139's Welch t (means) and q151's SRM
+    (one-dimensional counts). Sufficient-statistic shape: ONE
+    map-side-combinable groupBy builds the |seg|x|pri| cell table
+    (25 rows — bounded by cardinality, not data), and the row/column/
+    grand totals are windows over that tiny table, so 100 TB pays one
+    shuffle on a two-column key. Expected counts multiply totals AS
+    DOUBLES (rt*ct overflows int64 near 1e10-row margins); each cell's
+    chi-square term is identical per-row IEEE math rounded to 8, then
+    decimal-summed (order-independent) — chi2 and Cramer's V come out
+    bit-identical across engines. Squaring is spelled dev*dev, not
+    pow() (libm last-ulp hazard)."""
+    cells = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            _t(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count("*").alias("obs"))
+    )
+    wseg = Window.partitionBy("seg")
+    wpri = Window.partitionBy("pri")
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = cells.select(
+        "seg",
+        "pri",
+        "obs",
+        F.sum("obs").over(wseg).alias("rt"),
+        F.sum("obs").over(wpri).alias("ct"),
+        F.sum("obs").over(wall).alias("n"),
+    )
+    exp = (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        / F.col("n").cast("double")
+    )
+    dev = F.col("obs").cast("double") - exp
+    terms = t.select(
+        "seg",
+        "pri",
+        "n",
+        F.round(dev * dev / exp, 8).alias("term"),
+    )
+    chi2 = F.sum(F.col("term").cast("decimal(27,8)")).cast("double")
+    dof_min = F.least(
+        F.countDistinct("seg") - 1, F.countDistinct("pri") - 1
+    )
+    return terms.agg(
+        F.max("n").cast("long").alias("n"),
+        ((F.countDistinct("seg") - 1) * (F.countDistinct("pri") - 1))
+        .cast("long")
+        .alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.sqrt(chi2 / (F.max("n").cast("double") * dof_min)), 6
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "q163_cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS rev
+      FROM orders GROUP BY 1
+    ), seq AS (
+      SELECT day, rev,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn,
+             SUM(rev) OVER (ORDER BY day) AS cum_rev,
+             CAST(SUM(rev) OVER () AS DOUBLE)
+               / COUNT(*) OVER () AS mean_rev
+      FROM daily
+    ), c AS (
+      SELECT day, CAST(rev AS DOUBLE) AS daily_revenue,
+             round(CAST(cum_rev AS DOUBLE) - rn * mean_rev, 6)
+               + 0.0 AS cusum
+      FROM seq
+    )
+    SELECT day, daily_revenue, cusum,
+           abs(cusum) = MAX(abs(cusum)) OVER () AS is_peak
+    FROM c ORDER BY day
+    """,
+    "stats",
+    "window",
+    "timeseries",
+)
+def q163_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point scan over the daily revenue series: the
+    cumulative sum of deviations from the global mean, whose |peak|
+    marks the most likely level-shift day (the classic offline CUSUM
+    estimator; q143 flags pointwise outliers, this finds the REGIME
+    change). Day-grain keeps the window calendar-bounded: the ordered
+    cumulative runs over one row per day (~decades = thousands of
+    rows), so the single-partition window is bounded by time, not
+    data — the same justification as q109's gap grid. Determinism:
+    daily revenue and the running total are exact decimal sums; the
+    only IEEE terms are rn*mean (identical per-row ops on identical
+    doubles) and the final subtraction, rounded to 6 — so the peak
+    flag compares exactly equal rounded values in both engines."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)")).alias("rev")
+        )
+    )
+    wday = Window.orderBy("day")
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    seq = daily.select(
+        "day",
+        "rev",
+        F.row_number().over(wday).alias("rn"),
+        F.sum("rev").over(wday).alias("cum_rev"),
+        (
+            F.sum("rev").over(wall).cast("double")
+            / F.count("*").over(wall)
+        ).alias("mean_rev"),
+    )
+    c = seq.select(
+        "day",
+        F.col("rev").cast("double").alias("daily_revenue"),
+        # + 0.0 collapses IEEE signed zero: the final day's cusum is
+        # total - n*mean == ±~0, and -0.0 vs 0.0 stringify differently
+        (
+            F.round(
+                F.col("cum_rev").cast("double")
+                - F.col("rn") * F.col("mean_rev"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("cusum"),
+    )
+    return c.select(
+        "day",
+        "daily_revenue",
+        "cusum",
+        (F.abs("cusum") == F.max(F.abs("cusum")).over(wall)).alias(
+            "is_peak"
+        ),
+    ).orderBy("day")
+
+
+@register(
+    "q164_calibration_bins",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents
+    ), agg AS (
+      SELECT doc_id, lang, len(toks) AS n_tokens,
+             list_sum(list_transform(toks, t ->
+               ((('0x' || substring(md5('clf:' || t), 1, 4))::BIGINT
+                 % 64) - 32) / 32.0)) AS wsum
+      FROM toks WHERE len(toks) > 0
+    ), scored AS (
+      SELECT round(1.0 / (1.0 + exp(-(wsum / n_tokens))), 6) AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM agg
+    ), binned AS (
+      SELECT LEAST(CAST(floor(score * 10) AS INT), 9) AS bin, score, y
+      FROM scored
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(CAST(SUM(CAST(score AS DECIMAL(27,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_score,
+           round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS frac_pos,
+           round(abs(
+             round(CAST(SUM(CAST(score AS DECIMAL(27,6))) AS DOUBLE)
+                   / COUNT(*), 6)
+             - round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6)), 6) AS gap
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+    "stats",
+    "text",
+    "quality",
+)
+def q164_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit (reliability table) for q129's quality
+    classifier: scores bucket into 10 probability bins, and each bin
+    compares mean predicted probability against the observed positive
+    rate (label: lang='en', ~44% base rate) — the per-bin |gap| column
+    is exactly the ECE summand, so expected calibration error is one
+    weighted sum over this frame. The scorer is _clf_token_weight —
+    the SAME module-level formula q129 ships, not a re-derivation —
+    so the audit provably audits the production model. Shape: the
+    map-only zero-Python scoring pass (q129's plan) feeds ONE
+    10-ary-key groupBy; at 100 TB that is a full scan plus a
+    map-side-combinable shuffle of 10 keys. Determinism: score is
+    rounded to 6 before binning (identical double both engines, so
+    floor(score*10) agrees even at bin edges); per-bin means are
+    exact-decimal-sum / count, rounded 6; the gap subtracts the
+    ROUNDED columns."""
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
+    wsum = F.aggregate(
+        "toks", F.lit(0.0), lambda acc, t: acc + _clf_token_weight(t)
+    )
+    z = F.col("wsum") / F.col("n_tokens")
+    scored = docs.select(
+        F.size("toks").alias("n_tokens"), wsum.alias("wsum"), "lang"
+    ).select(
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    binned = scored.select(
+        F.least(
+            F.floor(F.col("score") * 10).cast("int"), F.lit(9)
+        ).alias("bin"),
+        "score",
+        "y",
+    )
+    avg_score = F.round(
+        F.sum(F.col("score").cast("decimal(27,6)")).cast("double")
+        / F.count("*"),
+        6,
+    )
+    frac_pos = F.round(F.sum("y").cast("double") / F.count("*"), 6)
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            avg_score.alias("avg_score"),
+            frac_pos.alias("frac_pos"),
+            F.round(F.abs(avg_score - frac_pos), 6).alias("gap"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "q165_int8_quantization",
+    """
+    WITH s AS (
+      SELECT vec_id, label, embedding,
+             round(list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) / 127, 8) AS scale
+      FROM embeddings
+    ), vecstats AS (
+      SELECT label, COUNT(*) AS n_vecs,
+             SUM(CAST(scale AS DECIMAL(27,8))) AS scale_sum
+      FROM s WHERE scale > 0 GROUP BY 1
+    ), el AS (
+      SELECT label, scale, CAST(t.x AS DOUBLE) AS x
+      FROM s, UNNEST(s.embedding) AS t(x)
+      WHERE scale > 0
+    ), err AS (
+      SELECT label,
+             x - GREATEST(-127, LEAST(127,
+                 CAST(floor(x / scale + 0.5) AS BIGINT))) * scale AS e
+      FROM el
+    ), elstats AS (
+      SELECT label, COUNT(*) AS n_elems,
+             SUM(CAST(round(e * e, 12) AS DECIMAL(27,12))) AS sq_sum,
+             MAX(abs(e)) AS max_err
+      FROM err GROUP BY 1
+    )
+    SELECT v.label,
+           CAST(v.n_vecs AS BIGINT) AS n_vecs,
+           round(CAST(v.scale_sum AS DOUBLE) / v.n_vecs, 8) AS avg_scale,
+           round(CAST(e.sq_sum AS DOUBLE) / e.n_elems, 10) AS avg_mse,
+           round(e.max_err, 8) AS max_abs_err
+    FROM vecstats v JOIN elstats e ON v.label = e.label
+    ORDER BY v.label
+    """,
+    "similarity",
+    "embedding",
+    "quantization",
+)
+def q165_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit — the storage
+    format most 100-TB embedding stores actually serve (4x smaller
+    than float32; q75's PQ is the coarser cousin). Each vector gets
+    scale = max|x|/127 and elements quantize as
+    clamp(floor(x/scale + .5), ±127); the report aggregates per label:
+    reconstruction MSE, worst absolute element error, and mean scale —
+    the go/no-go numbers for switching a corpus to int8. Two passes
+    over the scan, no materialization: an array-local pass (array_max
+    inside codegen, zero shuffle) for per-vector stats, and an
+    exploded pass for element errors — the 64x row blow-up flows
+    straight into a map-side-combinable label groupBy, so the only
+    exchanges are two tiny label-keyed shuffles plus a 5-row join.
+    Determinism: floor(x/scale + .5) is spelled out (engine round()
+    half-rule differs); scale rounds to 8 BEFORE use so both engines
+    divide by the identical double; squared errors round to 12 then
+    decimal-sum. Production folds the error in-array (one pass, zero
+    explode); the exploded form is the cross-engine-exact oracle shape
+    — same plan family either way."""
+    emb = _t(spark, sf_dir, "embeddings")
+    scale = F.round(
+        F.array_max(
+            F.transform("embedding", lambda x: F.abs(x.cast("double")))
+        )
+        / 127,
+        8,
+    )
+    s = emb.select(
+        "vec_id", "label", "embedding", scale.alias("scale")
+    ).filter(F.col("scale") > 0)
+    vecstats = s.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum(F.col("scale").cast("decimal(27,8)")).alias("scale_sum"),
+    )
+    el = s.select(
+        "label", "scale", F.explode("embedding").alias("xf")
+    ).select("label", "scale", F.col("xf").cast("double").alias("x"))
+    q = F.greatest(
+        F.lit(-127).cast("long"),
+        F.least(
+            F.lit(127).cast("long"),
+            F.floor(F.col("x") / F.col("scale") + 0.5),
+        ),
+    )
+    err = el.select("label", (F.col("x") - q * F.col("scale")).alias("e"))
+    elstats = err.groupBy("label").agg(
+        F.count("*").alias("n_elems"),
+        F.sum(F.round(F.col("e") * F.col("e"), 12).cast("decimal(27,12)"))
+        .alias("sq_sum"),
+        F.max(F.abs("e")).alias("max_err"),
+    )
+    return (
+        vecstats.join(elstats, "label")
+        .select(
+            "label",
+            "n_vecs",
+            F.round(
+                F.col("scale_sum").cast("double") / F.col("n_vecs"), 8
+            ).alias("avg_scale"),
+            F.round(
+                F.col("sq_sum").cast("double") / F.col("n_elems"), 10
+            ).alias("avg_mse"),
+            F.round("max_err", 8).alias("max_abs_err"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "q166_ks_two_sample",
+    """
+    WITH pts AS (
+      SELECT o_totalprice AS x,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g1,
+             CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS g2
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ), hist AS (
+      SELECT x, SUM(g1) AS c1, SUM(g2) AS c2 FROM pts GROUP BY 1
+    ), cum AS (
+      SELECT x,
+             SUM(c1) OVER (ORDER BY x) AS cum1,
+             SUM(c2) OVER (ORDER BY x) AS cum2,
+             SUM(c1) OVER () AS n1,
+             SUM(c2) OVER () AS n2
+      FROM hist
+    ), d AS (
+      SELECT x, n1, n2,
+             round(abs(CAST(cum1 AS DOUBLE) / n1
+                     - CAST(cum2 AS DOUBLE) / n2), 8) AS dd
+      FROM cum
+    ), m AS (SELECT MAX(dd) AS ks_d FROM d)
+    SELECT CAST(MAX(d.n1) AS BIGINT) AS n1,
+           CAST(MAX(d.n2) AS BIGINT) AS n2,
+           MAX(m.ks_d) AS ks_d,
+           MIN(CASE WHEN d.dd = m.ks_d THEN d.x END) AS x_at_max
+    FROM d, m
+    """,
+    "stats",
+    "drift",
+)
+def q166_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the order-value
+    distributions of two customer segments: D = max |F1(x) - F2(x)|
+    plus the value where the ECDFs diverge most — the
+    distribution-shape test q122's binned PSI cannot express (PSI
+    needs pre-chosen bins; KS compares FULL ECDFs). Shape: values
+    collapse to a per-distinct-value histogram FIRST (ties must step
+    the ECDF once, and the cumulative then runs over the collapsed
+    domain), the max-D scalar broadcasts back via a 1-row cross join
+    (q103's max-broadcast pattern — no collect). The ordered
+    cumulative over the distinct-value table is the one
+    scale-sensitive piece: order values are cents-quantized so the
+    domain is price-bounded (~50M cents), and at 100 TB the
+    production variant quantizes the grid coarser (q122's binning)
+    before this exact machinery runs unchanged. Determinism: ECDF
+    ratios are bigint-count / bigint-count in double, rounded 8;
+    x_at_max takes MIN over the exactly-tied argmax set."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    pts = (
+        _t(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("o_totalprice").alias("x"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(0)
+            .alias("g1"),
+            F.when(F.col("c_mktsegment") == "MACHINERY", 1)
+            .otherwise(0)
+            .alias("g2"),
+        )
+    )
+    hist = pts.groupBy("x").agg(
+        F.sum("g1").alias("c1"), F.sum("g2").alias("c2")
+    )
+    wx = Window.orderBy("x")
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    d = hist.select(
+        "x",
+        F.sum("c1").over(wall).alias("n1"),
+        F.sum("c2").over(wall).alias("n2"),
+        F.round(
+            F.abs(
+                F.sum("c1").over(wx).cast("double")
+                / F.sum("c1").over(wall)
+                - F.sum("c2").over(wx).cast("double")
+                / F.sum("c2").over(wall)
+            ),
+            8,
+        ).alias("dd"),
+    )
+    m = d.agg(F.max("dd").alias("ks_d"))
+    return d.crossJoin(F.broadcast(m)).agg(
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n2").cast("long").alias("n2"),
+        F.max("ks_d").alias("ks_d"),
+        F.min(F.when(F.col("dd") == F.col("ks_d"), F.col("x"))).alias(
+            "x_at_max"
+        ),
+    )
+
+
+@register(
+    "q167_zipf_slope",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS token
+      FROM documents
+    ), freq AS (
+      SELECT token, COUNT(*) AS freq FROM toks GROUP BY 1
+    ), top AS (
+      SELECT token, freq FROM freq
+      ORDER BY freq DESC, token LIMIT 500
+    ), ranked AS (
+      SELECT freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rnk
+      FROM top
+    ), xy AS (
+      SELECT round(ln(CAST(rnk AS DOUBLE)), 8) AS lx,
+             round(ln(CAST(freq AS DOUBLE)), 8) AS ly
+      FROM ranked
+    ), sums AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(lx AS DECIMAL(27,8))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ly AS DECIMAL(27,8))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(round(lx * ly, 10) AS DECIMAL(27,10)))
+                  AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(round(lx * lx, 10) AS DECIMAL(27,10)))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(round(ly * ly, 10) AS DECIMAL(27,10)))
+                  AS DOUBLE) AS syy
+      FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_tokens,
+           round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
+           round(sy / n
+                 - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+                   * sx / n, 6) AS intercept,
+           round((sxy - sx * sy / n) * (sxy - sx * sy / n)
+                 / ((sxx - sx * sx / n) * (syy - sy * sy / n)),
+                 6) AS r2
+    FROM sums
+    """,
+    "text",
+    "stats",
+)
+def q167_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS of log-frequency
+    on log-rank for the top-500 tokens — slope near -1 says natural
+    language, flat says boilerplate/spam, and a kink says mixed
+    domains; corpus teams track it per source as a cheap distribution
+    fingerprint (q110/q121 score documents; this fingerprints the
+    CORPUS). Regression-on-aggregates shape: the fit consumes only
+    five sufficient sums, so after the vocab groupBy the data never
+    exceeds 500 rows. Top-500 selection is orderBy+limit —
+    TakeOrderedAndProject, a per-partition heap + single merge, never
+    a global sort — and the rank window runs inside those 500 rows.
+    Determinism: the cut and the rank share the total order
+    (freq DESC, token — binary string compare in both engines); ln
+    rounds to 8 (libm ulp guard), cross-products round to 10 and
+    decimal-sum; the closed-form slope/intercept/r2 are identical
+    scalar IEEE ops on identical doubles, rounded 6."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.filter(F.split("text", " "), lambda t: t != "")
+            ).alias("token")
+        )
+    )
+    freq = toks.groupBy("token").agg(F.count("*").alias("freq"))
+    top = freq.orderBy(F.desc("freq"), "token").limit(500)
+    ranked = top.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), "token"))
+        .alias("rnk"),
+    )
+    xy = ranked.select(
+        F.round(F.log(F.col("rnk").cast("double")), 8).alias("lx"),
+        F.round(F.log(F.col("freq").cast("double")), 8).alias("ly"),
+    )
+    def _dsum10(c: Column) -> Column:
+        return F.sum(F.round(c, 10).cast("decimal(27,10)")).cast("double")
+
+    sums = xy.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("lx").cast("decimal(27,8)")).cast("double").alias("sx"),
+        F.sum(F.col("ly").cast("decimal(27,8)")).cast("double").alias("sy"),
+        _dsum10(F.col("lx") * F.col("ly")).alias("sxy"),
+        _dsum10(F.col("lx") * F.col("lx")).alias("sxx"),
+        _dsum10(F.col("ly") * F.col("ly")).alias("syy"),
+    )
+    n = F.col("n")
+    sxy_c = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    sxx_c = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    syy_c = F.col("syy") - F.col("sy") * F.col("sy") / n
+    slope = sxy_c / sxx_c
+    return sums.select(
+        n.cast("long").alias("n_tokens"),
+        F.round(slope, 6).alias("slope"),
+        F.round(F.col("sy") / n - slope * F.col("sx") / n, 6).alias(
+            "intercept"
+        ),
+        F.round(sxy_c * sxy_c / (sxx_c * syy_c), 6).alias("r2"),
+    )
+
+
 # =========================================================================
 # Registry ordering (driver check-window priority)
 # =========================================================================
@@ -9409,6 +10101,22 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     # with the log-position tiebreak).
     "q159_quota_sample",
     "q160_last_touch_attribution",
+    # round-6 LATE additions (statistics/audit family): same round-8+
+    # certification backlog. In-window representatives: q161↔q119's
+    # cumulative-histogram discipline over a bounded grid; q162↔q139/
+    # q151 (sufficient-statistic tests; adds the 2-D contingency
+    # windows); q163↔q143/q109 (calendar-bounded ordered window);
+    # q164↔q129 (the SAME _clf_token_weight scorer, audited);
+    # q165↔q75/q68 (quantization + array-local codegen passes);
+    # q166↔q122/q103 (ECDF over collapsed domain + max-broadcast);
+    # q167↔q121/q124 (vocab groupBy + TakeOrdered top-k).
+    "q161_revenue_lorenz",
+    "q162_chisq_independence",
+    "q163_cusum_changepoint",
+    "q164_calibration_bins",
+    "q165_int8_quantization",
+    "q166_ks_two_sample",
+    "q167_zipf_slope",
     # round-6 demotions next (freshest prev-pass evidence, 2× green
     # in r04+r05):
     "q89_volume_shipping",

@@ -767,3 +767,84 @@ def test_khop_frontier_stays_keyed(spark):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_lorenz_windows_on_bucket_histogram(spark):
+    """q161: the cumulative Lorenz windows run over the $100k revenue
+    bucket grid (value-bounded), never per-customer rows — Window is
+    the PARENT of the bucket aggregate (formatted plans print parents
+    first), and the orders scan reads only the two needed columns."""
+    df = q(spark, "q161_revenue_lorenz")
+    plan = formatted_plan(df)
+    assert "Window" in plan, plan
+    assert plan.index("Window") < plan.index("HashAggregate"), plan
+    cols = set(read_schema_columns(df))
+    assert cols == {"o_custkey", "o_totalprice"}, cols
+
+
+def test_chisq_windows_on_cell_table(spark):
+    """q162: row/column/grand totals are windows over the 25-cell
+    contingency aggregate, not over the joined fact table — every
+    Window node sits above the HashAggregate, and there is no
+    cartesian anywhere."""
+    df = q(spark, "q162_chisq_independence")
+    plan = formatted_plan(df)
+    assert "Window" in plan, plan
+    assert plan.index("Window") > plan.index("HashAggregate"), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_cusum_window_on_daily_grain(spark):
+    """q163: the ordered cumulative runs over the calendar-bounded
+    day-grain aggregate (Window is the parent of the day aggregate —
+    formatted plans print parents first); the orders scan prunes to
+    (o_orderdate, o_totalprice)."""
+    df = q(spark, "q163_cusum_changepoint")
+    plan = formatted_plan(df)
+    assert plan.index("Window") < plan.index("HashAggregate"), plan
+    cols = set(read_schema_columns(df))
+    assert cols == {"o_orderdate", "o_totalprice"}, cols
+
+
+def test_calibration_scores_jvm_side_single_shuffle(spark):
+    """q164: scoring reuses q129's zero-Python higher-order pass and
+    feeds ONE 10-ary-key aggregate — a single hash exchange plus the
+    presentation sort, no Python eval nodes."""
+    df = q(spark, "q164_calibration_bins")
+    plan = formatted_plan(df)
+    assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+
+
+def test_int8_quantization_no_python_no_cartesian(spark):
+    """q165: scale is computed array-locally (codegen transform +
+    array_max), errors explode straight into a map-side-combinable
+    label aggregate — no Python, no cartesian; the 5-row label join
+    stays an equi-join."""
+    df = q(spark, "q165_int8_quantization")
+    plan = formatted_plan(df)
+    assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "Generate" in plan, plan  # the explode pass
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ks_cumulative_on_collapsed_domain(spark):
+    """q166: the ECDF cumulative runs over the per-distinct-value
+    histogram (Window above HashAggregate), and the max-D scalar rides
+    a 1-row broadcast back — the only nested-loop join allowed is that
+    1xN broadcast."""
+    df = q(spark, "q166_ks_two_sample")
+    plan = formatted_plan(df)
+    assert plan.index("Window") > plan.index("HashAggregate"), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_zipf_top500_is_take_ordered(spark):
+    """q167: the top-500 vocabulary cut compiles to
+    TakeOrderedAndProject (per-partition heap + single merge), never a
+    global rangepartitioning sort of the vocab; the regression itself
+    is one scalar aggregate."""
+    df = q(spark, "q167_zipf_slope")
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
