@@ -115,6 +115,20 @@ def _davg(col: Column, alias: str, scale: int = 4) -> Column:
     ).alias(alias)
 
 
+def _rdsum(col: Column, alias: str, r: int) -> Column:
+    """Round-then-exact-decimal-sum: the repo's merge discipline for
+    IEEE-unstable per-row terms (ln/exp/pow/products) — round each
+    term to r decimals first (absorbing libm and fold-order ulps),
+    then sum exactly as decimal so partial merge order can't matter.
+    Returns double. SQL mirror:
+    CAST(SUM(CAST(round(expr, r) AS DECIMAL(27,r))) AS DOUBLE)."""
+    return (
+        F.sum(F.round(col, r).cast(f"decimal(27,{r})"))
+        .cast("double")
+        .alias(alias)
+    )
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
@@ -6314,24 +6328,67 @@ def _clf_token_weight(t: Column) -> Column:
     return (b - 32) / F.lit(32.0)
 
 
-@register(
-    "q129_quality_classifier",
-    """
-    WITH toks AS (
-      SELECT doc_id,
+# The classifier's scoring pass, as a shared SQL CTE chain — q129's
+# oracle selects inference columns from it, q164's oracle bins it.
+# ONE definition in each language keeps the model the audit audits
+# provably identical to the model the inference ships.
+_CLF_SCORED_SQL = """
+    clf_toks AS (
+      SELECT doc_id, lang,
              list_filter(string_split(text, ' '), t -> t <> '') AS toks
       FROM documents
-    ), agg AS (
-      SELECT doc_id, len(toks) AS n_tokens,
+    ), clf_agg AS (
+      SELECT doc_id, lang, len(toks) AS n_tokens,
              list_sum(list_transform(toks, t ->
                ((('0x' || substring(md5('clf:' || t), 1, 4))::BIGINT % 64)
                 - 32) / 32.0)) AS wsum
-      FROM toks WHERE len(toks) > 0
+      FROM clf_toks WHERE len(toks) > 0
+    ), clf_scored AS (
+      SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+             round(1.0 / (1.0 + exp(-(wsum / n_tokens))), 6) AS score,
+             (wsum / n_tokens) >= 0 AS keep
+      FROM clf_agg
+    )"""
+
+
+def _clf_scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashed-linear classifier's scoring pass over documents:
+    (doc_id, lang, n_tokens, score, keep), score = sigmoid(mean token
+    weight) rounded 6, keep thresholding the exact pre-sigmoid margin.
+    Single source shared by q129 (inference) and q164 (calibration
+    audit) — tokenizer, weights, precision, and threshold can only
+    change in lockstep. Map-only, zero Python, zero shuffles; the
+    SQL twin is _CLF_SCORED_SQL."""
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
     )
-    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
-           round(1.0 / (1.0 + exp(-(wsum / n_tokens))), 6) AS score,
-           (wsum / n_tokens) >= 0 AS keep
-    FROM agg ORDER BY doc_id
+    wsum = F.aggregate(
+        "toks", F.lit(0.0), lambda acc, t: acc + _clf_token_weight(t)
+    )
+    z = F.col("wsum") / F.col("n_tokens")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size("toks").alias("n_tokens"),
+        wsum.alias("wsum"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+        (z >= 0).alias("keep"),
+    )
+
+
+@register(
+    "q129_quality_classifier",
+    f"""
+    WITH {_CLF_SCORED_SQL}
+    SELECT doc_id, n_tokens, score, keep
+    FROM clf_scored ORDER BY doc_id
     """,
     "text",
     "quality",
@@ -6351,29 +6408,11 @@ def q129_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plan-asserted) — so scoring 100 TB is a map-only pass that fuses
     into the parquet scan. Only the sigmoid is rounded (libm last-ulp
     guard); the keep decision thresholds the pre-sigmoid margin at 0,
-    which is exact."""
-    toks = F.filter(F.split("text", " "), lambda t: t != "")
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", toks.alias("toks"))
-        .filter(F.size("toks") > 0)
-    )
-    wsum = F.aggregate(
-        "toks", F.lit(0.0), lambda acc, t: acc + _clf_token_weight(t)
-    )
-    z = F.col("wsum") / F.col("n_tokens")
+    which is exact. Scoring lives in _clf_scored_docs, shared verbatim
+    with q164's calibration audit."""
     return (
-        docs.select(
-            "doc_id",
-            F.size("toks").alias("n_tokens"),
-            wsum.alias("wsum"),
-        )
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
-            (z >= 0).alias("keep"),
-        )
+        _clf_scored_docs(spark, sf_dir)
+        .select("doc_id", "n_tokens", "score", "keep")
         .orderBy("doc_id")
     )
 
@@ -9359,11 +9398,19 @@ def q161_revenue_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q162_chisq_independence",
     """
-    WITH cells AS (
+    WITH cells0 AS (
       SELECT c_mktsegment AS seg, o_orderpriority AS pri,
              COUNT(*) AS obs
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY 1, 2
+    ), grid AS (
+      SELECT s.seg, p.pri
+      FROM (SELECT DISTINCT seg FROM cells0) s,
+           (SELECT DISTINCT pri FROM cells0) p
+    ), cells AS (
+      SELECT g.seg, g.pri, COALESCE(c0.obs, 0) AS obs
+      FROM grid g LEFT JOIN cells0 c0
+        ON g.seg = c0.seg AND g.pri = c0.pri
     ), t AS (
       SELECT seg, pri, obs,
              SUM(obs) OVER (PARTITION BY seg) AS rt,
@@ -9407,13 +9454,20 @@ def q162_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable groupBy builds the |seg|x|pri| cell table
     (25 rows — bounded by cardinality, not data), and the row/column/
     grand totals are windows over that tiny table, so 100 TB pays one
-    shuffle on a two-column key. Expected counts multiply totals AS
-    DOUBLES (rt*ct overflows int64 near 1e10-row margins); each cell's
-    chi-square term is identical per-row IEEE math rounded to 8, then
-    decimal-summed (order-independent) — chi2 and Cramer's V come out
-    bit-identical across engines. Squaring is spelled dev*dev, not
-    pow() (libm last-ulp hazard)."""
-    cells = (
+    shuffle on a two-column key. The observed table then completes to
+    the FULL seg x pri grid with zero-filled cells — a never-observed
+    combination still contributes its (0-E)^2/E = E term, and dof
+    counts the full table, so skewed/filtered data can't silently
+    understate the statistic. The cell aggregate localCheckpoints
+    before fanning out to the grid's three consumers (distinct segs,
+    distinct pris, the left join) — it is r x c rows, and the
+    checkpoint keeps the big fact join single-scan. Expected counts
+    multiply totals AS DOUBLES (rt*ct overflows int64 near 1e10-row
+    margins); each cell's chi-square term is identical per-row IEEE
+    math rounded to 8, then decimal-summed (order-independent) — chi2
+    and Cramer's V come out bit-identical across engines. Squaring is
+    spelled dev*dev, not pow() (libm last-ulp hazard)."""
+    cells0 = (
         _t(spark, sf_dir, "orders")
         .join(
             _t(spark, sf_dir, "customer"),
@@ -9424,6 +9478,13 @@ def q162_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("pri"),
         )
         .agg(F.count("*").alias("obs"))
+        .localCheckpoint()  # r x c rows; feeds three consumers
+    )
+    grid = cells0.select("seg").distinct().crossJoin(
+        F.broadcast(cells0.select("pri").distinct())
+    )
+    cells = grid.join(cells0, ["seg", "pri"], "left").select(
+        "seg", "pri", F.coalesce("obs", F.lit(0)).alias("obs")
     )
     wseg = Window.partitionBy("seg")
     wpri = Window.partitionBy("pri")
@@ -9554,21 +9615,11 @@ def q163_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q164_calibration_bins",
-    """
-    WITH toks AS (
-      SELECT doc_id, lang,
-             list_filter(string_split(text, ' '), t -> t <> '') AS toks
-      FROM documents
-    ), agg AS (
-      SELECT doc_id, lang, len(toks) AS n_tokens,
-             list_sum(list_transform(toks, t ->
-               ((('0x' || substring(md5('clf:' || t), 1, 4))::BIGINT
-                 % 64) - 32) / 32.0)) AS wsum
-      FROM toks WHERE len(toks) > 0
-    ), scored AS (
-      SELECT round(1.0 / (1.0 + exp(-(wsum / n_tokens))), 6) AS score,
+    f"""
+    WITH {_CLF_SCORED_SQL}, scored AS (
+      SELECT score,
              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-      FROM agg
+      FROM clf_scored
     ), binned AS (
       SELECT LEAST(CAST(floor(score * 10) AS INT), 9) AS bin, score, y
       FROM scored
@@ -9594,9 +9645,10 @@ def q164_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares mean predicted probability against the observed positive
     rate (label: lang='en', ~44% base rate) — the per-bin |gap| column
     is exactly the ECE summand, so expected calibration error is one
-    weighted sum over this frame. The scorer is _clf_token_weight —
-    the SAME module-level formula q129 ships, not a re-derivation —
-    so the audit provably audits the production model. Shape: the
+    weighted sum over this frame. The scorer is _clf_scored_docs —
+    the SAME shared scoring frame q129 ships (one definition per
+    language, so tokenizer/weights/precision/threshold cannot
+    silently diverge between inference and audit). Shape: the
     map-only zero-Python scoring pass (q129's plan) feeds ONE
     10-ary-key groupBy; at 100 TB that is a full scan plus a
     map-side-combinable shuffle of 10 keys. Determinism: score is
@@ -9604,20 +9656,8 @@ def q164_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(score*10) agrees even at bin edges); per-bin means are
     exact-decimal-sum / count, rounded 6; the gap subtracts the
     ROUNDED columns."""
-    toks = F.filter(F.split("text", " "), lambda t: t != "")
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", "lang", toks.alias("toks"))
-        .filter(F.size("toks") > 0)
-    )
-    wsum = F.aggregate(
-        "toks", F.lit(0.0), lambda acc, t: acc + _clf_token_weight(t)
-    )
-    z = F.col("wsum") / F.col("n_tokens")
-    scored = docs.select(
-        F.size("toks").alias("n_tokens"), wsum.alias("wsum"), "lang"
-    ).select(
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+    scored = _clf_scored_docs(spark, sf_dir).select(
+        "score",
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
     )
     binned = scored.select(
@@ -9731,8 +9771,7 @@ def q165_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     err = el.select("label", (F.col("x") - q * F.col("scale")).alias("e"))
     elstats = err.groupBy("label").agg(
         F.count("*").alias("n_elems"),
-        F.sum(F.round(F.col("e") * F.col("e"), 12).cast("decimal(27,12)"))
-        .alias("sq_sum"),
+        _rdsum(F.col("e") * F.col("e"), "sq_sum", 12),
         F.max(F.abs("e")).alias("max_err"),
     )
     return (
@@ -9743,9 +9782,9 @@ def q165_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.col("scale_sum").cast("double") / F.col("n_vecs"), 8
             ).alias("avg_scale"),
-            F.round(
-                F.col("sq_sum").cast("double") / F.col("n_elems"), 10
-            ).alias("avg_mse"),
+            F.round(F.col("sq_sum") / F.col("n_elems"), 10).alias(
+                "avg_mse"
+            ),
             F.round("max_err", 8).alias("max_abs_err"),
         )
         .orderBy("label")
@@ -9756,22 +9795,22 @@ def q165_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q166_ks_two_sample",
     """
     WITH pts AS (
-      SELECT o_totalprice AS x,
+      SELECT CAST(floor(o_totalprice / 10) AS BIGINT) AS xb,
              CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g1,
              CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS g2
       FROM orders JOIN customer ON o_custkey = c_custkey
       WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
     ), hist AS (
-      SELECT x, SUM(g1) AS c1, SUM(g2) AS c2 FROM pts GROUP BY 1
+      SELECT xb, SUM(g1) AS c1, SUM(g2) AS c2 FROM pts GROUP BY 1
     ), cum AS (
-      SELECT x,
-             SUM(c1) OVER (ORDER BY x) AS cum1,
-             SUM(c2) OVER (ORDER BY x) AS cum2,
+      SELECT xb,
+             SUM(c1) OVER (ORDER BY xb) AS cum1,
+             SUM(c2) OVER (ORDER BY xb) AS cum2,
              SUM(c1) OVER () AS n1,
              SUM(c2) OVER () AS n2
       FROM hist
     ), d AS (
-      SELECT x, n1, n2,
+      SELECT xb, n1, n2,
              round(abs(CAST(cum1 AS DOUBLE) / n1
                      - CAST(cum2 AS DOUBLE) / n2), 8) AS dd
       FROM cum
@@ -9779,7 +9818,8 @@ def q165_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(MAX(d.n1) AS BIGINT) AS n1,
            CAST(MAX(d.n2) AS BIGINT) AS n2,
            MAX(m.ks_d) AS ks_d,
-           MIN(CASE WHEN d.dd = m.ks_d THEN d.x END) AS x_at_max
+           CAST(MIN(CASE WHEN d.dd = m.ks_d THEN d.xb END) * 10
+                AS DOUBLE) AS x_at_max
     FROM d, m
     """,
     "stats",
@@ -9790,18 +9830,18 @@ def q166_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributions of two customer segments: D = max |F1(x) - F2(x)|
     plus the value where the ECDFs diverge most — the
     distribution-shape test q122's binned PSI cannot express (PSI
-    needs pre-chosen bins; KS compares FULL ECDFs). Shape: values
-    collapse to a per-distinct-value histogram FIRST (ties must step
-    the ECDF once, and the cumulative then runs over the collapsed
-    domain), the max-D scalar broadcasts back via a 1-row cross join
-    (q103's max-broadcast pattern — no collect). The ordered
-    cumulative over the distinct-value table is the one
-    scale-sensitive piece: order values are cents-quantized so the
-    domain is price-bounded (~50M cents), and at 100 TB the
-    production variant quantizes the grid coarser (q122's binning)
-    before this exact machinery runs unchanged. Determinism: ECDF
+    needs a handful of pre-chosen bins; KS walks the whole ECDF).
+    GRID discipline (q161's): values land on a fixed $10 grid first,
+    so the ordered cumulative runs over a VALUE-bounded domain
+    (~50k grid rows for any data size — the same grouped estimator
+    trade: D on the grid lower-bounds exact D by at most the largest
+    within-bin probability mass, here ≤1/5000 of the range). Ties
+    collapse into the grid histogram so the ECDF steps once per
+    value; the max-D scalar broadcasts back via a 1-row cross join
+    (q103's max-broadcast pattern — no collect). Determinism: ECDF
     ratios are bigint-count / bigint-count in double, rounded 8;
-    x_at_max takes MIN over the exactly-tied argmax set."""
+    x_at_max reports the lower edge of the MIN bucket over the
+    exactly-tied argmax set."""
     cust = _t(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
     )
@@ -9809,7 +9849,7 @@ def q166_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders")
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(
-            F.col("o_totalprice").alias("x"),
+            F.floor(F.col("o_totalprice") / 10).cast("long").alias("xb"),
             F.when(F.col("c_mktsegment") == "BUILDING", 1)
             .otherwise(0)
             .alias("g1"),
@@ -9818,15 +9858,15 @@ def q166_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("g2"),
         )
     )
-    hist = pts.groupBy("x").agg(
+    hist = pts.groupBy("xb").agg(
         F.sum("g1").alias("c1"), F.sum("g2").alias("c2")
     )
-    wx = Window.orderBy("x")
+    wx = Window.orderBy("xb")
     wall = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     d = hist.select(
-        "x",
+        "xb",
         F.sum("c1").over(wall).alias("n1"),
         F.sum("c2").over(wall).alias("n2"),
         F.round(
@@ -9844,9 +9884,9 @@ def q166_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n1").cast("long").alias("n1"),
         F.max("n2").cast("long").alias("n2"),
         F.max("ks_d").alias("ks_d"),
-        F.min(F.when(F.col("dd") == F.col("ks_d"), F.col("x"))).alias(
-            "x_at_max"
-        ),
+        (F.min(F.when(F.col("dd") == F.col("ks_d"), F.col("xb"))) * 10)
+        .cast("double")
+        .alias("x_at_max"),
     )
 
 
@@ -9931,16 +9971,13 @@ def q167_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(F.col("rnk").cast("double")), 8).alias("lx"),
         F.round(F.log(F.col("freq").cast("double")), 8).alias("ly"),
     )
-    def _dsum10(c: Column) -> Column:
-        return F.sum(F.round(c, 10).cast("decimal(27,10)")).cast("double")
-
     sums = xy.agg(
         F.count("*").alias("n"),
         F.sum(F.col("lx").cast("decimal(27,8)")).cast("double").alias("sx"),
         F.sum(F.col("ly").cast("decimal(27,8)")).cast("double").alias("sy"),
-        _dsum10(F.col("lx") * F.col("ly")).alias("sxy"),
-        _dsum10(F.col("lx") * F.col("lx")).alias("sxx"),
-        _dsum10(F.col("ly") * F.col("ly")).alias("syy"),
+        _rdsum(F.col("lx") * F.col("ly"), "sxy", 10),
+        _rdsum(F.col("lx") * F.col("lx"), "sxx", 10),
+        _rdsum(F.col("ly") * F.col("ly"), "syy", 10),
     )
     n = F.col("n")
     sxy_c = F.col("sxy") - F.col("sx") * F.col("sy") / n

@@ -783,14 +783,16 @@ def test_lorenz_windows_on_bucket_histogram(spark):
 
 
 def test_chisq_windows_on_cell_table(spark):
-    """q162: row/column/grand totals are windows over the 25-cell
-    contingency aggregate, not over the joined fact table — every
-    Window node sits above the HashAggregate, and there is no
-    cartesian anywhere."""
+    """q162: the cell aggregate localCheckpoints (r x c rows, three
+    consumers — the fact join is scanned once, never re-derived), so
+    the final plan's windows and grid-completion joins consume only
+    the checkpointed RDD: no parquet scan, no cartesian (the grid
+    cross is a 1xN broadcast)."""
     df = q(spark, "q162_chisq_independence")
     plan = formatted_plan(df)
     assert "Window" in plan, plan
-    assert plan.index("Window") > plan.index("HashAggregate"), plan
+    assert "Scan ExistingRDD" in plan, plan  # checkpointed cell table
+    assert "parquet" not in plan, plan  # fact join paid once, upstream
     assert "CartesianProduct" not in plan, plan
 
 
@@ -829,10 +831,10 @@ def test_int8_quantization_no_python_no_cartesian(spark):
 
 
 def test_ks_cumulative_on_collapsed_domain(spark):
-    """q166: the ECDF cumulative runs over the per-distinct-value
-    histogram (Window above HashAggregate), and the max-D scalar rides
-    a 1-row broadcast back — the only nested-loop join allowed is that
-    1xN broadcast."""
+    """q166: the ECDF cumulative runs over the $10-grid histogram
+    (value-bounded domain — Window above the grid HashAggregate), and
+    the max-D scalar rides a 1-row broadcast back — the only
+    nested-loop join allowed is that 1xN broadcast."""
     df = q(spark, "q166_ks_two_sample")
     plan = formatted_plan(df)
     assert plan.index("Window") > plan.index("HashAggregate"), plan
