@@ -127,6 +127,13 @@ BENCH_QUERIES = [
     "q165_int8_quantization",
     "q166_ks_two_sample",
     "q167_zipf_slope",
+    # round-6 batch 4: interval algebra / integrity / itemset mining
+    "q168_interval_union",
+    "q169_fk_orphan_audit",
+    "q170_duplication_fraction",
+    "q171_token_pmi",
+    "q172_association_rules",
+    "q173_benford_audit",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

@@ -63,6 +63,22 @@ def count_shuffles(df: DataFrame) -> int:
     return sum(1 for n in _nodes(df) if n == "Exchange")
 
 
+def count_scans(df: DataFrame) -> int:
+    """File-source scans in the plan — catches accidental subtree
+    recomputation (Spark recomputes a derived frame on BOTH sides of
+    a self-join unless the association is expressed join-free)."""
+    return sum(1 for n in _nodes(df) if n == "Scan")
+
+
+def executed_formatted_plan(df: DataFrame) -> str:
+    """Formatted plan AFTER one execution — AQE applies exchange
+    reuse during stage materialization, so ReusedExchange nodes only
+    appear in the post-run plan, never the static one. Test-sized
+    inputs only (runs a collect)."""
+    df.collect()
+    return formatted_plan(df)
+
+
 def has_wholestage_codegen(df: DataFrame) -> bool:
     """Formatted plans mark codegen stages with '[codegen id : N]'."""
     return "codegen id" in formatted_plan(df)

@@ -8,7 +8,9 @@ import pytest
 
 from big_data_spark.plans import (
     count_broadcast_joins,
+    count_scans,
     count_shuffles,
+    executed_formatted_plan,
     formatted_plan,
     has_pushed_filters,
     has_wholestage_codegen,
@@ -850,3 +852,82 @@ def test_zipf_top500_is_take_ordered(spark):
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_interval_union_windows_keyed_by_user(spark):
+    """q168: both island windows and the island groupBy partition on
+    user_id — one hashpartitioning exchange feeds all three (Catalyst
+    reuses the partitioning), plus the presentation sort; no Python,
+    no join."""
+    df = q(spark, "q168_interval_union")
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert "PythonUDF" not in plan, plan
+    assert plan.count("Arguments: hashpartitioning(user_id") == 1, plan
+
+
+def test_fk_orphan_audit_joins_key_projections(spark):
+    """q169: every relationship's dim side is a key-only projection
+    (one column reaches each dim scan) and the catalog's broadcast
+    dims broadcast; no cartesian anywhere in the 7-way union."""
+    df = q(spark, "q169_fk_orphan_audit")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert count_broadcast_joins(df) >= 3, plan  # nation x2, region, supplier
+
+
+def test_duplication_fraction_single_scan_digest_window(spark):
+    """q170: the doc-frequency association is a count window on the
+    digest key, so the corpus scans ONCE (a groupBy+join-back would
+    recompute the whole distinct subtree as the join's build side)
+    and only digests + doc ids shuffle."""
+    df = q(spark, "q170_duplication_fraction")
+    plan = formatted_plan(df)
+    assert "PythonUDF" not in plan, plan
+    assert count_scans(df) == 1, plan
+    # distinct + window-on-h + per-doc agg + presentation sort
+    assert count_shuffles(df) <= 4, plan
+    assert "Join" not in plan, plan
+
+
+def test_token_pmi_marginals_broadcast(spark):
+    """q171: bigrams generate array-locally (no self-join); the vocab
+    marginal broadcasts ONCE and both joins reuse the exchange; the
+    corpus totals fold into a single 1-row broadcast from one pruned
+    scan — three corpus scans total, top-100 via per-partition heap."""
+    df = q(spark, "q171_token_pmi")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert count_broadcast_joins(df) >= 2, plan
+    assert count_scans(df) <= 4, plan  # bcnt + 2 marginals + totals
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    # the duplicate marginal build dedupes at stage materialization
+    assert "ReusedExchange" in executed_formatted_plan(df)
+
+
+def test_association_rules_no_item_self_join(spark):
+    """q172: the pair stream reuses q128's basket-local generation —
+    the ONLY joins in the plan are broadcasts (item marginals +
+    basket total against the already-aggregated rule table), and the
+    mega-basket cap still compiles to WindowGroupLimit."""
+    df = q(spark, "q172_association_rules")
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_benford_grid_is_digit_sized(spark):
+    """q173: one conditional-count groupBy collapses orders to <= 9
+    rows before the grid join and the zero-fill window — the window's
+    single-partition exchange carries the 9-row digit table, never
+    the fact table (only the digit-count aggregate's exchange is
+    hash-partitioned), and the fact side is one pruned pushed-filter
+    scan."""
+    df = q(spark, "q173_benford_audit")
+    plan = formatted_plan(df)
+    assert count_scans(df) == 1, plan
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    assert "Window" in plan and "PythonUDF" not in plan, plan
