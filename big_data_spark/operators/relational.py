@@ -232,6 +232,60 @@ def equi_frequency_buckets(
     )
 
 
+def cusum_scan(
+    daily: DataFrame, day_col: str = "day", rev_col: str = "rev"
+) -> DataFrame:
+    """Offline CUSUM change-point scan over a day-grain series:
+    cumulative deviation from the global mean, |peak| flagged as the
+    most likely level-shift day. The scoring half of q163, shared by
+    the one-shot batch query and streaming.sinks.read_cusum (the
+    incremental twin) so both paths compute PROVABLY the same
+    estimator — the twin merges exact-decimal per-day partials and
+    feeds the identical windows. ``daily`` must be one row per day
+    with ``rev_col`` an exact decimal sum; the ordered cumulative is
+    calendar-bounded (one row per day), so the single-partition
+    window is bounded by time, not data. Determinism: the running
+    total stays an exact decimal; the only IEEE terms are rn*mean and
+    the final subtraction, rounded to 6; +0.0 collapses the signed
+    zero the final day's total - n*mean produces."""
+    from pyspark.sql.window import Window
+
+    wday = Window.orderBy(day_col)
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    seq = daily.select(
+        F.col(day_col).alias("day"),
+        F.col(rev_col).alias("rev"),
+        F.row_number().over(wday).alias("rn"),
+        F.sum(rev_col).over(wday).alias("cum_rev"),
+        (
+            F.sum(rev_col).over(wall).cast("double")
+            / F.count("*").over(wall)
+        ).alias("mean_rev"),
+    )
+    c = seq.select(
+        "day",
+        F.col("rev").cast("double").alias("daily_revenue"),
+        (
+            F.round(
+                F.col("cum_rev").cast("double")
+                - F.col("rn") * F.col("mean_rev"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("cusum"),
+    )
+    return c.select(
+        "day",
+        "daily_revenue",
+        "cusum",
+        (F.abs("cusum") == F.max(F.abs("cusum")).over(wall)).alias(
+            "is_peak"
+        ),
+    ).orderBy("day")
+
+
 def rfm_scores(cust: DataFrame) -> DataFrame:
     """Quintile scoring + lifecycle segmentation over a per-customer
     metrics table (o_custkey, recency_days, frequency, monetary,

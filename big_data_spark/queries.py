@@ -9563,11 +9563,13 @@ def q163_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     change). Day-grain keeps the window calendar-bounded: the ordered
     cumulative runs over one row per day (~decades = thousands of
     rows), so the single-partition window is bounded by time, not
-    data — the same justification as q109's gap grid. Determinism:
-    daily revenue and the running total are exact decimal sums; the
-    only IEEE terms are rn*mean (identical per-row ops on identical
-    doubles) and the final subtraction, rounded to 6 — so the peak
-    flag compares exactly equal rounded values in both engines."""
+    data — the same justification as q109's gap grid. The scan itself
+    is operators.relational.cusum_scan, shared with the streaming
+    twin (start_daily_revenue_stream / read_cusum) so the live view
+    is provably the same estimator. Determinism notes live on the
+    shared scan."""
+    from .operators.relational import cusum_scan
+
     daily = (
         _t(spark, sf_dir, "orders")
         .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
@@ -9575,42 +9577,7 @@ def q163_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(27,2)")).alias("rev")
         )
     )
-    wday = Window.orderBy("day")
-    wall = Window.partitionBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    seq = daily.select(
-        "day",
-        "rev",
-        F.row_number().over(wday).alias("rn"),
-        F.sum("rev").over(wday).alias("cum_rev"),
-        (
-            F.sum("rev").over(wall).cast("double")
-            / F.count("*").over(wall)
-        ).alias("mean_rev"),
-    )
-    c = seq.select(
-        "day",
-        F.col("rev").cast("double").alias("daily_revenue"),
-        # + 0.0 collapses IEEE signed zero: the final day's cusum is
-        # total - n*mean == ±~0, and -0.0 vs 0.0 stringify differently
-        (
-            F.round(
-                F.col("cum_rev").cast("double")
-                - F.col("rn") * F.col("mean_rev"),
-                6,
-            )
-            + F.lit(0.0)
-        ).alias("cusum"),
-    )
-    return c.select(
-        "day",
-        "daily_revenue",
-        "cusum",
-        (F.abs("cusum") == F.max(F.abs("cusum")).over(wall)).alias(
-            "is_peak"
-        ),
-    ).orderBy("day")
+    return cusum_scan(daily)
 
 
 @register(

@@ -2027,6 +2027,73 @@ def read_rfm(spark, partials_dir: str) -> DataFrame:
     return rfm_scores(cust)
 
 
+def start_daily_revenue_stream(
+    orders_stream: DataFrame,
+    partials_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming twin of q163's CUSUM change-point scan — the feed
+    half: each micro-batch lands per-day EXACT-DECIMAL revenue
+    partials (plus an order count) in its own batch_id partition.
+    The CUSUM estimator needs only the day-grain revenue series, and
+    a decimal sum is associative, so per-batch partials merge to
+    exactly the one-shot daily table no matter how the stream was
+    batched — ``read_cusum`` re-scores through the SAME shared scan
+    (operators.relational.cusum_scan) q163 ships, so stream == batch
+    is exact, not a tolerance. Same exactly-once contract as
+    start_rollup_stream (a replayed batch overwrites its own
+    partition with identical content)."""
+
+    def write_partial(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():  # a 0-row write creates a schema-less dir
+            return
+        (
+            batch.groupBy(
+                F.date_trunc("day", F.col("o_orderdate")).alias("day")
+            )
+            .agg(
+                # pin the stored width: sum(decimal(27,2)) infers
+                # (37,2) — cast so partials never schema-clash
+                F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+                .cast("decimal(38,2)")
+                .alias("rev"),
+                F.count("*").alias("n_orders"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(partials_dir)
+        )
+
+    writer = (
+        orders_stream.writeStream.foreachBatch(write_partial)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_cusum(spark, partials_dir: str) -> DataFrame:
+    """The live CUSUM view over the streamed daily revenue partials:
+    merge per-batch day rows with one exact-decimal sum (days-sized
+    result), then run the SAME cusum_scan q163 uses. The merged sum
+    equals the one-shot daily aggregate exactly (decimal addition is
+    associative), so every downstream double, round, and peak flag is
+    bit-identical to the batch query's."""
+    from ..operators.relational import cusum_scan
+
+    daily = (
+        spark.read.parquet(partials_dir)
+        .groupBy("day")
+        .agg(F.sum("rev").cast("decimal(38,2)").alias("rev"))
+    )
+    return cusum_scan(daily)
+
+
 def start_contract_gate_stream(
     stream: DataFrame,
     checks,

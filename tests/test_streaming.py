@@ -1443,6 +1443,73 @@ def test_streaming_rfm_matches_batch_exactly(spark, tmp_path):
     assert [tuple(r) for r in read_rfm(spark, partials).collect()] == want
 
 
+def test_streaming_cusum_matches_batch_exactly(spark, tmp_path):
+    """start_daily_revenue_stream (q163's incremental twin): the
+    per-day revenue partial is an associative exact-decimal sum, so
+    the merged streaming view re-scored through the shared
+    cusum_scan must equal q163's one-shot batch output EXACTLY —
+    same cusum values, same peak flag — and a post-commit crash
+    replay changes nothing. The split is by DAY PARITY, so single
+    days straddle batches and the merge path is actually exercised
+    ... (each batch still contains every-other day; the third file
+    re-delivers a subset of days to force cross-batch day merges)."""
+    import contextlib
+    import os
+
+    from big_data_spark.catalog import load_table
+    from big_data_spark.queries import QUERIES
+    from big_data_spark.streaming.sinks import (
+        read_cusum,
+        start_daily_revenue_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderdate", "o_totalprice"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    # split WITHIN days (row-hash parity) so the same day lands in
+    # multiple micro-batches and the decimal merge is exercised
+    for name, pred in (
+        ("a", "crc32(cast(o_totalprice as string)) % 3 = 0"),
+        ("b", "crc32(cast(o_totalprice as string)) % 3 = 1"),
+        ("c", "crc32(cast(o_totalprice as string)) % 3 = 2"),
+    ):
+        orders.filter(pred).coalesce(1).write.parquet(str(src / name))
+
+    partials = str(tmp_path / "partials")
+    ckpt = str(tmp_path / "ck")
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = start_daily_revenue_stream(stream, partials, ck)
+        q.awaitTermination(180)
+
+    run(ckpt)
+    got = [tuple(r) for r in read_cusum(spark, partials).collect()]
+    want = [
+        tuple(r)
+        for r in QUERIES["q163_cusum_changepoint"].fn(spark, sf).collect()
+    ]
+    assert got == want
+
+    # post-commit crash replay: the last batch re-lands identically
+    n = max(
+        int(f) for f in os.listdir(os.path.join(ckpt, "commits"))
+        if not f.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", str(n)))
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(os.path.join(ckpt, "commits", f".{n}.crc"))
+    run(ckpt)
+    assert [tuple(r) for r in read_cusum(spark, partials).collect()] == want
+
+
 def test_contract_gate_stream_blocks_violating_batch(spark, tmp_path):
     """Streaming data-contract gate: a clean batch lands (with its
     verdict report); a violating batch writes its report and FAILS
