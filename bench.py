@@ -134,6 +134,10 @@ BENCH_QUERIES = [
     "q171_token_pmi",
     "q172_association_rules",
     "q173_benford_audit",
+    # round-6 batch 5: tokenizer coverage / bigram LM / model eval
+    "q174_oov_rate",
+    "q175_bigram_logprob",
+    "q176_langid_confusion",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

@@ -1556,16 +1556,28 @@ def q41_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q42_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID (north-star): stopword-hit-rate
-    classifier as a pure column expression."""
+    classifier as a pure column expression (_langid_pred_col, shared
+    with q176's confusion-matrix audit so the audit audits the
+    deployed expression)."""
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    en_hits = F.size(F.filter(toks, lambda x: x.isin("the", "a", "value", "fast")))
     return docs.select(
         "doc_id",
         F.col("lang").alias("true_lang"),
+        _langid_pred_col().alias("pred_lang"),
+    )
+
+
+def _langid_pred_col(text_col: str = "text") -> Column:
+    """q42's stopword-rate language-ID as one column expression —
+    ONE definition serves inference (q42) and its confusion-matrix
+    audit (q176)."""
+    toks = F.split(text_col, " ")
+    en_hits = F.size(
+        F.filter(toks, lambda x: x.isin("the", "a", "value", "fast"))
+    )
+    return (
         F.when(en_hits.cast("double") / F.size(toks) >= 0.05, "en")
         .otherwise("other")
-        .alias("pred_lang"),
     )
 
 
@@ -6357,30 +6369,92 @@ def _clf_scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight) rounded 6, keep thresholding the exact pre-sigmoid margin.
     Single source shared by q129 (inference) and q164 (calibration
     audit) — tokenizer, weights, precision, and threshold can only
-    change in lockstep. Map-only, zero Python, zero shuffles; the
-    SQL twin is _CLF_SCORED_SQL."""
+    change in lockstep. Zero Python; the SQL twin is _CLF_SCORED_SQL.
+
+    Shape: explode -> codegen'd per-token weight -> ONE map-side-
+    combinable (doc_id, lang) aggregate. This replaced an array-local
+    F.aggregate fold that was map-only (zero exchanges) but ran the
+    md5 weight under CodegenFallback — higher-order functions never
+    codegen, and interpreted md5 measured ~30 us/token (~8 s for the
+    270k-token sf0.1 corpus) vs ~0.3 s exploded. The exchange this
+    buys is doc-count-sized partial sums (combine happens map-side),
+    a price that stays constant-per-doc at 100 TB while the fold's
+    300x CPU tax scales with every token. Values are UNCHANGED: each
+    weight is an exact multiple of 2^-5, so the double sum is exact
+    and order-independent — fold order, explode order, and DuckDB's
+    list_sum all produce the identical wsum bit pattern."""
+    return clf_score_frame(_t(spark, sf_dir, "documents"))
+
+
+def clf_score_frame(docs: DataFrame) -> DataFrame:
+    """Frame-based form of _clf_scored_docs: score any (doc_id, lang,
+    text) frame through the hashed-linear classifier. Shared by the
+    batch path and streaming.sinks.start_calibration_stream (which
+    scores each micro-batch through THIS function, so the monitored
+    model is provably the shipped model)."""
     toks = F.filter(F.split("text", " "), lambda t: t != "")
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", "lang", toks.alias("toks"))
-        .filter(F.size("toks") > 0)
-    )
-    wsum = F.aggregate(
-        "toks", F.lit(0.0), lambda acc, t: acc + _clf_token_weight(t)
+    base = docs.select(
+        "doc_id", "lang", toks.alias("toks")
+    ).filter(F.size("toks") > 0)
+    tok = base.select("doc_id", "lang", F.explode("toks").alias("t"))
+    agg = tok.groupBy("doc_id", "lang").agg(
+        F.count("*").cast("int").alias("n_tokens"),
+        F.sum(_clf_token_weight(F.col("t"))).alias("wsum"),
     )
     z = F.col("wsum") / F.col("n_tokens")
-    return docs.select(
-        "doc_id",
-        "lang",
-        F.size("toks").alias("n_tokens"),
-        wsum.alias("wsum"),
-    ).select(
+    return agg.select(
         "doc_id",
         "lang",
         "n_tokens",
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
         (z >= 0).alias("keep"),
     )
+
+
+def clf_bin_stats(scored: DataFrame) -> DataFrame:
+    """The calibration audit's sufficient statistics over a scored
+    frame: per 10-ary score bin, (n_docs, exact-decimal score sum,
+    positive count). Every column is ASSOCIATIVE — counts and decimal
+    sums merge by addition — so per-batch partials from the streaming
+    monitor fold to exactly the one-shot table. Shared by q164 and
+    streaming.sinks.read_calibration."""
+    return (
+        scored.select(
+            F.least(
+                F.floor(F.col("score") * 10).cast("int"), F.lit(9)
+            ).alias("bin"),
+            "score",
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("score").cast("decimal(27,6)"))
+            .cast("decimal(38,6)")
+            .alias("score_sum"),
+            F.sum("y").cast("long").alias("y_sum"),
+        )
+    )
+
+
+def calibration_from_bin_stats(bin_stats: DataFrame) -> DataFrame:
+    """Finish the reliability table from (bin, n_docs, score_sum,
+    y_sum) sufficient statistics — the formula half of q164, shared
+    with the streaming monitor so both compute the identical rounded
+    columns from the identical exact sums."""
+    avg_score = F.round(
+        F.col("score_sum").cast("double") / F.col("n_docs"), 6
+    )
+    frac_pos = F.round(
+        F.col("y_sum").cast("double") / F.col("n_docs"), 6
+    )
+    return bin_stats.select(
+        "bin",
+        "n_docs",
+        avg_score.alias("avg_score"),
+        frac_pos.alias("frac_pos"),
+        F.round(F.abs(avg_score - frac_pos), 6).alias("gap"),
+    ).orderBy("bin")
 
 
 @register(
@@ -6402,11 +6476,14 @@ def q129_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic stand-in ((bucket-32)/32 — exact multiples of 2^-5,
     so the float accumulation is EXACT and order-independent, no
     decimal cast needed); swapping in trained weights changes one
-    broadcast array, not the plan. The plan is the point: tokens are
-    scored inside `transform`/`aggregate` higher-order functions —
-    per-row, whole-stage-codegen, ZERO shuffles and zero Python
-    (plan-asserted) — so scoring 100 TB is a map-only pass that fuses
-    into the parquet scan. Only the sigmoid is rounded (libm last-ulp
+    broadcast array, not the plan. The plan is the point: tokens
+    explode into whole-stage-codegen md5 scoring and ONE map-side-
+    combinable per-doc aggregate — zero Python, zero joins, one
+    doc-count-sized exchange (plan-asserted). An earlier array-local
+    fold avoided even that exchange but ran the hash under
+    CodegenFallback at ~30 us/token (see _clf_scored_docs) — shuffle
+    shape is not the only scale axis; interpreted CPU on every token
+    is the bigger one. Only the sigmoid is rounded (libm last-ulp
     guard); the keep decision thresholds the pre-sigmoid margin at 0,
     which is exact. Scoring lives in _clf_scored_docs, shared verbatim
     with q164's calibration audit."""
@@ -7057,6 +7134,17 @@ def _copurchase_pairs(
     separate distinct exchange first — the collect_set dedups — so
     the cap costs zero additional shuffles (the basket build reuses
     the cap window's orderkey partitioning)."""
+    return _pairs_from_baskets(_capped_baskets(li, max_basket_items))
+
+
+def _capped_baskets(
+    li: DataFrame, max_basket_items: int | None = None
+) -> DataFrame:
+    """(l_orderkey, items) basket table with _copurchase_pairs's
+    mega-basket cap — split out so consumers needing MULTIPLE basket
+    derivations (q172: pairs + item marginals + basket total) can
+    materialize it once instead of recomputing the cap window per
+    derivation."""
     if max_basket_items is not None:
         wcap = Window.partitionBy("l_orderkey").orderBy("l_partkey")
         capped = (
@@ -7065,13 +7153,17 @@ def _copurchase_pairs(
             .filter(F.col("_dr") <= max_basket_items)
             .drop("_dr")
         )
-        baskets = capped.groupBy("l_orderkey").agg(
+        return capped.groupBy("l_orderkey").agg(
             F.array_sort(F.collect_set("l_partkey")).alias("items")
         )
-    else:
-        baskets = li.groupBy("l_orderkey").agg(
-            F.array_sort(F.collect_set("l_partkey")).alias("items")
-        )
+    return li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    )
+
+
+def _pairs_from_baskets(baskets: DataFrame) -> DataFrame:
+    """Basket-local (part_a < part_b) pair stream from the sorted
+    item arrays via nested transforms — no join node ever."""
     return baskets.select(
         F.explode(
             F.flatten(
@@ -9617,39 +9709,19 @@ def q164_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME shared scoring frame q129 ships (one definition per
     language, so tokenizer/weights/precision/threshold cannot
     silently diverge between inference and audit). Shape: the
-    map-only zero-Python scoring pass (q129's plan) feeds ONE
-    10-ary-key groupBy; at 100 TB that is a full scan plus a
-    map-side-combinable shuffle of 10 keys. Determinism: score is
+    zero-Python scoring pass (q129's plan) feeds ONE 10-ary-key
+    groupBy; at 100 TB that is a full scan plus a map-side-combinable
+    shuffle of 10 keys. The bin statistics (clf_bin_stats) and the
+    finishing formulas (calibration_from_bin_stats) are shared with
+    the streaming calibration monitor — per-batch partials are
+    associative, so the live table equals this one exactly.
+    Determinism: score is
     rounded to 6 before binning (identical double both engines, so
     floor(score*10) agrees even at bin edges); per-bin means are
     exact-decimal-sum / count, rounded 6; the gap subtracts the
     ROUNDED columns."""
-    scored = _clf_scored_docs(spark, sf_dir).select(
-        "score",
-        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
-    )
-    binned = scored.select(
-        F.least(
-            F.floor(F.col("score") * 10).cast("int"), F.lit(9)
-        ).alias("bin"),
-        "score",
-        "y",
-    )
-    avg_score = F.round(
-        F.sum(F.col("score").cast("decimal(27,6)")).cast("double")
-        / F.count("*"),
-        6,
-    )
-    frac_pos = F.round(F.sum("y").cast("double") / F.count("*"), 6)
-    return (
-        binned.groupBy("bin")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            avg_score.alias("avg_score"),
-            frac_pos.alias("frac_pos"),
-            F.round(F.abs(avg_score - frac_pos), 6).alias("gap"),
-        )
-        .orderBy("bin")
+    return calibration_from_bin_stats(
+        clf_bin_stats(_clf_scored_docs(spark, sf_dir))
     )
 
 
@@ -10416,31 +10488,31 @@ def q172_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     the A-priori step AFTER q128's frequent-pair mining, and what a
     recommender actually ranks by (lift > 1 means the pairing beats
     chance). The expensive part — pair generation — reuses q128's
-    basket-local machinery verbatim (_copurchase_pairs, 64-item skew
-    cap, no self-join); both rule DIRECTIONS then explode from the
-    already-aggregated unordered pair counts (support is symmetric),
-    so the directional blow-up costs 2 rows per counted pair, not a
-    second corpus pass. Item basket-counts and the basket total are
-    a part-dimension-sized broadcast and a 1-row broadcast. All
-    ratios are single/double divisions of exact integer counts in an
-    identical expression tree, rounded 8; ordering uses the rounded
-    values with an (ante, cons) tiebreak."""
+    basket-local machinery verbatim (_capped_baskets +
+    _pairs_from_baskets, 64-item skew cap, no self-join); both rule
+    DIRECTIONS then explode from the already-aggregated unordered
+    pair counts (support is symmetric), so the directional blow-up
+    costs 2 rows per counted pair, not a second corpus pass. The
+    basket table is the shared intermediate (localCheckpoint, the
+    q141/q156 pattern): pairs, item marginals, and the basket total
+    all derive from ONE materialization instead of re-running the
+    distinct + cap window per consumer. Item basket-counts and the
+    basket total are a part-dimension-sized broadcast and a 1-row
+    broadcast. All ratios are single/double divisions of exact
+    integer counts in an identical expression tree, rounded 8;
+    ordering uses the rounded values with an (ante, cons) tiebreak."""
     li = _t(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    wcap = Window.partitionBy("l_orderkey").orderBy("l_partkey")
-    capped = (
-        op.withColumn("_rn", F.row_number().over(wcap))
-        .filter(F.col("_rn") <= 64)
-        .drop("_rn")
+    # three consumers (pairs, marginals, total) — pay the cap window
+    # and basket build once
+    baskets = _capped_baskets(li, max_basket_items=64).localCheckpoint()
+    icnt = (
+        baskets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count("*").alias("ci"))
     )
-    icnt = capped.groupBy(F.col("l_partkey").alias("item")).agg(
-        F.count("*").alias("ci")
-    )
-    nb = capped.agg(
-        F.countDistinct("l_orderkey").cast("double").alias("n")
-    )
+    nb = baskets.agg(F.count("*").cast("double").alias("n"))
     pcnt = (
-        _copurchase_pairs(li, max_basket_items=64)
+        _pairs_from_baskets(baskets)
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("cab"))
         .filter(F.col("cab") >= 2)
@@ -10561,6 +10633,276 @@ def q173_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         benford.alias("benford_share"),
         F.round(obs_share - benford, 8).alias("deviation"),
     ).orderBy("digit")
+
+
+@register(
+    "q174_oov_rate",
+    """
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS w
+      FROM documents
+    ), vocab AS (
+      SELECT w FROM (
+        SELECT w, COUNT(*) AS c FROM toks GROUP BY 1
+      ) ORDER BY c DESC, w LIMIT 1000
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE v.w IS NULL) AS BIGINT)
+             AS oov_tokens,
+           round(CAST(COUNT(*) FILTER (WHERE v.w IS NULL) AS DOUBLE)
+                 / COUNT(*), 8) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.w = v.w
+    GROUP BY 1 ORDER BY source
+    """,
+    "text",
+    "tokenizer",
+)
+def q174_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage audit: per source, the share of token
+    OCCURRENCES falling outside a top-1000 frequency-truncated
+    vocabulary — the number that decides a vocab size (and flags a
+    source whose distribution the tokenizer underserves; q167
+    fingerprints the rank curve, this measures the truncation's
+    cost). The vocab cut is orderBy+limit — TakeOrderedAndProject,
+    per-partition heaps, never a global vocab sort — with the
+    (freq DESC, token) total order both engines share; membership is
+    a BROADCAST left join (the vocab is 1000 rows by construction,
+    broadcastable at any corpus scale), and the per-source rates are
+    one map-side-combinable groupBy. Two corpus scans (vocab build +
+    scoring); the rate divides exact integer counts, rounded 8."""
+    toks = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("w"),
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(1000)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias(
+                "oov_tokens"
+            ),
+            F.round(
+                F.count(F.when(F.col("in_vocab").isNull(), 1)).cast(
+                    "double"
+                )
+                / F.count("*"),
+                8,
+            ).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q175_bigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), ucnt AS (
+      SELECT w, COUNT(*) AS c
+      FROM (SELECT unnest(t) AS w FROM toks WHERE doc_id % 2 = 0)
+      GROUP BY 1
+    ), nu AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS n_uni FROM ucnt
+    ), train_bi AS (
+      SELECT t[i] AS a, t[i+1] AS b
+      FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+            FROM toks WHERE doc_id % 2 = 0 AND len(t) >= 2)
+    ), bcnt AS (
+      SELECT a, b, COUNT(*) AS cab FROM train_bi GROUP BY 1, 2
+    ), test_bi AS (
+      SELECT doc_id, t[i] AS a, t[i+1] AS b
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+            FROM toks WHERE doc_id % 2 = 1 AND len(t) >= 2)
+    ), scored AS (
+      SELECT doc_id,
+             round(ln(CASE WHEN m.cab IS NOT NULL
+                      THEN CAST(m.cab AS DOUBLE) / CAST(ca.c AS DOUBLE)
+                      ELSE (0.4 * CAST(COALESCE(cb.c, 1) AS DOUBLE))
+                           / nu.n_uni END), 8) AS lp
+      FROM test_bi tb
+      LEFT JOIN ucnt ca ON tb.a = ca.w
+      LEFT JOIN ucnt cb ON tb.b = cb.w
+      LEFT JOIN bcnt m ON tb.a = m.a AND tb.b = m.b, nu
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(CAST(SUM(CAST(lp AS DECIMAL(27,8))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_logprob
+    FROM scored GROUP BY 1 ORDER BY doc_id
+    """,
+    "text",
+    "quality",
+)
+def q175_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with stupid backoff — the
+    KenLM-style perplexity filter one rung above q110's unigram LM:
+    held-out docs (odd doc_id) score under a model trained on the
+    other half (even doc_id), p(b|a) = c(ab)/c(a) when the bigram was
+    seen, else 0.4 * c(b)/N with an OOV floor of count 1 — the
+    train/held-out split is what makes the backoff path REAL (a
+    same-corpus model never backs off: every bigram contains itself).
+    Bigrams generate array-locally per doc (q171's machinery); the
+    bigram model joins on the pair key (bigram-vocab-sized — at
+    100 TB a shuffle join colocated with the count's partitioning, or
+    df-floor the model like q110's top-K rule); the unigram marginals
+    broadcast. Per-term log-probs round to 8 (libm guard), per-doc
+    means are exact-decimal sums / count rounded 6 (q110's exact
+    discipline)."""
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("t"),
+    )
+
+    def bigrams(df: DataFrame, with_doc: bool) -> DataFrame:
+        cols = (["doc_id"] if with_doc else []) + [
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("t"), i.cast("int")).alias(
+                            "a"
+                        ),
+                        F.element_at(
+                            F.col("t"), (i + 1).cast("int")
+                        ).alias("b"),
+                    ),
+                )
+            ).alias("p")
+        ]
+        out = df.where(F.size("t") >= 2).select(*cols)
+        keep = (["doc_id"] if with_doc else []) + ["p.a", "p.b"]
+        return out.select(*keep)
+
+    train = toks.filter(F.col("doc_id") % 2 == 0)
+    test = toks.filter(F.col("doc_id") % 2 == 1)
+    ucnt = (
+        train.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    nu = ucnt.agg(F.sum("c").cast("double").alias("n_uni"))
+    bcnt = bigrams(train, False).groupBy("a", "b").agg(
+        F.count("*").alias("cab")
+    )
+    ca = ucnt.select(F.col("w").alias("a"), F.col("c").alias("c_a"))
+    cb = ucnt.select(F.col("w").alias("b"), F.col("c").alias("c_b"))
+    lp = F.round(
+        F.log(
+            F.when(
+                F.col("cab").isNotNull(),
+                F.col("cab").cast("double") / F.col("c_a").cast("double"),
+            ).otherwise(
+                (
+                    F.lit(0.4)
+                    * F.coalesce(F.col("c_b"), F.lit(1)).cast("double")
+                )
+                / F.col("n_uni")
+            )
+        ),
+        8,
+    )
+    return (
+        bigrams(test, True)
+        .join(F.broadcast(ca), "a", "left")
+        .join(F.broadcast(cb), "b", "left")
+        .join(bcnt, ["a", "b"], "left")
+        .crossJoin(F.broadcast(nu))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("lp").cast("decimal(27,8)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q176_langid_confusion",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks
+      FROM documents
+    ), score AS (
+      SELECT lang AS true_lang,
+             CASE WHEN CAST(len(list_filter(toks,
+                    x -> x IN ('the', 'a', 'value', 'fast'))) AS DOUBLE)
+                  / len(toks) >= 0.05
+                  THEN 'en' ELSE 'other' END AS pred_lang
+      FROM t
+    ), cells0 AS (
+      SELECT true_lang, pred_lang, COUNT(*) AS n
+      FROM score GROUP BY 1, 2
+    ), grid AS (
+      SELECT tl.true_lang, pl.pred_lang
+      FROM (SELECT DISTINCT true_lang FROM cells0) tl,
+           (SELECT DISTINCT pred_lang FROM cells0) pl
+    ), cells AS (
+      SELECT g.true_lang, g.pred_lang, COALESCE(c.n, 0) AS n
+      FROM grid g LEFT JOIN cells0 c
+        ON g.true_lang = c.true_lang AND g.pred_lang = c.pred_lang
+    )
+    SELECT true_lang, pred_lang, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY true_lang), 8) AS row_share
+    FROM cells ORDER BY true_lang, pred_lang
+    """,
+    "text",
+    "stats",
+)
+def q176_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for q42's heuristic language-ID against the
+    labeled lang column — per (true, predicted) cell count and
+    within-true recall share, on the zero-filled full grid (q162's
+    discipline: a never-predicted class is a finding, not a missing
+    row). The predictions come from the IDENTICAL stopword-rate
+    expression q42 ships (same CTE in the oracle), so this audits the
+    deployed classifier, not a reimplementation. One map-only scoring
+    pass feeds one groupBy onto a |langs|x|preds| cell table; the
+    grid completion and the per-true-row share window run over that
+    bounded table — at 100 TB: one scan, one tiny shuffle."""
+    pred = _t(spark, sf_dir, "documents").select(
+        F.col("lang").alias("true_lang"), _langid_pred_col().alias("pred_lang")
+    )
+    cells0 = pred.groupBy("true_lang", "pred_lang").agg(
+        F.count("*").alias("n")
+    )
+    grid = (
+        cells0.select("true_lang")
+        .distinct()
+        .crossJoin(cells0.select("pred_lang").distinct())
+    )
+    cells = grid.join(cells0, ["true_lang", "pred_lang"], "left").fillna(
+        0, subset=["n"]
+    )
+    wrow = Window.partitionBy("true_lang")
+    return cells.select(
+        "true_lang",
+        "pred_lang",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wrow), 8
+        ).alias("row_share"),
+    ).orderBy("true_lang", "pred_lang")
 
 
 # =========================================================================
@@ -10740,6 +11082,16 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q171_token_pmi",
     "q172_association_rules",
     "q173_benford_audit",
+    # round-6 batch-5 additions (tokenizer/LM/model-eval): same
+    # round-8+ certification backlog. In-window representatives:
+    # q174↔q167/q110 (TakeOrdered vocab cut + broadcast membership);
+    # q175↔q110/q171 (the LM-scoring join discipline, bigram model +
+    # REAL backoff via the train/held-out split); q176↔q162 (the
+    # zero-filled grid + row-share window over a cell table, auditing
+    # q42's exact deployed expression).
+    "q174_oov_rate",
+    "q175_bigram_logprob",
+    "q176_langid_confusion",
     # round-6 demotions next (freshest prev-pass evidence, 2× green
     # in r04+r05):
     "q89_volume_shipping",

@@ -2094,6 +2094,68 @@ def read_cusum(spark, partials_dir: str) -> DataFrame:
     return cusum_scan(daily)
 
 
+def start_calibration_stream(
+    docs_stream: DataFrame,
+    partials_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming twin of q164's calibration audit — live model
+    monitoring: each micro-batch of documents is scored through the
+    SAME clf_score_frame the batch classifier ships (q129/q164's one
+    shared scorer), reduced to per-bin sufficient statistics
+    (clf_bin_stats: count / exact-decimal score sum / positive
+    count — all associative), and landed in a batch_id partition.
+    ``read_calibration`` merges by addition and finishes through the
+    shared formulas, so the live reliability table equals q164's
+    one-shot output EXACTLY — drift in a bin's gap column is model
+    degradation, not pipeline noise. Same exactly-once contract as
+    start_rollup_stream."""
+
+    def write_partial(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():  # a 0-row write creates a schema-less dir
+            return
+        from ..queries import clf_bin_stats, clf_score_frame
+
+        (
+            clf_bin_stats(clf_score_frame(batch))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(partials_dir)
+        )
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(write_partial)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_calibration(spark, partials_dir: str) -> DataFrame:
+    """The live reliability table over the streamed calibration
+    partials: merge per-batch bin statistics by addition (counts and
+    exact-decimal sums are associative) and finish through the SAME
+    calibration_from_bin_stats q164 uses — bit-identical to the
+    one-shot batch audit over the same documents."""
+    from ..queries import calibration_from_bin_stats
+
+    merged = (
+        spark.read.parquet(partials_dir)
+        .groupBy("bin")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("score_sum").cast("decimal(38,6)").alias("score_sum"),
+            F.sum("y_sum").cast("long").alias("y_sum"),
+        )
+    )
+    return calibration_from_bin_stats(merged)
+
+
 def start_contract_gate_stream(
     stream: DataFrame,
     checks,

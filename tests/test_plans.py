@@ -595,15 +595,20 @@ def test_copurchase_pairs_basket_local_no_join(spark):
     assert "rangepartitioning" not in plan, plan
 
 
-def test_quality_classifier_map_only_no_python(spark):
-    """q129: hashed-linear scoring runs inside higher-order functions:
-    zero hash aggregates, zero hash-partition exchanges (only the
-    presentation sort), zero Python."""
+def test_quality_classifier_codegen_single_exchange(spark):
+    """q129: hashed-linear scoring explodes into codegen'd md5 weights
+    and ONE map-side-combinable per-doc aggregate — a single hash
+    exchange (plus the presentation sort), no joins, zero Python.
+    The md5 weight must sit under WholeStageCodegen, not a
+    CodegenFallback higher-order fold (the fold measured ~30 us/token
+    interpreted)."""
     df = q(spark, "q129_quality_classifier")
     plan = formatted_plan(df)
-    assert "HashAggregate" not in plan, plan
-    assert "hashpartitioning" not in plan, plan
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
     assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan, plan
+    # codegen ids only annotate the post-run plan under AQE
+    assert "codegen id" in executed_formatted_plan(df)
 
 
 def test_sliding_active_users_explodes_pairs_not_events(spark):
@@ -811,13 +816,15 @@ def test_cusum_window_on_daily_grain(spark):
 
 
 def test_calibration_scores_jvm_side_single_shuffle(spark):
-    """q164: scoring reuses q129's zero-Python higher-order pass and
-    feeds ONE 10-ary-key aggregate — a single hash exchange plus the
-    presentation sort, no Python eval nodes."""
+    """q164: scoring reuses q129's shared exploded-codegen pass and
+    feeds ONE 10-ary-key aggregate on top of the per-doc scoring
+    exchange — two hash exchanges total plus the presentation sort,
+    no Python eval nodes, no joins."""
     df = q(spark, "q164_calibration_bins")
     plan = formatted_plan(df)
     assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan, plan
-    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Arguments: hashpartitioning") == 2, plan
 
 
 def test_int8_quantization_no_python_no_cartesian(spark):
@@ -909,14 +916,27 @@ def test_token_pmi_marginals_broadcast(spark):
 def test_association_rules_no_item_self_join(spark):
     """q172: the pair stream reuses q128's basket-local generation —
     the ONLY joins in the plan are broadcasts (item marginals +
-    basket total against the already-aggregated rule table), and the
-    mega-basket cap still compiles to WindowGroupLimit."""
+    basket total against the already-aggregated rule table). The
+    final plan starts from the localCheckpointed basket table (one
+    materialization feeds pairs + marginals + total), so the cap's
+    WindowGroupLimit is asserted on the basket subtree itself."""
+    from big_data_spark.catalog import load_table
+    from big_data_spark.queries import _capped_baskets
+
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    bplan = formatted_plan(_capped_baskets(li, 64))
+    assert "WindowGroupLimit" in bplan, bplan
+
     df = q(spark, "q172_association_rules")
     plan = formatted_plan(df)
-    assert "WindowGroupLimit" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+    # every consumer reads the materialized basket table — the
+    # lineitem parquet scan + cap window ran exactly once, inside
+    # the checkpoint, so no parquet scan survives in the final plan
+    assert "Scan parquet" not in plan, plan
 
 
 def test_benford_grid_is_digit_sized(spark):
@@ -931,3 +951,37 @@ def test_benford_grid_is_digit_sized(spark):
     assert count_scans(df) == 1, plan
     assert plan.count("Arguments: hashpartitioning") == 1, plan
     assert "Window" in plan and "PythonUDF" not in plan, plan
+
+
+def test_oov_rate_vocab_take_ordered_and_broadcast(spark):
+    """q174: the vocab cut compiles to TakeOrderedAndProject (never a
+    global vocab sort) and membership is a broadcast join — the only
+    hash exchanges are the vocab count and the per-source agg."""
+    df = q(spark, "q174_oov_rate")
+    plan = formatted_plan(df)
+    # the vocab cut is a heap-based TakeOrdered; the only range
+    # partitioning allowed is the source-sized presentation sort
+    assert "TakeOrderedAndProject" in plan, plan
+    assert count_broadcast_joins(df) >= 1, plan
+
+
+def test_bigram_logprob_marginals_broadcast_no_cartesian(spark):
+    """q175: bigrams generate array-locally; the unigram marginals
+    broadcast; the bigram-model join is the only potentially-shuffled
+    join and it is an equi-join on the pair key — no cartesian, no
+    nested-loop except the 1-row totals cross."""
+    df = q(spark, "q175_bigram_logprob")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert count_broadcast_joins(df) >= 2, plan
+
+
+def test_langid_confusion_grid_windows_on_cells(spark):
+    """q176: one scoring pass feeds one cell-table groupBy; the grid
+    completion joins distinct-value frames (broadcast) and the
+    row-share window partitions the bounded cell table — no Python,
+    no cartesian blow-up beyond the langs x preds grid cross."""
+    df = q(spark, "q176_langid_confusion")
+    plan = formatted_plan(df)
+    assert "PythonUDF" not in plan, plan
+    assert "Window" in plan, plan

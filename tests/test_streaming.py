@@ -1510,6 +1510,70 @@ def test_streaming_cusum_matches_batch_exactly(spark, tmp_path):
     assert [tuple(r) for r in read_cusum(spark, partials).collect()] == want
 
 
+def test_streaming_calibration_matches_batch_exactly(spark, tmp_path):
+    """start_calibration_stream (q164's live-monitoring twin): each
+    batch scores through the SHARED clf_score_frame and lands
+    associative bin statistics, so the merged reliability table must
+    equal q164's one-shot output EXACTLY — and a post-commit crash
+    replay changes nothing. Docs split by doc_id parity so every
+    score bin accumulates across batches."""
+    import contextlib
+    import os
+
+    from big_data_spark.catalog import load_table
+    from big_data_spark.queries import QUERIES
+    from big_data_spark.streaming.sinks import (
+        read_calibration,
+        start_calibration_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    for name, pred in (
+        ("a", "doc_id % 3 = 0"),
+        ("b", "doc_id % 3 = 1"),
+        ("c", "doc_id % 3 = 2"),
+    ):
+        docs.filter(pred).coalesce(1).write.parquet(str(src / name))
+
+    partials = str(tmp_path / "partials")
+    ckpt = str(tmp_path / "ck")
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = start_calibration_stream(stream, partials, ck)
+        q.awaitTermination(180)
+
+    run(ckpt)
+    got = [tuple(r) for r in read_calibration(spark, partials).collect()]
+    want = [
+        tuple(r)
+        for r in QUERIES["q164_calibration_bins"].fn(spark, sf).collect()
+    ]
+    assert got == want
+
+    # post-commit crash replay: the last batch re-lands identically
+    n = max(
+        int(f) for f in os.listdir(os.path.join(ckpt, "commits"))
+        if not f.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", str(n)))
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(os.path.join(ckpt, "commits", f".{n}.crc"))
+    run(ckpt)
+    assert [
+        tuple(r) for r in read_calibration(spark, partials).collect()
+    ] == want
+
+
 def test_contract_gate_stream_blocks_violating_batch(spark, tmp_path):
     """Streaming data-contract gate: a clean batch lands (with its
     verdict report); a violating batch writes its report and FAILS
