@@ -138,6 +138,9 @@ BENCH_QUERIES = [
     "q174_oov_rate",
     "q175_bigram_logprob",
     "q176_langid_confusion",
+    "q177_token_entropy",
+    "q178_centroid_shift",
+    "q179_source_kl",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

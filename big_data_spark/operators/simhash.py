@@ -61,26 +61,28 @@ def simhash_signatures(
     """(id, sig): sign of per-bit ±1 votes over the doc's DISTINCT
     whitespace tokens. ``sig`` is a long holding the low ``n_bits``
     bits (for n_bits=64 the value uses the full signed range; all
-    downstream ops are bitwise, so sign is irrelevant)."""
+    downstream ops are bitwise, so sign is irrelevant).
+
+    Shape: explode -> codegen'd md5 -> ONE map-side-combinable
+    per-doc aggregate carrying n_bits int partials. This replaced
+    n_bits array-local F.aggregate folds: higher-order functions are
+    CodegenFallback, so the folds re-walked every doc's token array
+    n_bits times under interpreted evaluation (the q129 lesson —
+    interpreted per-token CPU dominates the one exchange this buys
+    by orders of magnitude). Vote sums are integers, so the result
+    is bit-identical to the fold form in any order."""
     if n_bits not in (32, 64):
         raise ValueError(f"n_bits must be 32 or 64, got {n_bits}")
     hashed = docs.select(
         id_col,
-        F.transform(
-            F.array_distinct(F.split(text_col, " ")), lambda t: F.md5(t)
-        ).alias("th"),
+        F.explode(F.array_distinct(F.split(text_col, " "))).alias("_tok"),
+    ).select(id_col, F.md5("_tok").alias("h"))
+    sums = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(_bit_vote(F.col("h"), j, n_bits)).alias(f"b{j}")
+            for j in range(n_bits)
+        ]
     )
-    def vote_adder(j: int):
-        # a factory, not a default-arg lambda: pyspark derives the
-        # higher-order function's arity from the lambda signature, so
-        # `lambda acc, h, j=j` would build a 3-arg aggregate merge
-        return lambda acc, h: acc + _bit_vote(h, j, n_bits)
-
-    bit_sums = [
-        F.aggregate("th", F.lit(0), vote_adder(j)).alias(f"b{j}")
-        for j in range(n_bits)
-    ]
-    sums = hashed.select(id_col, *bit_sums)
     sig = reduce(
         lambda acc, term: acc.bitwiseOR(term),
         [

@@ -2102,26 +2102,27 @@ def q66_lsh_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q48_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (north-star near-dup): 16-bit signature where bit i is
     the sign of sum over tokens of ±1 by the i-th md5 nibble's high
-    bit (nibble >= 8 ⟺ hex char >= '8'). Shuffle-free per-doc
-    higher-order aggregation; near-dup candidates then group on
-    signature prefixes instead of pairwise comparison."""
+    bit (nibble >= 8 ⟺ hex char >= '8'). Explode -> codegen'd md5 ->
+    one map-side-combinable per-doc aggregate of 16 int vote sums —
+    exactly the shape the DuckDB oracle has always written; the
+    previous 16 array-local folds ran interpreted (higher-order
+    functions are CodegenFallback — the q129 lesson). Near-dup
+    candidates then group on signature prefixes instead of pairwise
+    comparison."""
     docs = _t(spark, sf_dir, "documents")
     hashed = docs.select(
         "doc_id",
-        F.transform(
-            F.array_distinct(F.split("text", " ")), lambda t: F.md5(t)
-        ).alias("th"),
-    )
+        F.explode(F.array_distinct(F.split("text", " "))).alias("_tok"),
+    ).select("doc_id", F.md5("_tok").alias("h"))
     bit_sums = [
-        F.aggregate(
-            "th",
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.substring(h, i + 1, 1) >= "8", 1).otherwise(-1),
+        F.sum(
+            F.when(F.substring(F.col("h"), i + 1, 1) >= "8", 1).otherwise(
+                -1
+            )
         ).alias(f"b{i}")
         for i in range(16)
     ]
-    sums = hashed.select("doc_id", *bit_sums)
+    sums = hashed.groupBy("doc_id").agg(*bit_sums)
     sig = F.concat(
         *[F.when(F.col(f"b{i}") > 0, "1").otherwise("0") for i in range(16)]
     )
@@ -10905,6 +10906,269 @@ def q176_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("true_lang", "pred_lang")
 
 
+@register(
+    "q177_token_entropy",
+    """
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS w
+      FROM documents
+    ), cnt AS (
+      SELECT source, w, COUNT(*) AS c FROM toks GROUP BY 1, 2
+    ), t AS (
+      SELECT source, c,
+             SUM(c) OVER (PARTITION BY source) AS tot,
+             COUNT(*) OVER (PARTITION BY source) AS vocab
+      FROM cnt
+    ), terms AS (
+      SELECT source, tot, vocab,
+             round(-(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))
+                   * ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)),
+                   10) AS term
+      FROM t
+    ), ent AS (
+      SELECT source,
+             CAST(MAX(tot) AS BIGINT) AS n_tokens,
+             CAST(MAX(vocab) AS BIGINT) AS vocab,
+             round(CAST(SUM(CAST(term AS DECIMAL(27,10))) AS DOUBLE),
+                   6) AS entropy
+      FROM terms GROUP BY source
+    )
+    SELECT source, n_tokens, vocab, entropy,
+           CASE WHEN vocab > 1
+                THEN round(entropy / ln(CAST(vocab AS DOUBLE)), 6)
+                ELSE 0.0 END AS norm_entropy
+    FROM ent ORDER BY source
+    """,
+    "text",
+    "stats",
+)
+def q177_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's token distribution (+ the
+    vocab-normalized form): the diversity fingerprint next to q167's
+    Zipf slope — low entropy flags boilerplate/templated sources
+    before they flood a training mix, and mixing recipes weight by
+    it. Sufficient-statistics law: one (source, token) groupBy
+    collapses the corpus to vocab-sized counts; the per-source totals
+    are windows over THAT table (partitioned by source, so each
+    source's vocab partition is bounded by its distinct tokens); the
+    entropy is a decimal sum of per-token terms rounded 10 (each term
+    an identical double expression both engines, ln ulp absorbed),
+    rounded 6. Normalized entropy guards the degenerate one-token
+    vocabulary (ln 1 = 0) explicitly."""
+    toks = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("w"),
+    )
+    cnt = toks.groupBy("source", "w").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("source")
+    p = F.col("c").cast("double") / F.col("tot").cast("double")
+    terms = cnt.select(
+        "source",
+        F.sum("c").over(w).alias("tot"),
+        F.count("*").over(w).alias("vocab"),
+        "c",
+    ).select(
+        "source",
+        "tot",
+        "vocab",
+        F.round(-p * F.log(p), 10).alias("term"),
+    )
+    ent = terms.groupBy("source").agg(
+        F.max("tot").cast("long").alias("n_tokens"),
+        F.max("vocab").cast("long").alias("vocab"),
+        F.round(
+            F.sum(F.col("term").cast("decimal(27,10)")).cast("double"), 6
+        ).alias("entropy"),
+    )
+    return ent.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        "entropy",
+        F.when(
+            F.col("vocab") > 1,
+            F.round(
+                F.col("entropy") / F.log(F.col("vocab").cast("double")), 6
+            ),
+        )
+        .otherwise(0.0)
+        .alias("norm_entropy"),
+    ).orderBy("source")
+
+
+@register(
+    "q178_centroid_shift",
+    """
+    WITH d AS (
+      SELECT label, vec_id % 2 AS half, embedding,
+             unnest(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    ), dv AS (
+      SELECT label, half, i,
+             CAST(round(CAST(embedding[i] AS DOUBLE), 8)
+                  AS DECIMAL(27,8)) AS v8
+      FROM d
+    ), m AS (
+      SELECT label, i,
+             CAST(SUM(v8) FILTER (WHERE half = 0) AS DOUBLE)
+               / COUNT(*) FILTER (WHERE half = 0) AS mu0,
+             CAST(SUM(v8) FILTER (WHERE half = 1) AS DOUBLE)
+               / COUNT(*) FILTER (WHERE half = 1) AS mu1
+      FROM dv GROUP BY 1, 2
+    ), terms AS (
+      SELECT label, round((mu0 - mu1) * (mu0 - mu1), 10) AS sq FROM m
+    )
+    SELECT label,
+           round(sqrt(CAST(SUM(CAST(sq AS DECIMAL(27,10))) AS DOUBLE)),
+                 6) AS centroid_shift
+    FROM terms GROUP BY 1 ORDER BY label
+    """,
+    "similarity",
+    "stats",
+)
+def q178_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid shift between two halves of the
+    corpus (vec_id parity as the split stand-in for before/after
+    snapshots): L2 distance between per-half mean vectors — the
+    embedding-drift monitor that tells a retrieval team when an
+    index's distribution moved and recall SLAs need rechecking
+    (q122/PSI watch scalar columns; this watches the vector column).
+    Dimension-keyed sufficient stats: posexplode fans each vector
+    into (label, half, dim) cells, ONE conditional-aggregation
+    groupBy produces both half-means per (label, dim) — no self-join
+    of a derived frame, so the embeddings scan once — and the final
+    per-label reduce is |labels| x dims rows. At 100 TB the first
+    groupBy's map-side combine bounds the shuffle at
+    |labels| x dims x #map-partitions partial cells. float32 -> double
+    is exact; means divide decimal sums; the squared gaps round 10
+    and decimal-sum under sqrt, rounded 6."""
+    d = _t(spark, sf_dir, "embeddings").select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("i", "v"),
+    )
+    v8 = F.round(F.col("v").cast("double"), 8).cast("decimal(27,8)")
+    half0 = F.col("half") == 0
+    half1 = F.col("half") == 1
+    m = d.groupBy("label", "i").agg(
+        (
+            F.sum(F.when(half0, v8)).cast("double")
+            / F.count(F.when(half0, 1))
+        ).alias("mu0"),
+        (
+            F.sum(F.when(half1, v8)).cast("double")
+            / F.count(F.when(half1, 1))
+        ).alias("mu1"),
+    )
+    sq = F.round(
+        (F.col("mu0") - F.col("mu1")) * (F.col("mu0") - F.col("mu1")), 10
+    )
+    return (
+        m.select("label", sq.alias("sq"))
+        .groupBy("label")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(F.col("sq").cast("decimal(27,10)")).cast(
+                        "double"
+                    )
+                ),
+                6,
+            ).alias("centroid_shift")
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "q179_source_kl",
+    """
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS w
+      FROM documents
+    ), scnt AS (
+      SELECT source, w, COUNT(*) AS c FROM toks GROUP BY 1, 2
+    ), ccnt AS (
+      SELECT w, SUM(c) AS c FROM scnt GROUP BY 1
+    ), tots AS (
+      SELECT source, SUM(c) AS ts FROM scnt GROUP BY 1
+    ), ct AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS tc FROM ccnt
+    ), terms AS (
+      SELECT s.source, t.ts,
+             round((CAST(s.c AS DOUBLE) / CAST(t.ts AS DOUBLE))
+                   * ln((CAST(s.c AS DOUBLE) / CAST(t.ts AS DOUBLE))
+                        / (CAST(g.c AS DOUBLE) / ct.tc)), 10) AS term
+      FROM scnt s
+      JOIN ccnt g ON s.w = g.w
+      JOIN tots t ON s.source = t.source, ct
+    )
+    SELECT source,
+           CAST(MAX(ts) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(CAST(term AS DECIMAL(27,10))) AS DOUBLE), 6)
+             AS kl_divergence
+    FROM terms GROUP BY 1 ORDER BY source
+    """,
+    "text",
+    "stats",
+)
+def q179_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's token distribution from the
+    corpus mix, KL(source || corpus) — with q177's entropy, the pair
+    of numbers a data-mixing recipe reads: entropy says how diverse a
+    source is, KL says how far it sits from the blend it joins. No
+    smoothing needed: a source's tokens are a subset of the corpus's
+    (it is part of the mix), so q(w) > 0 wherever p(w) > 0 by
+    construction. Single corpus scan: the (source, token) histogram
+    is the shared intermediate (localCheckpoint — three consumers:
+    term join, corpus marginal, per-source totals); the corpus
+    marginal derives FROM the histogram (groupBy token over
+    vocab-sized rows, broadcast back under q110's top-K rule at
+    100 TB), totals broadcast at sources-size, the grand total rides
+    a 1-row cross join. Per-term doubles are the identical expression
+    tree; terms round 10, decimal-sum, round 6."""
+    toks = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("w"),
+    )
+    scnt = (
+        toks.groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    ccnt = scnt.groupBy("w").agg(F.sum("c").alias("gc"))
+    tots = scnt.groupBy("source").agg(F.sum("c").alias("ts"))
+    ct = ccnt.agg(F.sum("gc").cast("double").alias("tc"))
+    p = F.col("c").cast("double") / F.col("ts").cast("double")
+    q_ = F.col("gc").cast("double") / F.col("tc")
+    term = F.round(p * F.log(p / q_), 10)
+    return (
+        scnt.join(F.broadcast(ccnt), "w")
+        .join(F.broadcast(tots), "source")
+        .crossJoin(F.broadcast(ct))
+        .select("source", "ts", term.alias("term"))
+        .groupBy("source")
+        .agg(
+            F.max("ts").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("term").cast("decimal(27,10)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("kl_divergence"),
+        )
+        .orderBy("source")
+    )
+
+
 # =========================================================================
 # Registry ordering (driver check-window priority)
 # =========================================================================
@@ -11031,9 +11295,18 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q152_filtered_ann",
     # q153↔q134 (same constant-size top-k + broadcast-total shape).
     "q153_join_explosion_audit",
-    # round-6 ADDITIONS (never checked): round-8 certification
-    # backlog, behind the committed round-7 tranche above. In-window
-    # representatives: q154↔q66/q141 (iterative frontier joins +
+    # round-6 ADDITIONS (never checked): certification backlog behind
+    # the committed round-7 tranche above. ROUND-8 TRANCHE (planned):
+    # promote q154–q170 (17 entries), demoting 17 of the by-then
+    # twice-green q108–q131 pool (all 24 are 2x green after r06+r07;
+    # suggested keeps: q112 kNN join, q120 containment, q124 WITH
+    # TIES, q126 range frames, q128 basket pairs, q129 classifier,
+    # q130 constraints — each pins machinery no other in-window entry
+    # runs end-to-end). ROUND-9 TRANCHE: q171–q179 (9 entries),
+    # demoting the round-6 promotions (q132–q145 pool, 2x green by
+    # then). Every registry entry through round 6 is then
+    # hard-certified. In-window representatives for the batch:
+    # q154↔q66/q141 (iterative frontier joins +
     # eager checkpoints over the same capped basket edges);
     # q155↔q119/q114 (histogram-cumulative quantile discipline);
     # q156↔q134 (dimension-sized ranking window + broadcast total);
@@ -11092,6 +11365,14 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q174_oov_rate",
     "q175_bigram_logprob",
     "q176_langid_confusion",
+    # q177↔q167/q162 (vocab-histogram sufficient stats + per-source
+    # windows); q178↔q61/q122 (dimension-keyed embedding stats, the
+    # vector-column drift sibling of PSI).
+    "q177_token_entropy",
+    "q178_centroid_shift",
+    # q179↔q177/q110 (the same histogram machinery; adds the corpus
+    # marginal join — the mixing-decision readout).
+    "q179_source_kl",
     # round-6 demotions next (freshest prev-pass evidence, 2× green
     # in r04+r05):
     "q89_volume_shipping",

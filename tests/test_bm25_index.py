@@ -1,0 +1,136 @@
+"""Persisted BM25 index: build/search parity with q137, bucket
+partition pruning, streaming ingest (stream == one-shot build),
+latest-wins re-ingest, and post-commit crash replay."""
+
+from __future__ import annotations
+
+import contextlib
+import os
+
+from big_data_spark.catalog import load_table
+from big_data_spark.operators.bm25_index import (
+    bm25_search,
+    build_bm25_index,
+    start_bm25_ingest_stream,
+)
+from big_data_spark.plans import formatted_plan
+from big_data_spark.queries import QUERIES
+
+from .conftest import SF_SMOKE
+
+TERMS = ["spark", "hash", "window"]
+
+
+def test_built_index_search_equals_q137(spark, tmp_path):
+    """A search over the persisted index must return EXACTLY q137's
+    inline ranking — same formula, same rounds, same tiebreak."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    idx = str(tmp_path / "idx")
+    build_bm25_index(docs, idx)
+    got = [tuple(r) for r in bm25_search(spark, idx, TERMS, k=10).collect()]
+    want = [
+        tuple(r) for r in QUERIES["q137_bm25_topk"].fn(spark, SF_SMOKE).collect()
+    ]
+    assert got == want
+
+
+def test_search_prunes_bucket_partitions(spark, tmp_path):
+    """The postings scan must be DIRECTORY-pruned to the query terms'
+    buckets — the bucket predicate appears in PartitionFilters, not
+    as a post-scan filter over the whole index."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    idx = str(tmp_path / "idx")
+    build_bm25_index(docs, idx)
+    plan = formatted_plan(bm25_search(spark, idx, TERMS, k=10))
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("bucket" in ln for ln in pf), plan
+
+
+def test_streaming_ingest_matches_one_shot_build(spark, tmp_path):
+    """Index built from a third of the corpus + two streamed batches
+    must search IDENTICALLY to a one-shot build over everything
+    (corpus stats recompute from the live ledger, so streamed docs
+    count in n_docs/avgdl/idf), and a post-commit crash replay
+    changes nothing."""
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    for name, pred in (("b", "doc_id % 3 = 1"), ("c", "doc_id % 3 = 2")):
+        docs.filter(pred).coalesce(1).write.parquet(str(src / name))
+
+    idx = str(tmp_path / "idx")
+    build_bm25_index(docs.filter("doc_id % 3 = 0"), idx)
+
+    full = str(tmp_path / "full")
+    build_bm25_index(docs, full)
+
+    ckpt = str(tmp_path / "ck")
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = start_bm25_ingest_stream(stream, idx, ck)
+        q.awaitTermination(180)
+
+    run(ckpt)
+    got = [tuple(r) for r in bm25_search(spark, idx, TERMS, k=10).collect()]
+    want = [
+        tuple(r) for r in bm25_search(spark, full, TERMS, k=10).collect()
+    ]
+    assert got == want
+
+    # post-commit crash replay: the last batch re-lands identically
+    n = max(
+        int(f) for f in os.listdir(os.path.join(ckpt, "commits"))
+        if not f.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", str(n)))
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(os.path.join(ckpt, "commits", f".{n}.crc"))
+    run(ckpt)
+    assert [
+        tuple(r) for r in bm25_search(spark, idx, TERMS, k=10).collect()
+    ] == want
+
+
+def test_reingest_latest_wins(spark, tmp_path):
+    """A doc re-ingested WITHOUT a query term must stop matching it:
+    generation resolution runs on the complete doclen ledger, where
+    the pruned postings read alone could never see the drop."""
+    base = spark.createDataFrame(
+        [(1, "spark window join"), (2, "hash table scan")],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "idx")
+    build_bm25_index(base, idx)
+    assert {
+        r["doc_id"] for r in bm25_search(spark, idx, ["spark"], k=10).collect()
+    } == {1}
+
+    # re-ingest doc 1 with "spark" REMOVED, via the streaming path
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "window join only")], ["doc_id", "text"]
+    ).coalesce(1).write.parquet(str(src / "a"))
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = start_bm25_ingest_stream(stream, idx, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    assert (
+        bm25_search(spark, idx, ["spark"], k=10).collect() == []
+    )
+    # the doc still matches its surviving terms at the new generation
+    assert {
+        r["doc_id"]
+        for r in bm25_search(spark, idx, ["window"], k=10).collect()
+    } == {1}

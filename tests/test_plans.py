@@ -985,3 +985,39 @@ def test_langid_confusion_grid_windows_on_cells(spark):
     plan = formatted_plan(df)
     assert "PythonUDF" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_token_entropy_windows_on_vocab_histogram(spark):
+    """q177: the corpus collapses to (source, token) counts before
+    any window — the per-source total/vocab windows and the entropy
+    reduce all run over the histogram, and the window appears above
+    the aggregate's exchange."""
+    df = q(spark, "q177_token_entropy")
+    plan = formatted_plan(df)
+    assert "PythonUDF" not in plan, plan
+    assert "Window" in plan, plan
+    assert count_scans(df) == 1, plan
+
+
+def test_centroid_shift_single_scan_no_self_join(spark):
+    """q178: both half-means come from ONE conditional aggregation —
+    no self-join of the exploded frame, so the embeddings table scans
+    once and the only exchanges are the (label, dim) agg, the label
+    reduce, and the presentation sort."""
+    df = q(spark, "q178_centroid_shift")
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert count_scans(df) == 1, plan
+    assert count_shuffles(df) <= 3, plan
+
+
+def test_source_kl_single_scan_from_checkpointed_histogram(spark):
+    """q179: the (source, token) histogram materializes once
+    (localCheckpoint) and feeds all three consumers — corpus
+    marginal, per-source totals, and the term join — so no parquet
+    scan survives in the final plan and both joins broadcast."""
+    df = q(spark, "q179_source_kl")
+    plan = formatted_plan(df)
+    assert "Scan parquet" not in plan, plan
+    assert count_broadcast_joins(df) >= 2, plan
+    assert "CartesianProduct" not in plan, plan
