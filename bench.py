@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "q177_token_entropy",
     "q178_centroid_shift",
     "q179_source_kl",
+    "q180_approx_groupby_ci",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

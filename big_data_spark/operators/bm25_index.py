@@ -15,8 +15,12 @@ per query. This module makes the index something you OPERATE:
                           latest-wins (see below)
   <path>/postings_stream/ per-batch postings partials, partitioned by
                           (batch_id, bucket) — exactly-once via
-                          dynamic partition overwrite
-  <path>/doclen_stream/   per-batch doclen partials (batch_id)
+                          dynamic partition overwrite (ingest lives
+                          in streaming.sinks.start_bm25_ingest_stream
+                          with the other index maintainers)
+  <path>/doclen_stream/   per-batch doclen partials (batch_id); its
+                          _RUN sidecar binds the layout to the owning
+                          checkpoint generation
   <path>/meta.json        {n_buckets, k1, b} — layout contract only;
                           corpus statistics are always recomputed
                           from the live doclen table so streamed docs
@@ -26,7 +30,12 @@ Latest-wins re-ingest: a doc re-ingested in a later batch REPLACES
 its earlier postings. The doc's current generation is resolved on the
 DOCLEN table (complete per doc — a pruned postings read alone cannot
 see that a re-ingested version dropped a query term), and postings
-join that (doc_id, batch_id) ledger; base rows carry generation -1.
+join that ledger; base rows carry generation -1. Compaction
+(streaming.sinks.compact_bm25_index) folds finalized batches into
+``postings-v{n}`` / ``doclen-v{n}`` bases behind two atomic manifest
+flips; the ledger maps postings-folded batch ids to the base
+generation so the crash window between the two flips never drops a
+doc from search.
 
 Scoring matches q137's `_bm25_doc_scores` formula term for term
 (Okapi k1=1.2 b=0.75, Lucene non-negative idf, per-term rounds to 8,
@@ -111,83 +120,79 @@ def build_bm25_index(
         json.dump({"n_buckets": n_buckets, "k1": K1, "b": B}, f)
 
 
-def start_bm25_ingest_stream(
-    docs_stream: DataFrame,
-    path: str,
-    checkpoint_dir: str,
-    *,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    available_now: bool = True,
-):
-    """Streaming corpus → index maintenance: each micro-batch lands
-    its postings (bucketed like the base) and doclen partials in
-    their own batch_id partitions — replays overwrite their own
-    partition with identical content (the start_rollup_stream
-    exactly-once contract). A doc re-ingested in a later batch
-    supersedes its earlier generation at READ time (latest-wins on
-    the doclen ledger), so updates need no base rewrite until a
-    compaction folds them in."""
-    meta = _read_meta(path)
-    n_buckets = meta["n_buckets"]
-
-    def write_partial(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        (
-            _postings(batch, id_col, text_col)
-            .withColumn("bucket", _bucket_col(F.col("term"), n_buckets))
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id", "bucket")
-            .parquet(os.path.join(path, "postings_stream"))
-        )
-        (
-            _doclen(batch, id_col, text_col)
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(os.path.join(path, "doclen_stream"))
-        )
-
-    writer = (
-        docs_stream.writeStream.foreachBatch(write_partial)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
-
-
 def _read_meta(path: str) -> dict:
     with open(os.path.join(path, "meta.json")) as f:
         return json.load(f)
 
 
-def _live_doclen(spark: SparkSession, path: str) -> DataFrame:
-    """(doc_id, dl, batch_id) with latest-wins resolved: one row per
-    doc at its newest generation (base = -1). This is the complete
-    doc ledger — generation resolution must happen HERE, not on a
-    term-pruned postings read, because a re-ingested doc that DROPPED
-    a query term is invisible to the pruned read."""
-    base = (
-        spark.read.parquet(os.path.join(path, "doclen"))
-        .withColumn("batch_id", F.lit(-1).cast("long"))
+def _fold_state(path: str, manifest_name: str):
+    from ..streaming.sinks import _fold_manifest_state
+
+    version, folded, _run = _fold_manifest_state(
+        os.path.join(path, manifest_name)
     )
-    stream_dir = os.path.join(path, "doclen_stream")
-    if os.path.isdir(stream_dir):
-        stream = spark.read.parquet(stream_dir).select(
-            "doc_id", "dl", F.col("batch_id").cast("long")
+    return version, folded
+
+
+def _base_dir(path: str, plain: str, prefix: str, version) -> str:
+    return os.path.join(
+        path, plain if version is None else f"{prefix}{version}"
+    )
+
+
+def _live_doclen(
+    spark: SparkSession, path: str, folded_postings: set
+) -> DataFrame:
+    """(doc_id, dl, post_gen) with latest-wins resolved: one row per
+    doc at its newest generation. This is the complete doc ledger —
+    generation resolution must happen HERE, not on a term-pruned
+    postings read, because a re-ingested doc that DROPPED a query
+    term is invisible to the pruned read. ``post_gen`` is the batch
+    id the doc's live POSTINGS carry: a ledger batch already folded
+    into the postings base maps to -1, which closes the crash window
+    between the two compaction flips (postings folded, doclen fold
+    pending — the doc must keep matching through the base rows)."""
+    import glob as _glob
+
+    from ..streaming.sinks import BM25_DL_MANIFEST, _has_committed_files
+
+    version, folded_d = _fold_state(path, BM25_DL_MANIFEST)
+    parts = []
+    bd = _base_dir(path, "doclen", "doclen-v", version)
+    if _has_committed_files(bd):
+        parts.append(
+            spark.read.parquet(bd).withColumn(
+                "batch_id", F.lit(-1).cast("long")
+            )
         )
-        base = base.unionByName(stream)
+    stream_dir = os.path.join(path, "doclen_stream")
+    if _glob.glob(os.path.join(stream_dir, "batch_id=*")):
+        s = spark.read.parquet(stream_dir)
+        if folded_d:
+            s = s.filter(~F.col("batch_id").isin(sorted(folded_d)))
+        parts.append(
+            s.select("doc_id", "dl", F.col("batch_id").cast("long"))
+        )
+    if not parts:
+        raise FileNotFoundError(f"no doclen table under {path}")
+    dl = parts[0]
+    for p in parts[1:]:
+        dl = dl.unionByName(p)
     w = Window.partitionBy("doc_id")
-    return (
-        base.withColumn("_mx", F.max("batch_id").over(w))
+    live = (
+        dl.withColumn("_mx", F.max("batch_id").over(w))
         .filter(F.col("batch_id") == F.col("_mx"))
         .drop("_mx")
+    )
+    post_gen = (
+        F.when(
+            F.col("batch_id").isin(sorted(folded_postings)), -1
+        ).otherwise(F.col("batch_id"))
+        if folded_postings
+        else F.col("batch_id")
+    )
+    return live.select(
+        "doc_id", "dl", post_gen.cast("long").alias("post_gen")
     )
 
 
@@ -204,34 +209,60 @@ def bm25_search(
     from the live ledger (so streamed docs count), and scores with
     q137's exact formula. Returns (doc_id, bm25) ordered
     (bm25 DESC, doc_id), k rows via TakeOrderedAndProject."""
+    import glob as _glob
+
+    from ..streaming.sinks import BM25_POST_MANIFEST, _has_committed_files
+
     meta = _read_meta(path)
     n_buckets = meta["n_buckets"]
     buckets = sorted({_bucket_py(t, n_buckets) for t in terms})
 
-    post = (
-        spark.read.parquet(os.path.join(path, "postings"))
-        .filter(F.col("bucket").isin(buckets))
-        .filter(F.col("term").isin(terms))
-        .select("doc_id", "term", "tf", F.lit(-1).cast("long").alias("batch_id"))
-    )
-    stream_dir = os.path.join(path, "postings_stream")
-    if os.path.isdir(stream_dir):
-        post = post.unionByName(
-            spark.read.parquet(stream_dir)
+    version, folded_p = _fold_state(path, BM25_POST_MANIFEST)
+    parts = []
+    bd = _base_dir(path, "postings", "postings-v", version)
+    if _has_committed_files(bd):
+        parts.append(
+            spark.read.parquet(bd)
             .filter(F.col("bucket").isin(buckets))
             .filter(F.col("term").isin(terms))
             .select(
+                "doc_id",
+                "term",
+                "tf",
+                F.lit(-1).cast("long").alias("batch_id"),
+            )
+        )
+    stream_dir = os.path.join(path, "postings_stream")
+    if _glob.glob(os.path.join(stream_dir, "batch_id=*")):
+        s = (
+            spark.read.parquet(stream_dir)
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term").isin(terms))
+        )
+        if folded_p:
+            s = s.filter(~F.col("batch_id").isin(sorted(folded_p)))
+        parts.append(
+            s.select(
                 "doc_id", "term", "tf", F.col("batch_id").cast("long")
             )
         )
+    if not parts:
+        raise FileNotFoundError(f"no postings under {path}")
+    post = parts[0]
+    for p in parts[1:]:
+        post = post.unionByName(p)
 
-    dl = _live_doclen(spark, path).localCheckpoint()
+    dl = _live_doclen(spark, path, folded_p).localCheckpoint()
     stats = dl.agg(
         F.count("*").cast("double").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
-    # keep only postings of each doc's live generation
-    tf = post.join(dl.select("doc_id", "batch_id"), ["doc_id", "batch_id"])
+    # keep only postings of each doc's live generation (the ledger's
+    # post_gen already maps folded batches to the base id -1)
+    tf = post.join(
+        dl.select("doc_id", F.col("post_gen").alias("batch_id")),
+        ["doc_id", "batch_id"],
+    )
 
     df_ = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
     idf = df_.crossJoin(F.broadcast(stats)).select(

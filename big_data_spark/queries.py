@@ -11169,6 +11169,114 @@ def q179_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q180_approx_groupby_ci",
+    """
+    WITH o AS (
+      SELECT c_mktsegment AS seg, o_totalprice AS x,
+             (('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+              ::BIGINT % 10 = 0) AS in_sample
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), est AS (
+      SELECT seg,
+             CAST(COUNT(*) FILTER (WHERE in_sample) AS BIGINT)
+               AS n_sampled,
+             round(CAST(SUM(CAST(x AS DECIMAL(27,2)))
+                        FILTER (WHERE in_sample) AS DOUBLE) / 0.1, 2)
+               AS est_total,
+             CAST(SUM(CAST(x AS DECIMAL(27,2))) AS DOUBLE) AS true_total,
+             CAST(SUM(CAST(round(x * x, 4) AS DECIMAL(38,4)))
+                  FILTER (WHERE in_sample) AS DOUBLE) AS sq_sum
+      FROM o GROUP BY 1
+    )
+    SELECT seg, n_sampled, est_total, round(true_total, 2) AS true_total,
+           round(abs(est_total - round(true_total, 2))
+                 / round(true_total, 2), 6) AS rel_err,
+           round(1.96 * sqrt(sq_sum * 0.9 / (0.1 * 0.1)), 2) AS ci_half,
+           (abs(est_total - round(true_total, 2))
+            <= round(1.96 * sqrt(sq_sum * 0.9 / (0.1 * 0.1)), 2))
+             AS ci_covers
+    FROM est ORDER BY seg
+    """,
+    "sampling",
+    "stats",
+)
+def q180_approx_groupby_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-based approximate GROUP BY with a Horvitz-Thompson
+    scale-up and a 95% CI, audited against the exact totals — the
+    "run the cheap estimate first" tool that q134/q153 pair with: at
+    100 TB a 10% deterministic sample answers a dashboard total 10x
+    cheaper, and this query IS the calibration harness proving the
+    estimator + CI machinery before anyone trusts it (ci_covers
+    should be true for essentially every segment). The sample is a
+    seeded md5 bucket of the order key (retry-stable, replayable —
+    q93's draw discipline, never rand()); the estimator is HT for
+    Bernoulli p=0.1 (est = sample_sum/p; Var-hat = (1-p)/p^2 * Σx²
+    over the sample), all from ONE conditional-aggregation pass over
+    the joined fact — the exact and sampled sufficient statistics
+    share the scan and the single groupBy. Decimal sums throughout;
+    the CI's sqrt is a scalar per group, rounded 2."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            _t(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment"
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_totalprice").alias("x"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("o_orderkey").cast("string")), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 10
+                == 0
+            ).alias("in_sample"),
+        )
+    )
+    samp = F.when(F.col("in_sample"), F.col("x"))
+    est = o.groupBy("seg").agg(
+        F.count(F.when(F.col("in_sample"), 1)).alias("n_sampled"),
+        F.round(
+            F.sum(samp.cast("decimal(27,2)")).cast("double") / 0.1, 2
+        ).alias("est_total"),
+        F.sum(F.col("x").cast("decimal(27,2)"))
+        .cast("double")
+        .alias("true_total"),
+        F.sum(
+            F.when(
+                F.col("in_sample"),
+                F.round(F.col("x") * F.col("x"), 4).cast("decimal(38,4)"),
+            )
+        )
+        .cast("double")
+        .alias("sq_sum"),
+    )
+    ci_half = F.round(
+        1.96 * F.sqrt(F.col("sq_sum") * 0.9 / (0.1 * 0.1)), 2
+    )
+    true_r = F.round(F.col("true_total"), 2)
+    return est.select(
+        "seg",
+        F.col("n_sampled").cast("long").alias("n_sampled"),
+        "est_total",
+        true_r.alias("true_total"),
+        F.round(
+            F.abs(F.col("est_total") - true_r) / true_r, 6
+        ).alias("rel_err"),
+        ci_half.alias("ci_half"),
+        (F.abs(F.col("est_total") - true_r) <= ci_half).alias(
+            "ci_covers"
+        ),
+    ).orderBy("seg")
+
+
 # =========================================================================
 # Registry ordering (driver check-window priority)
 # =========================================================================
@@ -11373,6 +11481,9 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     # q179↔q177/q110 (the same histogram machinery; adds the corpus
     # marginal join — the mixing-decision readout).
     "q179_source_kl",
+    # q180↔q93/q139 (seeded-md5 draw + sufficient-statistic CI; the
+    # estimate and its exact audit share one conditional-agg pass).
+    "q180_approx_groupby_ci",
     # round-6 demotions next (freshest prev-pass evidence, 2× green
     # in r04+r05):
     "q89_volume_shipping",

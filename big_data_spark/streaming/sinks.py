@@ -893,6 +893,7 @@ def _compact_stream_base(
     id_col: str,
     sidecar_dir: str,
     partition_by: tuple = (),
+    keep_generation: bool = False,
 ) -> tuple[int, int | None]:
     """The crash-safe versioned-base compaction core shared by the
     IVF and PQ index maintainers (trending shares the sweep/manifest
@@ -942,7 +943,9 @@ def _compact_stream_base(
         .drop("batch_id")
     )
     new_version = 0 if version is None else version + 1
-    writer = _merge_latest_wins(parts, id_col).write.mode("overwrite")
+    writer = _merge_latest_wins(
+        parts, id_col, keep_generation=keep_generation
+    ).write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(os.path.join(root, f"{base_prefix}{new_version}"))
@@ -1420,16 +1423,31 @@ def _guard_pq_generation(index_path: str, checkpoint_dir: str) -> None:
         os.replace(tmp, sidecar)
 
 
-def _merge_latest_wins(parts: list, id_col: str) -> DataFrame:
+def _merge_latest_wins(
+    parts: list, id_col: str, keep_generation: bool = False
+) -> DataFrame:
     """Union parts that each carry a ``_bid`` version column and keep
-    only each id's highest-_bid row — the one latest-wins resolution
+    each id's highest-_bid state — the one latest-wins resolution
     shared by read_streaming_pq and compact_streaming_ivf (and
-    applied per-probe inside ivf_search for the IVF read path)."""
+    applied per-probe inside ivf_search for the IVF read path).
+
+    ``keep_generation=False`` (vectors/codes: one row per id per
+    generation) keeps exactly one row per id. ``keep_generation=True``
+    (row-SET state like BM25 postings: one row per (doc, term))
+    keeps ALL rows whose _bid equals the id's max — the id's newest
+    generation as a set."""
     from pyspark.sql.window import Window
 
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
+    if keep_generation:
+        w = Window.partitionBy(id_col)
+        return (
+            df.withColumn("_mx", F.max("_bid").over(w))
+            .filter(F.col("_bid") == F.col("_mx"))
+            .drop("_mx", "_bid")
+        )
     w = Window.partitionBy(id_col).orderBy(F.desc("_bid"))
     return (
         df.withColumn("_rn", F.row_number().over(w))
@@ -1532,6 +1550,155 @@ def compact_streaming_pq(
         plain_base="codes",
         id_col=id_col,
         sidecar_dir=os.path.join(index_path, PQ_STREAM_DIR),
+    )
+    return folded_n
+
+
+BM25_POST_MANIFEST = "_BM25_POST_BASE"
+BM25_DL_MANIFEST = "_BM25_DL_BASE"
+BM25_POST_STREAM = "postings_stream"
+BM25_DL_STREAM = "doclen_stream"
+
+
+def _guard_bm25_generation(index_path: str, checkpoint_dir: str) -> None:
+    """bm25_search resolves a re-ingested doc LATEST-WINS by batch id
+    on the doclen ledger, and batch ids are only ordered WITHIN one
+    checkpoint generation — _guard_pq_generation's mirror for the
+    BM25 layout (sidecar in the doclen_stream dir, the ledger every
+    search consults; the two compaction manifests back it up)."""
+    qid = _checkpoint_query_id(checkpoint_dir)
+    if qid is None:
+        return
+    dl_dir = os.path.join(index_path, BM25_DL_STREAM)
+    _, folded_p, run_p = _fold_manifest_state(
+        os.path.join(index_path, BM25_POST_MANIFEST)
+    )
+    _, folded_d, run_d = _fold_manifest_state(
+        os.path.join(index_path, BM25_DL_MANIFEST)
+    )
+    owner = _run_sidecar_id(dl_dir) or run_p or run_d
+    has_state = (
+        folded_p
+        or folded_d
+        or glob.glob(os.path.join(dl_dir, "batch_id=*"))
+        or glob.glob(
+            os.path.join(index_path, BM25_POST_STREAM, "batch_id=*")
+        )
+    )
+    if owner is not None and owner != qid and has_state:
+        raise RuntimeError(
+            f"{index_path} was ingested under streaming-query id "
+            f"{owner}; checkpoint {checkpoint_dir} is a different "
+            f"generation ({qid}) whose restarted batch ids would "
+            "corrupt the doclen ledger's latest-wins order (or "
+            "collide with manifest-folded ids and be silently "
+            "excluded). Restore the original checkpoint, or re-ingest "
+            "into a fresh index dir."
+        )
+    if owner != qid:
+        os.makedirs(dl_dir, exist_ok=True)
+        sidecar = os.path.join(dl_dir, RUN_SIDECAR)
+        tmp = sidecar + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(qid)
+        os.replace(tmp, sidecar)
+
+
+def start_bm25_ingest_stream(
+    docs_stream: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming corpus → BM25 index maintenance (the sparse sibling
+    of start_vector_ingest_stream): each micro-batch lands its
+    postings (bucket-partitioned like the base, so probe reads stay
+    directory-pruned over stream leaves too) and doclen partials in
+    their own batch_id partitions — replays overwrite their own
+    partitions with identical content (the start_rollup_stream
+    exactly-once contract). A doc re-ingested in a later batch
+    supersedes its earlier generation at read time (latest-wins on
+    the doclen ledger — see operators/bm25_index.py); the write path
+    is generation-bound (_guard_bm25_generation), and
+    compact_bm25_index folds finalized batches into rewritten
+    bases."""
+    from ..operators.bm25_index import (
+        _bucket_col,
+        _doclen,
+        _postings,
+        _read_meta,
+    )
+
+    n_buckets = _read_meta(path)["n_buckets"]
+
+    def write_partial(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        _guard_bm25_generation(path, checkpoint_dir)
+        (
+            _postings(batch, id_col, text_col)
+            .withColumn("bucket", _bucket_col(F.col("term"), n_buckets))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "bucket")
+            .parquet(os.path.join(path, BM25_POST_STREAM))
+        )
+        (
+            _doclen(batch, id_col, text_col)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(os.path.join(path, BM25_DL_STREAM))
+        )
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(write_partial)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_bm25_index(spark, path: str) -> int:
+    """Fold finalized streamed batches into rewritten BM25 bases —
+    the same crash-safe versioned-base discipline as
+    compact_streaming_ivf, run over BOTH index tables: postings fold
+    with GENERATION latest-wins (all rows of each doc's newest
+    generation survive as a set — row-level latest-wins would keep
+    one term per doc), doclen with row latest-wins (one row per doc).
+    Two manifests flip independently; a crash between the two folds
+    leaves each table self-consistent (every reader resolves its own
+    manifest) and the next compaction completes the pair. Returns
+    the number of postings batches folded."""
+    folded_n, _v = _compact_stream_base(
+        spark,
+        path,
+        manifest_name=BM25_POST_MANIFEST,
+        stream_dir_name=BM25_POST_STREAM,
+        leaf_pattern="batch_id=*",
+        base_prefix="postings-v",
+        plain_base="postings",
+        id_col="doc_id",
+        sidecar_dir=os.path.join(path, BM25_DL_STREAM),
+        partition_by=("bucket",),
+        keep_generation=True,
+    )
+    _compact_stream_base(
+        spark,
+        path,
+        manifest_name=BM25_DL_MANIFEST,
+        stream_dir_name=BM25_DL_STREAM,
+        leaf_pattern="batch_id=*",
+        base_prefix="doclen-v",
+        plain_base="doclen",
+        id_col="doc_id",
+        sidecar_dir=os.path.join(path, BM25_DL_STREAM),
     )
     return folded_n
 

@@ -8,13 +8,15 @@ import contextlib
 import os
 
 from big_data_spark.catalog import load_table
-from big_data_spark.operators.bm25_index import (
-    bm25_search,
-    build_bm25_index,
-    start_bm25_ingest_stream,
-)
+import pytest
+
+from big_data_spark.operators.bm25_index import bm25_search, build_bm25_index
 from big_data_spark.plans import formatted_plan
 from big_data_spark.queries import QUERIES
+from big_data_spark.streaming.sinks import (
+    compact_bm25_index,
+    start_bm25_ingest_stream,
+)
 
 from .conftest import SF_SMOKE
 
@@ -93,6 +95,79 @@ def test_streaming_ingest_matches_one_shot_build(spark, tmp_path):
     with contextlib.suppress(FileNotFoundError):
         os.remove(os.path.join(ckpt, "commits", f".{n}.crc"))
     run(ckpt)
+    assert [
+        tuple(r) for r in bm25_search(spark, idx, TERMS, k=10).collect()
+    ] == want
+
+    # compaction folds all-but-newest batches into rewritten bases —
+    # the search result must not move; a second compaction (nothing
+    # left to fold) is a no-op
+    assert compact_bm25_index(spark, idx) >= 1
+    assert [
+        tuple(r) for r in bm25_search(spark, idx, TERMS, k=10).collect()
+    ] == want
+    assert compact_bm25_index(spark, idx) == 0
+    assert [
+        tuple(r) for r in bm25_search(spark, idx, TERMS, k=10).collect()
+    ] == want
+
+    # a FRESH checkpoint against the folded layout must be rejected
+    # (its restarted batch ids would collide with folded ids). A new
+    # source file makes the fresh run deliver a non-empty batch (the
+    # guard runs per non-empty batch).
+    docs.filter("doc_id % 3 = 1").limit(5).coalesce(1).write.parquet(
+        str(src / "d")
+    )
+    with pytest.raises(Exception, match="different[\\s\\S]*generation"):
+        run(str(tmp_path / "ck_fresh"))
+
+
+def test_crash_window_between_fold_flips_keeps_docs(spark, tmp_path):
+    """Postings folded, doclen fold pending (a crash between the two
+    manifest flips): every doc must keep matching — the ledger maps
+    postings-folded batch ids to the base generation."""
+    from big_data_spark.streaming.sinks import (
+        BM25_POST_MANIFEST,
+        _compact_stream_base,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    for name, pred in (("b", "doc_id % 3 = 1"), ("c", "doc_id % 3 = 2")):
+        docs.filter(pred).coalesce(1).write.parquet(str(src / name))
+    idx = str(tmp_path / "idx")
+    build_bm25_index(docs.filter("doc_id % 3 = 0"), idx)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = start_bm25_ingest_stream(stream, idx, str(tmp_path / "ck"))
+    q.awaitTermination(180)
+    want = [tuple(r) for r in bm25_search(spark, idx, TERMS, k=10).collect()]
+
+    # fold ONLY the postings table (simulates the crash window)
+    folded_n, _ = _compact_stream_base(
+        spark,
+        idx,
+        manifest_name=BM25_POST_MANIFEST,
+        stream_dir_name="postings_stream",
+        leaf_pattern="batch_id=*",
+        base_prefix="postings-v",
+        plain_base="postings",
+        id_col="doc_id",
+        sidecar_dir=f"{idx}/doclen_stream",
+        partition_by=("bucket",),
+        keep_generation=True,
+    )
+    assert folded_n >= 1
+    got = [tuple(r) for r in bm25_search(spark, idx, TERMS, k=10).collect()]
+    assert got == want
+    # the next full compaction completes the pair; still unchanged
+    compact_bm25_index(spark, idx)
     assert [
         tuple(r) for r in bm25_search(spark, idx, TERMS, k=10).collect()
     ] == want

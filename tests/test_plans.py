@@ -1021,3 +1021,15 @@ def test_source_kl_single_scan_from_checkpointed_histogram(spark):
     assert "Scan parquet" not in plan, plan
     assert count_broadcast_joins(df) >= 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_approx_groupby_single_pass(spark):
+    """q180: the estimate and its exact audit share ONE scan and ONE
+    conditional-aggregation groupBy (plus the customer dim broadcast
+    and the presentation sort) — never a second fact pass for the
+    truth column."""
+    df = q(spark, "q180_approx_groupby_ci")
+    plan = formatted_plan(df)
+    assert count_scans(df) == 2, plan  # orders + customer dim
+    assert count_broadcast_joins(df) >= 1, plan
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
