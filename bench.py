@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "q178_centroid_shift",
     "q179_source_kl",
     "q180_approx_groupby_ci",
+    "q181_burn_rate_alerts",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

@@ -6106,6 +6106,21 @@ def q109_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unigram_lm_from_counts(vocab: DataFrame) -> DataFrame:
+    """(token, logp) unigram LM from a (token, cnt) count table —
+    the model half of q110, shared with the streaming maintainer
+    (streaming.sinks.start_lm_stream / read_lm): token counts are
+    associative, so per-batch partials merge to exactly the one-shot
+    counts and THIS one definition guarantees the live model equals
+    the batch model bit-for-bit. Total via a broadcast 1-row cross
+    join (never a collect); logp rounds to 8 (libm ulp guard)."""
+    tot = vocab.agg(F.sum("cnt").cast("double").alias("total"))
+    return vocab.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.round(F.log(F.col("cnt") / F.col("total")), 8).alias("logp"),
+    )
+
+
 @register(
     "q110_unigram_quality",
     """
@@ -6139,10 +6154,7 @@ def q110_unigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     )
     vocab = tok.groupBy("token").agg(F.count("*").alias("cnt"))
-    tot = vocab.agg(F.sum("cnt").cast("double").alias("total"))
-    lp = vocab.crossJoin(F.broadcast(tot)).select(
-        "token", F.round(F.log(F.col("cnt") / F.col("total")), 8).alias("logp")
-    )
+    lp = unigram_lm_from_counts(vocab)
     return (
         tok.join(F.broadcast(lp), "token")
         .groupBy("doc_id")
@@ -11277,6 +11289,95 @@ def q180_approx_groupby_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("seg")
 
 
+@register(
+    "q181_burn_rate_alerts",
+    """
+    WITH h AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT)
+               AS hidx,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE event_type = 'error') AS err
+      FROM events GROUP BY 1, 2
+    ), w AS (
+      SELECT hour, n, err,
+             SUM(n) OVER (ORDER BY hidx
+                          RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+               AS n6,
+             SUM(err) OVER (ORDER BY hidx
+                            RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+               AS err6
+      FROM h
+    )
+    SELECT hour, CAST(n AS BIGINT) AS n, CAST(err AS BIGINT) AS err,
+           round((CAST(err AS DOUBLE) / CAST(n AS DOUBLE)) / 0.1, 6)
+             AS burn_1h,
+           round((CAST(err6 AS DOUBLE) / CAST(n6 AS DOUBLE)) / 0.1, 6)
+             AS burn_6h,
+           (round((CAST(err AS DOUBLE) / CAST(n AS DOUBLE)) / 0.1, 6) > 2.0
+            AND round((CAST(err6 AS DOUBLE) / CAST(n6 AS DOUBLE)) / 0.1,
+                      6) > 2.0) AS alert
+    FROM w ORDER BY hour
+    """,
+    "monitoring",
+    "window",
+)
+def q181_burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE error-budget burn-rate alerting, the multi-window form
+    (Google SRE workbook ch.5): per hour, the error-rate-over-SLO
+    ratio for the 1-hour and trailing 6-hour windows, alerting only
+    when BOTH exceed 2x — the fast window gives response time, the
+    slow window kills flapping; q143 flags statistical anomalies,
+    this enforces a BUDGET. Histogram-first discipline: one
+    conditional-count groupBy collapses events to the hour grid
+    (calendar-bounded), and the trailing window is a RANGE frame over
+    the integer hour index of THAT table — missing hours cannot
+    silently widen a row-based frame, and at 100 TB the window input
+    is hours-sized. Ratios divide exact integer counts and round 6
+    before the threshold compare, so the alert bit is engine-exact."""
+    h = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            (F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)
+            .cast("long")
+            .alias("hidx"),
+            F.date_trunc("hour", "ts").alias("hour"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias(
+                "err"
+            ),
+        )
+    )
+    w6 = Window.orderBy("hidx").rangeBetween(-5, 0)
+    burn1 = F.round(
+        (F.col("err").cast("double") / F.col("n").cast("double")) / 0.1, 6
+    )
+    burn6 = F.round(
+        (F.col("err6").cast("double") / F.col("n6").cast("double")) / 0.1,
+        6,
+    )
+    return (
+        h.select(
+            "hour",
+            "n",
+            "err",
+            F.sum("n").over(w6).alias("n6"),
+            F.sum("err").over(w6).alias("err6"),
+        )
+        .select(
+            "hour",
+            F.col("n").cast("long").alias("n"),
+            F.col("err").cast("long").alias("err"),
+            burn1.alias("burn_1h"),
+            burn6.alias("burn_6h"),
+            ((burn1 > 2.0) & (burn6 > 2.0)).alias("alert"),
+        )
+        .orderBy("hour")
+    )
+
+
 # =========================================================================
 # Registry ordering (driver check-window priority)
 # =========================================================================
@@ -11484,6 +11585,9 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     # q180↔q93/q139 (seeded-md5 draw + sufficient-statistic CI; the
     # estimate and its exact audit share one conditional-agg pass).
     "q180_approx_groupby_ci",
+    # q181↔q143/q126 (hour-histogram conditional counts + an integer-
+    # index RANGE frame; adds the multi-window budget semantics).
+    "q181_burn_rate_alerts",
     # round-6 demotions next (freshest prev-pass evidence, 2× green
     # in r04+r05):
     "q89_volume_shipping",

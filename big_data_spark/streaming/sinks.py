@@ -1703,6 +1703,64 @@ def compact_bm25_index(spark, path: str) -> int:
     return folded_n
 
 
+def start_lm_stream(
+    docs_stream: DataFrame,
+    partials_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming maintainer for q110's unigram LM — the perplexity
+    filter's MODEL kept live as the corpus grows: each micro-batch
+    lands its (token, cnt) partials in a batch_id partition (token
+    counts are associative; the rollup-sink exactly-once contract),
+    and ``read_lm`` merges by addition and finishes through the SAME
+    unigram_lm_from_counts q110 ships — the live model equals the
+    batch model bit-for-bit, so a quality threshold tuned offline
+    holds online."""
+
+    def write_partial(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        (
+            batch.select(
+                F.explode(F.split(text_col, " ")).alias("token")
+            )
+            .groupBy("token")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(partials_dir)
+        )
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(write_partial)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_lm(spark, partials_dir: str) -> DataFrame:
+    """The live unigram LM over the streamed count partials: merge
+    per-batch token counts by addition (vocab-sized result) and build
+    the (token, logp) model through the shared
+    unigram_lm_from_counts — exactly q110's model over the same
+    corpus."""
+    from ..queries import unigram_lm_from_counts
+
+    merged = (
+        spark.read.parquet(partials_dir)
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return unigram_lm_from_counts(merged)
+
+
 def start_cell_histogram_stream(
     events_stream: DataFrame,
     partials_dir: str,

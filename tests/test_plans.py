@@ -1033,3 +1033,15 @@ def test_approx_groupby_single_pass(spark):
     assert count_scans(df) == 2, plan  # orders + customer dim
     assert count_broadcast_joins(df) >= 1, plan
     assert plan.count("Arguments: hashpartitioning") == 1, plan
+
+
+def test_burn_rate_window_on_hour_histogram(spark):
+    """q181: events collapse to the hour histogram before the
+    trailing RANGE window — the window appears above the aggregate's
+    exchange, the frame keys on the integer hour index (missing hours
+    can't widen a row frame), and no Python anywhere."""
+    df = q(spark, "q181_burn_rate_alerts")
+    plan = formatted_plan(df)
+    assert "PythonUDF" not in plan, plan
+    assert "Window" in plan, plan
+    assert count_scans(df) == 1, plan

@@ -1574,6 +1574,68 @@ def test_streaming_calibration_matches_batch_exactly(spark, tmp_path):
     ] == want
 
 
+def test_streaming_lm_matches_batch_exactly(spark, tmp_path):
+    """start_lm_stream (q110's model maintainer): token counts are
+    associative, so the merged live model must equal the one-shot
+    model built through the SAME unigram_lm_from_counts — exactly,
+    token for token — and a post-commit crash replay changes
+    nothing."""
+    import contextlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from big_data_spark.catalog import load_table
+    from big_data_spark.queries import unigram_lm_from_counts
+    from big_data_spark.streaming.sinks import read_lm, start_lm_stream
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    src = tmp_path / "src"
+    src.mkdir()
+    for name, pred in (
+        ("a", "doc_id % 3 = 0"),
+        ("b", "doc_id % 3 = 1"),
+        ("c", "doc_id % 3 = 2"),
+    ):
+        docs.filter(pred).coalesce(1).write.parquet(str(src / name))
+
+    partials = str(tmp_path / "partials")
+    ckpt = str(tmp_path / "ck")
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = start_lm_stream(stream, partials, ck)
+        q.awaitTermination(180)
+
+    run(ckpt)
+    want_counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    want = sorted(
+        tuple(r) for r in unigram_lm_from_counts(want_counts).collect()
+    )
+    got = sorted(tuple(r) for r in read_lm(spark, partials).collect())
+    assert got == want
+
+    # post-commit crash replay: the last batch re-lands identically
+    n = max(
+        int(f) for f in os.listdir(os.path.join(ckpt, "commits"))
+        if not f.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", str(n)))
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(os.path.join(ckpt, "commits", f".{n}.crc"))
+    run(ckpt)
+    assert sorted(tuple(r) for r in read_lm(spark, partials).collect()) == want
+
+
 def test_contract_gate_stream_blocks_violating_batch(spark, tmp_path):
     """Streaming data-contract gate: a clean batch lands (with its
     verdict report); a violating batch writes its report and FAILS
