@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "q179_source_kl",
     "q180_approx_groupby_ci",
     "q181_burn_rate_alerts",
+    "q182_lsh_eval",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

@@ -77,20 +77,51 @@ def _bucket_py(term: str, n_buckets: int) -> int:
     )
 
 
+def _unique_docs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, text) with exactly one row per doc — the boundary
+    invariant everything downstream assumes (n_docs counts rows, the
+    tf join fans out per doclen row, compaction's latest-wins breaks
+    ties arbitrarily). Exact duplicate rows collapse silently (the
+    replay/idempotent case); two DIFFERENT texts under one id in the
+    same build/batch fail LOUDLY — that's conflicting content inside
+    one generation, a data bug no deterministic winner should
+    paper over."""
+    w = Window.partitionBy("doc_id")
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        .distinct()
+        .withColumn("_n", F.count("*").over(w))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("_n") > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit("conflicting texts for doc_id "),
+                        F.col("doc_id").cast("string"),
+                        F.lit(" within one index generation"),
+                    )
+                ),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+    )
+
+
 def _postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.split(text_col, " ")).alias("term"),
+    toks = _unique_docs(docs, id_col, text_col).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
     return toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
 
 
 def _doclen(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # size(split) counts exactly the tokens the postings explode
-    # emits — one map-only pass, no second explode
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(F.split(text_col, " ")).cast("long").alias("dl"),
+    # emits — one map-only pass over the deduped docs
+    return _unique_docs(docs, id_col, text_col).select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("dl"),
     )
 
 
@@ -106,7 +137,39 @@ def build_bm25_index(
     pruning, doclen as the doc ledger, meta.json as the layout
     contract. The build is two corpus passes (postings agg + the
     map-only doclen projection); everything shuffles on doc/term
-    keys, never bodies."""
+    keys, never bodies.
+
+    Refuses a path carrying stream state or fold manifests: a
+    rebuild would write only the PLAIN base dirs while readers
+    resolve the manifest's versioned base and still merge leftover
+    stream batches (whose ids beat the new base under latest-wins) —
+    a silently stale index. Rebuild into a fresh dir, or clear the
+    old one deliberately."""
+    from ..streaming.sinks import (
+        BM25_DL_MANIFEST,
+        BM25_DL_STREAM,
+        BM25_POST_MANIFEST,
+        BM25_POST_STREAM,
+    )
+
+    leftovers = [
+        n
+        for n in (
+            BM25_POST_STREAM,
+            BM25_DL_STREAM,
+            BM25_POST_MANIFEST,
+            BM25_DL_MANIFEST,
+        )
+        if os.path.exists(os.path.join(path, n))
+    ]
+    if leftovers:
+        raise RuntimeError(
+            f"{path} carries streaming/compaction state {leftovers}; "
+            "a rebuild here would be silently shadowed by the "
+            "manifest-resolved versioned base and surviving stream "
+            "batches. Build into a fresh directory (or delete the "
+            "old index deliberately)."
+        )
     p = _postings(docs, id_col, text_col).withColumn(
         "bucket", _bucket_col(F.col("term"), n_buckets)
     )
@@ -140,6 +203,53 @@ def _base_dir(path: str, plain: str, prefix: str, version) -> str:
     )
 
 
+def _fold_read(
+    spark: SparkSession,
+    path: str,
+    *,
+    manifest_name: str,
+    plain: str,
+    prefix: str,
+    stream_subdir: str,
+    prep=None,
+) -> tuple[DataFrame, set]:
+    """THE manifest-resolved read both index tables use: versioned
+    base (tagged batch_id = -1) unioned with live stream batches
+    (folded ids excluded), ``prep`` applying per-part filters BEFORE
+    the union so pruning reaches the scans. One copy of the
+    fold-read discipline — a crash-window or manifest change lands
+    in postings and ledger reads at once. Returns (frame with a
+    long batch_id column, folded ids)."""
+    import glob as _glob
+
+    from ..streaming.sinks import _has_committed_files
+
+    version, folded = _fold_state(path, manifest_name)
+    parts = []
+    bd = _base_dir(path, plain, prefix, version)
+    if _has_committed_files(bd):
+        df = spark.read.parquet(bd)
+        if prep is not None:
+            df = prep(df)
+        parts.append(
+            df.withColumn("batch_id", F.lit(-1).cast("long"))
+        )
+    sd = os.path.join(path, stream_subdir)
+    if _glob.glob(os.path.join(sd, "batch_id=*")):
+        s = spark.read.parquet(sd)
+        if prep is not None:
+            s = prep(s)
+        if folded:
+            s = s.filter(~F.col("batch_id").isin(sorted(folded)))
+        parts.append(s.withColumn("batch_id", F.col("batch_id").cast("long")))
+    if not parts:
+        raise FileNotFoundError(f"no {plain} table under {path}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out, folded
+
+
 def _live_doclen(
     spark: SparkSession, path: str, folded_postings: set
 ) -> DataFrame:
@@ -152,32 +262,17 @@ def _live_doclen(
     into the postings base maps to -1, which closes the crash window
     between the two compaction flips (postings folded, doclen fold
     pending — the doc must keep matching through the base rows)."""
-    import glob as _glob
+    from ..streaming.sinks import BM25_DL_MANIFEST
 
-    from ..streaming.sinks import BM25_DL_MANIFEST, _has_committed_files
-
-    version, folded_d = _fold_state(path, BM25_DL_MANIFEST)
-    parts = []
-    bd = _base_dir(path, "doclen", "doclen-v", version)
-    if _has_committed_files(bd):
-        parts.append(
-            spark.read.parquet(bd).withColumn(
-                "batch_id", F.lit(-1).cast("long")
-            )
-        )
-    stream_dir = os.path.join(path, "doclen_stream")
-    if _glob.glob(os.path.join(stream_dir, "batch_id=*")):
-        s = spark.read.parquet(stream_dir)
-        if folded_d:
-            s = s.filter(~F.col("batch_id").isin(sorted(folded_d)))
-        parts.append(
-            s.select("doc_id", "dl", F.col("batch_id").cast("long"))
-        )
-    if not parts:
-        raise FileNotFoundError(f"no doclen table under {path}")
-    dl = parts[0]
-    for p in parts[1:]:
-        dl = dl.unionByName(p)
+    dl, _folded_d = _fold_read(
+        spark,
+        path,
+        manifest_name=BM25_DL_MANIFEST,
+        plain="doclen",
+        prefix="doclen-v",
+        stream_subdir="doclen_stream",
+    )
+    dl = dl.select("doc_id", "dl", "batch_id")
     w = Window.partitionBy("doc_id")
     live = (
         dl.withColumn("_mx", F.max("batch_id").over(w))
@@ -209,48 +304,24 @@ def bm25_search(
     from the live ledger (so streamed docs count), and scores with
     q137's exact formula. Returns (doc_id, bm25) ordered
     (bm25 DESC, doc_id), k rows via TakeOrderedAndProject."""
-    import glob as _glob
-
-    from ..streaming.sinks import BM25_POST_MANIFEST, _has_committed_files
+    from ..streaming.sinks import BM25_POST_MANIFEST
 
     meta = _read_meta(path)
     n_buckets = meta["n_buckets"]
     buckets = sorted({_bucket_py(t, n_buckets) for t in terms})
 
-    version, folded_p = _fold_state(path, BM25_POST_MANIFEST)
-    parts = []
-    bd = _base_dir(path, "postings", "postings-v", version)
-    if _has_committed_files(bd):
-        parts.append(
-            spark.read.parquet(bd)
-            .filter(F.col("bucket").isin(buckets))
-            .filter(F.col("term").isin(terms))
-            .select(
-                "doc_id",
-                "term",
-                "tf",
-                F.lit(-1).cast("long").alias("batch_id"),
-            )
-        )
-    stream_dir = os.path.join(path, "postings_stream")
-    if _glob.glob(os.path.join(stream_dir, "batch_id=*")):
-        s = (
-            spark.read.parquet(stream_dir)
-            .filter(F.col("bucket").isin(buckets))
-            .filter(F.col("term").isin(terms))
-        )
-        if folded_p:
-            s = s.filter(~F.col("batch_id").isin(sorted(folded_p)))
-        parts.append(
-            s.select(
-                "doc_id", "term", "tf", F.col("batch_id").cast("long")
-            )
-        )
-    if not parts:
-        raise FileNotFoundError(f"no postings under {path}")
-    post = parts[0]
-    for p in parts[1:]:
-        post = post.unionByName(p)
+    post, folded_p = _fold_read(
+        spark,
+        path,
+        manifest_name=BM25_POST_MANIFEST,
+        plain="postings",
+        prefix="postings-v",
+        stream_subdir="postings_stream",
+        prep=lambda df: df.filter(F.col("bucket").isin(buckets)).filter(
+            F.col("term").isin(terms)
+        ),
+    )
+    post = post.select("doc_id", "term", "tf", "batch_id")
 
     dl = _live_doclen(spark, path, folded_p).localCheckpoint()
     stats = dl.agg(

@@ -10868,7 +10868,7 @@ def q175_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), grid AS (
       SELECT tl.true_lang, pl.pred_lang
       FROM (SELECT DISTINCT true_lang FROM cells0) tl,
-           (SELECT DISTINCT pred_lang FROM cells0) pl
+           (VALUES ('en'), ('other')) AS pl(pred_lang)
     ), cells AS (
       SELECT g.true_lang, g.pred_lang, COALESCE(c.n, 0) AS n
       FROM grid g LEFT JOIN cells0 c
@@ -10892,17 +10892,22 @@ def q176_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployed classifier, not a reimplementation. One map-only scoring
     pass feeds one groupBy onto a |langs|x|preds| cell table; the
     grid completion and the per-true-row share window run over that
-    bounded table — at 100 TB: one scan, one tiny shuffle."""
+    bounded table — at 100 TB: one scan, one tiny shuffle. The pred
+    axis of the grid is the classifier's STATIC output domain
+    ({'en','other'} — literals, q173's digit-grid discipline), not
+    the observed predictions: a degenerate classifier that never
+    says 'other' must still show its zero column, which is exactly
+    the case the observed-values grid would hide."""
     pred = _t(spark, sf_dir, "documents").select(
         F.col("lang").alias("true_lang"), _langid_pred_col().alias("pred_lang")
     )
     cells0 = pred.groupBy("true_lang", "pred_lang").agg(
         F.count("*").alias("n")
     )
-    grid = (
-        cells0.select("true_lang")
-        .distinct()
-        .crossJoin(cells0.select("pred_lang").distinct())
+    grid = cells0.select("true_lang").distinct().crossJoin(
+        spark.createDataFrame(
+            [("en",), ("other",)], ["pred_lang"]
+        )
     )
     cells = grid.join(cells0, ["true_lang", "pred_lang"], "left").fillna(
         0, subset=["n"]
@@ -11378,6 +11383,140 @@ def q181_burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q182_lsh_eval",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+               AS token
+      FROM documents WHERE doc_id < 200
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM tok a JOIN tok b
+        ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), truth AS (
+      SELECT p.doc_a, p.doc_b
+      FROM inter p
+      JOIN sizes sa ON p.doc_a = sa.doc_id
+      JOIN sizes sb ON p.doc_b = sb.doc_id
+      WHERE CAST(p.i AS DOUBLE) / (sa.sz + sb.sz - p.i) >= 0.8
+    ), th AS (
+      SELECT doc_id, md5(token) AS h FROM tok
+    ), sig AS (
+      SELECT doc_id,
+             md5(MIN(substring(h, 1, 8)) || MIN(substring(h, 9, 8)))
+               AS band0,
+             md5(MIN(substring(h, 17, 8)) || MIN(substring(h, 25, 8)))
+               AS band1
+      FROM th GROUP BY doc_id
+    ), cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+      UNION
+      SELECT a.doc_id, b.doc_id
+      FROM sig a JOIN sig b
+        ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+    ), hit AS (
+      SELECT t.doc_a FROM truth t
+      JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+      CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+      CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
+      round(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+            / (SELECT COUNT(*) FROM cand), 6) AS precision,
+      round(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+            / (SELECT COUNT(*) FROM truth), 6) AS recall
+    """,
+    "dedup",
+    "stats",
+)
+def q182_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate-quality harness: precision/recall of q46's
+    MinHash banding against exact Jaccard >= 0.8 truth on a bounded
+    slice — the calibration step that justifies trusting the banded
+    path at 100 TB where exact verification is impossible (q180 is
+    the same idea for sampling estimators; the recall number is what
+    you tune bands/rows against — the S-curve 1-(1-s^r)^b). The
+    exact all-pairs side is the SLICE-bounded anchor (q45's
+    machinery, deliberately capped); candidates reuse the production
+    band signatures verbatim (_lsh_bands_of on the same slice), so
+    the harness grades the deployed hashing, not a reimplementation.
+    All three counts reduce to 1-row broadcasts combined in one
+    select; ratios of exact integers rounded 6."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("i").cast("double") / (
+        F.col("sa.sz") + F.col("sb.sz") - F.col("i")
+    )
+    truth = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b")
+    )
+    bands = _lsh_bands_of(docs)
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band_idx") == F.col("bb.band_idx"))
+            & (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("doc_a"),
+            F.col("bb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    truth = truth.localCheckpoint()  # feeds n_true and the hit join
+    cand = cand.localCheckpoint()  # feeds n_candidates and the hit join
+    nt = truth.agg(F.count("*").alias("n_true"))
+    nc = cand.agg(F.count("*").alias("n_candidates"))
+    nh = truth.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count("*").alias("n_hit")
+    )
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_candidates"), 6
+            ).alias("precision"),
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_true"), 6
+            ).alias("recall"),
+        )
+    )
+
+
 # =========================================================================
 # Registry ordering (driver check-window priority)
 # =========================================================================
@@ -11588,6 +11727,10 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     # q181↔q143/q126 (hour-histogram conditional counts + an integer-
     # index RANGE frame; adds the multi-window budget semantics).
     "q181_burn_rate_alerts",
+    # q182↔q45+q46 (their exact machinery composed into the
+    # calibration readout — the sampling-harness idea of q180 applied
+    # to the LSH path).
+    "q182_lsh_eval",
     # round-6 demotions next (freshest prev-pass evidence, 2× green
     # in r04+r05):
     "q89_volume_shipping",

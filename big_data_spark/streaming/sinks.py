@@ -2279,11 +2279,12 @@ def start_daily_revenue_stream(
             )
             .agg(
                 # pin the stored width: sum(decimal(27,2)) infers
-                # (37,2) — cast so partials never schema-clash
+                # (37,2) — cast so partials never schema-clash. The
+                # day's exact-decimal revenue is the ONLY sufficient
+                # statistic the CUSUM estimator consumes.
                 F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
                 .cast("decimal(38,2)")
                 .alias("rev"),
-                F.count("*").alias("n_orders"),
             )
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")

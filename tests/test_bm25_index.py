@@ -209,3 +209,54 @@ def test_reingest_latest_wins(spark, tmp_path):
         r["doc_id"]
         for r in bm25_search(spark, idx, ["window"], k=10).collect()
     } == {1}
+
+
+def test_exact_duplicate_doc_rows_collapse(spark, tmp_path):
+    """Exact duplicate input rows (the replay case) collapse to one
+    doc — n_docs, dl fanout, and scores identical to the dup-free
+    build; the review finding showed dups multiplied doc scores 7x."""
+    rows = [(1, "spark window join"), (2, "hash table scan")]
+    clean = str(tmp_path / "clean")
+    build_bm25_index(spark.createDataFrame(rows, ["doc_id", "text"]), clean)
+    duped = str(tmp_path / "duped")
+    build_bm25_index(
+        spark.createDataFrame(rows + rows[:1], ["doc_id", "text"]), duped
+    )
+    want = [tuple(r) for r in bm25_search(spark, clean, ["spark"]).collect()]
+    got = [tuple(r) for r in bm25_search(spark, duped, ["spark"]).collect()]
+    assert got == want
+
+
+def test_conflicting_texts_for_one_doc_fail_loudly(spark, tmp_path):
+    """Two DIFFERENT texts under one doc_id in one generation is a
+    data bug — no arbitrary winner, the build must raise."""
+    df = spark.createDataFrame(
+        [(1, "spark window"), (1, "different text"), (2, "hash scan")],
+        ["doc_id", "text"],
+    )
+    with pytest.raises(Exception, match="conflicting texts"):
+        build_bm25_index(df, str(tmp_path / "idx"))
+
+
+def test_rebuild_over_streamed_dir_refused(spark, tmp_path):
+    """build_bm25_index into a dir carrying stream state must raise:
+    readers resolve the manifest's versioned base and surviving
+    stream batches would shadow the fresh plain base (stale index,
+    silently)."""
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "idx")
+    build_bm25_index(docs.filter("doc_id % 2 = 0"), idx)
+    src = tmp_path / "src"
+    src.mkdir()
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.parquet(str(src / "a"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = start_bm25_ingest_stream(stream, idx, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    with pytest.raises(RuntimeError, match="streaming/compaction state"):
+        build_bm25_index(docs, idx)
