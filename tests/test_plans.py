@@ -1045,3 +1045,14 @@ def test_burn_rate_window_on_hour_histogram(spark):
     assert "PythonUDF" not in plan, plan
     assert "Window" in plan, plan
     assert count_scans(df) == 1, plan
+
+
+def test_lsh_eval_counts_over_checkpointed_pair_sets(spark):
+    """q182: truth and candidate pair sets materialize once
+    (localCheckpoint) and feed both their count and the hit join —
+    the final plan reads no parquet and the three counts combine via
+    1-row broadcasts."""
+    df = q(spark, "q182_lsh_eval")
+    plan = formatted_plan(df)
+    assert "Scan parquet" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
