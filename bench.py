@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "q180_approx_groupby_ci",
     "q181_burn_rate_alerts",
     "q182_lsh_eval",
+    "q183_dedup_impact",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

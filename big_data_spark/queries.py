@@ -11517,6 +11517,75 @@ def q182_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q183_dedup_impact",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             md5(lower(trim(text))) AS fp,
+             len(string_split(text, ' ')) AS ntok
+      FROM documents
+    ), k AS (
+      SELECT source, ntok,
+             (doc_id = MIN(doc_id) OVER (PARTITION BY fp)) AS kept
+      FROM d
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+           CAST(SUM(ntok) AS BIGINT) AS tokens,
+           CAST(SUM(ntok) FILTER (WHERE kept) AS BIGINT)
+             AS tokens_kept,
+           round(CAST(SUM(ntok) - SUM(ntok) FILTER (WHERE kept)
+                      AS DOUBLE) / SUM(ntok), 6) AS token_cut
+    FROM k GROUP BY 1 ORDER BY source
+    """,
+    "dedup",
+    "stats",
+)
+def q183_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ROI readout: per source, how many documents and tokens
+    exact-fingerprint dedup (q43's global min-doc_id winner rule)
+    removes — the number that justifies the dedup stage's cost and
+    flags which source is paying for another's mirror (q108 shows
+    WHO overlaps; this shows WHAT it costs). Winner election is a
+    min-window on the 16-byte fingerprint over slim rows (id,
+    source, token count — bodies never shuffle), then one
+    conditional-count groupBy per source: single scan, one digest
+    shuffle, one source shuffle at any scale. Integer counts
+    end-to-end; the cut share divides exact integers, rounded 6."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.lower(F.trim("text"))).alias("fp"),
+        F.size(F.split("text", " ")).cast("long").alias("ntok"),
+    )
+    kept = F.col("doc_id") == F.min("doc_id").over(
+        Window.partitionBy("fp")
+    )
+    k = d.select("source", "ntok", kept.alias("kept"))
+    return (
+        k.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
+            F.sum("ntok").alias("tokens"),
+            F.sum(F.when(F.col("kept"), F.col("ntok"))).alias(
+                "tokens_kept"
+            ),
+            F.round(
+                (
+                    F.sum("ntok")
+                    - F.sum(F.when(F.col("kept"), F.col("ntok")))
+                ).cast("double")
+                / F.sum("ntok"),
+                6,
+            ).alias("token_cut"),
+        )
+        .orderBy("source")
+    )
+
+
 # =========================================================================
 # Registry ordering (driver check-window priority)
 # =========================================================================
@@ -11731,6 +11800,9 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     # calibration readout — the sampling-harness idea of q180 applied
     # to the LSH path).
     "q182_lsh_eval",
+    # q183↔q43/q111 (fingerprint winner window + per-dim conditional
+    # counts — the dedup stage's ROI readout).
+    "q183_dedup_impact",
     # round-6 demotions next (freshest prev-pass evidence, 2× green
     # in r04+r05):
     "q89_volume_shipping",

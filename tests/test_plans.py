@@ -1056,3 +1056,15 @@ def test_lsh_eval_counts_over_checkpointed_pair_sets(spark):
     plan = formatted_plan(df)
     assert "Scan parquet" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dedup_impact_slim_rows_two_shuffles(spark):
+    """q183: the fingerprint winner window runs on slim rows (id,
+    source, token count — never bodies) and the whole readout is one
+    scan + the fp window exchange + the source agg + the
+    presentation sort."""
+    df = q(spark, "q183_dedup_impact")
+    plan = formatted_plan(df)
+    assert count_scans(df) == 1, plan
+    assert "Join" not in plan, plan
+    assert count_shuffles(df) <= 3, plan
