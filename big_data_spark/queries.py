@@ -11719,7 +11719,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     # suggested keeps: q112 kNN join, q120 containment, q124 WITH
     # TIES, q126 range frames, q128 basket pairs, q129 classifier,
     # q130 constraints — each pins machinery no other in-window entry
-    # runs end-to-end). ROUND-9 TRANCHE: q171–q179 (9 entries),
+    # runs end-to-end). ROUND-9 TRANCHE: q171–q183 (13 entries),
     # demoting the round-6 promotions (q132–q145 pool, 2x green by
     # then). Every registry entry through round 6 is then
     # hard-certified. In-window representatives for the batch:
