@@ -84,15 +84,21 @@ def _unique_docs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ties arbitrarily). Exact duplicate rows collapse silently (the
     replay/idempotent case); two DIFFERENT texts under one id in the
     same build/batch fail LOUDLY — that's conflicting content inside
-    one generation, a data bug no deterministic winner should
-    paper over."""
-    w = Window.partitionBy("doc_id")
+    one generation, a data bug no deterministic winner should paper
+    over. ONE doc-keyed groupBy (max(text) IS the text when the
+    distinct count is 1 — the only surviving case), not a distinct +
+    window, which paid two body-bearing exchanges plus a sort.
+    Callers materialize the result once (localCheckpoint) and feed
+    BOTH index tables from it."""
     return (
         docs.select(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
         )
-        .distinct()
-        .withColumn("_n", F.count("*").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("text").alias("_n"),
+            F.max("text").alias("text"),
+        )
         .select(
             "doc_id",
             F.when(
@@ -109,17 +115,20 @@ def _unique_docs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    toks = _unique_docs(docs, id_col, text_col).select(
+def _postings(unique_docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) from an already-deduped (doc_id, text)
+    frame — callers pass ONE materialized _unique_docs result so the
+    dedup boundary isn't paid per table."""
+    toks = unique_docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
     return toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
 
 
-def _doclen(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _doclen(unique_docs: DataFrame) -> DataFrame:
     # size(split) counts exactly the tokens the postings explode
     # emits — one map-only pass over the deduped docs
-    return _unique_docs(docs, id_col, text_col).select(
+    return unique_docs.select(
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("dl"),
     )
@@ -135,9 +144,11 @@ def build_bm25_index(
 ) -> None:
     """One-shot index build: postings bucket-partitioned for query
     pruning, doclen as the doc ledger, meta.json as the layout
-    contract. The build is two corpus passes (postings agg + the
-    map-only doclen projection); everything shuffles on doc/term
-    keys, never bodies.
+    contract. The dedup boundary pays ONE body-keyed exchange,
+    materialized once (localCheckpoint) and feeding both tables;
+    past that boundary everything shuffles on doc/term keys, never
+    bodies. At 100 TB prefer ingesting an already id-unique corpus —
+    the boundary then reduces to a pass-through groupBy.
 
     Refuses a path carrying stream state or fold manifests: a
     rebuild would write only the PLAIN base dirs while readers
@@ -170,13 +181,14 @@ def build_bm25_index(
             "batches. Build into a fresh directory (or delete the "
             "old index deliberately)."
         )
-    p = _postings(docs, id_col, text_col).withColumn(
+    u = _unique_docs(docs, id_col, text_col).localCheckpoint()
+    p = _postings(u).withColumn(
         "bucket", _bucket_col(F.col("term"), n_buckets)
     )
     p.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(path, "postings")
     )
-    _doclen(docs, id_col, text_col).write.mode("overwrite").parquet(
+    _doclen(u).write.mode("overwrite").parquet(
         os.path.join(path, "doclen")
     )
     with open(os.path.join(path, "meta.json"), "w") as f:

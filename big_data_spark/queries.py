@@ -1634,6 +1634,47 @@ def q44_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jaccard_pairs_of(docs: DataFrame, threshold: float) -> DataFrame:
+    """Exact all-pairs token-set Jaccard >= threshold over a (small)
+    doc frame — (doc_a, doc_b, jaccard rounded 6). ONE definition of
+    the exact anchor, shared by q45 (the unfiltered baseline slice)
+    and q182 (the LSH calibration harness's truth side) so the
+    harness grades against the same tokenization/threshold semantics
+    the anchor defines. Deliberately quadratic: callers bound the
+    slice; the scale path is LSH banding (q46/q47/q53)."""
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("inter").cast("double") / (
+        F.col("sa.sz") + F.col("sb.sz") - F.col("inter")
+    )
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+
 @register(
     "q45_jaccard_near_dup",
     """
@@ -1659,38 +1700,12 @@ def q44_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q45_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard near-dup pairs >= 0.8 on a bounded
-    slice (correctness anchor). The all-pairs token join is
-    intentionally capped: the scale path is MinHash-LSH banding
-    (q46), which replaces the quadratic join with band-bucket
-    grouping."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
-    tok = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
-    )
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = tok.alias("a")
-    b = tok.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.token") == F.col("b.token"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("inter").cast("double") / (
-        F.col("sa.sz") + F.col("sb.sz") - F.col("inter")
-    )
-    return (
-        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.8)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    slice (correctness anchor; the shared _jaccard_pairs_of). The
+    all-pairs token join is intentionally capped: the scale path is
+    MinHash-LSH banding (q46), which replaces the quadratic join
+    with band-bucket grouping."""
+    return _jaccard_pairs_of(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60), 0.8
     )
 
 
@@ -11443,41 +11458,15 @@ def q182_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     path at 100 TB where exact verification is impossible (q180 is
     the same idea for sampling estimators; the recall number is what
     you tune bands/rows against — the S-curve 1-(1-s^r)^b). The
-    exact all-pairs side is the SLICE-bounded anchor (q45's
-    machinery, deliberately capped); candidates reuse the production
-    band signatures verbatim (_lsh_bands_of on the same slice), so
-    the harness grades the deployed hashing, not a reimplementation.
-    All three counts reduce to 1-row broadcasts combined in one
-    select; ratios of exact integers rounded 6."""
+    exact all-pairs side is the SLICE-bounded anchor — the SAME
+    _jaccard_pairs_of q45 ships, deliberately capped; candidates
+    reuse the production band signatures verbatim (_lsh_bands_of on
+    the same slice). Both sides of the harness are therefore the
+    deployed definitions, never reimplementations. All three counts
+    reduce to 1-row broadcasts combined in one select; ratios of
+    exact integers rounded 6."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    tok = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
-    )
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a, b = tok.alias("a"), tok.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.token") == F.col("b.token"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .agg(F.count("*").alias("i"))
-    )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    jac = F.col("i").cast("double") / (
-        F.col("sa.sz") + F.col("sb.sz") - F.col("i")
-    )
-    truth = (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.8)
-        .select("doc_a", "doc_b")
-    )
+    truth = _jaccard_pairs_of(docs, 0.8).select("doc_a", "doc_b")
     bands = _lsh_bands_of(docs)
     ba, bb = bands.alias("ba"), bands.alias("bb")
     cand = (
@@ -11534,9 +11523,10 @@ def q182_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(COUNT(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
            CAST(SUM(ntok) AS BIGINT) AS tokens,
-           CAST(SUM(ntok) FILTER (WHERE kept) AS BIGINT)
+           CAST(COALESCE(SUM(ntok) FILTER (WHERE kept), 0) AS BIGINT)
              AS tokens_kept,
-           round(CAST(SUM(ntok) - SUM(ntok) FILTER (WHERE kept)
+           round(CAST(SUM(ntok)
+                      - COALESCE(SUM(ntok) FILTER (WHERE kept), 0)
                       AS DOUBLE) / SUM(ntok), 6) AS token_cut
     FROM k GROUP BY 1 ORDER BY source
     """,
@@ -11564,20 +11554,21 @@ def q183_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.partitionBy("fp")
     )
     k = d.select("source", "ntok", kept.alias("kept"))
+    # coalesce the kept-sum: a source whose EVERY doc loses the
+    # election (the fully-mirrored case this readout exists to
+    # price) must report 0 kept tokens / cut 1.0, not NULL
+    kept_sum = F.coalesce(
+        F.sum(F.when(F.col("kept"), F.col("ntok"))), F.lit(0)
+    )
     return (
         k.groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
             F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
             F.sum("ntok").alias("tokens"),
-            F.sum(F.when(F.col("kept"), F.col("ntok"))).alias(
-                "tokens_kept"
-            ),
+            kept_sum.alias("tokens_kept"),
             F.round(
-                (
-                    F.sum("ntok")
-                    - F.sum(F.when(F.col("kept"), F.col("ntok")))
-                ).cast("double")
+                (F.sum("ntok") - kept_sum).cast("double")
                 / F.sum("ntok"),
                 6,
             ).alias("token_cut"),

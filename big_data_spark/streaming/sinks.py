@@ -1629,6 +1629,7 @@ def start_bm25_ingest_stream(
         _doclen,
         _postings,
         _read_meta,
+        _unique_docs,
     )
 
     n_buckets = _read_meta(path)["n_buckets"]
@@ -1637,8 +1638,10 @@ def start_bm25_ingest_stream(
         if batch.isEmpty():
             return
         _guard_bm25_generation(path, checkpoint_dir)
+        # one dedup boundary per batch, feeding both tables
+        u = _unique_docs(batch, id_col, text_col).localCheckpoint()
         (
-            _postings(batch, id_col, text_col)
+            _postings(u)
             .withColumn("bucket", _bucket_col(F.col("term"), n_buckets))
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
@@ -1647,7 +1650,7 @@ def start_bm25_ingest_stream(
             .parquet(os.path.join(path, BM25_POST_STREAM))
         )
         (
-            _doclen(batch, id_col, text_col)
+            _doclen(u)
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -2260,7 +2263,7 @@ def start_daily_revenue_stream(
 ) -> StreamingQuery:
     """Streaming twin of q163's CUSUM change-point scan — the feed
     half: each micro-batch lands per-day EXACT-DECIMAL revenue
-    partials (plus an order count) in its own batch_id partition.
+    partials in its own batch_id partition.
     The CUSUM estimator needs only the day-grain revenue series, and
     a decimal sum is associative, so per-batch partials merge to
     exactly the one-shot daily table no matter how the stream was
