@@ -2123,7 +2123,12 @@ def q48_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     previous 16 array-local folds ran interpreted (higher-order
     functions are CodegenFallback — the q129 lesson). Near-dup
     candidates then group on signature prefixes instead of pairwise
-    comparison."""
+    comparison.
+
+    Input contract (same as operators.simhash.simhash_signatures,
+    pinned there): NULL-text docs emit no row; duplicate doc_ids
+    merge votes. The documents table has unique ids and non-null
+    text, so the oracle is unaffected."""
     docs = _t(spark, sf_dir, "documents")
     hashed = docs.select(
         "doc_id",
@@ -6419,7 +6424,13 @@ def clf_score_frame(docs: DataFrame) -> DataFrame:
     text) frame through the hashed-linear classifier. Shared by the
     batch path and streaming.sinks.start_calibration_stream (which
     scores each micro-batch through THIS function, so the monitored
-    model is provably the shipped model)."""
+    model is provably the shipped model).
+
+    Input contract: NULL/empty-text rows score NO row (the size>0
+    filter — a sigmoid over zero tokens is undefined, and dropping
+    beats emitting a fake 0.5); duplicate (doc_id, lang) rows merge
+    into one scored row (groupBy semantics). Upstream ingest dedups
+    ids; pinned alongside the simhash contract test."""
     toks = F.filter(F.split("text", " "), lambda t: t != "")
     base = docs.select(
         "doc_id", "lang", toks.alias("toks")
@@ -11588,50 +11599,156 @@ def q183_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # redundant subsets (q30/q31 ⊂ q32, q45 ⊂ q53, etc.), which keep local
 # oracle-parity coverage in tests/test_oracle_parity.py instead.
 _DRIVER_WINDOW_ORDER: list[str] = [
-    # ROUND-6 ROTATION (executed — tranche 2 of the certification plan
-    # staged in round 4): q132–q145 + m01/m02/m04 (17 entries) enter
-    # the window for their FIRST hard driver check, completing hard
-    # certification of every entry registered through round 4. To make
-    # room, 17 twice-green round-4/5 survivors were demoted
-    # (q89 q90 q91 q93 q94 q95 q96 q97 q98 q99 q100 q102 q103 q104
-    # q105 q107 q35 — every one 2× driver-green after r04+r05 and
-    # machinery-subsumed by a retained in-window sibling: the TPC-H
-    # shapes q89-q91/q98/q99/q102-q105 ⊂ q111 + anchors q01/q32;
-    # q93 stratified mix ⊂ q113/q132; q94 curriculum quantiles ⊂
-    # q119; q95 group-top-k ⊂ q124; q96 tf-idf cosine ⊂ q137/q138;
-    # q97 sharded shuffle ⊂ q93-machinery via q132's md5 draw;
-    # q100 brute-force ANN ⊂ q112 kNN join; q107 chunking ⊂ q115's
-    # map-only doc transforms; q35 match scores ⊂ q129 classifier).
-    # Demoted entries keep value-level parity coverage in
-    # tests/test_oracle_parity.py (guard:
-    # test_window_rotation_preserves_oracle_coverage).
-    # Retained multi-green anchors: q01 (flagship pricing summary),
-    # q32 (full reference ETL chain), q66 (iterative LSH fixpoint),
-    # q67 (corpus-prep capstone).
-    # Retained twice-green machinery pins (5): q92 (only SimHash
-    # banding entry), q101 (batch side of the streaming health twin),
-    # q106 (cross-doc digest winner election), q64 (persisted IVF
-    # index + pruned probes), q75 (PQ codebooks + ADC) — each pins
-    # machinery no other in-window entry exercises end-to-end.
-    # q108–q131 stay for their SECOND confirmation; after r06 they are
-    # the demotion pool for round 7's q146–q153 promotion (8 slots).
-    # -- anchors --
+    # ROUND-7 ROTATION (executed — VERDICT r06 order #1, the full-
+    # backlog certification): ALL 38 never-checked entries (q146–q153
+    # from round 5, q154–q183 from round 6) enter the window AT ONCE
+    # for their first hard driver check, alongside 12 multi-green
+    # anchors pinning the machinery each backlog family maps to. When
+    # this window lands green, every registry entry has a hard
+    # CORRECTNESS row — the certification debt (38 after r06) is zero.
+    # To make room, 39 driver-green survivors were demoted (each 1–2×
+    # green with latest check in r05/r06, every one machinery-subsumed
+    # by a retained in-window sibling — per-entry notes at the
+    # demotion block below). Demoted entries keep value-level parity
+    # coverage in tests/test_oracle_parity.py (guard:
+    # test_window_rotation_preserves_oracle_coverage). Registry
+    # additions are FROZEN this round (VERDICT r06 order #2): the
+    # count stays 185 so the window math is exact.
+    #
+    # -- anchors (12) — multi-green pins, one per backlog family --
+    # q01/q32: flagship pricing summary + the full reference ETL
+    #   chain (the two permanent anchors, green every round checked).
+    # q05: canonical 6-table TPC-H join shape, re-promoted from the
+    #   tail to keep one hash-checked multi-join in-window while all
+    #   other TPC-H shapes sit demoted (2x green r01-r04).
+    # q66: iterative LSH fixpoint components (↔ q146/q154/q158
+    #   iterative frontier/label machinery).
+    # q67: corpus-prep capstone (↔ the text/quality backlog family).
+    # q92: SimHash banding (↔ q170's digest-distinct shingle scans).
+    # q101: corpus health gates (↔ q169/q173 audit-report shapes).
+    # q106: segment digest winner election (↔ q157/q158 latest-wins).
+    # q112: bucket-keyed self-kNN join (↔ q152's pruned ANN scan).
+    # q120: df-capped containment inverted index (↔ q170).
+    # q137: persisted BM25 top-k (↔ q149 retrieval eval — shares
+    #   _bm25_doc_scores frame-for-frame, eval cannot drift).
+    # q64: persisted IVF index + pruned probes (↔ q152/q165).
     "q01_pricing_summary",
     "q32_job_etl_full",
+    "q05_nation_revenue",
     "q66_lsh_dedup_components",
     "q67_corpus_prep",
-    # -- retained twice-green machinery pins --
     "q92_simhash_hamming_pairs",
     "q101_corpus_health",
     "q106_segment_dedup",
+    "q112_knn_join",
+    "q120_containment_pairs",
+    "q137_bm25_topk",
     "q64_ivf_ann",
+    # -- round-5 additions: FIRST hard driver check (8) --
+    "q146_pagerank",
+    "q147_weighted_sample",
+    "q148_windowed_funnel",
+    "q149_retrieval_metrics",
+    "q150_cuped_adjustment",
+    "q151_srm_check",
+    "q152_filtered_ann",
+    "q153_join_explosion_audit",
+    # -- round-6 additions: FIRST hard driver check (30) --
+    "q154_khop_reachability",
+    "q155_weighted_quantiles",
+    "q156_largest_remainder_alloc",
+    "q157_cdc_log_compaction",
+    "q158_golden_record",
+    "q159_quota_sample",
+    "q160_last_touch_attribution",
+    "q161_revenue_lorenz",
+    "q162_chisq_independence",
+    "q163_cusum_changepoint",
+    "q164_calibration_bins",
+    "q165_int8_quantization",
+    "q166_ks_two_sample",
+    "q167_zipf_slope",
+    "q168_interval_union",
+    "q169_fk_orphan_audit",
+    "q170_duplication_fraction",
+    "q171_token_pmi",
+    "q172_association_rules",
+    "q173_benford_audit",
+    "q174_oov_rate",
+    "q175_bigram_logprob",
+    "q176_langid_confusion",
+    "q177_token_entropy",
+    "q178_centroid_shift",
+    "q179_source_kl",
+    "q180_approx_groupby_ci",
+    "q181_burn_rate_alerts",
+    "q182_lsh_eval",
+    "q183_dedup_impact",
+    # ---- window boundary (position 50) ----
+    # ROUND-8 PLAN: with the backlog cleared, steady state begins —
+    # the window holds the permanent anchors, any judge-ordered fix
+    # queries, and re-confirmations of the freshest promotions; new
+    # registry additions resume at <= the per-round promotion budget
+    # (~17 slots/round after anchors) so certification debt never
+    # re-accumulates (VERDICT r06 order #2).
+    #
+    # -- ROUND-7 DEMOTIONS (39; freshest evidence first). Every entry
+    # is driver-green (latest check r05 or r06) and names the
+    # in-window sibling that exercises its machinery end-to-end: --
+    # q75 PQ-ADC top-k (2x green r05+r06) ↔ q64 persisted-index probe
+    #   path + q165's quantization passes; the PQ index lifecycle
+    #   stays pinned by the streaming ingest/compaction tests.
     "q75_pq_adc_topk",
-    # -- round-5 promotions staying for second confirmation --
+    # q108-q131 (green r05, re-confirmed r06) — representatives:
+    # q108 shingle overlap ↔ q170 (identical digest-distinct shingle
+    #   pipeline, per-doc re-aggregated);
+    # q109 gap-fill ↔ q160 (LOCF carry window, log-position tiebreak)
+    #   + q148's keyed chained aggs;
+    # q110 unigram quality ↔ q175/q179 (the LM-scoring join
+    #   discipline over the same vocab histograms);
+    # q111 important stock ↔ q183 (per-dim conditional counts with a
+    #   winner window);
+    # q113 token-budget mix ↔ q159/q147 (rank-window budget cuts with
+    #   seeded-md5 draws);
+    # q114 percentile cut ↔ q155 (histogram-cumulative quantile
+    #   discipline);
+    # q115 intra-doc dedup ↔ q170 (same map-only digest-distinct
+    #   transform, re-aggregated);
+    # q116 unpivot ↔ q176 (stacked cell table + zero-filled grid
+    #   windows);
+    # q117 grouping sets ↔ q179 (per-source + corpus-marginal
+    #   two-level lattice; exact GROUPING SETS text keeps local
+    #   parity);
+    # q118 time-weighted avg ↔ q168 (per-key lead-window Dt over
+    #   derived intervals);
+    # q119 exact percentiles ↔ q155 (cumulative-histogram exact
+    #   quantiles, weighted generalization);
+    # q121 BPE pair counts ↔ q171 (array-local bigrams + broadcast
+    #   vocab marginals);
+    # q122 PSI drift ↔ q166 (ECDF/histogram over collapsed domain +
+    #   max-broadcast);
+    # q123 session windows ↔ q148 (sessionized funnel over the same
+    #   session_window machinery);
+    # q124 top-k WITH TIES ↔ q157 (keyed latest-wins rank window,
+    #   total tiebreak) + q159's variable-k per-group rank;
+    # q125 native MAD ↔ q155 (median-of-deviations quantile
+    #   machinery);
+    # q126 range frames ↔ q181 (integer-index RANGE frame, multi-
+    #   window budget semantics);
+    # q127 fuzzy name pairs ↔ q158 (the exact machinery composition:
+    #   length-blocked edit-distance edges + min-label CC);
+    # q128 copurchase pairs ↔ q172 (verbatim _copurchase_pairs
+    #   reuse — the rule layer is 2 rows per counted pair);
+    # q129 classifier ↔ q164 (the SAME _clf_token_weight scorer,
+    #   audited frame-for-frame);
+    # q130 constraint report ↔ q169 (audit-report union shape over
+    #   anti/semi FK machinery);
+    # q131 bigram quality ↔ q175 (bigram LM with REAL backoff over
+    #   the same bigram histograms).
     "q108_source_shingle_overlap",
     "q109_gap_fill",
     "q110_unigram_quality",
     "q111_important_stock",
-    "q112_knn_join",
     "q113_token_budget_mix",
     "q114_quality_percentile_cut",
     "q115_intradoc_dedup",
@@ -11639,7 +11756,6 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q117_grouping_sets",
     "q118_time_weighted_avg",
     "q119_exact_percentiles",
-    "q120_containment_pairs",
     "q121_bpe_pair_counts",
     "q122_distribution_drift",
     "q123_native_session_windows",
@@ -11651,16 +11767,41 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q129_quality_classifier",
     "q130_constraint_report",
     "q131_bigram_quality",
-    # -- ROUND-6 PROMOTIONS: first hard driver check (tranche 2) --
-    # q132–q145 (oracle-backed) + m01/m02/m04 (rows-only ML — the last
-    # registry entries with zero driver evidence; the driver records a
-    # weaker rows-only check for them, see SURVEY §2.10).
+    # q132-q145 + m01/m02/m04 (first-green r06) — representatives:
+    # q132 temperature mix ↔ q147 (the same seeded-md5 acceptance
+    #   draw, exponentiated weights);
+    # q133 sliding DAU/WAU ↔ q151 (day-keyed conditional distinct
+    #   counts);
+    # q134 key-skew audit ↔ q153 (same constant-size top-k +
+    #   broadcast-total shape);
+    # q135 peak concurrency ↔ q168 (the sweep-line sibling over the
+    #   same derived intervals);
+    # q136 snapshot diff ↔ q157 (digest-keyed latest-wins change
+    #   capture);
+    # q138 hybrid RRF ↔ q137 (in-window anchor; RRF is a rank-join
+    #   over q137's exact scores) + q149;
+    # q139 Welch t ↔ q150/q162 (sufficient-statistic experiment aggs
+    #   over the same per-arm conditional sums);
+    # q140 event transitions ↔ q148 (ordered per-user event
+    #   sequencing windows);
+    # q141 triangles ↔ q154 (frontier joins over the same capped
+    #   basket edges, lineage cut per round);
+    # q142 RFM segments ↔ q161 (per-customer revenue aggs +
+    #   cumulative rank windows);
+    # q143 hourly anomalies ↔ q163 (calendar-bounded ordered window
+    #   over the same hourly cells);
+    # q144 seasonal backtest ↔ q163/q176 (seasonal cell grid +
+    #   holdout-split audit);
+    # q145 decayed trending ↔ q160 (time-keyed decay weighting over
+    #   keyed event windows);
+    # m01/m02/m04 rows-only ML ↔ driver-executed in r06 (the only
+    #   hard signal they can ever get); values pinned locally by the
+    #   ML tolerance tests. No window slot can improve their evidence.
     "q132_temperature_mix",
     "q133_sliding_active_users",
     "q134_key_skew_audit",
     "q135_peak_concurrency",
     "q136_snapshot_diff",
-    "q137_bm25_topk",
     "q138_hybrid_rrf",
     "q139_ab_welch_t",
     "q140_event_transitions",
@@ -11672,130 +11813,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "m01_kmeans_embedding_clusters",
     "m02_skill_hot_gbt_top",
     "m04_similar_tokens_w2v",
-    # ---- window boundary (position 50) ----
-    # ROUND-7 TRANCHE (committed): promote q146–q153 (8 — the round-5
-    # additions, the ONLY entries still lacking a hard CORRECTNESS row
-    # once r06 lands), demoting 8 of the then twice-green q108–q131
-    # pool (suggested, most-subsumed first: q116 unpivot ⊂ q142's
-    # conditional-agg lattice, q108 ⊂ q120, q114 ⊂ q119, q118 ⊂ q126,
-    # q123 ⊂ q148's sessionized funnel, q125 ⊂ q143, q131 ⊂ q110/q121,
-    # q127 ⊂ q120/q138) — then every registry entry through round 5 is
-    # hard-certified and the window can shrink to anchors + rotation.
-    # Update tests/test_registry_contract.py MUST_BE_IN_WINDOW with the
-    # same swap.
-    # In-window representatives: q146↔q66 (iterative label/score
-    # propagation with eager checkpoints) + q128 (the edge builder);
-    # q147↔q95/q93 (WindowGroupLimit per-stratum k + seeded-md5 draw);
-    # q148↔q109/q126 (keyed chained aggs + integer-microsecond
-    # medians; q59 is the unwindowed sibling, multi-green).
-    "q146_pagerank",
-    "q147_weighted_sample",
-    "q148_windowed_funnel",
-    "q149_retrieval_metrics",
-    # round-5 late additions, same round-7 tranche. In-window
-    # representatives: q150↔q139 (sufficient-statistic experiment
-    # aggs over the same per-arm conditional sums); q151↔q139/q133
-    # (enrollment distinct + day-keyed conditional counts);
-    # q152↔q64-shape via q112/q100 (cell-pruned candidate scan +
-    # exact re-rank; q152 adds the predicate + over-probe).
-    "q150_cuped_adjustment",
-    "q151_srm_check",
-    "q152_filtered_ann",
-    # q153↔q134 (same constant-size top-k + broadcast-total shape).
-    "q153_join_explosion_audit",
-    # round-6 ADDITIONS (never checked): certification backlog behind
-    # the committed round-7 tranche above. ROUND-8 TRANCHE (planned):
-    # promote q154–q170 (17 entries), demoting 17 of the by-then
-    # twice-green q108–q131 pool (all 24 are 2x green after r06+r07;
-    # suggested keeps: q112 kNN join, q120 containment, q124 WITH
-    # TIES, q126 range frames, q128 basket pairs, q129 classifier,
-    # q130 constraints — each pins machinery no other in-window entry
-    # runs end-to-end). ROUND-9 TRANCHE: q171–q183 (13 entries),
-    # demoting the round-6 promotions (q132–q145 pool, 2x green by
-    # then). Every registry entry through round 6 is then
-    # hard-certified. In-window representatives for the batch:
-    # q154↔q66/q141 (iterative frontier joins +
-    # eager checkpoints over the same capped basket edges);
-    # q155↔q119/q114 (histogram-cumulative quantile discipline);
-    # q156↔q134 (dimension-sized ranking window + broadcast total);
-    # q157↔q124/q109 (keyed latest-wins window, total tiebreak);
-    # q158↔q66+q127 (the exact machinery composition, min-label CC).
-    "q154_khop_reachability",
-    "q155_weighted_quantiles",
-    "q156_largest_remainder_alloc",
-    "q157_cdc_log_compaction",
-    "q158_golden_record",
-    # q159↔q156+q93 (the composition: quota dim + seeded-md5 draw,
-    # variable-k per-group rank); q160↔q109/q157 (LOCF carry window
-    # with the log-position tiebreak).
-    "q159_quota_sample",
-    "q160_last_touch_attribution",
-    # round-6 LATE additions (statistics/audit family): same round-8+
-    # certification backlog. In-window representatives: q161↔q119's
-    # cumulative-histogram discipline over a bounded grid; q162↔q139/
-    # q151 (sufficient-statistic tests; adds the 2-D contingency
-    # windows); q163↔q143/q109 (calendar-bounded ordered window);
-    # q164↔q129 (the SAME _clf_token_weight scorer, audited);
-    # q165↔q75/q68 (quantization + array-local codegen passes);
-    # q166↔q122/q103 (ECDF over collapsed domain + max-broadcast);
-    # q167↔q121/q124 (vocab groupBy + TakeOrdered top-k).
-    "q161_revenue_lorenz",
-    "q162_chisq_independence",
-    "q163_cusum_changepoint",
-    "q164_calibration_bins",
-    "q165_int8_quantization",
-    "q166_ks_two_sample",
-    "q167_zipf_slope",
-    # round-6 batch-4 additions (interval algebra / integrity audits /
-    # itemset+collocation mining): same round-8+ certification
-    # backlog. In-window representatives: q168↔q135/q123 (per-key
-    # ordered windows over the same derived intervals; q135 is the
-    # sweep-line sibling); q169↔q130 (audit-report union shape) +
-    # q104/q105's anti/semi FK machinery; q170↔q108/q115 (identical
-    # digest-distinct shingle pipeline, per-doc re-aggregated);
-    # q171↔q121/q110 (array-local bigrams + broadcast vocab
-    # marginals); q172↔q128 (verbatim _copurchase_pairs reuse — the
-    # rule layer is 2 rows per counted pair); q173↔q162/q151
-    # (zero-filled grid + sufficient-statistic audit).
-    "q168_interval_union",
-    "q169_fk_orphan_audit",
-    "q170_duplication_fraction",
-    "q171_token_pmi",
-    "q172_association_rules",
-    "q173_benford_audit",
-    # round-6 batch-5 additions (tokenizer/LM/model-eval): same
-    # round-8+ certification backlog. In-window representatives:
-    # q174↔q167/q110 (TakeOrdered vocab cut + broadcast membership);
-    # q175↔q110/q171 (the LM-scoring join discipline, bigram model +
-    # REAL backoff via the train/held-out split); q176↔q162 (the
-    # zero-filled grid + row-share window over a cell table, auditing
-    # q42's exact deployed expression).
-    "q174_oov_rate",
-    "q175_bigram_logprob",
-    "q176_langid_confusion",
-    # q177↔q167/q162 (vocab-histogram sufficient stats + per-source
-    # windows); q178↔q61/q122 (dimension-keyed embedding stats, the
-    # vector-column drift sibling of PSI).
-    "q177_token_entropy",
-    "q178_centroid_shift",
-    # q179↔q177/q110 (the same histogram machinery; adds the corpus
-    # marginal join — the mixing-decision readout).
-    "q179_source_kl",
-    # q180↔q93/q139 (seeded-md5 draw + sufficient-statistic CI; the
-    # estimate and its exact audit share one conditional-agg pass).
-    "q180_approx_groupby_ci",
-    # q181↔q143/q126 (hour-histogram conditional counts + an integer-
-    # index RANGE frame; adds the multi-window budget semantics).
-    "q181_burn_rate_alerts",
-    # q182↔q45+q46 (their exact machinery composed into the
-    # calibration readout — the sampling-harness idea of q180 applied
-    # to the LSH path).
-    "q182_lsh_eval",
-    # q183↔q43/q111 (fingerprint winner window + per-dim conditional
-    # counts — the dedup stage's ROI readout).
-    "q183_dedup_impact",
-    # round-6 demotions next (freshest prev-pass evidence, 2× green
-    # in r04+r05):
+    # round-6 demotions next (2x green in r04+r05):
     "q89_volume_shipping",
     "q90_product_type_profit",
     "q91_brand_size_disjunction",
@@ -11813,7 +11831,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q100_batch_ann_topk",
     "q107_overlap_chunks",
     "q35_skill_match_scores",
-    # round-5 demotions next (freshest prev-pass evidence, 2+× green):
+    # round-5 demotions next (freshest prev-pass evidence, 2+x green):
     "q55_purchase_attribution_asof",
     "q56_incident_click_range_join",
     "q57_cascaded_rollup",
@@ -11838,8 +11856,8 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q80_decontamination",
     "q84_sequence_packing",
     "q86_vocabulary_idf",
-    # round-4 demotions next (freshest prev-pass evidence):
-    "q05_nation_revenue",
+    # round-4 demotions next (freshest prev-pass evidence; q05
+    # re-promoted to the round-7 anchor block above):
     "q08_top3_orders_per_customer",
     "q11_nation_segments",
     "q47_lsh_dedup_groups",

@@ -9,85 +9,78 @@ from big_data_spark.queries import QUERIES
 
 DRIVER_WINDOW = 50
 
-# Rows-only ML entries deliberately spending window slots this round:
-# they are the LAST registry entries with zero driver evidence (the
-# round-4 certification plan's tranche 2), and the driver's weaker
-# rows-only check is the only hard signal they can ever get. They
-# rotate back out in round 7.
-ROWS_ONLY_WINDOW_EXCEPTIONS = {
-    "m01_kmeans_embedding_clusters",
-    "m02_skill_hot_gbt_top",
-    "m04_similar_tokens_w2v",
-}
+# Round 7: no rows-only entries spend window slots. m01/m02/m04 got
+# their driver-executed rows-only rows in r06 — the only hard signal
+# an iterative MLlib fit can ever get — so the slots go to the
+# oracle-backed certification backlog instead.
+ROWS_ONLY_WINDOW_EXCEPTIONS: set[str] = set()
 
 # Queries that have never had a hard driver CORRECTNESS row, plus the
-# scale-critical dedup/similarity tail. Rotation rule (round-3, still
+# anchors pinning each backlog family. Rotation rule (round-3, still
 # in force): a query may leave the window only once it has a green
 # driver row in some round; never-checked oracle queries take priority
-# for slots. Round-6 update: CORRECTNESS_r05 went 50/50 green (24
-# first-time rows for q108-q131), so 17 twice-green round-4/5
-# survivors rotated out (q89-q91/q93-q100/q102-q105/q107/q35) and
-# tranche 2 of the certification plan promoted q132-q145 + m01/m02/m04
-# for their FIRST hard check. The set below is exactly what round 6's
-# window must hard-check or re-confirm.
+# for slots. Round-7 update (VERDICT r06 order #1): CORRECTNESS_r06
+# went 50/50 green, so the ENTIRE 38-entry certification backlog
+# (q146–q183 — every registry entry without a hard driver row)
+# promotes at once, alongside 12 multi-green anchors; 39 green
+# survivors demote with in-window representatives documented at
+# _DRIVER_WINDOW_ORDER. Registry additions are frozen this round
+# (order #2). The set below is exactly what round 7's window must
+# hard-check or re-confirm.
 MUST_BE_IN_WINDOW = {
-    # ROUND-6 PROMOTIONS — never driver-checked (tranche 2)
-    "q132_temperature_mix",
-    "q133_sliding_active_users",
-    "q134_key_skew_audit",
-    "q135_peak_concurrency",
-    "q136_snapshot_diff",
-    "q137_bm25_topk",
-    "q138_hybrid_rrf",
-    "q139_ab_welch_t",
-    "q140_event_transitions",
-    "q141_triangle_count",
-    "q142_rfm_segments",
-    "q143_hourly_anomalies",
-    "q144_seasonal_backtest",
-    "q145_decayed_trending",
-    "m01_kmeans_embedding_clusters",
-    "m02_skill_hot_gbt_top",
-    "m04_similar_tokens_w2v",
-    # single-green round-5 rows staying for a second confirmation
-    # (the round-7 demotion pool)
-    "q108_source_shingle_overlap",
-    "q109_gap_fill",
-    "q110_unigram_quality",
-    "q111_important_stock",
-    "q112_knn_join",
-    "q113_token_budget_mix",
-    "q114_quality_percentile_cut",
-    "q115_intradoc_dedup",
-    "q116_part_attr_unpivot",
-    "q117_grouping_sets",
-    "q118_time_weighted_avg",
-    "q119_exact_percentiles",
-    "q120_containment_pairs",
-    "q121_bpe_pair_counts",
-    "q122_distribution_drift",
-    "q123_native_session_windows",
-    "q124_topk_with_ties",
-    "q125_native_mad",
-    "q126_rolling_time_window",
-    "q127_fuzzy_name_pairs",
-    "q128_copurchase_pairs",
-    "q129_quality_classifier",
-    "q130_constraint_report",
-    "q131_bigram_quality",
-    # retained twice-green machinery pins (only in-window entries
-    # exercising SimHash banding / health gates / segment winner
-    # election / IVF index / PQ-ADC end-to-end)
+    # -- anchors (12): multi-green machinery pins --
+    "q01_pricing_summary",
+    "q32_job_etl_full",
+    "q05_nation_revenue",
+    "q66_lsh_dedup_components",
+    "q67_corpus_prep",
     "q92_simhash_hamming_pairs",
     "q101_corpus_health",
     "q106_segment_dedup",
+    "q112_knn_join",
+    "q120_containment_pairs",
+    "q137_bm25_topk",
     "q64_ivf_ann",
-    "q75_pq_adc_topk",
-    # permanent multi-green anchors (flagship / ETL / LSH / corpus)
-    "q01_pricing_summary",
-    "q32_job_etl_full",
-    "q66_lsh_dedup_components",
-    "q67_corpus_prep",
+    # -- round-5 additions: FIRST hard driver check --
+    "q146_pagerank",
+    "q147_weighted_sample",
+    "q148_windowed_funnel",
+    "q149_retrieval_metrics",
+    "q150_cuped_adjustment",
+    "q151_srm_check",
+    "q152_filtered_ann",
+    "q153_join_explosion_audit",
+    # -- round-6 additions: FIRST hard driver check --
+    "q154_khop_reachability",
+    "q155_weighted_quantiles",
+    "q156_largest_remainder_alloc",
+    "q157_cdc_log_compaction",
+    "q158_golden_record",
+    "q159_quota_sample",
+    "q160_last_touch_attribution",
+    "q161_revenue_lorenz",
+    "q162_chisq_independence",
+    "q163_cusum_changepoint",
+    "q164_calibration_bins",
+    "q165_int8_quantization",
+    "q166_ks_two_sample",
+    "q167_zipf_slope",
+    "q168_interval_union",
+    "q169_fk_orphan_audit",
+    "q170_duplication_fraction",
+    "q171_token_pmi",
+    "q172_association_rules",
+    "q173_benford_audit",
+    "q174_oov_rate",
+    "q175_bigram_logprob",
+    "q176_langid_confusion",
+    "q177_token_entropy",
+    "q178_centroid_shift",
+    "q179_source_kl",
+    "q180_approx_groupby_ci",
+    "q181_burn_rate_alerts",
+    "q182_lsh_eval",
+    "q183_dedup_impact",
 }
 
 
