@@ -85,18 +85,27 @@ def _unique_docs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     replay/idempotent case); two DIFFERENT texts under one id in the
     same build/batch fail LOUDLY — that's conflicting content inside
     one generation, a data bug no deterministic winner should paper
-    over. ONE doc-keyed groupBy (max(text) IS the text when the
-    distinct count is 1 — the only surviving case), not a distinct +
-    window, which paid two body-bearing exchanges plus a sort.
-    Callers materialize the result once (localCheckpoint) and feed
-    BOTH index tables from it."""
+    over. NULL text is rejected LOUDLY too (ADVICE r06): a NULL would
+    produce zero postings but a NULL dl — counted in n_docs yet
+    excluded from avgdl's sum, silently skewing corpus stats for
+    every query — and count_distinct alone ignores NULLs, so
+    (id, NULL)+(id, 'x') would silently resolve to 'x'; the distinct
+    count therefore runs on a coalesced sentinel so a NULL counts as
+    a conflicting value. ONE doc-keyed groupBy (max(text) IS the text
+    when the distinct count is 1 — the only surviving case), not a
+    distinct + window, which paid two body-bearing exchanges plus a
+    sort. Callers materialize the result once (localCheckpoint) and
+    feed BOTH index tables from it."""
+    null_sentinel = "\x00\x00__null_text__"
     return (
         docs.select(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
         )
         .groupBy("doc_id")
         .agg(
-            F.count_distinct("text").alias("_n"),
+            F.count_distinct(
+                F.coalesce("text", F.lit(null_sentinel))
+            ).alias("_n"),
             F.max("text").alias("text"),
         )
         .select(
@@ -110,7 +119,23 @@ def _unique_docs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
                         F.lit(" within one index generation"),
                     )
                 ),
-            ).otherwise(F.col("text")).alias("text"),
+            )
+            .when(
+                F.col("text").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit("NULL text for doc_id "),
+                        F.col("doc_id").cast("string"),
+                        F.lit(
+                            " — a NULL doc has no postings but would"
+                            " skew n_docs/avgdl; drop or fill it"
+                            " upstream"
+                        ),
+                    )
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
         )
     )
 
@@ -191,8 +216,13 @@ def build_bm25_index(
     _doclen(u).write.mode("overwrite").parquet(
         os.path.join(path, "doclen")
     )
-    with open(os.path.join(path, "meta.json"), "w") as f:
+    # tmp + atomic replace, matching the manifest-flip discipline in
+    # streaming.sinks (ADVICE r06): a crash mid-write must not leave
+    # a truncated meta.json that bricks every reader permanently
+    meta_tmp = os.path.join(path, "meta.json.tmp")
+    with open(meta_tmp, "w") as f:
         json.dump({"n_buckets": n_buckets, "k1": K1, "b": B}, f)
+    os.replace(meta_tmp, os.path.join(path, "meta.json"))
 
 
 def _read_meta(path: str) -> dict:

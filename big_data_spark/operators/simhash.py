@@ -70,7 +70,17 @@ def simhash_signatures(
     n_bits times under interpreted evaluation (the q129 lesson —
     interpreted per-token CPU dominates the one exchange this buys
     by orders of magnitude). Vote sums are integers, so the result
-    is bit-identical to the fold form in any order."""
+    is bit-identical to the fold form in any order.
+
+    Input contract (pinned by tests/test_simhash_exactness.py::
+    test_null_text_and_duplicate_id_contract): rows
+    with NULL ``text_col`` produce NO output row (explode of a null
+    array emits nothing — a null doc has no signature), and rows
+    sharing an ``id_col`` value MERGE their per-row-distinct token
+    votes into ONE signature row (groupBy semantics). Callers that
+    need one row per input row must dedup/normalize ids and null
+    text upstream — every registry caller reads the documents table,
+    whose ids are unique and text non-null."""
     if n_bits not in (32, 64):
         raise ValueError(f"n_bits must be 32 or 64, got {n_bits}")
     hashed = docs.select(

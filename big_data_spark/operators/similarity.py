@@ -442,7 +442,11 @@ def save_ivf_index(index: IVFIndex, path: str) -> None:
         os.path.join(path, "centroids")
     )
     stats = compute_cell_stats(assigned, index.id_col, index.vec_col)
-    with open(os.path.join(path, "meta.json"), "w") as f:
+    # tmp + atomic replace (the streaming.sinks manifest discipline):
+    # a crash mid-write must not brick the index behind a truncated
+    # meta.json
+    meta_tmp = os.path.join(path, "meta.json.tmp")
+    with open(meta_tmp, "w") as f:
         json.dump(
             {
                 "nlist": index.nlist,
@@ -455,6 +459,7 @@ def save_ivf_index(index: IVFIndex, path: str) -> None:
             },
             f,
         )
+    os.replace(meta_tmp, os.path.join(path, "meta.json"))
 
 
 def load_ivf_index(spark: SparkSession, path: str) -> IVFIndex:
@@ -538,7 +543,9 @@ def save_pq_index(index: PQIndex, path: str) -> None:
     import os
 
     index.codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
-    with open(os.path.join(path, "meta.json"), "w") as f:
+    # tmp + atomic replace — same crash-safety as save_ivf_index
+    meta_tmp = os.path.join(path, "meta.json.tmp")
+    with open(meta_tmp, "w") as f:
         json.dump(
             {
                 "m": index.m,
@@ -554,6 +561,7 @@ def save_pq_index(index: PQIndex, path: str) -> None:
             },
             f,
         )
+    os.replace(meta_tmp, os.path.join(path, "meta.json"))
 
 
 def load_pq_index(spark: SparkSession, path: str) -> PQIndex:

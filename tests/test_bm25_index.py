@@ -238,6 +238,27 @@ def test_conflicting_texts_for_one_doc_fail_loudly(spark, tmp_path):
         build_bm25_index(df, str(tmp_path / "idx"))
 
 
+def test_null_text_fails_loudly(spark, tmp_path):
+    """NULL text must be rejected at the boundary (ADVICE r06): it
+    would yield zero postings but a NULL dl — counted in n_docs yet
+    excluded from avgdl — silently skewing corpus stats for every
+    query. And (id, NULL) + (id, 'x') must NOT silently resolve to
+    'x': the NULL-ignoring count_distinct would have called that one
+    value; the coalesced-sentinel count calls it a conflict."""
+    only_null = spark.createDataFrame(
+        [(1, None), (2, "hash scan")], "doc_id int, text string"
+    )
+    with pytest.raises(Exception, match="NULL text"):
+        build_bm25_index(only_null, str(tmp_path / "idx_a"))
+
+    null_plus_text = spark.createDataFrame(
+        [(1, None), (1, "spark window"), (2, "hash scan")],
+        "doc_id int, text string",
+    )
+    with pytest.raises(Exception, match="conflicting texts"):
+        build_bm25_index(null_plus_text, str(tmp_path / "idx_b"))
+
+
 def test_rebuild_over_streamed_dir_refused(spark, tmp_path):
     """build_bm25_index into a dir carrying stream state must raise:
     readers resolve the manifest's versioned base and surviving

@@ -83,6 +83,53 @@ def test_wide_form_tightens_candidate_buckets(spark):
     assert max(vals) > 255, "64-bit bands collapsed into the 8-bit range"
 
 
+def test_null_text_and_duplicate_id_contract(spark):
+    """The edge semantics of the explode->groupBy shape, made
+    explicit (ADVICE r06): a NULL-text doc produces NO signature row
+    (explode of a null array emits nothing), and rows sharing an id
+    MERGE their per-row-distinct token votes into one signature —
+    equal to the signature of a single row whose votes are the sum
+    of each row's distinct-token votes. Registry inputs (documents)
+    have unique ids and non-null text, so neither edge is reachable
+    there; this pins the operator's boundary for other callers."""
+    docs = spark.createDataFrame(
+        [
+            ("keep", "alpha beta gamma"),
+            ("null_text", None),
+            ("dup", "alpha beta"),
+            ("dup", "alpha delta"),
+        ],
+        "doc_id string, text string",
+    )
+    rows = {
+        r["doc_id"]: r["sig"]
+        for r in simhash_signatures(docs, n_bits=32).collect()
+    }
+    assert set(rows) == {"keep", "dup"}  # null-text row dropped
+
+    # the merged-dup signature equals sign(votes(row1) + votes(row2)),
+    # NOT the signature of the concatenated text (distinct-per-row:
+    # 'alpha' votes twice)
+    def votes(tokens: list[str]) -> list[int]:
+        import hashlib
+
+        out = [0] * 32
+        for t in tokens:
+            h = hashlib.md5(t.encode()).hexdigest()
+            for j in range(32):
+                out[j] += 1 if h[j] >= "8" else -1
+        return out
+
+    merged = [
+        a + b for a, b in zip(votes(["alpha", "beta"]), votes(["alpha", "delta"]))
+    ]
+    want = 0
+    for j, v in enumerate(merged):
+        if v > 0:
+            want |= 1 << j
+    assert rows["dup"] == want
+
+
 def test_parameter_validation():
     """Bad parameterizations fail before touching any data — a wrong
     (n_bands, max_hamming) pairing would silently DROP pairs."""
