@@ -2,17 +2,39 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+   "sentinels": {...}, "sentinel_reps": {...}, "sf": ...}
 
 The headline metric is total wall-clock over the bench set; per-query
 seconds are reported individually. B1 (ETL-chain throughput) also
 reports rows/s in the queries map as etl_rows_per_s.
+
+SENTINELS (round 7, VERDICT r06 order #3): the full-session bench runs
+115 queries in ONE SparkSession, so cross-round deltas conflate plan
+cost with accumulated session state (checkpoint blocks, GC pressure) —
+r06's uniform ~1.45x drift on UNCHANGED code proved the session, not
+the engine, was being measured. Each sentinel therefore runs in a
+FRESH subprocess (own JVM, nothing else ever ran in it): 3 reps, the
+MEDIAN is the number. Sentinels are the stable cross-round comparison
+basis; the full-session numbers remain for totals and relative
+ordering. Skip with SPARK_GRAFT_SENTINELS=0 (children inherit the
+skip implicitly — they are invoked with --sentinel-child).
+
+The full-session loop also releases dead plan state between entries
+(gc.collect() drops the py4j proxies pinning finished DataFrames'
+JVM objects; a periodic System.gc() lets ContextCleaner reclaim their
+localCheckpoint blocks — Spark's own periodic-GC cleaner defaults to
+30 min, far longer than a bench run). Disable with
+SPARK_GRAFT_BENCH_GC=0 to reproduce the accumulation mode.
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import os
+import statistics
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -149,10 +171,166 @@ BENCH_QUERIES = [
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))
 
+# Fixed cross-round sentinel set (VERDICT r06 order #3/#4): B1-B5 plus
+# a spread of query shapes — flagship agg (q01), iterative fixpoint
+# (q66), banded pair join (q92), exact percentiles (q119), the r06
+# drift sentinel (q134), and the one driver-bench outlier that needed
+# an uncontended number (q137).
+SENTINELS = [
+    "etl_chain",
+    "skill_hot_agg",
+    "kmeans_fit_85k",
+    "rf_train_eval_85k",
+    "stream_etl_24k",
+    "q01_pricing_summary",
+    "q66_lsh_dedup_components",
+    "q92_simhash_hamming_pairs",
+    "q119_exact_percentiles",
+    "q134_key_skew_audit",
+    "q137_bm25_topk",
+]
+SENTINEL_REPS = int(os.environ.get("SPARK_GRAFT_SENTINEL_REPS", "3"))
+
+
+def _stream_inputs(sdir: str) -> str:
+    """Write the B5 streaming source files (24k rows); returns src dir."""
+    import json as _json
+
+    from big_data_spark.fixtures import JOBS_COLUMNS, JOBS_CORPUS
+
+    src = os.path.join(sdir, "src")
+    os.makedirs(src, exist_ok=True)
+    for part in range(4):
+        with open(os.path.join(src, f"p{part}.json"), "w") as f:
+            for _rep in range(500):
+                for i, row in enumerate(JOBS_CORPUS):
+                    if i % 4 != part:
+                        continue
+                    rec = dict(zip(JOBS_COLUMNS, row))
+                    rec["event_time"] = "2024-01-01 10:00:00"
+                    f.write(_json.dumps(rec) + "\n")
+    return src
+
+
+def _sentinel_reps(spark, name: str, sf_dir: str) -> list[float]:
+    """Run one sentinel SENTINEL_REPS times in the CURRENT (fresh)
+    session; returns per-rep seconds. Setup (input materialization)
+    is untimed, mirroring the full-session bench."""
+    import shutil
+    import tempfile
+
+    times: list[float] = []
+    if name in ("etl_chain", "skill_hot_agg"):
+        raw_dir = tempfile.mkdtemp(prefix="sent_raw_")
+        synthetic_postings(spark, ETL_ROWS).write.mode("overwrite").parquet(
+            raw_dir
+        )
+        raw = spark.read.parquet(raw_dir)
+        from big_data_spark.operators.skills import skill_hot_scores
+
+        for _ in range(SENTINEL_REPS):
+            t0 = time.perf_counter()
+            if name == "etl_chain":
+                clean_job_postings(raw, deterministic_id=True).count()
+            else:
+                skill_hot_scores(clean_job_postings(raw), min_jobs=10).count()
+            times.append(time.perf_counter() - t0)
+        shutil.rmtree(raw_dir, ignore_errors=True)
+    elif name in ("kmeans_fit_85k", "rf_train_eval_85k"):
+        from big_data_spark.ml.features import job_features
+        from big_data_spark.ml.pipelines import (
+            fit_job_clustering,
+            fit_salary_rf,
+        )
+
+        featured = job_features(
+            clean_job_postings(synthetic_postings(spark, 85_000))
+        ).cache()
+        featured.count()
+        for _ in range(SENTINEL_REPS):
+            t0 = time.perf_counter()
+            if name == "kmeans_fit_85k":
+                fit_job_clustering(featured, k=5)
+            else:
+                fit_salary_rf(featured)
+            times.append(time.perf_counter() - t0)
+        featured.unpersist()
+    elif name == "stream_etl_24k":
+        from big_data_spark.streaming import stream_clean_postings
+
+        sdir = tempfile.mkdtemp(prefix="sent_stream_")
+        src = _stream_inputs(sdir)
+        for rep in range(SENTINEL_REPS):
+            t0 = time.perf_counter()
+            q = stream_clean_postings(
+                spark,
+                src,
+                os.path.join(sdir, f"sink{rep}"),
+                os.path.join(sdir, f"ckpt{rep}"),
+            )
+            q.awaitTermination(300)
+            times.append(time.perf_counter() - t0)
+        shutil.rmtree(sdir, ignore_errors=True)
+    else:
+        fn = QUERIES[name].fn
+        for _ in range(SENTINEL_REPS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            times.append(time.perf_counter() - t0)
+    return [round(t, 3) for t in times]
+
+
+def _sentinel_child(name: str) -> None:
+    """Child-process entry: fresh JVM, one sentinel, reps on stdout."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(f"bench-sentinel-{name}")
+    reps = _sentinel_reps(spark, name, sf_dir)
+    print("SENTINEL_JSON:" + json.dumps({"name": name, "reps": reps}), flush=True)
+    spark.stop()
+
+
+def _run_sentinels() -> tuple[dict, dict]:
+    """Run every sentinel in its own subprocess, SERIALLY (parallel
+    children would contend for the 32 cores and corrupt exactly the
+    timings this exists to stabilize). Returns (medians, reps)."""
+    medians: dict[str, float] = {}
+    all_reps: dict[str, list[float]] = {}
+    for name in SENTINELS:
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--sentinel-child", name],
+                capture_output=True,
+                text=True,
+                timeout=900,
+                check=True,
+            ).stdout
+            payload = next(
+                line for line in out.splitlines()
+                if line.startswith("SENTINEL_JSON:")
+            )
+            reps = json.loads(payload[len("SENTINEL_JSON:"):])["reps"]
+            all_reps[name] = reps
+            medians[name] = round(statistics.median(reps), 3)
+        except Exception as exc:  # a broken sentinel must not kill the line
+            print(f"sentinel {name} failed: {exc}", file=sys.stderr)
+            medians[name] = None
+            all_reps[name] = []
+    return medians, all_reps
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # Fresh-session sentinels run FIRST, before the main session
+    # exists, so children never contend with it for cores.
+    sentinels: dict = {}
+    sentinel_reps: dict = {}
+    if os.environ.get("SPARK_GRAFT_SENTINELS", "1") != "0":
+        sentinels, sentinel_reps = _run_sentinels()
+
+    bench_gc = os.environ.get("SPARK_GRAFT_BENCH_GC", "1") != "0"
     spark = get_spark("big_data_spark-bench")
 
     results: dict[str, float] = {}
@@ -203,23 +381,10 @@ def main() -> None:
     ml_sec = results["kmeans_fit_85k"] + results["rf_train_eval_85k"]
 
     # B5: streaming micro-batch ETL latency (file source, availableNow)
-    import json as _json
-
-    from big_data_spark.fixtures import JOBS_COLUMNS, JOBS_CORPUS
     from big_data_spark.streaming import stream_clean_postings
 
     sdir = tempfile.mkdtemp(prefix="bench_stream_")
-    src = os.path.join(sdir, "src")
-    os.makedirs(src)
-    for part in range(4):
-        with open(os.path.join(src, f"p{part}.json"), "w") as f:
-            for rep in range(500):
-                for i, row in enumerate(JOBS_CORPUS):
-                    if i % 4 != part:
-                        continue
-                    rec = dict(zip(JOBS_COLUMNS, row))
-                    rec["event_time"] = "2024-01-01 10:00:00"
-                    f.write(_json.dumps(rec) + "\n")
+    src = _stream_inputs(sdir)
     t0 = time.perf_counter()
     q = stream_clean_postings(
         spark, src, os.path.join(sdir, "sink"), os.path.join(sdir, "ckpt")
@@ -228,7 +393,7 @@ def main() -> None:
     results["stream_etl_24k"] = round(time.perf_counter() - t0, 3)
     shutil.rmtree(sdir, ignore_errors=True)
 
-    for name in BENCH_QUERIES:
+    for i, name in enumerate(BENCH_QUERIES):
         fn = QUERIES[name].fn
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
@@ -241,6 +406,19 @@ def main() -> None:
         rounds = getattr(getattr(fn, "__wrapped__", fn), "last_rounds", None)
         if rounds is not None:
             results[f"{name.split('_')[0]}_rounds"] = rounds
+        if bench_gc:
+            # Release the finished query's plan state OUTSIDE the next
+            # entry's timing: gc.collect() detaches the py4j proxies
+            # pinning its JVM DataFrames/RDDs; the periodic System.gc()
+            # lets ContextCleaner actually reclaim localCheckpoint
+            # blocks (its own periodic GC defaults to 30 min — longer
+            # than the whole bench), so block-manager state stays
+            # bounded across the 115-entry session instead of
+            # accumulating into the uniform drift r06 measured.
+            df = None
+            gc.collect()
+            if (i + 1) % 20 == 0:
+                spark.sparkContext._jvm.System.gc()
 
     total = round(
         etl_sec
@@ -256,6 +434,10 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": results,
+            # fresh-session medians — the stable cross-round basis
+            "sentinels": sentinels,
+            "sentinel_reps": sentinel_reps,
+            "bench_gc": bench_gc,
             "sf": sf,
         }
     )
@@ -272,4 +454,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) == 3 and sys.argv[1] == "--sentinel-child":
+        _sentinel_child(sys.argv[2])
+    else:
+        main()
