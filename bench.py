@@ -292,10 +292,24 @@ def _sentinel_child(name: str) -> None:
 def _run_sentinels() -> tuple[dict, dict]:
     """Run every sentinel in its own subprocess, SERIALLY (parallel
     children would contend for the 32 cores and corrupt exactly the
-    timings this exists to stabilize). Returns (medians, reps)."""
+    timings this exists to stabilize). A phase budget (default 420 s,
+    ~2x the measured phase cost) bounds the worst case: on a degraded
+    box the remaining sentinels are skipped (null) rather than
+    risking the whole bench line against a harness timeout. Returns
+    (medians, reps)."""
+    budget = float(os.environ.get("SPARK_GRAFT_SENTINEL_BUDGET", "420"))
+    phase_t0 = time.perf_counter()
     medians: dict[str, float] = {}
     all_reps: dict[str, list[float]] = {}
     for name in SENTINELS:
+        if time.perf_counter() - phase_t0 > budget:
+            print(
+                f"sentinel budget ({budget}s) exhausted; skipping {name}",
+                file=sys.stderr,
+            )
+            medians[name] = None
+            all_reps[name] = []
+            continue
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
