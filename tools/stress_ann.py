@@ -1,0 +1,190 @@
+"""ANN stress harness: the persisted-IVF serving path and PQ/ADC at
+1M vectors (~200x the sf0.1 embeddings table).
+
+Generates a deterministic clustered corpus (64 latent centers + small
+per-vector noise — so probe pruning has real structure to exploit,
+like production embeddings), then measures, one JSON line each:
+
+  ivf_build     build_ivf_index(nlist=64): coarse KMeans fit + assign
+  ivf_save      partitionBy(cell) persist — the serving layout
+  ivf_search    median latency over 5 queries on the LOADED index
+                (directory-pruned candidate scan, nprobe=4) + mean
+                recall@10 vs exact
+  brute_force   the same 5 queries, exact full-scan cosine top-10 —
+                the number probe pruning is up against
+  pq_build      build_pq_index(m=4, ksub=64): 4 subspace KMeans
+                fits sized to the corpus (see capacity note below)
+  pq_adc        median ADC search latency + mean recall@10 vs exact
+                (code-table scan, no raw vectors touched; coarse —
+                4x8 codes cannot separate within-cluster structure)
+  pq_refined    ADC shortlist (k x 30) + exact re-rank broadcast
+                semi-join — the production IVF-PQ refine stage
+
+Usage: python tools/stress_ann.py [n_vecs] [dim] [nlist] [m] [ksub]
+Defaults 1_000_000 x 32, nlist 64, PQ m=4 ksub=64. Codebook capacity
+must track corpus structure: at ksub=8 (the small-SF default) all
+~15k same-cluster vectors of this corpus collapse onto one of 8^4
+codes, ADC ranks become arbitrary tie-breaks and even exact re-rank
+cannot recover (measured recall@10 = 0.1 at 1M); ksub=64 gives 64^4
+codes and the refine stage its shortlist back — the Jegou et al.
+ksub=256 sizing rule, measured. Single-shot timings on cache-
+warmed inputs — scale datapoints, not benchmarks.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from big_data_spark.operators.similarity import (
+    brute_force_topk,
+    build_ivf_index,
+    build_pq_index,
+    ivf_search,
+    load_ivf_index,
+    pq_adc_search,
+    pq_search_refined,
+    save_ivf_index,
+)
+from big_data_spark.functions import l2_sq
+from big_data_spark.session import get_spark
+
+
+def main() -> None:
+    n_vecs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    dim = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    nlist = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    m = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    ksub = int(sys.argv[5]) if len(sys.argv) > 5 else 256
+    rf = int(sys.argv[6]) if len(sys.argv) > 6 else 100
+
+    spark = get_spark("stress-ann")
+
+    # Clustered corpus: vector = center(id % nlist) + noise/8, every
+    # component a deterministic hash in [-1, 1).
+    def comp(seed_col, i, scale):
+        return (
+            F.pmod(F.xxhash64(seed_col * 1_000_003 + i), F.lit(2000)).cast(
+                "double"
+            )
+            / 1000.0
+            - 1.0
+        ) * scale
+
+    center = F.col("id") % nlist
+    emb = (
+        spark.range(n_vecs)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.round(
+                    comp(center, i, F.lit(1.0)) + comp(F.col("id"), i, F.lit(0.125)),
+                    6,
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = emb.count()
+    print(json.dumps({"corpus": {"vectors": n, "dim": dim, "centers": nlist}}),
+          flush=True)
+
+    # 5 query vectors: corpus vectors, lightly perturbed driver-side
+    qrows = emb.orderBy("vec_id").limit(5).collect()
+    queries = [
+        [float(x) + (0.01 if j % 2 else -0.01) for j, x in enumerate(r["embedding"])]
+        for r in qrows
+    ]
+
+    t0 = time.perf_counter()
+    index = build_ivf_index(emb, nlist=nlist)
+    index.assigned.localCheckpoint(eager=True).count()
+    print(json.dumps({"op": "ivf_build", "nlist": nlist,
+                      "wall_s": round(time.perf_counter() - t0, 2)}), flush=True)
+
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="stress_ivf_")
+    t0 = time.perf_counter()
+    save_ivf_index(index, path)
+    print(json.dumps({"op": "ivf_save", "wall_s": round(time.perf_counter() - t0, 2)}),
+          flush=True)
+    served = load_ivf_index(spark, path)
+
+    # two ground truths, one per metric: IVF ranks by COSINE
+    # (brute_force_topk), the PQ paths by L2 — on a corpus with
+    # varying norms the two top-10 sets legitimately differ, so each
+    # path is scored against ITS metric's exact answer.
+    truth = []
+    bf_times = []
+    for q in queries:
+        t0 = time.perf_counter()
+        truth.append([r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()])
+        bf_times.append(time.perf_counter() - t0)
+    print(json.dumps({"op": "brute_force", "metric": "cosine",
+                      "median_s": round(statistics.median(bf_times), 3)}),
+          flush=True)
+
+    l2_truth = []
+    for q in queries:
+        ql = F.array(*[F.lit(float(x)) for x in q])
+        l2_truth.append([
+            r["vec_id"]
+            for r in emb.select("vec_id", l2_sq(F.col("embedding"), ql).alias("d2"))
+            .orderBy("d2", "vec_id").limit(10).collect()
+        ])
+
+    ivf_times, recalls = [], []
+    for q, t in zip(queries, truth):
+        t0 = time.perf_counter()
+        got = [r["vec_id"] for r in ivf_search(served, q, k=10, nprobe=4).collect()]
+        ivf_times.append(time.perf_counter() - t0)
+        recalls.append(len(set(got) & set(t)) / 10.0)
+    print(json.dumps({"op": "ivf_search", "nprobe": 4,
+                      "median_s": round(statistics.median(ivf_times), 3),
+                      "mean_recall_at_10": round(sum(recalls) / len(recalls), 3)}),
+          flush=True)
+
+    t0 = time.perf_counter()
+    pq = build_pq_index(emb, m=m, ksub=ksub)
+    pq.codes.localCheckpoint(eager=True).count()
+    print(json.dumps({"op": "pq_build", "m": m, "ksub": ksub,
+                      "wall_s": round(time.perf_counter() - t0, 2)}), flush=True)
+
+    pq_times, pq_recalls = [], []
+    for q, t in zip(queries, l2_truth):
+        t0 = time.perf_counter()
+        got = [r["vec_id"] for r in pq_adc_search(pq, q, k=10).collect()]
+        pq_times.append(time.perf_counter() - t0)
+        pq_recalls.append(len(set(got) & set(t)) / 10.0)
+    print(json.dumps({"op": "pq_adc", "median_s": round(statistics.median(pq_times), 3),
+                      "mean_recall_at_10": round(sum(pq_recalls) / len(pq_recalls), 3)}),
+          flush=True)
+
+    # production path: ADC shortlist + exact re-rank of k*refine rows
+    rf_times, rf_recalls = [], []
+    for q, t in zip(queries, l2_truth):
+        t0 = time.perf_counter()
+        got = [
+            r["vec_id"]
+            for r in pq_search_refined(pq, emb, q, k=10, refine_factor=rf).collect()
+        ]
+        rf_times.append(time.perf_counter() - t0)
+        rf_recalls.append(len(set(got) & set(t)) / 10.0)
+    print(json.dumps({"op": "pq_refined", "refine_factor": rf,
+                      "median_s": round(statistics.median(rf_times), 3),
+                      "mean_recall_at_10": round(sum(rf_recalls) / len(rf_recalls), 3)}),
+          flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
