@@ -17,6 +17,15 @@ JSON line each:
                  what every query pays when retrieval has no
                  persisted index (the q137 shape, which is correct
                  for one-off analytics and wrong for serving)
+  bm25_ingest    stream 20% more docs into the live index in 10
+                 micro-batches (file source, availableNow) — docs/s
+                 through the exactly-once batch-partial write path
+  search_merged  search latency over base + 10 uncompacted stream
+                 batches (the read path pays the fold-merge)
+  bm25_compact   compact_bm25_index: fold finalized batches into
+                 rewritten bases behind the two atomic manifest flips
+  search_folded  search latency after compaction — the fold-merge
+                 cost reclaimed
 
 Usage: python tools/stress_bm25.py [n_docs] [n_tokens] [vocab]
 Defaults 500_000 x 60, 50k vocab. Single-shot timings on cache-
@@ -77,9 +86,14 @@ def main() -> None:
     print(json.dumps({"corpus": {"docs": n, "tokens_per_doc": n_tokens,
                                  "vocab": vocab}}), flush=True)
 
+    # base = first 80%, streamed tail = last 20% (10 micro-batches)
+    n_base = int(n_docs * 0.8)
+    base_docs = docs.filter(F.col("doc_id") < n_base)
+    tail_docs = docs.filter(F.col("doc_id") >= n_base)
+
     path = tempfile.mkdtemp(prefix="stress_bm25_")
     t0 = time.perf_counter()
-    build_bm25_index(docs, path, n_buckets=64)
+    build_bm25_index(base_docs, path, n_buckets=64)
     print(json.dumps({"op": "bm25_build", "n_buckets": 64,
                       "wall_s": round(time.perf_counter() - t0, 2)}), flush=True)
 
@@ -109,6 +123,50 @@ def main() -> None:
     print(json.dumps({"op": "inline_score", "note": "tf stage only, full re-tokenize",
                       "wall_s": round(time.perf_counter() - t0, 2),
                       "tf_rows": n_hits}), flush=True)
+
+    # streaming ingest: the tail lands in 10 micro-batches
+    from big_data_spark.streaming.sinks import (
+        compact_bm25_index,
+        start_bm25_ingest_stream,
+    )
+
+    src = tempfile.mkdtemp(prefix="stress_bm25_src_")
+    tail_docs.repartition(10).write.mode("overwrite").parquet(src)
+    n_tail = tail_docs.count()
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ckpt = tempfile.mkdtemp(prefix="stress_bm25_ckpt_")
+    t0 = time.perf_counter()
+    q = start_bm25_ingest_stream(stream, path, ckpt)
+    q.awaitTermination(600)
+    ingest_s = time.perf_counter() - t0
+    print(json.dumps({"op": "bm25_ingest", "docs": n_tail, "batches": 10,
+                      "wall_s": round(ingest_s, 2),
+                      "docs_per_s": round(n_tail / ingest_s, 1)}), flush=True)
+
+    times = []
+    for terms in QUERIES:
+        t0 = time.perf_counter()
+        bm25_search(spark, path, terms, k=10).collect()
+        times.append(time.perf_counter() - t0)
+    print(json.dumps({"op": "search_merged",
+                      "median_s": round(statistics.median(times), 3)}), flush=True)
+
+    t0 = time.perf_counter()
+    folded = compact_bm25_index(spark, path)
+    print(json.dumps({"op": "bm25_compact", "batches_folded": folded,
+                      "wall_s": round(time.perf_counter() - t0, 2)}), flush=True)
+
+    times = []
+    for terms in QUERIES:
+        t0 = time.perf_counter()
+        bm25_search(spark, path, terms, k=10).collect()
+        times.append(time.perf_counter() - t0)
+    print(json.dumps({"op": "search_folded",
+                      "median_s": round(statistics.median(times), 3)}), flush=True)
     spark.stop()
 
 
