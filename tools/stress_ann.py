@@ -17,8 +17,18 @@ like production embeddings), then measures, one JSON line each:
   pq_adc        median ADC search latency + mean recall@10 vs exact
                 (code-table scan, no raw vectors touched; coarse —
                 4x8 codes cannot separate within-cluster structure)
-  pq_refined    ADC shortlist (k x 30) + exact re-rank broadcast
-                semi-join — the production IVF-PQ refine stage
+  pq_refined    ADC shortlist + exact re-rank broadcast semi-join —
+                the production IVF-PQ refine stage
+  ivf_ingest    stream the last 20% of the corpus into a live index
+                built on the first 80% (10 micro-batches, exactly-
+                once cell/batch_id leaves) — vectors/s
+  ivf_merged    search latency + recall over base + uncompacted
+                stream batches (read_streaming_ivf; latest-wins
+                resolved after the cell filter)
+  ivf_compact   compact_streaming_ivf: fold streamed batches into a
+                rewritten cell-partitioned base (atomic _IVF_BASE
+                manifest flip)
+  ivf_folded    search latency + recall after the fold
 
 Usage: python tools/stress_ann.py [n_vecs] [dim] [nlist] [m] [ksub]
 Defaults 1_000_000 x 32, nlist 64, PQ m=4 ksub=64. Codebook capacity
@@ -183,6 +193,59 @@ def main() -> None:
                       "median_s": round(statistics.median(rf_times), 3),
                       "mean_recall_at_10": round(sum(rf_recalls) / len(rf_recalls), 3)}),
           flush=True)
+
+    # ---- streaming ingest lifecycle (dense sibling of the BM25
+    # lifecycle in tools/stress_bm25.py): base on 80%, stream 20% ----
+    from big_data_spark.streaming.sinks import (
+        compact_streaming_ivf,
+        read_streaming_ivf,
+        start_vector_ingest_stream,
+    )
+
+    n_base = int(n_vecs * 0.8)
+    base_emb = emb.filter(F.col("vec_id") < n_base)
+    tail_emb = emb.filter(F.col("vec_id") >= n_base)
+    live_path = tempfile.mkdtemp(prefix="stress_ivf_live_")
+    save_ivf_index(build_ivf_index(base_emb, nlist=nlist), live_path)
+
+    src = tempfile.mkdtemp(prefix="stress_ivf_src_")
+    tail_emb.repartition(10).write.mode("overwrite").parquet(src)
+    n_tail = tail_emb.count()
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ckpt = tempfile.mkdtemp(prefix="stress_ivf_ckpt_")
+    t0 = time.perf_counter()
+    q_ing = start_vector_ingest_stream(stream, live_path, ckpt)
+    q_ing.awaitTermination(600)
+    ing_s = time.perf_counter() - t0
+    print(json.dumps({"op": "ivf_ingest", "vectors": n_tail, "batches": 10,
+                      "wall_s": round(ing_s, 2),
+                      "vecs_per_s": round(n_tail / ing_s, 1)}), flush=True)
+
+    def _searches(idx):
+        ts, rs = [], []
+        for q, t in zip(queries, truth):
+            t0 = time.perf_counter()
+            got = [r["vec_id"] for r in ivf_search(idx, q, k=10, nprobe=4).collect()]
+            ts.append(time.perf_counter() - t0)
+            rs.append(len(set(got) & set(t)) / 10.0)
+        return round(statistics.median(ts), 3), round(sum(rs) / len(rs), 3)
+
+    med, rec = _searches(read_streaming_ivf(spark, live_path))
+    print(json.dumps({"op": "ivf_merged", "median_s": med,
+                      "mean_recall_at_10": rec}), flush=True)
+
+    t0 = time.perf_counter()
+    folded = compact_streaming_ivf(spark, live_path)
+    print(json.dumps({"op": "ivf_compact", "batches_folded": folded,
+                      "wall_s": round(time.perf_counter() - t0, 2)}), flush=True)
+
+    med, rec = _searches(read_streaming_ivf(spark, live_path))
+    print(json.dumps({"op": "ivf_folded", "median_s": med,
+                      "mean_recall_at_10": rec}), flush=True)
     spark.stop()
 
 
