@@ -268,7 +268,11 @@ def _sentinel_reps(spark, name: str, sf_dir: str) -> list[float]:
                 os.path.join(sdir, f"sink{rep}"),
                 os.path.join(sdir, f"ckpt{rep}"),
             )
-            q.awaitTermination(300)
+            # a hung availableNow stream must not keep running into
+            # the next rep (contending CPUs) or into the rmtree of
+            # its own source/checkpoint dirs (ADVICE r07)
+            if not q.awaitTermination(300):
+                q.stop()
             times.append(time.perf_counter() - t0)
         shutil.rmtree(sdir, ignore_errors=True)
     else:

@@ -90,13 +90,16 @@ def _unique_docs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     excluded from avgdl's sum, silently skewing corpus stats for
     every query — and count_distinct alone ignores NULLs, so
     (id, NULL)+(id, 'x') would silently resolve to 'x'; the distinct
-    count therefore runs on a coalesced sentinel so a NULL counts as
-    a conflicting value. ONE doc-keyed groupBy (max(text) IS the text
+    count therefore runs on struct(isNull, text) — a collision-FREE
+    key (ADVICE r07: the earlier string sentinel could in principle
+    be a genuine text, letting (id, NULL)+(id, sentinel) silently
+    pass as one value; a struct cannot collide with any text, and
+    DISTINCT treats its NULL field null-safely so two NULLs still
+    count once). ONE doc-keyed groupBy (max(text) IS the text
     when the distinct count is 1 — the only surviving case), not a
     distinct + window, which paid two body-bearing exchanges plus a
     sort. Callers materialize the result once (localCheckpoint) and
     feed BOTH index tables from it."""
-    null_sentinel = "\x00\x00__null_text__"
     return (
         docs.select(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
@@ -104,7 +107,7 @@ def _unique_docs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count_distinct(
-                F.coalesce("text", F.lit(null_sentinel))
+                F.struct(F.col("text").isNull(), F.col("text"))
             ).alias("_n"),
             F.max("text").alias("text"),
         )

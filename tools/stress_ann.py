@@ -31,7 +31,9 @@ like production embeddings), then measures, one JSON line each:
   ivf_folded    search latency + recall after the fold
 
 Usage: python tools/stress_ann.py [n_vecs] [dim] [nlist] [m] [ksub]
-Defaults 1_000_000 x 32, nlist 64, PQ m=4 ksub=64. Codebook capacity
+                                  [refine_factor]
+Defaults 1_000_000 x 32, nlist 64, PQ m=4 ksub=256, refine_factor
+100 (the pq_refined shortlist = k*refine_factor). Codebook capacity
 must track corpus structure: at ksub=8 (the small-SF default) all
 ~15k same-cluster vectors of this corpus collapse onto one of 8^4
 codes, ADC ranks become arbitrary tie-breaks and even exact re-rank

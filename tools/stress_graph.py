@@ -49,16 +49,27 @@ def main() -> None:
 
     spark = get_spark("stress-graph")
 
-    # Hub-skewed synthetic graph: src ~ floor(rand^alpha * n) piles
-    # mass near node 0 (power-law-ish hubs), dst uniform.
-    # Deterministic seeds so the datapoint is re-runnable.
+    # Hub-skewed synthetic graph: src ~ floor(unif^alpha * n) piles
+    # mass near node 0 (power-law-ish hubs), dst uniform. Edges are
+    # generated from xxhash64(id) like the other stress harnesses —
+    # F.rand(seed=) depends on partition layout, so it would produce
+    # a DIFFERENT graph on a box with a different core count; the
+    # hash generator is re-runnable at any parallelism (ADVICE r07).
+    def unif(salt: int):
+        # deterministic uniform in [0, 1) from the row id
+        return (
+            F.pmod(F.xxhash64(F.col("id") * 1_000_003 + salt), F.lit(1 << 20))
+            .cast("double")
+            / float(1 << 20)
+        )
+
     edges = (
         spark.range(n_edges)
         .select(
-            F.floor(F.pow(F.rand(seed=1), F.lit(alpha)) * n_nodes)
+            F.floor(F.pow(unif(1), F.lit(alpha)) * n_nodes)
             .cast("long")
             .alias("u"),
-            F.floor(F.rand(seed=2) * n_nodes).cast("long").alias("v"),
+            F.floor(unif(2) * n_nodes).cast("long").alias("v"),
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
