@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (north-star; SURVEY §7).
 
-Three tiers, increasing scale:
+Four tiers, increasing scale:
   1. brute-force cosine top-k        -> queries.q60 (exact baseline)
   2. sign-LSH bucketing              -> queries.q63 (deterministic,
      oracle-checkable; probe = same-bucket candidates)
@@ -9,6 +9,11 @@ Three tiers, increasing scale:
      cell id on disk, so a probe touches nprobe/nlist of the corpus;
      at 100 TB that's the difference between scanning everything and
      scanning ~1-5%.
+  4. IVF-PQ / residual quantization (IVFPQIndex, round 8): PQ codes
+     on the residual vs the assigned cell's centroid — pruned probes
+     AND m-bytes/vector compression, with codebook resolution spent
+     on within-cell structure (flat PQ's measured 1M-scale failure;
+     oracle twins queries.q184/q185).
 
 All distance math is native column expressions (functions.dot /
 cosine_similarity) — no Python in the scan path; only the tiny
@@ -591,6 +596,304 @@ def load_pq_index(spark: SparkSession, path: str) -> PQIndex:
         m=int(meta["m"]),
         ksub=int(meta["ksub"]),
         dsub=int(meta["dsub"]),
+    )
+
+
+@dataclass
+class IVFPQIndex:
+    """Residual-quantized (IVFADC, Jegou et al. §IV) vector table:
+    each row carries its coarse cell id plus m code ids encoding the
+    RESIDUAL vector (raw − cell centroid) — the round-8 fix for the
+    measured flat-PQ failure (SCALING.md: on a clustered 1M corpus
+    all same-cluster vectors collapse onto near-identical flat codes
+    and ADC ranks become tie-breaks; recall@10 = 0.54 at
+    refine_factor=100). Quantizing the residual spends the whole
+    codebook resolution on WITHIN-cell structure, which is exactly
+    the signal flat codes lose. Coarse centroids live driver-side
+    (nlist × dim floats — KBs) so cell ranking and per-cell LUTs
+    never touch the cluster."""
+
+    codes: DataFrame  # id_col, cell, code_0..code_{m-1}
+    centroids: list[list[float]]  # [cell] -> dim floats (coarse)
+    codebooks: list[list[list[float]]]  # [s][cid] -> dsub floats (residual)
+    nlist: int
+    m: int
+    ksub: int
+    dsub: int
+    id_col: str = "vec_id"
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    nlist: int = 16,
+    m: int = 4,
+    ksub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IVFPQIndex:
+    """Fit the coarse quantizer, then train per-subspace KMeans
+    codebooks on the RESIDUALS and encode every vector as
+    (cell, m residual codes).
+
+    Three distributed passes: coarse fit/assign, residual
+    materialization (one broadcast join against the tiny centroid
+    table), and the m subspace fits — the driver loops over MODELS
+    (m is 4-16), never data. Codebooks are shared across cells
+    (standard IVFADC): per-cell codebooks would need nlist × m
+    KMeans fits and nlist × the codebook memory for marginal gain."""
+    coarse = build_ivf_index(emb, nlist=nlist, id_col=id_col, vec_col=vec_col)
+    centroids = [
+        [float(x) for x in r["centroid"]]
+        for r in coarse.centroids.orderBy("cell").collect()
+    ]
+    dim = len(centroids[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    df = (
+        coarse.assigned.join(F.broadcast(coarse.centroids), "cell")
+        .select(
+            id_col,
+            "cell",
+            F.zip_with(
+                F.col(vec_col),
+                F.col("centroid"),
+                lambda a, b: a.cast("double") - b,
+            ).alias("_resid"),
+        )
+    )
+    codebooks: list[list[list[float]]] = []
+    for s in range(m):
+        df = df.withColumn(
+            f"_v{s}", array_to_vector(F.slice(F.col("_resid"), s * dsub + 1, dsub))
+        )
+        km = KMeans(
+            k=ksub, seed=SEED, featuresCol=f"_v{s}", predictionCol=f"code_{s}"
+        )
+        model = km.fit(df)
+        df = model.transform(df)
+        codebooks.append(
+            [[float(x) for x in c] for c in model.clusterCenters()]
+        )
+    codes = df.select(id_col, "cell", *[f"code_{s}" for s in range(m)])
+    return IVFPQIndex(
+        codes=codes,
+        centroids=centroids,
+        codebooks=codebooks,
+        nlist=nlist,
+        m=m,
+        ksub=ksub,
+        dsub=dsub,
+        id_col=id_col,
+    )
+
+
+def ivfpq_adc_search(
+    index: IVFPQIndex,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Top-k by asymmetric distance over the nprobe nearest cells.
+
+    Cell ranking and the per-cell LUTs are pure driver math over the
+    KB-sized centroid/codebook lists; the cluster sees ONE plan: a
+    partition-pruned scan of the probed cells' code rows, a broadcast
+    hash join against the nprobe-row LUT table (each row carries m
+    ksub-float arrays — the whole table is a few KB), m element_at
+    lookups summed, TakeOrderedAndProject. No shuffle of the corpus.
+
+    Against flat pq_adc_search this buys resolution, not just
+    pruning: the LUT for cell c scores distances to (query −
+    centroid_c), so two vectors in the same cell separate by their
+    residual codes instead of tying on cluster-level codes. A
+    versioned layout (``_bid`` — streamed ingest) resolves duplicate
+    ids latest-wins AFTER the cell filter, the ivf_search contract."""
+    q = [float(x) for x in query_vec]
+    cell_d2 = sorted(
+        (sum((qi - ci) ** 2 for qi, ci in zip(q, c)), cell)
+        for cell, c in enumerate(index.centroids)
+    )
+    probe_cells = [cell for _, cell in cell_d2[:nprobe]]
+    lut_rows = []
+    for cell in probe_cells:
+        r = [qi - ci for qi, ci in zip(q, index.centroids[cell])]
+        luts = tuple(
+            [
+                sum(
+                    (r[s * index.dsub + j] - c[j]) ** 2
+                    for j in range(index.dsub)
+                )
+                for c in index.codebooks[s]
+            ]
+            for s in range(index.m)
+        )
+        lut_rows.append((cell, *luts))
+    spark = index.codes.sparkSession
+    lut_df = spark.createDataFrame(
+        lut_rows, ["cell", *[f"_lut{s}" for s in range(index.m)]]
+    )
+    cand = _latest_wins(
+        index.codes.filter(F.col("cell").isin(probe_cells)), index.id_col
+    )
+    score = None
+    for s in range(index.m):
+        term = F.element_at(F.col(f"_lut{s}"), F.col(f"code_{s}") + F.lit(1))
+        score = term if score is None else score + term
+    return (
+        cand.join(F.broadcast(lut_df), "cell")
+        .select(
+            index.id_col, "cell", F.round(score, 5).alias("approx_d2")
+        )
+        .orderBy("approx_d2", index.id_col)
+        .limit(k)
+    )
+
+
+def ivfpq_search_refined(
+    index: IVFPQIndex,
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    refine_factor: int = 10,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC prune + exact re-rank — pq_search_refined's discipline on
+    the residual index: over-fetch k*refine_factor by cell-pruned
+    ADC, broadcast the id shortlist, exact-L2 only those rows."""
+    from ..functions import l2_sq
+
+    cand = ivfpq_adc_search(
+        index, query_vec, k=k * refine_factor, nprobe=nprobe
+    )
+    qlit = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        emb.join(
+            F.broadcast(cand.select(index.id_col)), index.id_col, "semi"
+        )
+        .select(
+            index.id_col,
+            F.round(l2_sq(F.col(vec_col), qlit), 5).alias("d2"),
+        )
+        .orderBy("d2", index.id_col)
+        .limit(k)
+    )
+
+
+def ivfpq_encode_columns(
+    centroids: list, codebooks: list, vec_col: str = "embedding"
+) -> list:
+    """(cell, code_0..code_{m-1}) as PURE column expressions — how
+    streamed vectors encode into a residual index with no MLlib
+    dependency at ingest (pq_encode_columns's contract, plus the
+    coarse assignment): cell = exact squared-L2 argmin over the
+    literal centroid table, residual = vector − that centroid, codes
+    = per-subspace argmin over the literal codebooks. Lowest-id
+    tiebreaks throughout; the KMeans.transform ULP caveat documented
+    at pq_encode_columns applies to both argmin stages."""
+    nlist = len(centroids)
+    dim = len(centroids[0])
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    assert dim == m * dsub, f"centroid dim {dim} != m*dsub {m * dsub}"
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cands = []
+    for c in range(nlist):
+        carr = F.array(*[F.lit(float(x)) for x in centroids[c]])
+        d = F.aggregate(
+            F.zip_with(vec, carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cands.append(F.struct(d.alias("d"), F.lit(c).alias("c")))
+    cell = F.array_min(F.array(*cands))["c"]
+    cent_lit = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in c])
+            for c in centroids
+        ]
+    )
+    resid = F.zip_with(
+        vec, F.element_at(cent_lit, cell + F.lit(1)), lambda a, b: a - b
+    )
+    cols = [cell.alias("cell")]
+    for s in range(m):
+        sub = F.slice(resid, s * dsub + 1, dsub)
+        ccands = []
+        for c in range(ksub):
+            carr = F.array(*[F.lit(float(x)) for x in codebooks[s][c]])
+            d = F.aggregate(
+                F.zip_with(sub, carr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            ccands.append(F.struct(d.alias("d"), F.lit(c).alias("c")))
+        cols.append(F.array_min(F.array(*ccands))["c"].alias(f"code_{s}"))
+    return cols
+
+
+def save_ivfpq_index(index: IVFPQIndex, path: str) -> None:
+    """Persist codes partitionBy(cell) — a probe's ADC scan is
+    directory-pruned to its cells, the save_ivf_index layout — plus
+    centroids/codebooks as JSON metadata (tmp + atomic replace). A
+    versioned input (``_bid``) resolves latest-wins first, the
+    save_ivf_index compaction contract."""
+    import json
+    import os
+
+    codes = _latest_wins(index.codes, index.id_col)
+    codes.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "codes")
+    )
+    meta_tmp = os.path.join(path, "meta.json.tmp")
+    with open(meta_tmp, "w") as f:
+        json.dump(
+            {
+                "nlist": index.nlist,
+                "m": index.m,
+                "ksub": index.ksub,
+                "dsub": index.dsub,
+                "centroids": index.centroids,
+                "codebooks": index.codebooks,
+                "id_col": index.id_col,
+            },
+            f,
+        )
+    os.replace(meta_tmp, os.path.join(path, "meta.json"))
+
+
+def load_ivfpq_index(spark: SparkSession, path: str) -> IVFPQIndex:
+    """Reload a saved BATCH residual index; streamed/compacted state
+    must load through streaming.sinks.read_streaming_pq (which
+    returns the IVFPQIndex for a residual layout) — the
+    load_ivf_index fail-loud pairing."""
+    import json
+    import os
+
+    from ..streaming.sinks import PQ_BASE_MANIFEST, PQ_STREAM_DIR
+
+    if os.path.isdir(os.path.join(path, PQ_STREAM_DIR)) or os.path.exists(
+        os.path.join(path, PQ_BASE_MANIFEST)
+    ):
+        raise ValueError(
+            f"{path} has streaming ingest/compaction state; "
+            "load it via streaming.sinks.read_streaming_pq — "
+            "load_ivfpq_index would return a stale batch-only subset"
+        )
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    return IVFPQIndex(
+        codes=spark.read.parquet(os.path.join(path, "codes")),
+        centroids=meta["centroids"],
+        codebooks=meta["codebooks"],
+        nlist=int(meta["nlist"]),
+        m=int(meta["m"]),
+        ksub=int(meta["ksub"]),
+        dsub=int(meta["dsub"]),
+        id_col=meta.get("id_col", "vec_id"),
     )
 
 

@@ -1337,7 +1337,14 @@ def start_pq_ingest_stream(
     and any later foreign generation is rejected loudly. To re-ingest
     under a new generation, use a fresh index dir (or restore the
     original checkpoint). ``id_col=None`` resolves the id column
-    recorded in meta.json at save time."""
+    recorded in meta.json at save time.
+
+    A RESIDUAL (IVFPQ) index — meta.json records coarse
+    ``centroids`` (save_ivfpq_index) — ingests through the SAME sink:
+    each batch additionally assigns its coarse cell and encodes the
+    residual, still pure column expressions
+    (similarity.ivfpq_encode_columns), landing (id, cell, codes)
+    rows in the same batch_id leaves."""
 
     def ingest(batch: DataFrame, batch_id: int) -> None:
         import json
@@ -1345,15 +1352,24 @@ def start_pq_ingest_stream(
         if batch.isEmpty():
             return
         _guard_pq_generation(index_path, checkpoint_dir)
-        from ..operators.similarity import pq_encode_columns
+        from ..operators.similarity import (
+            ivfpq_encode_columns,
+            pq_encode_columns,
+        )
 
         with open(os.path.join(index_path, "meta.json")) as f:
             meta = json.load(f)
         key = id_col or meta.get("id_col", "vec_id")
+        if "centroids" in meta:  # residual (IVFPQ) layout
+            enc = ivfpq_encode_columns(
+                meta["centroids"], meta["codebooks"], vec_col
+            )
+        else:
+            enc = pq_encode_columns(meta["codebooks"], vec_col)
         (
             batch.groupBy(key)
             .agg(F.any_value(vec_col).alias(vec_col))
-            .select(key, *pq_encode_columns(meta["codebooks"], vec_col))
+            .select(key, *enc)
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -1465,10 +1481,20 @@ def read_streaming_pq(spark, index_path: str, id_col: str | None = None):
     unlike the IVF layout there is no pruning structure to preserve
     and resolution happens eagerly here. ``id_col=None`` resolves the
     id column recorded in meta.json at save time (it must match the
-    one the ingest sink landed)."""
+    one the ingest sink landed).
+
+    A residual layout (meta records coarse ``centroids``) returns an
+    IVFPQIndex instead, and — the read_streaming_ivf discipline —
+    resolution is DEFERRED: the merged codes keep their ``_bid``
+    version column and ivfpq_adc_search resolves latest-wins AFTER
+    its cell filter, so probe reads stay directory-pruned on the
+    cell-partitioned base instead of paying a full-table id-window
+    per search. Same bounded caveat as the IVF layout: an updated
+    vector that lands in a DIFFERENT cell leaves its superseded row
+    in the old cell until compact_streaming_pq folds it away."""
     import json
 
-    from ..operators.similarity import PQIndex
+    from ..operators.similarity import IVFPQIndex, PQIndex
 
     with open(os.path.join(index_path, "meta.json")) as f:
         meta = json.load(f)
@@ -1500,6 +1526,22 @@ def read_streaming_pq(spark, index_path: str, id_col: str | None = None):
         )
     if not parts:
         raise FileNotFoundError(f"no codes under {index_path}")
+    if "centroids" in meta:
+        # deferred resolution: keep _bid, let the search resolve
+        # after its cell filter (pruning-preserving, see docstring)
+        codes = parts[0]
+        for p in parts[1:]:
+            codes = codes.unionByName(p)
+        return IVFPQIndex(
+            codes=codes,
+            centroids=meta["centroids"],
+            codebooks=meta["codebooks"],
+            nlist=int(meta["nlist"]),
+            m=int(meta["m"]),
+            ksub=int(meta["ksub"]),
+            dsub=int(meta["dsub"]),
+            id_col=id_col,
+        )
     codes = _merge_latest_wins(parts, id_col)
     return PQIndex(
         codes=codes,
@@ -1534,12 +1576,17 @@ def compact_streaming_pq(
 
     ``id_col`` defaults to the id column recorded in meta.json at
     save time — pass it only to override a pre-upgrade meta that
-    never recorded one."""
-    if id_col is None:
-        import json
+    never recorded one.
 
-        with open(os.path.join(index_path, "meta.json")) as f:
-            id_col = json.load(f).get("id_col", "vec_id")
+    A residual (IVFPQ) layout folds into a cell-PARTITIONED base —
+    the probe-pruned directory structure save_ivfpq_index wrote must
+    survive compaction, the compact_streaming_ivf discipline."""
+    import json
+
+    with open(os.path.join(index_path, "meta.json")) as f:
+        meta = json.load(f)
+    if id_col is None:
+        id_col = meta.get("id_col", "vec_id")
     folded_n, _version = _compact_stream_base(
         spark,
         index_path,
@@ -1550,6 +1597,7 @@ def compact_streaming_pq(
         plain_base="codes",
         id_col=id_col,
         sidecar_dir=os.path.join(index_path, PQ_STREAM_DIR),
+        partition_by=("cell",) if "centroids" in meta else (),
     )
     return folded_n
 

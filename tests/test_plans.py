@@ -1068,3 +1068,44 @@ def test_dedup_impact_slim_rows_two_shuffles(spark):
     assert count_scans(df) == 1, plan
     assert "Join" not in plan, plan
     assert count_shuffles(df) <= 3, plan
+
+
+def test_residual_adc_no_cartesian_broadcast_sides(spark):
+    """q184: every small side (centroids, codebook, query components,
+    per-cell LUT) joins as a BROADCAST — the corpus-sized component
+    table is never shuffled against itself — and no stage degenerates
+    to a cartesian product."""
+    df = q(spark, "q184_residual_adc_topk")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert count_broadcast_joins(df) >= 4, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ivfpq_pruned_refine_shortlist_broadcast(spark):
+    """q185: the probe filter and the 20-row ADC shortlist both ride
+    broadcast joins (the refine never shuffles the corpus), and the
+    final exact re-rank is a TakeOrderedAndProject."""
+    df = q(spark, "q185_ivfpq_pruned_refine")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert count_broadcast_joins(df) >= 5, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_kmeans_invariants_single_agg(spark):
+    """q186: the post-fit readout is one global aggregate over the
+    assigned frame — no join, no window."""
+    df = q(spark, "q186_kmeans_fit_invariants")
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_w2v_vocab_invariants_single_agg(spark):
+    """q187: the vocabulary readout aggregates the trained model's
+    vectors table once — no join back to the corpus."""
+    df = q(spark, "q187_w2v_vocab_invariants")
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert "Scan parquet" not in plan, plan

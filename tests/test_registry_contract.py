@@ -5,28 +5,26 @@ to sit inside the window, and nothing inside it may be rows-only."""
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+
 from big_data_spark.queries import QUERIES
 
 DRIVER_WINDOW = 50
 
-# Round 7: no rows-only entries spend window slots. m01/m02/m04 got
+# Round 8: no rows-only entries spend window slots. m01/m02/m04 got
 # their driver-executed rows-only rows in r06 — the only hard signal
-# an iterative MLlib fit can ever get — so the slots go to the
-# oracle-backed certification backlog instead.
+# an iterative MLlib fit can ever get — and their deterministic
+# post-fit readouts are now oracle-backed companions (q186/q187).
 ROWS_ONLY_WINDOW_EXCEPTIONS: set[str] = set()
 
-# Queries that have never had a hard driver CORRECTNESS row, plus the
-# anchors pinning each backlog family. Rotation rule (round-3, still
-# in force): a query may leave the window only once it has a green
-# driver row in some round; never-checked oracle queries take priority
-# for slots. Round-7 update (VERDICT r06 order #1): CORRECTNESS_r06
-# went 50/50 green, so the ENTIRE 38-entry certification backlog
-# (q146–q183 — every registry entry without a hard driver row)
-# promotes at once, alongside 12 multi-green anchors; 39 green
-# survivors demote with in-window representatives documented at
-# _DRIVER_WINDOW_ORDER. Registry additions are frozen this round
-# (order #2). The set below is exactly what round 7's window must
-# hard-check or re-confirm.
+# Round-8 slot plan (VERDICT r07 orders #1/#2 — steady state): 12
+# permanent anchors, the 2 judge-ordered residual-PQ certification
+# anchors (q75, q152), the 4 round-8 additions (first hard check),
+# and 32 re-confirmations of the freshest (1x-green) r07
+# first-greens. Five 1x-green entries rotated out with in-window
+# machinery reps (see _DRIVER_WINDOW_ORDER demotion notes).
 MUST_BE_IN_WINDOW = {
     # -- anchors (12): multi-green machinery pins --
     "q01_pricing_summary",
@@ -41,36 +39,37 @@ MUST_BE_IN_WINDOW = {
     "q120_containment_pairs",
     "q137_bm25_topk",
     "q64_ivf_ann",
-    # -- round-5 additions: FIRST hard driver check --
+    # -- VERDICT r07 order #1: residual-PQ certification anchors --
+    "q75_pq_adc_topk",
+    "q152_filtered_ann",
+    # -- round-8 additions: FIRST hard driver check --
+    "q184_residual_adc_topk",
+    "q185_ivfpq_pruned_refine",
+    "q186_kmeans_fit_invariants",
+    "q187_w2v_vocab_invariants",
+    # -- re-confirmations (32): freshest r07 first-greens --
     "q146_pagerank",
     "q147_weighted_sample",
     "q148_windowed_funnel",
     "q149_retrieval_metrics",
     "q150_cuped_adjustment",
     "q151_srm_check",
-    "q152_filtered_ann",
-    "q153_join_explosion_audit",
-    # -- round-6 additions: FIRST hard driver check --
     "q154_khop_reachability",
     "q155_weighted_quantiles",
-    "q156_largest_remainder_alloc",
     "q157_cdc_log_compaction",
     "q158_golden_record",
     "q159_quota_sample",
     "q160_last_touch_attribution",
     "q161_revenue_lorenz",
-    "q162_chisq_independence",
     "q163_cusum_changepoint",
     "q164_calibration_bins",
     "q165_int8_quantization",
-    "q166_ks_two_sample",
     "q167_zipf_slope",
     "q168_interval_union",
     "q169_fk_orphan_audit",
     "q170_duplication_fraction",
     "q171_token_pmi",
     "q172_association_rules",
-    "q173_benford_audit",
     "q174_oov_rate",
     "q175_bigram_logprob",
     "q176_langid_confusion",
@@ -115,3 +114,27 @@ def test_demoted_entries_still_registered():
         n for n in tail if QUERIES[n].oracle is None and not n.startswith("m")
     ]
     assert not orphans, f"non-ML rows-only entries in tail: {orphans}"
+
+
+def test_no_unchecked_entry_outside_window():
+    """The steady-state rotation rule (VERDICT r07 order #2), asserted
+    STRUCTURALLY: a registry entry that has never received a hard
+    driver CORRECTNESS row must sit inside the current window — the
+    committed CORRECTNESS_r*.json files ARE the ledger, so additions
+    cannot silently accumulate certification debt in the tail. (An
+    entry inside the window is checked this round by construction;
+    once its green row is committed it may rotate out.)"""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked: set[str] = set()
+    ledger = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    assert ledger, "no CORRECTNESS_r*.json ledger found"
+    for path in ledger:
+        with open(path) as f:
+            checked |= set(json.load(f))
+    window = set(list(QUERIES)[:DRIVER_WINDOW])
+    never_checked = set(QUERIES) - checked
+    stranded = never_checked - window
+    assert not stranded, (
+        f"entries with no hard driver row sit outside the window "
+        f"(certification debt re-accumulating): {sorted(stranded)}"
+    )

@@ -1310,3 +1310,207 @@ def test_streaming_pq_ingest_matches_batch(spark, emb, query_vec, tmp_path):
     assert {k: v for k, v in got3.items() if k != x_id} == {
         k: v for k, v in batch_codes.items() if k != x_id
     }
+
+
+def test_ivfpq_residual_recall_vs_exact(spark, emb, query_vec):
+    """Residual (IVFADC) quantization: codes encode vector − cell
+    centroid, so codebook resolution is spent on within-cell
+    structure — the round-8 fix for the measured flat-PQ recall
+    collapse on clustered corpora (SCALING.md). Raw ADC must rank
+    non-trivially; the refine stage must recover (nearly) the exact
+    L2 top-10; and on the same corpus/params the residual ADC
+    shortlist must be at least as good as flat PQ's."""
+    from pyspark.sql import functions as F
+
+    from big_data_spark.functions import l2_sq
+    from big_data_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_adc_search,
+        ivfpq_search_refined,
+    )
+
+    idx = build_ivfpq_index(emb, nlist=8, m=8, ksub=16)
+    assert idx.codes.columns[:2] == ["vec_id", "cell"]
+    assert len(idx.centroids) == 8 and len(idx.centroids[0]) == 64
+    assert len(idx.codebooks) == 8
+    assert all(len(cb) == 16 and len(cb[0]) == 8 for cb in idx.codebooks)
+
+    qlit = F.array(*[F.lit(v) for v in query_vec])
+    exact = [
+        r["vec_id"]
+        for r in emb.select("vec_id", l2_sq(F.col("embedding"), qlit).alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    # all cells probed: measures pure quantization quality, no
+    # pruning loss mixed in
+    approx = [
+        r["vec_id"]
+        for r in ivfpq_adc_search(idx, query_vec, k=10, nprobe=8).collect()
+    ]
+    overlap = len(set(approx) & set(exact))
+    assert overlap >= 3, (overlap, approx, exact)
+    # vec_id 0 IS the query vector — residual codes must keep it on top
+    assert approx[0] == exact[0] == 0
+
+    refined = [
+        r["vec_id"]
+        for r in ivfpq_search_refined(
+            idx, emb, query_vec, k=10, nprobe=8, refine_factor=10
+        ).collect()
+    ]
+    assert len(set(refined) & set(exact)) >= 9, (refined, exact)
+    assert refined[0] == 0
+
+
+def test_ivfpq_encode_columns_parity(spark, emb):
+    """Pure-column residual encoding (the streaming-ingest path) must
+    agree with the build's KMeans.transform assignment vector-for-
+    vector — cell AND all m codes (the pq_encode_columns contract
+    extended to the coarse stage)."""
+    from big_data_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_encode_columns,
+    )
+
+    idx = build_ivfpq_index(emb, nlist=8, m=4, ksub=8)
+    cols = idx.codes.columns[1:]  # cell, code_0..3
+    built = {
+        r["vec_id"]: tuple(r[c] for c in cols) for r in idx.codes.collect()
+    }
+    pure = {
+        r["vec_id"]: tuple(r[c] for c in cols)
+        for r in emb.select(
+            "vec_id", *ivfpq_encode_columns(idx.centroids, idx.codebooks)
+        ).collect()
+    }
+    assert pure == built
+
+
+def test_ivfpq_save_load_pruned_probe(spark, emb, query_vec, tmp_path):
+    """A reloaded residual index returns identical ADC results, the
+    probed scan is directory-pruned to the probed CELLS
+    (PartitionFilters), the LUT join is a broadcast (no shuffle of
+    the codes), and a streamed/compacted dir refuses this loader."""
+    from big_data_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_adc_search,
+        load_ivfpq_index,
+        save_ivfpq_index,
+    )
+    from big_data_spark.plans import count_shuffles
+
+    idx = build_ivfpq_index(emb, nlist=8, m=4, ksub=8)
+    want = [
+        tuple(r)
+        for r in ivfpq_adc_search(idx, query_vec, k=10, nprobe=3).collect()
+    ]
+    path = str(tmp_path / "ivfpq")
+    save_ivfpq_index(idx, path)
+    idx2 = load_ivfpq_index(spark, path)
+    scored = ivfpq_adc_search(idx2, query_vec, k=10, nprobe=3)
+    assert [tuple(r) for r in scored.collect()] == want
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan.split(
+        "PartitionFilters:"
+    )[1][:120], plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert count_shuffles(scored) == 0, plan
+
+    # the fail-loud pairing: streaming state refuses the batch loader
+    import os
+
+    import pytest as _pytest
+
+    os.makedirs(os.path.join(path, "codes_stream"))
+    with _pytest.raises(ValueError, match="read_streaming_pq"):
+        load_ivfpq_index(spark, path)
+
+
+def test_streaming_ivfpq_ingest_matches_batch(spark, emb, query_vec, tmp_path):
+    """The residual index maintains itself through the SAME streaming
+    sink as flat PQ (start_pq_ingest_stream branches on the recorded
+    coarse centroids): streamed vectors get the batch build's exact
+    (cell, codes); the merged read defers latest-wins so the probe
+    scan stays cell-pruned; compaction folds into a cell-PARTITIONED
+    versioned base with search results unchanged."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from big_data_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_adc_search,
+        save_ivfpq_index,
+    )
+    from big_data_spark.streaming.sinks import (
+        compact_streaming_pq,
+        read_streaming_pq,
+        start_pq_ingest_stream,
+    )
+
+    idx = build_ivfpq_index(emb, nlist=8, m=4, ksub=8)
+    d = str(tmp_path / "ivfpq")
+    save_ivfpq_index(idx, d)
+    cols = idx.codes.columns[1:]
+    batch_codes = {
+        r["vec_id"]: tuple(r[c] for c in cols) for r in idx.codes.collect()
+    }
+    batch_hits = [
+        tuple(r)
+        for r in ivfpq_adc_search(idx, query_vec, k=10, nprobe=8).collect()
+    ]
+
+    # stream-only twin: meta (centroids + codebooks) only
+    d2 = str(tmp_path / "ivfpq_stream")
+    os.makedirs(d2)
+    shutil.copy(os.path.join(d, "meta.json"), os.path.join(d2, "meta.json"))
+    src = tmp_path / "vecs"
+    src.mkdir()
+    a = emb.filter(F.col("vec_id") % 3 == 0)
+    b = emb.filter(F.col("vec_id") % 3 == 1)
+    c = emb.filter(F.col("vec_id") % 3 == 2)
+    a.coalesce(1).write.parquet(str(src / "a"))
+    b.coalesce(1).write.parquet(str(src / "b"))
+    c.coalesce(1).write.parquet(str(src / "c"))
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = start_pq_ingest_stream(stream, d2, str(tmp_path / "ck"))
+    q.awaitTermination(180)
+
+    live = read_streaming_pq(spark, d2)
+    assert type(live).__name__ == "IVFPQIndex"
+    assert "_bid" in live.codes.columns  # deferred resolution
+    got = {
+        r["vec_id"]: tuple(r[c] for c in cols)
+        for r in live.codes.drop("_bid").collect()
+    }
+    assert got == batch_codes
+    assert [
+        tuple(r)
+        for r in ivfpq_adc_search(live, query_vec, k=10, nprobe=8).collect()
+    ] == batch_hits
+
+    # compaction: folds all but the newest batch into codes-v0,
+    # partitioned by cell; merged view unchanged
+    folded = compact_streaming_pq(spark, d2)
+    assert folded == 2
+    assert os.path.isdir(os.path.join(d2, "codes-v0"))
+    assert any(
+        e.startswith("cell=") for e in os.listdir(os.path.join(d2, "codes-v0"))
+    )
+    live2 = read_streaming_pq(spark, d2)
+    assert {
+        r["vec_id"]: tuple(r[c] for c in cols)
+        for r in live2.codes.drop("_bid").collect()
+    } == batch_codes
+    assert [
+        tuple(r)
+        for r in ivfpq_adc_search(live2, query_vec, k=10, nprobe=8).collect()
+    ] == batch_hits

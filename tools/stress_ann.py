@@ -19,6 +19,15 @@ like production embeddings), then measures, one JSON line each:
                 4x8 codes cannot separate within-cluster structure)
   pq_refined    ADC shortlist + exact re-rank broadcast semi-join —
                 the production IVF-PQ refine stage
+  ivfpq_build   build_ivfpq_index(nlist, m, ksub): coarse KMeans +
+                m subspace fits on the RESIDUALS (round-8: the fix
+                for flat-PQ's ADC recall collapse on clustered
+                corpora — same-cluster vectors tie on flat codes)
+  ivfpq_adc     cell-pruned residual ADC (nprobe=4): median latency
+                + mean recall@10 vs exact L2
+  ivfpq_refined residual ADC shortlist + exact re-rank at the SAME
+                refine_factor where flat PQ measured 0.54 — the
+                round-8 acceptance number (target ≥ 0.9)
   ivf_ingest    stream the last 20% of the corpus into a live index
                 built on the first 80% (10 micro-batches, exactly-
                 once cell/batch_id leaves) — vectors/s
@@ -58,8 +67,11 @@ from pyspark.sql import functions as F
 from big_data_spark.operators.similarity import (
     brute_force_topk,
     build_ivf_index,
+    build_ivfpq_index,
     build_pq_index,
     ivf_search,
+    ivfpq_adc_search,
+    ivfpq_search_refined,
     load_ivf_index,
     pq_adc_search,
     pq_search_refined,
@@ -194,6 +206,43 @@ def main() -> None:
     print(json.dumps({"op": "pq_refined", "refine_factor": rf,
                       "median_s": round(statistics.median(rf_times), 3),
                       "mean_recall_at_10": round(sum(rf_recalls) / len(rf_recalls), 3)}),
+          flush=True)
+
+    # ---- residual (IVFADC) quantization: same m/ksub/rf budget ----
+    t0 = time.perf_counter()
+    ivfpq = build_ivfpq_index(emb, nlist=nlist, m=m, ksub=ksub)
+    ivfpq.codes.localCheckpoint(eager=True).count()
+    print(json.dumps({"op": "ivfpq_build", "nlist": nlist, "m": m, "ksub": ksub,
+                      "wall_s": round(time.perf_counter() - t0, 2)}), flush=True)
+
+    rq_times, rq_recalls = [], []
+    for q, t in zip(queries, l2_truth):
+        t0 = time.perf_counter()
+        got = [
+            r["vec_id"]
+            for r in ivfpq_adc_search(ivfpq, q, k=10, nprobe=4).collect()
+        ]
+        rq_times.append(time.perf_counter() - t0)
+        rq_recalls.append(len(set(got) & set(t)) / 10.0)
+    print(json.dumps({"op": "ivfpq_adc", "nprobe": 4,
+                      "median_s": round(statistics.median(rq_times), 3),
+                      "mean_recall_at_10": round(sum(rq_recalls) / len(rq_recalls), 3)}),
+          flush=True)
+
+    rr_times, rr_recalls = [], []
+    for q, t in zip(queries, l2_truth):
+        t0 = time.perf_counter()
+        got = [
+            r["vec_id"]
+            for r in ivfpq_search_refined(
+                ivfpq, emb, q, k=10, nprobe=4, refine_factor=rf
+            ).collect()
+        ]
+        rr_times.append(time.perf_counter() - t0)
+        rr_recalls.append(len(set(got) & set(t)) / 10.0)
+    print(json.dumps({"op": "ivfpq_refined", "nprobe": 4, "refine_factor": rf,
+                      "median_s": round(statistics.median(rr_times), 3),
+                      "mean_recall_at_10": round(sum(rr_recalls) / len(rr_recalls), 3)}),
           flush=True)
 
     # ---- streaming ingest lifecycle (dense sibling of the BM25
