@@ -138,7 +138,9 @@ def ivf_search(
     the returned frame as ``result.effective_nprobe``.
     """
     if auto_nprobe and where is not None:
-        sel = _estimate_selectivity(index, where)
+        sel = _estimate_selectivity(
+            index.assigned, index.id_col, index.cell_stats, where
+        )
         if sel is not None:
             import math
 
@@ -200,7 +202,9 @@ def _latest_wins(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def _estimate_selectivity(index: IVFIndex, where) -> float | None:
+def _estimate_selectivity(
+    rows_df: DataFrame, id_col: str, stats: dict | None, where
+) -> float | None:
     """Fraction of index rows matching ``where``, estimated from the
     recorded per-cell metadata histogram (a tiny driver-local frame —
     the predicate is evaluated by Spark against it, so ANY expression
@@ -209,10 +213,11 @@ def _estimate_selectivity(index: IVFIndex, where) -> float | None:
     None when even the fallback cannot evaluate the predicate. The
     fallback resolves latest-wins FIRST on versioned layouts —
     superseded rows of re-ingested ids carry stale metadata that
-    would bias the estimate toward the old distribution."""
+    would bias the estimate toward the old distribution. Shared by
+    the raw-vector (IVF) and residual-code (IVFPQ) layouts —
+    ``rows_df`` is whichever table carries the metadata columns."""
     pred = F.expr(where) if isinstance(where, str) else where
-    spark = index.assigned.sparkSession
-    stats = index.cell_stats
+    spark = rows_df.sparkSession
     if stats and stats.get("rows"):
         total = sum(r[-1] for r in stats["rows"])
         if total > 0:
@@ -229,7 +234,7 @@ def _estimate_selectivity(index: IVFIndex, where) -> float | None:
             except Exception:
                 pass  # predicate over unrecorded columns — fall back
     try:
-        row = _latest_wins(index.assigned, index.id_col).agg(
+        row = _latest_wins(rows_df, id_col).agg(
             F.count("*").alias("t"),
             F.count_if(pred).alias("m"),
         ).first()
@@ -382,7 +387,7 @@ CELL_STATS_MAX_ROWS = 4096
 
 
 def compute_cell_stats(
-    assigned: DataFrame, id_col: str, vec_col: str
+    assigned: DataFrame, id_col: str, vec_col: str, exclude: tuple = ()
 ) -> dict | None:
     """Per-(cell, metadata-values) row counts over an assigned-vector
     table — the tiny histogram ivf_search(auto_nprobe=True) estimates
@@ -398,7 +403,9 @@ def compute_cell_stats(
 
     assigned = _latest_wins(assigned, id_col)
     meta_cols = [
-        c for c in assigned.columns if c not in (id_col, vec_col, "cell")
+        c
+        for c in assigned.columns
+        if c not in (id_col, vec_col, "cell", *exclude)
     ]
     if not meta_cols:
         return None
@@ -613,7 +620,7 @@ class IVFPQIndex:
     (nlist × dim floats — KBs) so cell ranking and per-cell LUTs
     never touch the cluster."""
 
-    codes: DataFrame  # id_col, cell, code_0..code_{m-1}
+    codes: DataFrame  # id_col, cell, code_0..code_{m-1}, [metadata...]
     centroids: list[list[float]]  # [cell] -> dim floats (coarse)
     codebooks: list[list[list[float]]]  # [s][cid] -> dsub floats (residual)
     nlist: int
@@ -621,6 +628,9 @@ class IVFPQIndex:
     ksub: int
     dsub: int
     id_col: str = "vec_id"
+    # per-(cell, metadata-values) row counts recorded at save time —
+    # the selectivity estimate behind ivfpq_adc_search(auto_nprobe)
+    cell_stats: dict | None = None
 
 
 def build_ivfpq_index(
@@ -630,6 +640,7 @@ def build_ivfpq_index(
     ksub: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple = (),
 ) -> IVFPQIndex:
     """Fit the coarse quantizer, then train per-subspace KMeans
     codebooks on the RESIDUALS and encode every vector as
@@ -640,8 +651,17 @@ def build_ivfpq_index(
     table), and the m subspace fits — the driver loops over MODELS
     (m is 4-16), never data. Codebooks are shared across cells
     (standard IVFADC): per-cell codebooks would need nlist × m
-    KMeans fits and nlist × the codebook memory for marginal gain."""
-    coarse = build_ivf_index(emb, nlist=nlist, id_col=id_col, vec_col=vec_col)
+    KMeans fits and nlist × the codebook memory for marginal gain.
+
+    ``keep_cols`` carries metadata columns into ``codes`` so
+    ivfpq_adc_search(where=...) serves FILTERED compressed-index
+    queries — the ivf_search discipline on the m-bytes/vector
+    layout."""
+    keep = list(keep_cols)
+    coarse = build_ivf_index(
+        emb, nlist=nlist, id_col=id_col, vec_col=vec_col,
+        keep_cols=tuple(keep),
+    )
     centroids = [
         [float(x) for x in r["centroid"]]
         for r in coarse.centroids.orderBy("cell").collect()
@@ -656,6 +676,7 @@ def build_ivfpq_index(
         .select(
             id_col,
             "cell",
+            *keep,
             F.zip_with(
                 F.col(vec_col),
                 F.col("centroid"),
@@ -676,7 +697,9 @@ def build_ivfpq_index(
         codebooks.append(
             [[float(x) for x in c] for c in model.clusterCenters()]
         )
-    codes = df.select(id_col, "cell", *[f"code_{s}" for s in range(m)])
+    codes = df.select(
+        id_col, "cell", *[f"code_{s}" for s in range(m)], *keep
+    )
     return IVFPQIndex(
         codes=codes,
         centroids=centroids,
@@ -694,6 +717,8 @@ def ivfpq_adc_search(
     query_vec: list[float],
     k: int = 10,
     nprobe: int = 4,
+    where=None,
+    auto_nprobe: bool = False,
 ) -> DataFrame:
     """Top-k by asymmetric distance over the nprobe nearest cells.
 
@@ -709,7 +734,25 @@ def ivfpq_adc_search(
     centroid_c), so two vectors in the same cell separate by their
     residual codes instead of tying on cluster-level codes. A
     versioned layout (``_bid`` — streamed ingest) resolves duplicate
-    ids latest-wins AFTER the cell filter, the ivf_search contract."""
+    ids latest-wins AFTER the cell filter, the ivf_search contract.
+
+    ``where`` / ``auto_nprobe`` are ivf_search's filtered-search
+    discipline on the compressed layout: the predicate (over
+    keep_cols metadata carried in ``codes``) applies AFTER
+    latest-wins resolution, and auto_nprobe over-probes by the
+    predicate's estimated selectivity (recorded cell_stats, else one
+    counting aggregate) so selective filters don't starve top-k."""
+    if auto_nprobe and where is not None:
+        sel = _estimate_selectivity(
+            index.codes, index.id_col, index.cell_stats, where
+        )
+        if sel is not None:
+            import math
+
+            nprobe = min(
+                index.nlist,
+                int(math.ceil(nprobe / max(sel, nprobe / index.nlist))),
+            )
     q = [float(x) for x in query_vec]
     cell_d2 = sorted(
         (sum((qi - ci) ** 2 for qi, ci in zip(q, c)), cell)
@@ -737,11 +780,13 @@ def ivfpq_adc_search(
     cand = _latest_wins(
         index.codes.filter(F.col("cell").isin(probe_cells)), index.id_col
     )
+    if where is not None:
+        cand = cand.filter(F.expr(where) if isinstance(where, str) else where)
     score = None
     for s in range(index.m):
         term = F.element_at(F.col(f"_lut{s}"), F.col(f"code_{s}") + F.lit(1))
         score = term if score is None else score + term
-    return (
+    out = (
         cand.join(F.broadcast(lut_df), "cell")
         .select(
             index.id_col, "cell", F.round(score, 5).alias("approx_d2")
@@ -749,6 +794,8 @@ def ivfpq_adc_search(
         .orderBy("approx_d2", index.id_col)
         .limit(k)
     )
+    out.effective_nprobe = len(probe_cells)
+    return out
 
 
 def ivfpq_search_refined(
@@ -759,17 +806,23 @@ def ivfpq_search_refined(
     nprobe: int = 4,
     refine_factor: int = 10,
     vec_col: str = "embedding",
+    where=None,
+    auto_nprobe: bool = False,
 ) -> DataFrame:
     """ADC prune + exact re-rank — pq_search_refined's discipline on
     the residual index: over-fetch k*refine_factor by cell-pruned
-    ADC, broadcast the id shortlist, exact-L2 only those rows."""
+    ADC, broadcast the id shortlist, exact-L2 only those rows.
+    ``where``/``auto_nprobe`` filter at the ADC stage (metadata lives
+    in the codes table), so the shortlist is already predicate-true
+    and the re-rank needs no second filter."""
     from ..functions import l2_sq
 
     cand = ivfpq_adc_search(
-        index, query_vec, k=k * refine_factor, nprobe=nprobe
+        index, query_vec, k=k * refine_factor, nprobe=nprobe,
+        where=where, auto_nprobe=auto_nprobe,
     )
     qlit = F.array(*[F.lit(float(v)) for v in query_vec])
-    return (
+    out = (
         emb.join(
             F.broadcast(cand.select(index.id_col)), index.id_col, "semi"
         )
@@ -780,6 +833,8 @@ def ivfpq_search_refined(
         .orderBy("d2", index.id_col)
         .limit(k)
     )
+    out.effective_nprobe = cand.effective_nprobe
+    return out
 
 
 def ivfpq_encode_columns(
@@ -848,6 +903,14 @@ def save_ivfpq_index(index: IVFPQIndex, path: str) -> None:
     codes.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(path, "codes")
     )
+    code_cols = tuple(f"code_{s}" for s in range(index.m))
+    # metadata-carrying indexes record the per-cell histogram
+    # (selectivity stats for auto over-probing in filtered search) —
+    # recomputed from the CURRENT codes on every save, the
+    # save_ivf_index contract
+    stats = compute_cell_stats(
+        codes, index.id_col, vec_col="", exclude=code_cols
+    )
     meta_tmp = os.path.join(path, "meta.json.tmp")
     with open(meta_tmp, "w") as f:
         json.dump(
@@ -859,6 +922,17 @@ def save_ivfpq_index(index: IVFPQIndex, path: str) -> None:
                 "centroids": index.centroids,
                 "codebooks": index.codebooks,
                 "id_col": index.id_col,
+                # the data-column contract (id + metadata; cell and
+                # the code columns are implied by the layout):
+                # streaming ingest projects every batch to exactly
+                # these source columns so base and stream leaves
+                # can't drift apart schema-wise
+                "columns": [
+                    c
+                    for c in codes.columns
+                    if c != "cell" and c not in code_cols
+                ],
+                "cell_stats": stats,
             },
             f,
         )
@@ -894,6 +968,7 @@ def load_ivfpq_index(spark: SparkSession, path: str) -> IVFPQIndex:
         ksub=int(meta["ksub"]),
         dsub=int(meta["dsub"]),
         id_col=meta.get("id_col", "vec_id"),
+        cell_stats=meta.get("cell_stats"),
     )
 
 

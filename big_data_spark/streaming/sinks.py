@@ -1360,16 +1360,35 @@ def start_pq_ingest_stream(
         with open(os.path.join(index_path, "meta.json")) as f:
             meta = json.load(f)
         key = id_col or meta.get("id_col", "vec_id")
+        extras: list = []
         if "centroids" in meta:  # residual (IVFPQ) layout
             enc = ivfpq_encode_columns(
                 meta["centroids"], meta["codebooks"], vec_col
             )
+            # the recorded column contract carries keep_cols metadata
+            # (filtered-search columns) through streamed rows too —
+            # the IVF sink's schema-parity rule
+            extras = [
+                c for c in meta.get("columns", [key]) if c != key
+            ]
+            missing = [
+                c for c in (key, vec_col, *extras) if c not in batch.columns
+            ]
+            if missing:
+                raise ValueError(
+                    f"vector stream batch lacks index columns {missing}; "
+                    f"the index at {index_path} requires "
+                    f"{[key, vec_col, *extras]}"
+                )
         else:
             enc = pq_encode_columns(meta["codebooks"], vec_col)
         (
             batch.groupBy(key)
-            .agg(F.any_value(vec_col).alias(vec_col))
-            .select(key, *enc)
+            .agg(
+                F.any_value(vec_col).alias(vec_col),
+                *[F.any_value(c).alias(c) for c in extras],
+            )
+            .select(key, *extras, *enc)
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -1541,6 +1560,9 @@ def read_streaming_pq(spark, index_path: str, id_col: str | None = None):
             ksub=int(meta["ksub"]),
             dsub=int(meta["dsub"]),
             id_col=id_col,
+            # streamed-but-uncompacted rows are not in the stats —
+            # the estimate tracks the last save, the IVF contract
+            cell_stats=meta.get("cell_stats"),
         )
     codes = _merge_latest_wins(parts, id_col)
     return PQIndex(

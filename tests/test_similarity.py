@@ -544,8 +544,12 @@ def test_save_merged_index_resolves_versions_and_refreshes_stats(
         nlist=live2.nlist,
         cell_stats=None,
     )
-    sel0 = _estimate_selectivity(bare, "label = 0")
-    sel99 = _estimate_selectivity(bare, "label = 99")
+    sel0 = _estimate_selectivity(
+        bare.assigned, bare.id_col, bare.cell_stats, "label = 0"
+    )
+    sel99 = _estimate_selectivity(
+        bare.assigned, bare.id_col, bare.cell_stats, "label = 99"
+    )
     assert sel0 == 0.0
     assert abs(sel99 - n_flipped / emb.count()) < 1e-12
 
@@ -1514,3 +1518,168 @@ def test_streaming_ivfpq_ingest_matches_batch(spark, emb, query_vec, tmp_path):
         tuple(r)
         for r in ivfpq_adc_search(live2, query_vec, k=10, nprobe=8).collect()
     ] == batch_hits
+
+
+def test_ivfpq_filtered_search_auto_overprobe(spark, emb, query_vec, tmp_path):
+    """Filtered search on the COMPRESSED layout (the q152/ivf_search
+    discipline ported to residual codes): keep_cols metadata rides in
+    the codes table, the predicate applies after latest-wins at the
+    ADC stage, save records the per-cell metadata histogram, and
+    auto_nprobe over-probes by the estimated selectivity (~10% label
+    filter ⇒ probes widen toward nlist) so selective filters don't
+    starve top-k. The refined result must equal the exact filtered
+    L2 top-k."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from big_data_spark.functions import l2_sq
+    from big_data_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_search_refined,
+        load_ivfpq_index,
+        save_ivfpq_index,
+    )
+
+    idx = build_ivfpq_index(
+        emb, nlist=8, m=4, ksub=16, keep_cols=("label",)
+    )
+    assert "label" in idx.codes.columns
+    path = str(tmp_path / "ivfpq_meta")
+    save_ivfpq_index(idx, path)
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["columns"] == ["vec_id", "label"]
+    stats = meta["cell_stats"]
+    assert stats and stats["columns"] == ["label"]
+    assert sum(r[-1] for r in stats["rows"]) == emb.count()
+
+    idx2 = load_ivfpq_index(spark, path)
+    assert idx2.cell_stats == stats
+
+    qlit = F.array(*[F.lit(v) for v in query_vec])
+    exact = [
+        r["vec_id"]
+        for r in emb.filter(F.col("label") == 3)
+        .select("vec_id", l2_sq(F.col("embedding"), qlit).alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(5)
+        .collect()
+    ]
+    got_df = ivfpq_search_refined(
+        idx2,
+        emb,
+        query_vec,
+        k=5,
+        nprobe=1,
+        refine_factor=40,
+        where="label = 3",
+        auto_nprobe=True,
+    )
+    got = [r["vec_id"] for r in got_df.collect()]
+    # ~10% selectivity from a 1-cell base must over-probe hard
+    # (min(nlist, ceil(1/0.1)) = 8 cells on this index)
+    assert got_df.effective_nprobe == 8
+    assert got == exact, (got, exact)
+
+    # results all satisfy the predicate (paranoia: the filter ran at
+    # the ADC stage, so re-check against the raw table)
+    labels = {
+        r["label"]
+        for r in emb.join(
+            spark.createDataFrame([(v,) for v in got], ["vec_id"]), "vec_id"
+        ).collect()
+    }
+    assert labels == {3}
+
+
+def test_streaming_ivfpq_carries_metadata(spark, emb, query_vec, tmp_path):
+    """A residual index built with keep_cols keeps serving FILTERED
+    search after streaming ingest: the sink projects each batch to
+    the recorded column contract (metadata included), a batch missing
+    a contract column is rejected loudly, and the merged index
+    filters streamed rows too."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from big_data_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_adc_search,
+        ivfpq_search_refined,
+        save_ivfpq_index,
+    )
+    from big_data_spark.streaming.sinks import (
+        read_streaming_pq,
+        start_pq_ingest_stream,
+    )
+
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    tail = emb.filter(F.col("vec_id") % 2 != 0)
+    idx = build_ivfpq_index(base, nlist=4, m=4, ksub=8, keep_cols=("label",))
+    d = str(tmp_path / "ivfpq_meta_stream")
+    save_ivfpq_index(idx, d)
+
+    src = tmp_path / "vecs"
+    src.mkdir()
+    tail.coalesce(1).write.parquet(str(src / "a"))
+
+    def run(ckpt, schema):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = start_pq_ingest_stream(stream, d, ckpt)
+        q.awaitTermination(180)
+        for err in (q.exception(),):
+            if err:
+                raise err
+
+    # a stream lacking the contract's metadata column fails loudly
+    with _pytest.raises(Exception, match="lacks index columns"):
+        run(str(tmp_path / "c_bad"), "vec_id long, embedding array<float>")
+
+    run(
+        str(tmp_path / "c1"),
+        "vec_id long, embedding array<float>, label int",
+    )
+    live = read_streaming_pq(spark, d)
+    assert "label" in live.codes.columns
+    hits = ivfpq_adc_search(
+        live, query_vec, k=5, nprobe=4, where="label = 3"
+    )
+    rows = hits.collect()
+    assert rows, "filtered search over merged index returned nothing"
+    got_ids = [r["vec_id"] for r in rows]
+    odd_streamed = [v for v in got_ids if v % 2 == 1]
+    # the merged view must be able to surface streamed (odd) rows;
+    # at minimum every hit satisfies the predicate
+    labels = {
+        r["label"]
+        for r in emb.join(
+            spark.createDataFrame([(v,) for v in got_ids], ["vec_id"]),
+            "vec_id",
+        ).collect()
+    }
+    assert labels == {3}
+    # and the exact filtered truth over probed-everything matches
+    from big_data_spark.functions import l2_sq
+
+    qlit = F.array(*[F.lit(v) for v in query_vec])
+    exact = [
+        r["vec_id"]
+        for r in emb.filter(F.col("label") == 3)
+        .select("vec_id", l2_sq(F.col("embedding"), qlit).alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(5)
+        .collect()
+    ]
+    refined = [
+        r["vec_id"]
+        for r in ivfpq_search_refined(
+            live, emb, query_vec, k=5, nprobe=4, refine_factor=40,
+            where="label = 3",
+        ).collect()
+    ]
+    assert refined == exact, (refined, exact, odd_streamed)
