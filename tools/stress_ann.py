@@ -297,6 +297,10 @@ def main() -> None:
     med, rec = _searches(read_streaming_ivf(spark, live_path))
     print(json.dumps({"op": "ivf_folded", "median_s": med,
                       "mean_recall_at_10": rec}), flush=True)
+    # every datapoint above is already flushed — this marker tells a
+    # reader the run is complete even if the large-state JVM teardown
+    # below takes a while (observed minutes at 1M-row scale)
+    print(json.dumps({"done": True}), flush=True)
     spark.stop()
 
 

@@ -167,6 +167,10 @@ def main() -> None:
         times.append(time.perf_counter() - t0)
     print(json.dumps({"op": "search_folded",
                       "median_s": round(statistics.median(times), 3)}), flush=True)
+    # every datapoint above is already flushed — this marker tells a
+    # reader the run is complete even if the large-state JVM teardown
+    # below takes a while (observed minutes at 1M-row scale)
+    print(json.dumps({"done": True}), flush=True)
     spark.stop()
 
 

@@ -193,6 +193,10 @@ def main() -> None:
         )
         for d in (src, live, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+    # every datapoint above is already flushed — this marker tells a
+    # reader the run is complete even if the large-state JVM teardown
+    # below takes a while (observed minutes at 1M-row scale)
+    print(json.dumps({"done": True}), flush=True)
     spark.stop()
 
 
