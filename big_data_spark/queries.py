@@ -11819,18 +11819,21 @@ def q185_ivfpq_pruned_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     query-path twin of q152's filtered-probe discipline for the
     residual layout."""
     sub, celld, adc = _residual_pq_frames(spark, sf_dir)
-    wp = Window.orderBy("dd", "cell")
+    # top-2 probe cells / top-20 shortlist via orderBy().limit() —
+    # TakeOrderedAndProject (distributed) instead of a global
+    # ROW_NUMBER window (single-partition at scale); the (score, id)
+    # tiebreak makes both formulations row-identical, so the oracle
+    # keeps its ROW_NUMBER form
     probe = (
         celld.filter(F.col("vec_id") == 0)
-        .withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= 2)
+        .orderBy("dd", "cell")
+        .limit(2)
         .select("cell")
     )
-    ws = Window.orderBy("approx_d2", "vec_id")
     short = (
         adc.join(F.broadcast(probe), "cell")
-        .withColumn("rn", F.row_number().over(ws))
-        .filter(F.col("rn") <= 20)
+        .orderBy("approx_d2", "vec_id")
+        .limit(20)
         .select("vec_id")
     )
     qv = sub.filter(F.col("vec_id") == 0).select("pos", F.col("v").alias("qv"))
