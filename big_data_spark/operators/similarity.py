@@ -253,7 +253,13 @@ class PQIndex:
     billion-vector corpora (Jegou et al., PQ for nearest neighbor).
     The oracle-checked q75 uses a deterministic codebook so DuckDB
     can replay it; this is the trained (per-subspace KMeans) variant
-    noted there as the production form."""
+    noted there as the production form.
+
+    KNOWN LIMIT (measured, SCALING.md): on CLUSTERED corpora flat
+    codes quantize absolute position, so same-cluster vectors tie
+    and refined recall@10 collapsed to 0.54 at 1M even at rf=100.
+    Prefer IVFPQIndex (residual codes) for clustered production
+    embeddings — same budget measured 1.00 there."""
 
     codes: DataFrame  # id_col, code_0..code_{m-1}
     codebooks: list[list[list[float]]]  # [s][cid] -> centroid (dsub floats)
@@ -355,7 +361,13 @@ def pq_search_refined(
     The candidate set is k*refine_factor rows — broadcast it, so the
     refine is a broadcast semi-join against the raw table (no shuffle
     of the corpus) followed by TakeOrderedAndProject. At 100 TB the
-    expensive exact math touches ~100 rows instead of 10^9."""
+    expensive exact math touches ~100 rows instead of 10^9.
+
+    The shortlist must scale with the ADC-TIE population (measured:
+    rf=100 scores recall 1.0 at 50k vectors but 0.54 at 1M on a
+    clustered corpus; rf=500 restores 0.94) — or better, switch to
+    ivfpq_search_refined, whose residual codes remove the tie
+    population at the source (recall 1.0 at rf=100 at 1M)."""
     from ..functions import l2_sq
 
     cand = pq_adc_search(index, query_vec, k=k * refine_factor, id_col=id_col)
@@ -840,14 +852,20 @@ def ivfpq_search_refined(
 def ivfpq_encode_columns(
     centroids: list, codebooks: list, vec_col: str = "embedding"
 ) -> list:
-    """(cell, code_0..code_{m-1}) as PURE column expressions — how
-    streamed vectors encode into a residual index with no MLlib
-    dependency at ingest (pq_encode_columns's contract, plus the
-    coarse assignment): cell = exact squared-L2 argmin over the
-    literal centroid table, residual = vector − that centroid, codes
-    = per-subspace argmin over the literal codebooks. Lowest-id
+    """(cell, code_0..code_{m-1}) as PURE column expressions — the
+    REFERENCE encoder (pq_encode_columns's contract, plus the coarse
+    assignment): cell = exact squared-L2 argmin over the literal
+    centroid table, residual = vector − that centroid, codes =
+    per-subspace argmin over the literal codebooks. Lowest-id
     tiebreaks throughout; the KMeans.transform ULP caveat documented
-    at pq_encode_columns applies to both argmin stages."""
+    at pq_encode_columns applies to both argmin stages.
+
+    Hot paths (the streaming sink) use ivfpq_encode_frame instead:
+    this expression tree's Catalyst analysis and interpreted
+    higher-order folds grow with nlist×dim + m×ksub×dsub and stop
+    being viable at production codebook sizes (measured; see
+    ivfpq_encode_frame). Fine for small codebooks and as the
+    parity reference both encoders are tested against."""
     nlist = len(centroids)
     dim = len(centroids[0])
     m = len(codebooks)
@@ -888,6 +906,191 @@ def ivfpq_encode_columns(
             ccands.append(F.struct(d.alias("d"), F.lit(c).alias("c")))
         cols.append(F.array_min(F.array(*ccands))["c"].alias(f"code_{s}"))
     return cols
+
+
+def ivfpq_encode_frame(
+    df: DataFrame,
+    centroids: list,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """(id, [extras...], cell, code_0..code_{m-1}) as a FRAME
+    transform — the hot-path encoder the streaming sink uses.
+
+    ivfpq_encode_columns is the same math as one giant column
+    expression; at production codebook sizes that tree stops being
+    viable (measured at nlist=64, dim=32, m=4, ksub=256: Catalyst
+    ANALYSIS alone took 308 s and execution fell to interpreted
+    CodegenFallback at ~21 ms/row — the higher-order-fold lesson
+    from q129/q164, at expression scale). This encoder is the
+    repo's winning shape instead: explode the vector to components,
+    broadcast the centroid/codebook tables as ROWS, compute every
+    candidate distance as plain codegen'd arithmetic, and argmin
+    via min(struct) in map-side-combinable aggregates. Work per
+    vector is dim×nlist + dim×ksub candidate rows through
+    whole-stage codegen — no lambda interpretation, millisecond-free
+    analysis, and the same lowest-id tiebreaks (the
+    KMeans.transform ULP caveat documented at pq_encode_columns
+    applies to the aggregate's sum order the same way; parity with
+    build_ivfpq_index's codes is pinned in tests)."""
+    spark = df.sparkSession
+    nlist = len(centroids)
+    dim = len(centroids[0])
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    assert dim == m * dsub, f"centroid dim {dim} != m*dsub {m * dsub}"
+
+    comp = df.select(
+        id_col,
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("_pos", "_v"),
+    )
+    cent_rows = [
+        (c, p, float(v))
+        for c, row in enumerate(centroids)
+        for p, v in enumerate(row)
+    ]
+    # explicit INT schema: cell/code columns must match the batch
+    # build's KMeans-prediction dtype exactly, or stream leaves drift
+    # to bigint vs the base's int and ADC's element_at(..., code+1)
+    # stops resolving (caught by the streaming parity tests)
+    cent = spark.createDataFrame(
+        cent_rows, "_cell int, _pos int, _cv double"
+    )
+    assign = (
+        comp.join(F.broadcast(cent), "_pos")
+        .groupBy(id_col, "_cell")
+        .agg(
+            F.sum(
+                (F.col("_v") - F.col("_cv")) * (F.col("_v") - F.col("_cv"))
+            ).alias("_d")
+        )
+        .groupBy(id_col)
+        .agg(
+            F.min(F.struct(F.col("_d"), F.col("_cell").alias("_c")))[
+                "_c"
+            ].alias("cell")
+        )
+    )
+    # residual components: subtract the assigned centroid's component
+    resid = (
+        comp.join(assign, id_col)
+        .join(
+            F.broadcast(cent),
+            (F.col("cell") == F.col("_cell")) & (comp["_pos"] == cent["_pos"]),
+        )
+        .select(
+            id_col,
+            "cell",
+            comp["_pos"].alias("_pos"),
+            (F.col("_v") - F.col("_cv")).alias("_rv"),
+        )
+    )
+    cb_rows = [
+        (s, c, j, float(v))
+        for s, book in enumerate(codebooks)
+        for c, entry in enumerate(book)
+        for j, v in enumerate(entry)
+    ]
+    cb = spark.createDataFrame(
+        cb_rows, "_s int, _cid int, _j int, _cbv double"
+    )
+    codes_long = (
+        resid.withColumn("_s", (F.col("_pos") / dsub).cast("int"))
+        .withColumn("_j", F.col("_pos") % dsub)
+        .join(F.broadcast(cb), ["_s", "_j"])
+        .groupBy(id_col, "cell", "_s", "_cid")
+        .agg(
+            F.sum(
+                (F.col("_rv") - F.col("_cbv")) * (F.col("_rv") - F.col("_cbv"))
+            ).alias("_d")
+        )
+        .groupBy(id_col, "cell", "_s")
+        .agg(
+            F.min(F.struct(F.col("_d"), F.col("_cid").alias("_c")))[
+                "_c"
+            ].alias("_code")
+        )
+    )
+    wide = codes_long.groupBy(id_col, "cell").agg(
+        *[
+            F.max(F.when(F.col("_s") == s, F.col("_code"))).alias(f"code_{s}")
+            for s in range(m)
+        ]
+    )
+    if extra_cols:
+        wide = df.select(id_col, *extra_cols).join(wide, id_col)
+    return wide.select(
+        id_col, "cell", *[f"code_{s}" for s in range(m)], *extra_cols
+    )
+
+
+def pq_encode_frame(
+    df: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """(id, [extras...], code_0..code_{m-1}) — ivfpq_encode_frame's
+    flat sibling (no coarse stage): the hot-path encoder for flat-PQ
+    streaming ingest at production codebook sizes, replacing the
+    pq_encode_columns mega-expression in the sink (same measured
+    rationale — see ivfpq_encode_frame)."""
+    spark = df.sparkSession
+    m = len(codebooks)
+    ksub = len(codebooks[0])  # noqa: F841 — documents the fan-out
+    dsub = len(codebooks[0][0])
+
+    comp = df.select(
+        id_col,
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("_pos", "_v"),
+    )
+    cb_rows = [
+        (s, c, j, float(v))
+        for s, book in enumerate(codebooks)
+        for c, entry in enumerate(book)
+        for j, v in enumerate(entry)
+    ]
+    # explicit INT schema — code-column dtype parity with the batch
+    # build (see ivfpq_encode_frame)
+    cb = spark.createDataFrame(
+        cb_rows, "_s int, _cid int, _j int, _cbv double"
+    )
+    codes_long = (
+        comp.withColumn("_s", (F.col("_pos") / dsub).cast("int"))
+        .withColumn("_j", F.col("_pos") % dsub)
+        .join(F.broadcast(cb), ["_s", "_j"])
+        .groupBy(id_col, "_s", "_cid")
+        .agg(
+            F.sum(
+                (F.col("_v") - F.col("_cbv")) * (F.col("_v") - F.col("_cbv"))
+            ).alias("_d")
+        )
+        .groupBy(id_col, "_s")
+        .agg(
+            F.min(F.struct(F.col("_d"), F.col("_cid").alias("_c")))[
+                "_c"
+            ].alias("_code")
+        )
+    )
+    wide = codes_long.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("_s") == s, F.col("_code"))).alias(f"code_{s}")
+            for s in range(m)
+        ]
+    )
+    if extra_cols:
+        wide = df.select(id_col, *extra_cols).join(wide, id_col)
+    return wide.select(
+        id_col, *[f"code_{s}" for s in range(m)], *extra_cols
+    )
 
 
 def save_ivfpq_index(index: IVFPQIndex, path: str) -> None:

@@ -1353,8 +1353,8 @@ def start_pq_ingest_stream(
             return
         _guard_pq_generation(index_path, checkpoint_dir)
         from ..operators.similarity import (
-            ivfpq_encode_columns,
-            pq_encode_columns,
+            ivfpq_encode_frame,
+            pq_encode_frame,
         )
 
         with open(os.path.join(index_path, "meta.json")) as f:
@@ -1362,9 +1362,6 @@ def start_pq_ingest_stream(
         key = id_col or meta.get("id_col", "vec_id")
         extras: list = []
         if "centroids" in meta:  # residual (IVFPQ) layout
-            enc = ivfpq_encode_columns(
-                meta["centroids"], meta["codebooks"], vec_col
-            )
             # the recorded column contract carries keep_cols metadata
             # (filtered-search columns) through streamed rows too —
             # the IVF sink's schema-parity rule
@@ -1380,16 +1377,29 @@ def start_pq_ingest_stream(
                     f"the index at {index_path} requires "
                     f"{[key, vec_col, *extras]}"
                 )
-        else:
-            enc = pq_encode_columns(meta["codebooks"], vec_col)
-        (
-            batch.groupBy(key)
-            .agg(
-                F.any_value(vec_col).alias(vec_col),
-                *[F.any_value(c).alias(c) for c in extras],
+        uniq = batch.groupBy(key).agg(
+            F.any_value(vec_col).alias(vec_col),
+            *[F.any_value(c).alias(c) for c in extras],
+        )
+        # frame-based encoders (exploded + broadcast codebook rows,
+        # whole-stage codegen) — the column-expression encoders stop
+        # analyzing/executing viably at production ksub (measured;
+        # see ivfpq_encode_frame)
+        if "centroids" in meta:
+            encoded = ivfpq_encode_frame(
+                uniq,
+                meta["centroids"],
+                meta["codebooks"],
+                id_col=key,
+                vec_col=vec_col,
+                extra_cols=tuple(extras),
             )
-            .select(key, *extras, *enc)
-            .withColumn("batch_id", F.lit(batch_id))
+        else:
+            encoded = pq_encode_frame(
+                uniq, meta["codebooks"], id_col=key, vec_col=vec_col
+            )
+        (
+            encoded.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")

@@ -120,6 +120,9 @@ def test_filtered_ann_pushes_predicate_and_broadcasts(spark):
     label filter reaches the parquet scan (PushedFilters), so the
     argmin and candidate scan only touch qualifying rows — and the
     index structures ride broadcasts like q64 (no cartesian)."""
+    # ordering-robust: another module's cached embeddings table would
+    # swap the scan for InMemoryRelation and hide PushedFilters
+    spark.catalog.clearCache()
     df = q(spark, "q152_filtered_ann")
     plan = formatted_plan(df)
     assert has_pushed_filters(df, "label", "vec_id"), plan

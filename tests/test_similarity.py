@@ -1683,3 +1683,58 @@ def test_streaming_ivfpq_carries_metadata(spark, emb, query_vec, tmp_path):
         ).collect()
     ]
     assert refined == exact, (refined, exact, odd_streamed)
+
+
+def test_encode_frames_match_column_encoders_and_build(spark, emb):
+    """The frame-based hot-path encoders (exploded + broadcast
+    codebook rows, whole-stage codegen — what the streaming sink
+    runs) must agree vector-for-vector with BOTH the column-
+    expression reference encoders and the MLlib build's codes. The
+    frame form exists because the expression form stops being viable
+    at production codebook sizes (measured at nlist=64/ksub=256:
+    308 s ANALYSIS + ~21 ms/row interpreted vs 1.3 s + ~42 µs/row
+    for the frame form)."""
+    from big_data_spark.operators.similarity import (
+        build_ivfpq_index,
+        build_pq_index,
+        ivfpq_encode_columns,
+        ivfpq_encode_frame,
+        pq_encode_columns,
+        pq_encode_frame,
+    )
+
+    ipq = build_ivfpq_index(emb, nlist=8, m=4, ksub=8, keep_cols=("label",))
+    cols = ["cell", *[f"code_{s}" for s in range(4)], "label"]
+    built = {r["vec_id"]: tuple(r[c] for c in cols) for r in ipq.codes.collect()}
+    frame = {
+        r["vec_id"]: tuple(r[c] for c in cols)
+        for r in ivfpq_encode_frame(
+            emb, ipq.centroids, ipq.codebooks, extra_cols=("label",)
+        ).collect()
+    }
+    exprs = {
+        r["vec_id"]: tuple(r[c] for c in cols)
+        for r in emb.select(
+            "vec_id",
+            *ivfpq_encode_columns(ipq.centroids, ipq.codebooks),
+            "label",
+        ).collect()
+    }
+    assert frame == built == exprs
+
+    pq = build_pq_index(emb, m=8, ksub=16)
+    cols2 = [f"code_{s}" for s in range(8)]
+    built2 = {
+        r["vec_id"]: tuple(r[c] for c in cols2) for r in pq.codes.collect()
+    }
+    frame2 = {
+        r["vec_id"]: tuple(r[c] for c in cols2)
+        for r in pq_encode_frame(emb, pq.codebooks).collect()
+    }
+    exprs2 = {
+        r["vec_id"]: tuple(r[c] for c in cols2)
+        for r in emb.select(
+            "vec_id", *pq_encode_columns(pq.codebooks)
+        ).collect()
+    }
+    assert frame2 == built2 == exprs2
