@@ -41,6 +41,11 @@ like production embeddings), then measures, one JSON line each:
                 rewritten cell-partitioned base (atomic _IVF_BASE
                 manifest flip)
   ivf_folded    search latency + recall after the fold
+  ivfpq_ingest / ivfpq_merged / ivfpq_compact / ivfpq_folded
+                the same lifecycle on the RESIDUAL index (frame-based
+                streaming encode, deferred latest-wins reads,
+                cell-partitioned compacted base) — refined recall
+                must hold 1.0 at every stage
 
 Usage: python tools/stress_ann.py [n_vecs] [dim] [nlist] [m] [ksub]
                                   [refine_factor]
@@ -338,6 +343,62 @@ def main() -> None:
 
     med, rec = _searches(read_streaming_ivf(spark, live_path))
     print(json.dumps({"op": "ivf_folded", "median_s": med,
+                      "mean_recall_at_10": rec}), flush=True)
+
+    # ---- residual-index streaming lifecycle: the SAME tail streamed
+    # into a live IVFPQ index built on the first 80% (frame-based
+    # encode — the hot path the sink runs) ----
+    from big_data_spark.operators.similarity import save_ivfpq_index
+    from big_data_spark.streaming.sinks import (
+        compact_streaming_pq,
+        read_streaming_pq,
+        start_pq_ingest_stream,
+    )
+
+    pq_live = tempfile.mkdtemp(prefix="stress_ivfpq_live_")
+    save_ivfpq_index(
+        build_ivfpq_index(base_emb, nlist=nlist, m=m, ksub=ksub), pq_live
+    )
+    ckpt2 = tempfile.mkdtemp(prefix="stress_ivfpq_ckpt_")
+    stream2 = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    t0 = time.perf_counter()
+    q_ing2 = start_pq_ingest_stream(stream2, pq_live, ckpt2)
+    if not q_ing2.awaitTermination(900):
+        q_ing2.stop()
+    ing2_s = time.perf_counter() - t0
+    print(json.dumps({"op": "ivfpq_ingest", "vectors": n_tail, "batches": 10,
+                      "wall_s": round(ing2_s, 2),
+                      "vecs_per_s": round(n_tail / ing2_s, 1)}), flush=True)
+
+    def _rq_searches(idx):
+        ts, rs = [], []
+        for q, t in zip(queries, l2_truth):
+            t0 = time.perf_counter()
+            got = [
+                r["vec_id"]
+                for r in ivfpq_search_refined(
+                    idx, emb, q, k=10, nprobe=4, refine_factor=rf
+                ).collect()
+            ]
+            ts.append(time.perf_counter() - t0)
+            rs.append(len(set(got) & set(t)) / 10.0)
+        return round(statistics.median(ts), 3), round(sum(rs) / len(rs), 3)
+
+    med, rec = _rq_searches(read_streaming_pq(spark, pq_live))
+    print(json.dumps({"op": "ivfpq_merged", "median_s": med,
+                      "mean_recall_at_10": rec}), flush=True)
+
+    t0 = time.perf_counter()
+    folded = compact_streaming_pq(spark, pq_live)
+    print(json.dumps({"op": "ivfpq_compact", "batches_folded": folded,
+                      "wall_s": round(time.perf_counter() - t0, 2)}), flush=True)
+
+    med, rec = _rq_searches(read_streaming_pq(spark, pq_live))
+    print(json.dumps({"op": "ivfpq_folded", "median_s": med,
                       "mean_recall_at_10": rec}), flush=True)
     # every datapoint above is already flushed — this marker tells a
     # reader the run is complete even if the large-state JVM teardown
