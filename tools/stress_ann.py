@@ -12,7 +12,7 @@ like production embeddings), then measures, one JSON line each:
                 recall@10 vs exact
   brute_force   the same 5 queries, exact full-scan cosine top-10 —
                 the number probe pruning is up against
-  pq_build      build_pq_index(m=4, ksub=64): 4 subspace KMeans
+  pq_build      build_pq_index(m=4, ksub=256): 4 subspace KMeans
                 fits sized to the corpus (see capacity note below)
   pq_adc        median ADC search latency + mean recall@10 vs exact
                 (code-table scan, no raw vectors touched; coarse —
