@@ -312,12 +312,33 @@ def _run_sentinels() -> tuple[dict, dict]:
     ~2x the measured phase cost) bounds the worst case: on a degraded
     box the remaining sentinels are skipped (null) rather than
     risking the whole bench line against a harness timeout. Returns
-    (medians, reps)."""
+    (medians, reps, load1_before)."""
     budget = float(os.environ.get("SPARK_GRAFT_SENTINEL_BUDGET", "420"))
     phase_t0 = time.perf_counter()
     medians: dict[str, float] = {}
     all_reps: dict[str, list[float]] = {}
+    # Contention forensics (VERDICT r08 order #5): the r08 line carried
+    # 6x-inflated kmeans/rf cells that only a judge re-run could
+    # invalidate. Record the 1-minute load average BEFORE each child so
+    # the committed JSON itself shows whether something shared the box:
+    # the first sample is taken before ANY child has run, so load there
+    # is foreign by construction; later samples mix in the previous
+    # child's decaying 1-min average — the decay SERIES is the signal
+    # (a clean phase decays toward 0 between children, a contended one
+    # stays pinned near/above the core count).
+    ncpu = os.cpu_count() or 32
+    load_before: dict[str, float] = {}
     for name in SENTINELS:
+        load1 = round(os.getloadavg()[0], 2)
+        load_before[name] = load1
+        if not medians and load1 / ncpu > 0.25:
+            # nothing of ours has run yet — this load is foreign
+            print(
+                f"SENTINEL CONTAMINATION WARNING: load1={load1} on "
+                f"{ncpu} cores before the first sentinel; timings in "
+                f"this phase are suspect",
+                file=sys.stderr,
+            )
         if time.perf_counter() - phase_t0 > budget:
             print(
                 f"sentinel budget ({budget}s) exhausted; skipping {name}",
@@ -346,7 +367,7 @@ def _run_sentinels() -> tuple[dict, dict]:
             print(f"sentinel {name} failed: {exc}", file=sys.stderr)
             medians[name] = None
             all_reps[name] = []
-    return medians, all_reps
+    return medians, all_reps, load_before
 
 
 def main() -> None:
@@ -357,8 +378,9 @@ def main() -> None:
     # exists, so children never contend with it for cores.
     sentinels: dict = {}
     sentinel_reps: dict = {}
+    sentinel_load: dict = {}
     if os.environ.get("SPARK_GRAFT_SENTINELS", "1") != "0":
-        sentinels, sentinel_reps = _run_sentinels()
+        sentinels, sentinel_reps, sentinel_load = _run_sentinels()
 
     bench_gc = os.environ.get("SPARK_GRAFT_BENCH_GC", "1") != "0"
     spark = get_spark("big_data_spark-bench")
@@ -419,7 +441,11 @@ def main() -> None:
     q = stream_clean_postings(
         spark, src, os.path.join(sdir, "sink"), os.path.join(sdir, "ckpt")
     )
-    q.awaitTermination(300)
+    # same rule as the sentinel path (ADVICE r07): a hung availableNow
+    # stream must not keep contending with every query benched after it
+    # (or with the rmtree of its own source/checkpoint dirs)
+    if not q.awaitTermination(300):
+        q.stop()
     results["stream_etl_24k"] = round(time.perf_counter() - t0, 3)
     shutil.rmtree(sdir, ignore_errors=True)
 
@@ -467,6 +493,10 @@ def main() -> None:
             # fresh-session medians — the stable cross-round basis
             "sentinels": sentinels,
             "sentinel_reps": sentinel_reps,
+            # 1-min load sampled before each sentinel child (first
+            # sample predates any child: foreign load by construction)
+            "sentinel_load1_before": sentinel_load,
+            "cpus": os.cpu_count(),
             "bench_gc": bench_gc,
             "sf": sf,
         }

@@ -908,6 +908,28 @@ def ivfpq_encode_columns(
     return cols
 
 
+def _dim_checked(vec_col: str, dim: int, id_col: str):
+    """The vector column, or a LOUD executor-side failure when its
+    length differs from the index dimension. The frame encoders pivot
+    codes out of exploded components — a short vector would silently
+    fall out of the max(when(..)) pivot as NULL code_s, and the NULL
+    approx_d2 it produces downstream sorts NULLS FIRST, placing the
+    malformed row at the TOP of ADC results (ADVICE r08). The batch
+    build fails loudly in KMeans for the same input; this keeps the
+    streaming/encode path equally loud, at zero cost on good rows
+    (one size() comparison inside the existing projection)."""
+    return F.when(F.size(F.col(vec_col)) == dim, F.col(vec_col)).otherwise(
+        F.raise_error(
+            F.format_string(
+                "vector length %s != index dim %s for id %s",
+                F.size(F.col(vec_col)).cast("string"),
+                F.lit(str(dim)),
+                F.col(id_col).cast("string"),
+            )
+        )
+    )
+
+
 def ivfpq_encode_frame(
     df: DataFrame,
     centroids: list,
@@ -946,7 +968,9 @@ def ivfpq_encode_frame(
     comp = df.select(
         id_col,
         F.posexplode(
-            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            F.transform(
+                _dim_checked(vec_col, dim, id_col), lambda x: x.cast("double")
+            )
         ).alias("_pos", "_v"),
     )
     cent_rows = [
@@ -1049,7 +1073,10 @@ def pq_encode_frame(
     comp = df.select(
         id_col,
         F.posexplode(
-            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            F.transform(
+                _dim_checked(vec_col, m * dsub, id_col),
+                lambda x: x.cast("double"),
+            )
         ).alias("_pos", "_v"),
     )
     cb_rows = [

@@ -1342,9 +1342,11 @@ def start_pq_ingest_stream(
     A RESIDUAL (IVFPQ) index — meta.json records coarse
     ``centroids`` (save_ivfpq_index) — ingests through the SAME sink:
     each batch additionally assigns its coarse cell and encodes the
-    residual, still pure column expressions
-    (similarity.ivfpq_encode_columns), landing (id, cell, codes)
-    rows in the same batch_id leaves."""
+    residual through the frame-based codegen encoder
+    (similarity.ivfpq_encode_frame — the column-expression twin costs
+    minutes of Catalyst analysis at production ksub, SCALING.md's
+    500x finding), landing (id, cell, codes) rows in the same
+    batch_id leaves."""
 
     def ingest(batch: DataFrame, batch_id: int) -> None:
         import json
@@ -1377,9 +1379,16 @@ def start_pq_ingest_stream(
                     f"the index at {index_path} requires "
                     f"{[key, vec_col, *extras]}"
                 )
-        uniq = batch.groupBy(key).agg(
-            F.any_value(vec_col).alias(vec_col),
-            *[F.any_value(c).alias(c) for c in extras],
+        # one any_value over a STRUCT of every carried column, then
+        # expanded — per-column any_value could compose a torn row from
+        # two duplicate records (the vector from one, keep_cols
+        # metadata from another), binding codes to metadata that never
+        # co-occurred (ADVICE r08)
+        rec = F.any_value(F.struct(vec_col, *extras)).alias("_rec")
+        uniq = (
+            batch.groupBy(key)
+            .agg(rec)
+            .select(key, f"_rec.{vec_col}", *[f"_rec.{c}" for c in extras])
         )
         # frame-based encoders (exploded + broadcast codebook rows,
         # whole-stage codegen) — the column-expression encoders stop

@@ -1738,3 +1738,31 @@ def test_encode_frames_match_column_encoders_and_build(spark, emb):
         ).collect()
     }
     assert frame2 == built2 == exprs2
+
+
+def test_encode_frames_reject_wrong_dim(spark, emb):
+    """A vector whose length differs from the index dim must fail
+    LOUDLY in the frame encoders (ADVICE r08): a short vector would
+    otherwise fall out of the max(when) pivot as NULL code_s, and its
+    NULL approx_d2 sorts NULLS FIRST — a malformed row silently at the
+    TOP of ADC results. The batch build fails loudly in KMeans for the
+    same input; the streaming/encode path must match."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from big_data_spark.operators.similarity import (
+        build_ivfpq_index,
+        build_pq_index,
+        ivfpq_encode_frame,
+        pq_encode_frame,
+    )
+    from pyspark.sql import functions as F
+
+    ipq = build_ivfpq_index(emb, nlist=8, m=4, ksub=8)
+    pq = build_pq_index(emb, m=8, ksub=16)
+    bad = emb.limit(5).select(
+        "vec_id", F.slice("embedding", 1, 7).alias("embedding")
+    )
+    with pytest.raises(SparkRuntimeException, match="!= index dim"):
+        ivfpq_encode_frame(bad, ipq.centroids, ipq.codebooks).collect()
+    with pytest.raises(SparkRuntimeException, match="!= index dim"):
+        pq_encode_frame(bad, pq.codebooks).collect()
