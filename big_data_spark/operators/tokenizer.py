@@ -1,0 +1,297 @@
+"""Distributed BPE tokenizer TRAINING and encoding.
+
+A training-data pipeline that ships a corpus also ships the tokenizer
+fit on it. The reference counts BPE pair frequencies but never
+executes the merge loop (q49/q121 cover the counting step); this
+module is the iterative trainer on top of the same scale discipline:
+
+- **Vocab-sized state, never corpus-sized.** Training runs over the
+  DISTINCT-word table with per-word corpus counts as weights (the
+  q121 trick): a 100 TB corpus with a 10^6-word vocabulary does every
+  per-round aggregation over 10^6 rows. The one corpus-scale pass is
+  building that word table — the same single groupBy any tokenizer
+  trainer pays.
+- **One map-side-combinable agg per round, nothing else shuffles.**
+  Pair counts come from exploding adjacent symbol pairs out of each
+  word (slice+arrays_zip+explode — all whole-stage codegen, no
+  higher-order lambdas) into one sum-by-pair groupBy. The winner
+  fetch is a bounded TakeOrderedAndProject collect (a handful of
+  rows); the merge application is a map-only string ``replace`` per
+  merge. Lineage is cut every ``checkpoint_every`` rounds (the
+  graph.py discipline) so round i never re-evaluates rounds 0..i-1.
+- **Greedy left-to-right merge semantics via delimiter-wrapped
+  strings.** Word state is the string ``|s1||s2||...||sk|`` (every
+  symbol wrapped in its own pipes). Replacing ``|a||b|`` with
+  ``|ab|`` then matches exactly the occurrences classic BPE merges:
+  the engine's ``replace`` scans left to right and resumes AFTER each
+  replacement, so overlapping candidates (``a a a`` under merge
+  ``(a,a)``) collapse greedily (``aa a``) — and because each symbol
+  carries its own delimiters, the next occurrence's leading ``|`` is
+  never consumed by the previous replacement. DuckDB's ``replace``
+  has identical semantics, which is what makes the merge SEQUENCE
+  oracle-checkable round for round.
+- **Deterministic tiebreak.** Winners order by (count DESC, left,
+  right) — byte-lexicographic on the symbol strings — so the merge
+  sequence is reproducible across partitionings and engines.
+
+``merges_per_round=k`` batches k NON-OVERLAPPING merges from one
+count snapshot (ranked, greedily skipping any pair sharing a symbol
+with an already-chosen pair or its merged result), bounding driver
+round-trips at scale: a 32k-merge vocabulary at k=256 is ~128 rounds.
+``k=1`` is exactly classic (Sennrich) BPE; ``k>1`` is the standard
+scale approximation and remains fully deterministic.
+
+Contract: symbols must not contain the ``|`` delimiter — the trainer
+fails LOUDLY (executor-side raise) on any word containing it rather
+than silently corrupting the symbol representation; callers filter or
+re-map such words first (``bpe_word_table`` exposes the filter).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_D = "|"  # symbol delimiter (see module contract)
+
+
+@dataclass(frozen=True)
+class BPEMerge:
+    rank: int  # 1-based global merge priority
+    left: str
+    right: str
+    merged: str
+    n: int  # weighted pair count at selection time
+
+
+def _wrapped(word_col: str) -> F.Column:
+    """``'|c1||c2||...||ck|'`` — every initial (character) symbol
+    wrapped in its own delimiters, with a LOUD executor-side failure
+    on delimiter-containing words (silent filtering would corrupt
+    counts; the caller decides what to drop)."""
+    wrap = F.concat(
+        F.lit(_D), F.array_join(F.split(F.col(word_col), ""), _D + _D), F.lit(_D)
+    )
+    return F.when(~F.col(word_col).contains(_D), wrap).otherwise(
+        F.raise_error(
+            F.format_string(
+                "BPE word %s contains the symbol delimiter '%s'",
+                F.col(word_col),
+                F.lit(_D),
+            )
+        )
+    )
+
+
+def bpe_word_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    token_pattern: str | None = None,
+) -> DataFrame:
+    """(w, cnt) — the distinct-word table training runs over: one
+    corpus-scale explode + groupBy (map-side combinable), after which
+    every training round is vocab-local. ``token_pattern`` (e.g.
+    ``'^[a-z]+$'``) optionally restricts the vocabulary — it also
+    drops delimiter-containing words, satisfying the module
+    contract."""
+    words = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    if token_pattern is not None:
+        words = words.filter(F.col("w").rlike(token_pattern))
+    else:
+        words = words.filter(~F.col("w").contains(_D))
+    return words.groupBy("w").agg(F.count("*").alias("cnt"))
+
+
+def _pair_counts(state: DataFrame) -> DataFrame:
+    """(l, r, n) — adjacent-symbol pair counts weighted by word
+    frequency, from the wrapped-string state. slice + arrays_zip +
+    explode keeps the whole extraction in whole-stage codegen (no
+    higher-order lambdas — the q129/q164 lesson); the groupBy is
+    map-side combinable, the round's ONLY shuffle."""
+    syms = F.array_remove(F.split(F.col("_s"), r"\|+"), "")
+    return (
+        state.select(F.col("_cnt"), syms.alias("_sy"))
+        .filter(F.size("_sy") >= 2)
+        .select(
+            "_cnt",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("_sy", 1, F.size("_sy") - 1).alias("l"),
+                    F.slice("_sy", 2, F.size("_sy") - 1).alias("r"),
+                )
+            ).alias("_p"),
+        )
+        .groupBy(F.col("_p.l").alias("l"), F.col("_p.r").alias("r"))
+        .agg(F.sum("_cnt").alias("n"))
+    )
+
+
+def _select_nonoverlapping(
+    ranked: list[tuple[str, str, int]], k: int
+) -> list[tuple[str, str, int]]:
+    """Greedy non-overlap filter over one round's ranked (l, r, n)
+    candidates: a later pair sharing a symbol with an earlier winner
+    (or equal to its merged result) would see STALE counts once that
+    winner is applied — defer it to the next snapshot instead of
+    merging on stale evidence. The first candidate is always taken,
+    so every round makes progress; rounds may therefore pick fewer
+    than k and the trainer simply runs more rounds."""
+    used: set[str] = set()
+    chosen: list[tuple[str, str, int]] = []
+    for left, right, n in ranked:
+        if left in used or right in used:
+            continue
+        chosen.append((left, right, n))
+        used.update((left, right, left + right))
+        if len(chosen) == k:
+            break
+    return chosen
+
+
+def train_bpe(
+    words: DataFrame,
+    num_merges: int,
+    merges_per_round: int = 1,
+    word_col: str = "w",
+    count_col: str = "cnt",
+    checkpoint_every: int = 8,
+    fetch_factor: int = 4,
+) -> list[BPEMerge]:
+    """Train a BPE merge table over a (word, count) vocabulary table.
+
+    Returns the learned merges in priority order (possibly fewer than
+    ``num_merges`` if the vocabulary saturates — no adjacent pairs
+    left). Per round: one pair-count aggregation (the only shuffle),
+    one bounded collect of the top ``fetch_factor*k + 8`` candidates
+    (driver-side greedy non-overlap filter picks ≤k), and k map-only
+    ``replace`` rewrites of the wrapped-string state. The returned
+    merge sequence at ``merges_per_round=1`` is classic BPE and is
+    what q188's unrolled DuckDB oracle replays round for round.
+    """
+    if num_merges < 1:
+        return []
+    state = words.select(
+        _wrapped(word_col).alias("_s"),
+        F.col(count_col).cast("long").alias("_cnt"),
+    ).localCheckpoint(eager=True)  # cut to the (corpus-scale) source once
+
+    merges: list[BPEMerge] = []
+    rounds_since_ckpt = 0
+    while len(merges) < num_merges:
+        k = min(merges_per_round, num_merges - len(merges))
+        top = (
+            _pair_counts(state)
+            .orderBy(F.desc("n"), "l", "r")
+            .limit(fetch_factor * k + 8)
+            .collect()
+        )
+        if not top:
+            break  # vocabulary saturated: every word is one symbol
+        chosen = _select_nonoverlapping(
+            [(row["l"], row["r"], row["n"]) for row in top], k
+        )
+        col = F.col("_s")
+        for left, right, n in chosen:
+            merges.append(
+                BPEMerge(
+                    rank=len(merges) + 1,
+                    left=left,
+                    right=right,
+                    merged=left + right,
+                    n=n,
+                )
+            )
+            col = F.replace(
+                col,
+                F.lit(f"{_D}{left}{_D}{_D}{right}{_D}"),
+                F.lit(f"{_D}{left}{right}{_D}"),
+            )
+        state = state.select(col.alias("_s"), "_cnt")
+        rounds_since_ckpt += 1
+        if rounds_since_ckpt >= checkpoint_every:
+            state = state.localCheckpoint(eager=True)
+            rounds_since_ckpt = 0
+    return merges
+
+
+def merges_df(spark, merges: list[BPEMerge]) -> DataFrame:
+    """The merge table as a DataFrame (rank, left, right, merged, n) —
+    the persistable model artifact."""
+    return spark.createDataFrame(
+        [(m.rank, m.left, m.right, m.merged, m.n) for m in merges],
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, n long",
+    )
+
+
+def save_bpe_model(merges: list[BPEMerge], path: str) -> None:
+    """Persist the trained merge table as JSON metadata (tmp + atomic
+    replace — the index family's manifest discipline). The model is
+    KB-sized (one row per merge), so it is driver-side metadata like
+    an index's centroids, not a distributed table: every executor
+    needs the WHOLE ordered merge list to encode, so it travels as a
+    broadcast-sized artifact by construction."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, "bpe_model.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "format": "bpe_merges_v1",
+                "merges": [
+                    [m.rank, m.left, m.right, m.merged, m.n] for m in merges
+                ],
+            },
+            f,
+        )
+    os.replace(tmp, os.path.join(path, "bpe_model.json"))
+
+
+def load_bpe_model(path: str) -> list[BPEMerge]:
+    """Inverse of save_bpe_model; fails loudly on format drift."""
+    import json
+    import os
+
+    with open(os.path.join(path, "bpe_model.json")) as f:
+        meta = json.load(f)
+    if meta.get("format") != "bpe_merges_v1":
+        raise ValueError(
+            f"unrecognized BPE model format at {path}: {meta.get('format')}"
+        )
+    return [
+        BPEMerge(rank=r, left=a, right=b, merged=ab, n=n)
+        for r, a, b, ab, n in meta["merges"]
+    ]
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: list[BPEMerge],
+    word_col: str = "w",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Encode words with a trained merge table: replay every merge in
+    priority order (map-only — one chained string ``replace``
+    projection, no shuffle, no Python), then split the wrapped string
+    back into the symbol array. This is merge-REPLAY semantics (what
+    training itself produced — encode(train_corpus) reproduces the
+    training-end state exactly); cost is one left-to-right scan per
+    merge per word, fine for the 10^3-10^4 merge tables this trains.
+    Encoding new text against very large merge tables would want a
+    trie/longest-match encoder — a different operator."""
+    col = _wrapped(word_col)
+    for m in merges:
+        col = F.replace(
+            col,
+            F.lit(f"{_D}{m.left}{_D}{_D}{m.right}{_D}"),
+            F.lit(f"{_D}{m.merged}{_D}"),
+        )
+    return df.withColumn(
+        out_col, F.array_remove(F.split(col, r"\|+"), "")
+    )

@@ -1112,3 +1112,40 @@ def test_w2v_vocab_invariants_single_agg(spark):
     plan = formatted_plan(df)
     assert "Join" not in plan, plan
     assert "Scan parquet" not in plan, plan
+
+
+def test_bpe_round_single_exchange_no_python(spark):
+    """q188/q189's trainer (operators/tokenizer.py): the per-round
+    pair count is ONE map-side-combinable exchange over the
+    vocab-sized state — no join, no Python, no higher-order lambdas
+    (slice/arrays_zip/explode stay in codegen) — and the merge
+    application / encoder is a map-only replace projection adding
+    ZERO exchanges. The 100-TB argument checked as code: after the
+    one corpus-scale word-table groupBy, every training round moves
+    only vocab-local bytes."""
+    from pyspark.sql import functions as F
+
+    from big_data_spark.catalog import load_table
+    from big_data_spark.operators.tokenizer import (
+        BPEMerge,
+        _pair_counts,
+        _wrapped,
+        apply_bpe,
+        bpe_word_table,
+    )
+
+    words = bpe_word_table(
+        load_table(spark, SF_ORACLE, "documents"), token_pattern="^[a-z]+$"
+    )
+    state = words.select(
+        _wrapped("w").alias("_s"), F.col("cnt").alias("_cnt")
+    )
+    counts = _pair_counts(state)
+    plan = formatted_plan(counts)
+    # one exchange beyond the word table's own build agg
+    assert count_shuffles(counts) == count_shuffles(words) + 1, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+    enc = apply_bpe(words, [BPEMerge(1, "a", "b", "ab", 0)])
+    assert count_shuffles(enc) == count_shuffles(words), formatted_plan(enc)

@@ -19,12 +19,13 @@ DRIVER_WINDOW = 50
 # post-fit readouts are now oracle-backed companions (q186/q187).
 ROWS_ONLY_WINDOW_EXCEPTIONS: set[str] = set()
 
-# Round-8 slot plan (VERDICT r07 orders #1/#2 — steady state): 12
+# Round-9 slot plan (VERDICT r08 order #6 — steady state): 12
 # permanent anchors, the 2 judge-ordered residual-PQ certification
-# anchors (q75, q152), the 4 round-8 additions (first hard check),
-# and 32 re-confirmations of the freshest (1x-green) r07
-# first-greens. Five 1x-green entries rotated out with in-window
-# machinery reps (see _DRIVER_WINDOW_ORDER demotion notes).
+# anchors (q75, q152), the 4 round-8 additions kept as 1x-green
+# re-confirmations (q186 re-certifies its HARDENED range oracle),
+# the 2 round-9 additions (q188/q189 BPE trainer — first hard
+# check), and 30 re-confirmations. Two 2x-green entries rotated out
+# with in-window machinery reps (see _DRIVER_WINDOW_ORDER notes).
 MUST_BE_IN_WINDOW = {
     # -- anchors (12): multi-green machinery pins --
     "q01_pricing_summary",
@@ -42,12 +43,15 @@ MUST_BE_IN_WINDOW = {
     # -- VERDICT r07 order #1: residual-PQ certification anchors --
     "q75_pq_adc_topk",
     "q152_filtered_ann",
-    # -- round-8 additions: FIRST hard driver check --
+    # -- round-8 additions, kept as 1x-green re-confirmations --
     "q184_residual_adc_topk",
     "q185_ivfpq_pruned_refine",
     "q186_kmeans_fit_invariants",
     "q187_w2v_vocab_invariants",
-    # -- re-confirmations (32): freshest r07 first-greens --
+    # -- round-9 additions: FIRST hard driver check --
+    "q188_bpe_merge_sequence",
+    "q189_bpe_encoded_vocab",
+    # -- re-confirmations (30): freshest greens --
     "q146_pagerank",
     "q147_weighted_sample",
     "q148_windowed_funnel",
@@ -64,7 +68,6 @@ MUST_BE_IN_WINDOW = {
     "q163_cusum_changepoint",
     "q164_calibration_bins",
     "q165_int8_quantization",
-    "q167_zipf_slope",
     "q168_interval_union",
     "q169_fk_orphan_audit",
     "q170_duplication_fraction",
@@ -74,7 +77,6 @@ MUST_BE_IN_WINDOW = {
     "q175_bigram_logprob",
     "q176_langid_confusion",
     "q177_token_entropy",
-    "q178_centroid_shift",
     "q179_source_kl",
     "q180_approx_groupby_ci",
     "q181_burn_rate_alerts",

@@ -1,0 +1,207 @@
+"""BPE tokenizer training: parity with a reference single-node BPE,
+greedy-merge semantics, batched-round determinism, encode round trip.
+
+The distributed trainer (operators/tokenizer.py) must reproduce the
+classic Sennrich algorithm exactly at merges_per_round=1 — the
+reference implementation below is the standard textbook loop (pair
+counts over a symbolized vocab, argmax with (count desc, pair lex)
+tiebreak, greedy left-to-right merge) written independently in plain
+Python as the test oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_spark.operators.tokenizer import (
+    BPEMerge,
+    apply_bpe,
+    bpe_word_table,
+    merges_df,
+    train_bpe,
+)
+
+
+def _ref_bpe(word_counts: dict[str, int], num_merges: int):
+    """Reference classic BPE (single-node, pure Python)."""
+    vocab: dict[tuple, int] = {}
+    for w, c in word_counts.items():
+        k = tuple(w)
+        vocab[k] = vocab.get(k, 0) + c
+    merges = []
+    for _ in range(num_merges):
+        pairs: dict[tuple, int] = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        (a, b), n = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((a, b, a + b, n))
+        new_vocab: dict[tuple, int] = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            k = tuple(out)
+            new_vocab[k] = new_vocab.get(k, 0) + c
+        vocab = new_vocab
+    return merges, vocab
+
+
+CORPUS = {
+    # deliberately includes the overlap case (runs of one char),
+    # ties, single-char words, and words that merge fully
+    "low": 5,
+    "lower": 2,
+    "newest": 6,
+    "widest": 3,
+    "aaa": 4,
+    "aaaa": 2,
+    "ab": 7,
+    "a": 9,
+    "banana": 3,
+}
+
+
+@pytest.fixture()
+def words(spark):
+    return spark.createDataFrame(
+        list(CORPUS.items()), "w string, cnt long"
+    )
+
+
+def test_train_matches_reference_python(spark, words):
+    got = train_bpe(words, num_merges=12)
+    ref, _ = _ref_bpe(CORPUS, 12)
+    assert [(m.left, m.right, m.merged, m.n) for m in got] == ref
+
+
+def test_overlapping_runs_merge_greedily(spark):
+    # 'aaa' -> [aa, a]; 'aaaa' -> [aa, aa] under merge (a,a) — the
+    # left-to-right resume-after-replacement semantics both engines'
+    # replace() provides through the delimiter-wrapped representation
+    df = spark.createDataFrame([("aaa", 1), ("aaaa", 1)], "w string, cnt long")
+    m = [BPEMerge(rank=1, left="a", right="a", merged="aa", n=0)]
+    toks = {
+        r["w"]: list(r["bpe_tokens"])
+        for r in apply_bpe(df, m).collect()
+    }
+    assert toks == {"aaa": ["aa", "a"], "aaaa": ["aa", "aa"]}
+
+
+def test_encode_reproduces_training_end_state(spark, words):
+    merges = train_bpe(words, num_merges=12)
+    _, ref_vocab = _ref_bpe(CORPUS, 12)
+    enc = {
+        r["w"]: tuple(r["bpe_tokens"])
+        for r in apply_bpe(words, merges, word_col="w").collect()
+    }
+    assert set(enc.values()) == set(ref_vocab)
+    for w in CORPUS:
+        assert "".join(enc[w]) == w  # lossless
+
+
+def test_batched_rounds_deterministic_across_partitionings(spark, words):
+    a = train_bpe(words, num_merges=10, merges_per_round=4)
+    b = train_bpe(
+        words.repartition(7), num_merges=10, merges_per_round=4
+    )
+    assert [(m.left, m.right, m.n) for m in a] == [
+        (m.left, m.right, m.n) for m in b
+    ]
+
+
+def test_select_nonoverlapping_defers_stale_pairs():
+    from big_data_spark.operators.tokenizer import _select_nonoverlapping
+
+    ranked = [
+        ("a", "a", 14),  # taken; uses {a, aa}
+        ("a", "b", 9),  # deferred: 'a' already merged this round
+        ("e", "s", 8),  # taken
+        ("s", "t", 7),  # deferred: 's' used
+        ("aa", "c", 6),  # deferred: equals rank-1's merged result
+        ("x", "y", 5),  # taken
+    ]
+    assert _select_nonoverlapping(ranked, 5) == [
+        ("a", "a", 14),
+        ("e", "s", 8),
+        ("x", "y", 5),
+    ]
+    # k truncates; the first candidate is always taken
+    assert _select_nonoverlapping(ranked, 1) == [("a", "a", 14)]
+
+
+def test_vocab_saturation_stops_early(spark):
+    df = spark.createDataFrame([("ab", 3)], "w string, cnt long")
+    merges = train_bpe(df, num_merges=50)
+    assert [(m.left, m.right) for m in merges] == [("a", "b")]
+
+
+def test_delimiter_word_fails_loudly(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = spark.createDataFrame([("a|b", 1)], "w string, cnt long")
+    with pytest.raises(SparkRuntimeException, match="delimiter"):
+        train_bpe(df, num_merges=1)
+
+
+def test_word_table_filters_and_weights(spark):
+    docs = spark.createDataFrame(
+        [(1, "ab ab XX a|b"), (2, "ab  cd")], "doc_id int, text string"
+    )
+    rows = {
+        r["w"]: r["cnt"]
+        for r in bpe_word_table(docs, token_pattern="^[a-z]+$").collect()
+    }
+    # empty tokens (double space), non-matching tokens, and
+    # delimiter-containing tokens are excluded; counts are corpus-wide
+    assert rows == {"ab": 3, "cd": 1}
+
+
+def test_merges_df_schema(spark, words):
+    df = merges_df(spark, train_bpe(words, num_merges=3))
+    assert [f.name for f in df.schema.fields] == [
+        "merge_rank",
+        "left_sym",
+        "right_sym",
+        "merged",
+        "n",
+    ]
+    assert df.count() == 3
+
+
+def test_model_save_load_roundtrip(spark, words, tmp_path):
+    from big_data_spark.operators.tokenizer import (
+        load_bpe_model,
+        save_bpe_model,
+    )
+
+    merges = train_bpe(words, num_merges=6)
+    save_bpe_model(merges, str(tmp_path / "tok"))
+    loaded = load_bpe_model(str(tmp_path / "tok"))
+    assert loaded == merges
+    # the reloaded model encodes identically
+    a = {r["w"]: tuple(r["bpe_tokens"]) for r in apply_bpe(words, merges).collect()}
+    b = {r["w"]: tuple(r["bpe_tokens"]) for r in apply_bpe(words, loaded).collect()}
+    assert a == b
+
+
+def test_model_load_rejects_format_drift(tmp_path):
+    import json
+
+    from big_data_spark.operators.tokenizer import load_bpe_model
+
+    (tmp_path / "tok").mkdir()
+    (tmp_path / "tok" / "bpe_model.json").write_text(
+        json.dumps({"format": "something_else", "merges": []})
+    )
+    with pytest.raises(ValueError, match="unrecognized BPE model format"):
+        load_bpe_model(str(tmp_path / "tok"))

@@ -1,0 +1,120 @@
+"""BPE-trainer stress harness: train_bpe at a production-shaped
+vocabulary (VERDICT r08 order #1's "done" bar: >=100k docs, merges/s).
+
+Generates a deterministic corpus (docs of synthetic words drawn
+Zipf-ish from a character-level generator, so adjacent-pair structure
+exists to merge), builds the distinct-word table once (the corpus-
+scale pass), then measures the TRAINING LOOP itself, one JSON line
+per phase:
+
+  word_table      the one corpus-scale groupBy (docs -> vocab+counts)
+  train_k{K}      train_bpe at merges_per_round=K: wall seconds,
+                  merges learned, rounds executed, merges/s —
+                  separates the per-round fixed cost (one vocab-local
+                  agg + one bounded collect, ~constant) from the
+                  per-merge cost (one map-only replace), which is why
+                  K=16 should approach K=1's per-merge cost / 16.
+
+Usage: python tools/stress_bpe.py [n_docs] [tokens_per_doc] [vocab]
+                                  [num_merges]
+Defaults 100_000 docs x 80 tokens, 20k word vocab, 64 merges.
+Single-shot timings on cache-warmed inputs — scale datapoints, not
+benchmarks (run idle; see SCALING.md "Noise floor").
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from big_data_spark.operators.tokenizer import bpe_word_table, train_bpe
+from big_data_spark.session import get_spark
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    n_tokens = int(sys.argv[2]) if len(sys.argv) > 2 else 80
+    vocab = int(sys.argv[3]) if len(sys.argv) > 3 else 20_000
+    num_merges = int(sys.argv[4]) if len(sys.argv) > 4 else 64
+
+    spark = get_spark("stress-bpe")
+
+    # Deterministic corpus. Word identities hash uniformly from
+    # (doc, position) — the knob that matters for training cost is
+    # the distinct-word STATE SIZE, which this pins exactly at
+    # `vocab`. Word SPELLINGS are the word id's md5 hex with digits
+    # translated to letters (a 16-letter lowercase alphabet, 4-8
+    # chars), so pair statistics are realistic in size without
+    # mattering in content — this harness measures COST, not merge
+    # quality. xxhash64 on derived literals is partition-independent
+    # (the stress_graph lesson); md5 keeps spellings engine-portable.
+    wid = F.pmod(
+        F.xxhash64(F.col("doc") * 1315423911 + F.col("p")), F.lit(vocab)
+    )
+    spell = F.translate(
+        F.md5(wid.cast("string")), "0123456789", "ghijklmnop"
+    ).substr(F.lit(1), (F.lit(4) + F.pmod(wid, F.lit(5))).cast("int"))
+    docs = (
+        spark.range(n_docs)
+        .select(F.col("id").alias("doc"))
+        .select(
+            "doc",
+            F.explode(F.sequence(F.lit(0), F.lit(n_tokens - 1))).alias("p"),
+        )
+        .select("doc", spell.alias("w"))
+        .groupBy("doc")
+        .agg(F.concat_ws(" ", F.collect_list("w")).alias("text"))
+        .localCheckpoint(eager=True)
+    )
+    n = docs.count()
+
+    t0 = time.perf_counter()
+    words = bpe_word_table(docs, token_pattern="^[a-z]+$").localCheckpoint(
+        eager=True
+    )
+    n_words = words.count()
+    print(
+        json.dumps(
+            {
+                "op": "word_table",
+                "wall_s": round(time.perf_counter() - t0, 2),
+                "docs": n,
+                "corpus_tokens": n_docs * n_tokens,
+                "distinct_words": n_words,
+            }
+        ),
+        flush=True,
+    )
+
+    for k in (1, 16, 64):
+        t0 = time.perf_counter()
+        merges = train_bpe(
+            words, num_merges=num_merges, merges_per_round=k
+        )
+        wall = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "op": f"train_k{k}",
+                    "wall_s": round(wall, 2),
+                    "merges_per_round": k,
+                    "merges_learned": len(merges),
+                    "merges_per_s": round(len(merges) / wall, 2),
+                    "first_merges": [
+                        (m.left, m.right, m.n) for m in merges[:5]
+                    ],
+                }
+            ),
+            flush=True,
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

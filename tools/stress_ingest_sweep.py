@@ -8,7 +8,7 @@ micro-batch counts: if the fixed-cost theory holds, wall time is
 ~linear in batch count at fixed volume and docs-or-vecs/s rises
 toward the per-row floor as batches grow.
 
-For each family (IVF vectors, BM25 docs):
+For each family (IVF vectors, residual IVFPQ vectors, BM25 docs):
   - build the base index once on 80% of the corpus
   - for each batch count b: copy the index to a fresh dir, land the
     20% tail as exactly b files, stream with maxFilesPerTrigger=1
@@ -119,6 +119,79 @@ def main() -> None:
             json.dumps(
                 {
                     "op": "ivf_ingest_sweep",
+                    "batches": b,
+                    "vectors": n_tail,
+                    "wall_s": round(wall, 2),
+                    "vecs_per_s": round(n_tail / wall, 1),
+                    "s_per_batch": round(wall / b, 2),
+                }
+            ),
+            flush=True,
+        )
+        for d in (src, live, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+
+    # ---- residual (IVFPQ) family (VERDICT r08 order #3): the
+    # residual sink is ENCODE-BOUND (r08 lifecycle: 788 vec/s at 10
+    # batches), a different regime from the fixed-cost-bound IVF/BM25
+    # sinks — sweeping batch counts at fixed volume separates the
+    # per-batch fixed cost (slope of wall vs batches) from the
+    # per-row encode floor, which the batch-encode datapoint below
+    # pins directly (same encoder, no streaming machinery) ----
+    from big_data_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_encode_frame,
+        save_ivfpq_index,
+    )
+    from big_data_spark.streaming.sinks import start_pq_ingest_stream
+
+    m, ksub = 4, 256
+    pq_base = tempfile.mkdtemp(prefix="sweep_ivfpq_base_")
+    ivfpq = build_ivfpq_index(
+        emb.filter(F.col("vec_id") < n_base), nlist=nlist, m=m, ksub=ksub
+    )
+    save_ivfpq_index(ivfpq, pq_base)
+
+    t0 = time.perf_counter()
+    ivfpq_encode_frame(tail, ivfpq.centroids, ivfpq.codebooks).write.mode(
+        "overwrite"
+    ).parquet(tempfile.mkdtemp(prefix="sweep_enc_"))
+    enc_wall = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "op": "ivfpq_encode_batch",
+                "vectors": n_tail,
+                "m": m,
+                "ksub": ksub,
+                "wall_s": round(enc_wall, 2),
+                "us_per_vec": round(enc_wall / n_tail * 1e6, 1),
+            }
+        ),
+        flush=True,
+    )
+
+    for b in sweep:
+        src = tempfile.mkdtemp(prefix=f"sweep_ivfpq_src{b}_")
+        tail.repartition(b).write.mode("overwrite").parquet(src)
+        live = tempfile.mkdtemp(prefix=f"sweep_ivfpq_live{b}_")
+        shutil.rmtree(live)
+        shutil.copytree(pq_base, live)
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        ckpt = tempfile.mkdtemp(prefix=f"sweep_ivfpq_ckpt{b}_")
+        t0 = time.perf_counter()
+        q = start_pq_ingest_stream(stream, live, ckpt)
+        if not q.awaitTermination(1800):
+            q.stop()
+        wall = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "op": "ivfpq_ingest_sweep",
                     "batches": b,
                     "vectors": n_tail,
                     "wall_s": round(wall, 2),
