@@ -25,9 +25,12 @@ like production embeddings), then measures, one JSON line each:
                 corpora — same-cluster vectors tie on flat codes)
   ivfpq_adc     cell-pruned residual ADC (nprobe=4): median latency
                 + mean recall@10 vs exact L2
-  ivfpq_refined residual ADC shortlist + exact re-rank at the SAME
-                refine_factor where flat PQ measured 0.54 — the
-                round-8 acceptance number (target ≥ 0.9)
+  ivfpq_refined residual ADC shortlist + exact re-rank, emitted at
+                (nprobe, refine_factor) ∈ {4,8} × {rf, 5·rf} — at
+                32-d rf=100 already scores 1.0; at 128-d the rf
+                sweep shows the shortlist (not nprobe) is the
+                binding recall knob (SCALING.md round-9 datapoint;
+                tools/stress_ann_sweep.py maps the surface finer)
   ivfpq_filtered 10%-selective predicate over codes-table metadata,
                 auto over-probe (counting-aggregate fallback) +
                 refine — recall vs the exact FILTERED truth
@@ -89,18 +92,12 @@ from big_data_spark.functions import l2_sq
 from big_data_spark.session import get_spark
 
 
-def main() -> None:
-    n_vecs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    dim = int(sys.argv[2]) if len(sys.argv) > 2 else 32
-    nlist = int(sys.argv[3]) if len(sys.argv) > 3 else 64
-    m = int(sys.argv[4]) if len(sys.argv) > 4 else 4
-    ksub = int(sys.argv[5]) if len(sys.argv) > 5 else 256
-    rf = int(sys.argv[6]) if len(sys.argv) > 6 else 100
+def clustered_corpus(spark, n_vecs: int, dim: int, nlist: int):
+    """Deterministic clustered corpus: vector = center(id % nlist) +
+    noise/8, every component a hash in [-1, 1). Shared with the
+    targeted sweep runner (stress_ann_sweep.py) so follow-up
+    measurements run on the IDENTICAL corpus."""
 
-    spark = get_spark("stress-ann")
-
-    # Clustered corpus: vector = center(id % nlist) + noise/8, every
-    # component a deterministic hash in [-1, 1).
     def comp(seed_col, i, scale):
         return (
             F.pmod(F.xxhash64(seed_col * 1_000_003 + i), F.lit(2000)).cast(
@@ -111,30 +108,48 @@ def main() -> None:
         ) * scale
 
     center = F.col("id") % nlist
-    emb = (
+    return (
         spark.range(n_vecs)
         .select(
             F.col("id").alias("vec_id"),
             F.transform(
                 F.sequence(F.lit(0), F.lit(dim - 1)),
                 lambda i: F.round(
-                    comp(center, i, F.lit(1.0)) + comp(F.col("id"), i, F.lit(0.125)),
+                    comp(center, i, F.lit(1.0))
+                    + comp(F.col("id"), i, F.lit(0.125)),
                     6,
                 ).cast("float"),
             ).alias("embedding"),
         )
         .localCheckpoint(eager=True)
     )
+
+
+def perturbed_queries(emb, n: int = 5):
+    """n query vectors: corpus vectors, lightly perturbed driver-side."""
+    qrows = emb.orderBy("vec_id").limit(n).collect()
+    return [
+        [float(x) + (0.01 if j % 2 else -0.01) for j, x in enumerate(r["embedding"])]
+        for r in qrows
+    ]
+
+
+def main() -> None:
+    n_vecs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    dim = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    nlist = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    m = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    ksub = int(sys.argv[5]) if len(sys.argv) > 5 else 256
+    rf = int(sys.argv[6]) if len(sys.argv) > 6 else 100
+
+    spark = get_spark("stress-ann")
+
+    emb = clustered_corpus(spark, n_vecs, dim, nlist)
     n = emb.count()
     print(json.dumps({"corpus": {"vectors": n, "dim": dim, "centers": nlist}}),
           flush=True)
 
-    # 5 query vectors: corpus vectors, lightly perturbed driver-side
-    qrows = emb.orderBy("vec_id").limit(5).collect()
-    queries = [
-        [float(x) + (0.01 if j % 2 else -0.01) for j, x in enumerate(r["embedding"])]
-        for r in qrows
-    ]
+    queries = perturbed_queries(emb)
 
     t0 = time.perf_counter()
     index = build_ivf_index(emb, nlist=nlist)
@@ -237,21 +252,28 @@ def main() -> None:
                       "mean_recall_at_10": round(sum(rq_recalls) / len(rq_recalls), 3)}),
           flush=True)
 
-    rr_times, rr_recalls = [], []
-    for q, t in zip(queries, l2_truth):
-        t0 = time.perf_counter()
-        got = [
-            r["vec_id"]
-            for r in ivfpq_search_refined(
-                ivfpq, emb, q, k=10, nprobe=4, refine_factor=rf
-            ).collect()
-        ]
-        rr_times.append(time.perf_counter() - t0)
-        rr_recalls.append(len(set(got) & set(t)) / 10.0)
-    print(json.dumps({"op": "ivfpq_refined", "nprobe": 4, "refine_factor": rf,
-                      "median_s": round(statistics.median(rr_times), 3),
-                      "mean_recall_at_10": round(sum(rr_recalls) / len(rr_recalls), 3)}),
-          flush=True)
+    # rf/nprobe sweep: at high dim the per-subspace quantization
+    # noise sums over more subspaces, so the rf=100 shortlist can
+    # leak true neighbors (measured 0.86 at 128-d vs 1.00 at 32-d) —
+    # the sweep shows which knob (shortlist vs probed cells) buys the
+    # recall back and at what latency
+    for np_, rf_ in [(4, rf), (4, rf * 5), (8, rf), (8, rf * 5)]:
+        rr_times, rr_recalls = [], []
+        for q, t in zip(queries, l2_truth):
+            t0 = time.perf_counter()
+            got = [
+                r["vec_id"]
+                for r in ivfpq_search_refined(
+                    ivfpq, emb, q, k=10, nprobe=np_, refine_factor=rf_
+                ).collect()
+            ]
+            rr_times.append(time.perf_counter() - t0)
+            rr_recalls.append(len(set(got) & set(t)) / 10.0)
+        print(json.dumps({"op": "ivfpq_refined", "nprobe": np_,
+                          "refine_factor": rf_,
+                          "median_s": round(statistics.median(rr_times), 3),
+                          "mean_recall_at_10": round(sum(rr_recalls) / len(rr_recalls), 3)}),
+              flush=True)
 
     # ---- filtered residual search (the q152 discipline on the
     # compressed layout): 10% label selectivity, auto over-probe from
