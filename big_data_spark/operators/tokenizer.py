@@ -152,6 +152,18 @@ def _select_nonoverlapping(
     return chosen
 
 
+# Hard driver-safety bound on UN-MATERIALIZED nested replace calls:
+# Spark 4's column→expression conversion recurses once per call and
+# overflows the driver stack near ~1000 nested replaces (measured:
+# 256 converts in 0.33 s, 1024 throws StackOverflowError in
+# ColumnNodeToExpressionConverter) — and splitting across Projects
+# does NOT help because CollapseProject re-nests adjacent projections
+# at optimization time. Only materialization (localCheckpoint) truly
+# cuts the depth, so both the trainer and the encoder checkpoint
+# whenever the pending chain would exceed this.
+REPLACE_DEPTH_CAP = 96
+
+
 def train_bpe(
     words: DataFrame,
     num_merges: int,
@@ -181,6 +193,7 @@ def train_bpe(
 
     merges: list[BPEMerge] = []
     rounds_since_ckpt = 0
+    pending = 0  # un-materialized nested replaces (REPLACE_DEPTH_CAP)
     while len(merges) < num_merges:
         k = min(merges_per_round, num_merges - len(merges))
         top = (
@@ -194,7 +207,6 @@ def train_bpe(
         chosen = _select_nonoverlapping(
             [(row["l"], row["r"], row["n"]) for row in top], k
         )
-        col = F.col("_s")
         for left, right, n in chosen:
             merges.append(
                 BPEMerge(
@@ -205,15 +217,30 @@ def train_bpe(
                     n=n,
                 )
             )
-            col = F.replace(
-                col,
-                F.lit(f"{_D}{left}{_D}{_D}{right}{_D}"),
-                F.lit(f"{_D}{left}{right}{_D}"),
-            )
-        state = state.select(col.alias("_s"), "_cnt")
+        # apply in depth-capped segments: the chain of nested
+        # replaces since the last materialization must stay under
+        # REPLACE_DEPTH_CAP (see the constant's rationale)
+        i = 0
+        while i < len(chosen):
+            if pending >= REPLACE_DEPTH_CAP:
+                state = state.localCheckpoint(eager=True)
+                pending = 0
+                rounds_since_ckpt = 0
+            seg = chosen[i : i + REPLACE_DEPTH_CAP - pending]
+            col = F.col("_s")
+            for left, right, _n in seg:
+                col = F.replace(
+                    col,
+                    F.lit(f"{_D}{left}{_D}{_D}{right}{_D}"),
+                    F.lit(f"{_D}{left}{right}{_D}"),
+                )
+            state = state.select(col.alias("_s"), "_cnt")
+            pending += len(seg)
+            i += len(seg)
         rounds_since_ckpt += 1
         if rounds_since_ckpt >= checkpoint_every:
             state = state.localCheckpoint(eager=True)
+            pending = 0
             rounds_since_ckpt = 0
     return merges
 
@@ -277,21 +304,31 @@ def apply_bpe(
     out_col: str = "bpe_tokens",
 ) -> DataFrame:
     """Encode words with a trained merge table: replay every merge in
-    priority order (map-only — one chained string ``replace``
-    projection, no shuffle, no Python), then split the wrapped string
-    back into the symbol array. This is merge-REPLAY semantics (what
-    training itself produced — encode(train_corpus) reproduces the
-    training-end state exactly); cost is one left-to-right scan per
-    merge per word, fine for the 10^3-10^4 merge tables this trains.
-    Encoding new text against very large merge tables would want a
-    trie/longest-match encoder — a different operator."""
+    priority order (map-only chained string ``replace``s, no shuffle,
+    no Python), then split the wrapped string back into the symbol
+    array. This is merge-REPLAY semantics (what training itself
+    produced — encode(train_corpus) reproduces the training-end state
+    exactly); cost is one left-to-right scan per merge per word.
+    Merge tables longer than REPLACE_DEPTH_CAP are applied in
+    depth-capped segments with an eager localCheckpoint between them
+    (the driver-stack bound documented at the constant — a
+    production-size table as ONE chained projection would overflow
+    the driver during column conversion); under the cap the encode
+    stays a single lazy projection. Encoding new text against very
+    large merge tables would want a trie/longest-match encoder — a
+    different operator."""
     col = _wrapped(word_col)
-    for m in merges:
-        col = F.replace(
-            col,
-            F.lit(f"{_D}{m.left}{_D}{_D}{m.right}{_D}"),
-            F.lit(f"{_D}{m.merged}{_D}"),
-        )
-    return df.withColumn(
+    cur = df
+    for i in range(0, max(len(merges), 1), REPLACE_DEPTH_CAP):
+        for m in merges[i : i + REPLACE_DEPTH_CAP]:
+            col = F.replace(
+                col,
+                F.lit(f"{_D}{m.left}{_D}{_D}{m.right}{_D}"),
+                F.lit(f"{_D}{m.merged}{_D}"),
+            )
+        if i + REPLACE_DEPTH_CAP < len(merges):
+            cur = cur.withColumn("_bpe_s", col).localCheckpoint(eager=True)
+            col = F.col("_bpe_s")
+    return cur.withColumn(
         out_col, F.array_remove(F.split(col, r"\|+"), "")
-    )
+    ).drop("_bpe_s")

@@ -205,3 +205,47 @@ def test_model_load_rejects_format_drift(tmp_path):
     )
     with pytest.raises(ValueError, match="unrecognized BPE model format"):
         load_bpe_model(str(tmp_path / "tok"))
+
+
+def test_deep_merge_chain_does_not_overflow_driver(spark, words):
+    """Spark 4's column->expression conversion recurses per nested
+    replace and overflows the driver stack near ~1000 (measured —
+    REPLACE_DEPTH_CAP's rationale). A production-size merge table
+    must therefore encode through depth-capped segments; 300 merges
+    exercises the segmented path (3 segments) and must neither crash
+    nor change results (the extra 'merges' are no-ops on this
+    corpus)."""
+    from big_data_spark.operators.tokenizer import REPLACE_DEPTH_CAP
+
+    real = train_bpe(words, num_merges=8)
+    noop = [
+        BPEMerge(rank=i + 9, left=f"q{i}", right=f"z{i}", merged=f"q{i}z{i}", n=0)
+        for i in range(300 - len(real))
+    ]
+    assert len(real) + len(noop) > 2 * REPLACE_DEPTH_CAP  # ≥3 segments
+    enc_deep = {
+        r["w"]: tuple(r["bpe_tokens"])
+        for r in apply_bpe(words, real + noop).collect()
+    }
+    enc_base = {
+        r["w"]: tuple(r["bpe_tokens"])
+        for r in apply_bpe(words, real).collect()
+    }
+    assert enc_deep == enc_base
+    # the word column survives the segmented path, the helper column
+    # does not
+    cols = apply_bpe(words, real + noop).columns
+    assert "w" in cols and "_bpe_s" not in cols
+
+
+def test_checkpoint_cadence_does_not_change_merges(spark, words, monkeypatch):
+    import big_data_spark.operators.tokenizer as tok
+
+    base = train_bpe(words, num_merges=10, merges_per_round=4)
+    monkeypatch.setattr(tok, "REPLACE_DEPTH_CAP", 3)
+    capped = tok.train_bpe(
+        words, num_merges=10, merges_per_round=4, checkpoint_every=1
+    )
+    assert [(m.left, m.right, m.n) for m in capped] == [
+        (m.left, m.right, m.n) for m in base
+    ]
