@@ -826,7 +826,18 @@ def ivfpq_search_refined(
     ADC, broadcast the id shortlist, exact-L2 only those rows.
     ``where``/``auto_nprobe`` filter at the ADC stage (metadata lives
     in the codes table), so the shortlist is already predicate-true
-    and the re-rank needs no second filter."""
+    and the re-rank needs no second filter.
+
+    Sizing refine_factor: the shortlist must cover the ADC-TIE
+    population, which grows with BOTH corpus size and dimension
+    (per-subspace quantization noise sums over m subspaces).
+    Measured at 1M vectors: 32-d/m=4 scores recall@10 = 1.00 at
+    rf=100; 128-d/m=16 needs rf≈300-500 for 0.96-0.98 — at FLAT
+    latency, because the exact re-rank of the shortlist is noise
+    next to the ADC scan. Raising nprobe instead buys no recall at
+    +35% latency (the misses are ADC-ranking losses inside already-
+    probed cells, not coarse-stage misses). Rule: rf ≥ 300 at
+    ≥128-d; see SCALING.md's round-9 high-dimension section."""
     from ..functions import l2_sq
 
     cand = ivfpq_adc_search(
