@@ -66,6 +66,19 @@ class BPEMerge:
     n: int  # weighted pair count at selection time
 
 
+class MergeList(list):
+    """train_bpe's return type: a plain list of BPEMerge carrying
+    per-call observability (the graph.py ``last_rounds`` pattern —
+    per-call state, not module state two concurrent trainers would
+    clobber): ``last_rounds`` = aggregation rounds executed,
+    ``round_picks`` = merges selected per round (the non-overlap
+    filter's fill curve — how quickly large merges_per_round fills
+    as the symbol inventory grows)."""
+
+    last_rounds: int = 0
+    round_picks: tuple = ()
+
+
 def _wrapped(word_col: str) -> F.Column:
     """``'|c1||c2||...||ck|'`` — every initial (character) symbol
     wrapped in its own delimiters, with a LOUD executor-side failure
@@ -182,16 +195,19 @@ def train_bpe(
     (driver-side greedy non-overlap filter picks ≤k), and k map-only
     ``replace`` rewrites of the wrapped-string state. The returned
     merge sequence at ``merges_per_round=1`` is classic BPE and is
-    what q188's unrolled DuckDB oracle replays round for round.
+    what q188's unrolled DuckDB oracle replays round for round. The
+    return value is a plain list of BPEMerge that also carries
+    ``last_rounds``/``round_picks`` observability (MergeList).
     """
     if num_merges < 1:
-        return []
+        return MergeList()
     state = words.select(
         _wrapped(word_col).alias("_s"),
         F.col(count_col).cast("long").alias("_cnt"),
     ).localCheckpoint(eager=True)  # cut to the (corpus-scale) source once
 
-    merges: list[BPEMerge] = []
+    merges = MergeList()
+    picks: list[int] = []
     rounds_since_ckpt = 0
     pending = 0  # un-materialized nested replaces (REPLACE_DEPTH_CAP)
     while len(merges) < num_merges:
@@ -207,6 +223,7 @@ def train_bpe(
         chosen = _select_nonoverlapping(
             [(row["l"], row["r"], row["n"]) for row in top], k
         )
+        picks.append(len(chosen))
         for left, right, n in chosen:
             merges.append(
                 BPEMerge(
@@ -242,6 +259,8 @@ def train_bpe(
             state = state.localCheckpoint(eager=True)
             pending = 0
             rounds_since_ckpt = 0
+    merges.last_rounds = len(picks)
+    merges.round_picks = tuple(picks)
     return merges
 
 

@@ -249,3 +249,13 @@ def test_checkpoint_cadence_does_not_change_merges(spark, words, monkeypatch):
     assert [(m.left, m.right, m.n) for m in capped] == [
         (m.left, m.right, m.n) for m in base
     ]
+
+
+def test_train_exposes_round_observability(spark, words):
+    m1 = train_bpe(words, num_merges=6)
+    assert m1.last_rounds == 6  # k=1: one merge per round
+    assert list(m1.round_picks) == [1] * 6
+    mk = train_bpe(words, num_merges=6, merges_per_round=6)
+    assert mk.last_rounds == len(mk.round_picks)
+    assert sum(mk.round_picks) == len(mk) == 6
+    assert mk.last_rounds < 6  # batching actually batched

@@ -92,7 +92,9 @@ def main() -> None:
         flush=True,
     )
 
-    for k in (1, 16, 64):
+    for k in (1, 16, 64, 256):
+        if k > num_merges:
+            continue
         t0 = time.perf_counter()
         merges = train_bpe(
             words, num_merges=num_merges, merges_per_round=k
@@ -106,6 +108,12 @@ def main() -> None:
                     "merges_per_round": k,
                     "merges_learned": len(merges),
                     "merges_per_s": round(len(merges) / wall, 2),
+                    # the non-overlap filter's fill curve: how many
+                    # merges each round actually picked — measures
+                    # whether large k fills as the symbol inventory
+                    # grows (SCALING.md's round-fill claim)
+                    "rounds": merges.last_rounds,
+                    "round_picks": list(merges.round_picks),
                     "first_merges": [
                         (m.left, m.right, m.n) for m in merges[:5]
                     ],
