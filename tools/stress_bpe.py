@@ -16,8 +16,11 @@ per phase:
                   K=16 should approach K=1's per-merge cost / 16.
 
 Usage: python tools/stress_bpe.py [n_docs] [tokens_per_doc] [vocab]
-                                  [num_merges]
-Defaults 100_000 docs x 80 tokens, 20k word vocab, 64 merges.
+                                  [num_merges] [alphabet]
+Defaults 100_000 docs x 80 tokens, 20k word vocab, 64 merges,
+16-letter alphabet (md5-hex spellings). alphabet=26 switches to
+per-character hashed spellings over a-z — the knob that tests
+whether the non-overlap filter's round fill is alphabet-bound.
 Single-shot timings on cache-warmed inputs — scale datapoints, not
 benchmarks (run idle; see SCALING.md "Noise floor").
 """
@@ -42,6 +45,7 @@ def main() -> None:
     n_tokens = int(sys.argv[2]) if len(sys.argv) > 2 else 80
     vocab = int(sys.argv[3]) if len(sys.argv) > 3 else 20_000
     num_merges = int(sys.argv[4]) if len(sys.argv) > 4 else 64
+    alphabet = int(sys.argv[5]) if len(sys.argv) > 5 else 16
 
     spark = get_spark("stress-bpe")
 
@@ -57,9 +61,27 @@ def main() -> None:
     wid = F.pmod(
         F.xxhash64(F.col("doc") * 1315423911 + F.col("p")), F.lit(vocab)
     )
-    spell = F.translate(
-        F.md5(wid.cast("string")), "0123456789", "ghijklmnop"
-    ).substr(F.lit(1), (F.lit(4) + F.pmod(wid, F.lit(5))).cast("int"))
+    if alphabet == 16:
+        spell = F.translate(
+            F.md5(wid.cast("string")), "0123456789", "ghijklmnop"
+        ).substr(F.lit(1), (F.lit(4) + F.pmod(wid, F.lit(5))).cast("int"))
+    else:
+        # per-character hashed spelling over an `alphabet`-letter
+        # lowercase range; lives only in the (checkpointed, untimed)
+        # generator, so the transform lambda's CodegenFallback cost
+        # never touches a measured phase
+        spell = F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3) + F.pmod(wid, F.lit(5))),
+                lambda d: F.char(
+                    F.lit(97)
+                    + F.pmod(F.xxhash64(wid * 53 + d), F.lit(alphabet)).cast(
+                        "int"
+                    )
+                ),
+            ),
+        )
     docs = (
         spark.range(n_docs)
         .select(F.col("id").alias("doc"))
