@@ -173,9 +173,12 @@ BENCH_QUERIES = [
     "q185_ivfpq_pruned_refine",
     "q186_kmeans_fit_invariants",
     "q187_w2v_vocab_invariants",
-    # round-9 additions: distributed BPE tokenizer training
+    # round-9 additions: distributed BPE + unigram-LM tokenizer
+    # training
     "q188_bpe_merge_sequence",
     "q189_bpe_encoded_vocab",
+    "q190_unigram_seed_vocab",
+    "q191_unigram_roundtrip",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

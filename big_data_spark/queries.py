@@ -12051,6 +12051,119 @@ def q189_bpe_encoded_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the shared word-table SQL for the unigram oracles (q188's w0 table
+# unwrapped — the same ^[a-z]+$ vocabulary the Spark side builds via
+# bpe_word_table)
+_UNIGRAM_WORDS_SQL = """w0 AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' AND regexp_matches(w, '^[a-z]+$')
+      GROUP BY w
+    )"""
+
+_UNIGRAM_SEED_SIZE = 200  # q190's multi-char candidate budget
+_UNIGRAM_MAX_PIECE = 6
+
+
+@register(
+    "q190_unigram_seed_vocab",
+    "WITH "
+    + _UNIGRAM_WORDS_SQL
+    + f""",
+    s1 AS (
+      SELECT w, cnt, unnest(generate_series(1, length(w))) AS st FROM w0
+    ),
+    s2 AS (
+      SELECT w, cnt, st,
+             unnest(generate_series(
+               1, least({_UNIGRAM_MAX_PIECE}, length(w) - st + 1))) AS ln
+      FROM s1
+    ),
+    agg AS (
+      SELECT substr(w, CAST(st AS INT), CAST(ln AS INT)) AS piece,
+             CAST(SUM(cnt) AS BIGINT) AS weight
+      FROM s2 GROUP BY 1
+    ),
+    r AS (
+      SELECT piece, weight,
+             row_number() OVER (PARTITION BY length(piece) = 1
+                                ORDER BY weight DESC, piece) AS rk
+      FROM agg
+    )
+    SELECT piece, weight FROM r
+    WHERE length(piece) = 1 OR rk <= {_UNIGRAM_SEED_SIZE}
+    ORDER BY weight DESC, piece
+    """,
+    "text",
+    "tokenizer",
+)
+def q190_unigram_seed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer training, stage 1 —
+    the seed candidate vocabulary (operators/unigram.py, the BPE
+    trainer's sibling; public algorithm: Kudo & Richardson 2018):
+    every substring of length 1..6 of every corpus-vocabulary word,
+    weighted by word count x occurrences — two nested
+    explode(sequence) projections into ONE map-side-combinable
+    groupBy, all codegen. All single-character pieces are kept
+    (coverage guarantee); the top 200 multi-character candidates join
+    them under a byte-deterministic (weight DESC, piece ASC) rank.
+    The oracle replays the identical counting + per-length-class
+    row_number selection in SQL. Scale: the agg runs over the
+    vocab-sized word table (q121's trick), never the corpus."""
+    from .operators.unigram import unigram_seed_vocab
+
+    return unigram_seed_vocab(
+        _bpe_vocab(spark, sf_dir),
+        seed_size=_UNIGRAM_SEED_SIZE,
+        max_piece_len=_UNIGRAM_MAX_PIECE,
+    ).orderBy(F.desc("weight"), "piece")
+
+
+@register(
+    "q191_unigram_roundtrip",
+    "WITH "
+    + _UNIGRAM_WORDS_SQL
+    + """
+    SELECT w, cnt, md5(w) AS roundtrip_md5 FROM w0 ORDER BY w
+    """,
+    "text",
+    "tokenizer",
+)
+def q191_unigram_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM training + Viterbi encode, certified the q186/q187
+    way (run the REAL iterative machinery, hash-check its
+    deterministic invariants): train the full hard-EM loop (seed ->
+    Viterbi E-step via Arrow-batched mapInPandas with broadcast piece
+    probs -> integer recount -> coverage-preserving prune) on the
+    corpus vocabulary, Viterbi-encode that same vocabulary with the
+    learned pieces, and emit per word the md5 of the re-concatenated
+    segmentation. The row only matches the oracle's md5(w) if every
+    word round-trips LOSSLESSLY through train + encode — segmentation
+    must cover the word exactly, in order, with no dropped or
+    duplicated pieces. (The EM fit itself is iterative and stays
+    SQL-inexpressible, like the MLlib fits; its small-scale parity vs
+    an independent single-node reference is pinned in
+    tests/test_unigram.py.)"""
+    from .operators.unigram import apply_unigram, train_unigram
+
+    vocab = _bpe_vocab(spark, sf_dir)
+    pieces = train_unigram(
+        vocab,
+        vocab_size=24,
+        seed_size=40,
+        max_piece_len=_UNIGRAM_MAX_PIECE,
+        em_iters=2,
+    )
+    enc = apply_unigram(vocab, pieces, word_col="w", out_col="_pieces")
+    return enc.select(
+        "w",
+        "cnt",
+        F.md5(F.concat_ws("", "_pieces").cast("binary")).alias(
+            "roundtrip_md5"
+        ),
+    ).orderBy("w")
+
+
 # =========================================================================
 # Registry ordering (driver check-window priority)
 # =========================================================================
@@ -12067,12 +12180,13 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     # plan: 12 permanent anchors, the 2 judge-ordered residual-PQ
     # certification anchors (q75 + q152), 4 round-8 additions
     # (q184-q187, 1x green — kept in as re-confirmations per the
-    # demotion discipline), 2 ROUND-9 ADDITIONS (q188/q189, the BPE
-    # tokenizer trainer — VERDICT r08 order #1 — landing in their own
-    # round's window per the rotation rule asserted structurally in
-    # test_registry_contract.py against the committed
-    # CORRECTNESS_r*.json ledger), and 30 re-confirmation slots.
-    # Two 2x-green entries rotate out with in-window machinery reps
+    # demotion discipline), 4 ROUND-9 ADDITIONS (q188/q189 the BPE
+    # tokenizer trainer — VERDICT r08 order #1 — and q190/q191 the
+    # unigram-LM trainer, its SentencePiece-style sibling; all landing
+    # in their own round's window per the rotation rule asserted
+    # structurally in test_registry_contract.py against the committed
+    # CORRECTNESS_r*.json ledger), and 28 re-confirmation slots.
+    # Four 2x-green entries rotate out with in-window machinery reps
     # (notes at the round-9 demotion block).
     #
     # -- anchors (12) — multi-green pins (unchanged from r07) --
@@ -12116,14 +12230,20 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q185_ivfpq_pruned_refine",
     "q186_kmeans_fit_invariants",
     "q187_w2v_vocab_invariants",
-    # -- ROUND-9 ADDITIONS: FIRST hard driver check (2) --
+    # -- ROUND-9 ADDITIONS: FIRST hard driver check (4) --
     # q188: distributed BPE tokenizer training (merge sequence vs an
     #   unrolled 8-round DuckDB replay — VERDICT r08 order #1).
     # q189: train-then-encode round trip (apply_bpe reproduces the
     #   training-end symbol histogram).
+    # q190: unigram-LM (SentencePiece-style) seed vocabulary — the
+    #   substring-counting stage hash-matched against a SQL replay.
+    # q191: unigram hard-EM train + Viterbi encode, certified via the
+    #   lossless round-trip invariant (the q186/q187 discipline).
     "q188_bpe_merge_sequence",
     "q189_bpe_encoded_vocab",
-    # -- re-confirmations (30): the freshest greens — second/third
+    "q190_unigram_seed_vocab",
+    "q191_unigram_roundtrip",
+    # -- re-confirmations (28): the freshest greens — second/third
     # confirmation consolidates them --
     "q146_pagerank",
     "q147_weighted_sample",
@@ -12133,10 +12253,8 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q151_srm_check",
     "q154_khop_reachability",
     "q155_weighted_quantiles",
-    "q157_cdc_log_compaction",
     "q158_golden_record",
     "q159_quota_sample",
-    "q160_last_touch_attribution",
     "q161_revenue_lorenz",
     "q163_cusum_changepoint",
     "q164_calibration_bins",
@@ -12160,16 +12278,23 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     # (<= promotion budget, each landing in its own round's window)
     # + re-confirmations of the freshest greens.
     #
-    # -- ROUND-9 DEMOTIONS (2; each 2x green in r07+r08, machinery-
+    # -- ROUND-9 DEMOTIONS (4; each 2x green in r07+r08, machinery-
     # subsumed by a retained in-window sibling): --
     # q167 Zipf slope ↔ q177 (the same vocab-histogram sufficient
     #   stats, single-row regression readout) + q188/q189 (the new
     #   in-window vocab-table machinery);
     # q178 centroid shift ↔ q186 (the same KMeans-centroid readout
     #   discipline) + q64/q184 (centroid-distance assignment math,
-    #   plan-asserted).
+    #   plan-asserted);
+    # q157 CDC log compaction ↔ q106/q158 (the same keyed latest-wins
+    #   winner-election window, total tiebreak included);
+    # q160 last-touch attribution ↔ q148 (per-user ordered-event
+    #   window chains) + q168 (the same per-key carry/lead windows) —
+    #   slots freed for the q190/q191 unigram additions.
     "q167_zipf_slope",
     "q178_centroid_shift",
+    "q157_cdc_log_compaction",
+    "q160_last_touch_attribution",
     #
     # -- ROUND-8 DEMOTIONS (5; each 1x green in r07, machinery-
     # subsumed by a retained in-window sibling): --

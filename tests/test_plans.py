@@ -1149,3 +1149,38 @@ def test_bpe_round_single_exchange_no_python(spark):
 
     enc = apply_bpe(words, [BPEMerge(1, "a", "b", "ab", 0)])
     assert count_shuffles(enc) == count_shuffles(words), formatted_plan(enc)
+
+
+def test_unigram_seed_one_exchange_encode_map_only(spark):
+    """q190/q191's trainer (operators/unigram.py): the seed-vocab
+    candidate count is ONE map-side-combinable exchange (plus the
+    per-length-class rank's) over the vocab-sized word table — nested
+    explode(sequence) substring generation stays in codegen, no join,
+    no Python. The Viterbi encoder is ONE Arrow-batched map-only
+    stage: zero additional exchanges, so at 100 TB encoding never
+    shuffles the corpus."""
+    from big_data_spark.catalog import load_table
+    from big_data_spark.operators.tokenizer import bpe_word_table
+    from big_data_spark.operators.unigram import (
+        UnigramPiece,
+        apply_unigram,
+        unigram_seed_vocab,
+    )
+
+    words = bpe_word_table(
+        load_table(spark, SF_ORACLE, "documents"), token_pattern="^[a-z]+$"
+    )
+    seed = unigram_seed_vocab(words, seed_size=50, max_piece_len=6)
+    plan = formatted_plan(seed)
+    # the substring agg + the row_number rank, beyond the word table's
+    # own build agg
+    assert count_shuffles(seed) == count_shuffles(words) + 2, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+    enc = apply_unigram(
+        words, [UnigramPiece(c, -1.0, 1) for c in "abcdefghijklmnopqrstuvwxyz"]
+    )
+    eplan = formatted_plan(enc)
+    assert count_shuffles(enc) == count_shuffles(words), eplan
+    assert "Join" not in eplan, eplan

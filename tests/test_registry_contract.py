@@ -23,9 +23,10 @@ ROWS_ONLY_WINDOW_EXCEPTIONS: set[str] = set()
 # permanent anchors, the 2 judge-ordered residual-PQ certification
 # anchors (q75, q152), the 4 round-8 additions kept as 1x-green
 # re-confirmations (q186 re-certifies its HARDENED range oracle),
-# the 2 round-9 additions (q188/q189 BPE trainer — first hard
-# check), and 30 re-confirmations. Two 2x-green entries rotated out
-# with in-window machinery reps (see _DRIVER_WINDOW_ORDER notes).
+# the 4 round-9 additions (q188/q189 BPE trainer + q190/q191
+# unigram-LM trainer — first hard check), and 28 re-confirmations.
+# Four 2x-green entries rotated out with in-window machinery reps
+# (see _DRIVER_WINDOW_ORDER notes).
 MUST_BE_IN_WINDOW = {
     # -- anchors (12): multi-green machinery pins --
     "q01_pricing_summary",
@@ -51,7 +52,9 @@ MUST_BE_IN_WINDOW = {
     # -- round-9 additions: FIRST hard driver check --
     "q188_bpe_merge_sequence",
     "q189_bpe_encoded_vocab",
-    # -- re-confirmations (30): freshest greens --
+    "q190_unigram_seed_vocab",
+    "q191_unigram_roundtrip",
+    # -- re-confirmations (28): freshest greens --
     "q146_pagerank",
     "q147_weighted_sample",
     "q148_windowed_funnel",
@@ -60,10 +63,8 @@ MUST_BE_IN_WINDOW = {
     "q151_srm_check",
     "q154_khop_reachability",
     "q155_weighted_quantiles",
-    "q157_cdc_log_compaction",
     "q158_golden_record",
     "q159_quota_sample",
-    "q160_last_touch_attribution",
     "q161_revenue_lorenz",
     "q163_cusum_changepoint",
     "q164_calibration_bins",
