@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "q189_bpe_encoded_vocab",
     "q190_unigram_seed_vocab",
     "q191_unigram_roundtrip",
+    "q192_corpus_encode_roundtrip",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

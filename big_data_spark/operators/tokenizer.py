@@ -351,3 +351,73 @@ def apply_bpe(
     return cur.withColumn(
         out_col, F.array_remove(F.split(col, r"\|+"), "")
     ).drop("_bpe_s")
+
+
+def encode_corpus(
+    docs: DataFrame,
+    lut: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    word_col: str = "w",
+    pieces_col: str = "bpe_tokens",
+    out_col: str = "doc_tokens",
+    token_pattern: str | None = None,
+    broadcast_lut: bool = True,
+) -> DataFrame:
+    """CORPUS-scale tokenization — the 100 TB encode path, shared by
+    BOTH tokenizer families: expensive per-word encoding (BPE merge
+    replay / unigram Viterbi) runs once per DISTINCT word to produce
+    ``lut`` (word -> piece array, via ``apply_bpe`` or
+    ``apply_unigram`` over the vocab table), and this operator joins
+    that vocab-sized LUT back onto the corpus. Per doc: tokenize
+    (posexplode, map-only, ``token_pattern`` mirrors the word table's
+    filter), join the LUT (broadcast by default — the LUT is
+    vocab-sized like an index's centroids; pass broadcast_lut=False
+    when the vocabulary outgrows the broadcast budget and let AQE
+    pick the shuffle join), then re-assemble each doc's piece
+    sequence in token order (ONE groupBy shuffle on the doc key;
+    at 100 TB skip re-assembly when downstream wants counts, not
+    sequences). Docs with zero kept tokens keep a row (empty array) —
+    the operator must not silently drop documents. A corpus word
+    missing from the LUT fails LOUDLY (executor-side raise): encoding
+    with a stale vocabulary would silently corrupt the output
+    (the module contract)."""
+    pieces = lut.select(
+        F.col(word_col).alias("_w"), F.col(pieces_col).alias("_p")
+    )
+    if broadcast_lut:
+        pieces = F.broadcast(pieces)
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("_pos", "_tok"),
+    ).filter(F.col("_tok") != "")
+    if token_pattern is not None:
+        toks = toks.filter(F.col("_tok").rlike(token_pattern))
+    joined = toks.join(
+        pieces, toks["_tok"] == pieces["_w"], "left"
+    ).select(
+        id_col,
+        "_pos",
+        F.when(F.col("_p").isNotNull(), F.col("_p"))
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    "word %s is missing from the tokenizer LUT",
+                    F.col("_tok"),
+                )
+            )
+        )
+        .alias("_p"),
+    )
+    per_doc = joined.groupBy(id_col).agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_p"))),
+                lambda s: s["_p"],
+            )
+        ).alias(out_col)
+    )
+    return docs.join(per_doc, id_col, "left").withColumn(
+        out_col,
+        F.coalesce(F.col(out_col), F.array().cast("array<string>")),
+    )

@@ -12164,6 +12164,52 @@ def q191_unigram_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("w")
 
 
+@register(
+    "q192_corpus_encode_roundtrip",
+    """
+    SELECT doc_id,
+           md5(array_to_string(
+             list_filter(string_split(text, ' '),
+                         x -> x <> '' AND regexp_matches(x, '^[a-z]+$')),
+             '')) AS roundtrip_md5
+    FROM documents ORDER BY doc_id
+    """,
+    "text",
+    "tokenizer",
+)
+def q192_corpus_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-scale tokenization (`encode_corpus`,
+    operators/tokenizer.py) — the 100 TB encode discipline certified
+    end-to-end: the expensive per-word encode (here q188's BPE merge
+    replay) runs once per DISTINCT word; the resulting vocab-sized
+    (word -> pieces) LUT broadcast-joins back onto the corpus
+    (posexploded tokens), and each document's piece sequence is
+    re-assembled in token order (one groupBy shuffle). The emitted
+    per-DOCUMENT md5 of the re-concatenated pieces matches the
+    oracle's md5 of the document's kept tokens only if tokenization,
+    the LUT join, and the order-preserving re-assembly are all
+    lossless — including zero-kept-token documents, which must keep
+    their row (empty array), not vanish through the join. Same
+    invariant-oracle discipline as q191, one level up: per-word there,
+    per-document through the full corpus path here."""
+    from .operators.tokenizer import apply_bpe, encode_corpus, train_bpe
+
+    vocab = _bpe_vocab(spark, sf_dir)
+    merges = train_bpe(vocab, num_merges=_BPE_MERGES)
+    lut = apply_bpe(vocab, merges)
+    enc = encode_corpus(
+        _t(spark, sf_dir, "documents"),
+        lut,
+        token_pattern="^[a-z]+$",
+    )
+    return enc.select(
+        "doc_id",
+        F.md5(F.concat_ws("", "doc_tokens").cast("binary")).alias(
+            "roundtrip_md5"
+        ),
+    ).orderBy("doc_id")
+
+
 # =========================================================================
 # Registry ordering (driver check-window priority)
 # =========================================================================
@@ -12180,14 +12226,15 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     # plan: 12 permanent anchors, the 2 judge-ordered residual-PQ
     # certification anchors (q75 + q152), 4 round-8 additions
     # (q184-q187, 1x green — kept in as re-confirmations per the
-    # demotion discipline), 4 ROUND-9 ADDITIONS (q188/q189 the BPE
-    # tokenizer trainer — VERDICT r08 order #1 — and q190/q191 the
-    # unigram-LM trainer, its SentencePiece-style sibling; all landing
-    # in their own round's window per the rotation rule asserted
-    # structurally in test_registry_contract.py against the committed
-    # CORRECTNESS_r*.json ledger), and 28 re-confirmation slots.
-    # Four 2x-green entries rotate out with in-window machinery reps
-    # (notes at the round-9 demotion block).
+    # demotion discipline), 5 ROUND-9 ADDITIONS (q188/q189 the BPE
+    # tokenizer trainer — VERDICT r08 order #1 — q190/q191 the
+    # unigram-LM trainer, its SentencePiece-style sibling, and q192
+    # the corpus-scale LUT-join encode both families share; all
+    # landing in their own round's window per the rotation rule
+    # asserted structurally in test_registry_contract.py against the
+    # committed CORRECTNESS_r*.json ledger), and 27 re-confirmation
+    # slots. Five 2x-green entries rotate out with in-window
+    # machinery reps (notes at the round-9 demotion block).
     #
     # -- anchors (12) — multi-green pins (unchanged from r07) --
     # q01/q32: flagship pricing summary + the full reference ETL
@@ -12230,7 +12277,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q185_ivfpq_pruned_refine",
     "q186_kmeans_fit_invariants",
     "q187_w2v_vocab_invariants",
-    # -- ROUND-9 ADDITIONS: FIRST hard driver check (4) --
+    # -- ROUND-9 ADDITIONS: FIRST hard driver check (5) --
     # q188: distributed BPE tokenizer training (merge sequence vs an
     #   unrolled 8-round DuckDB replay — VERDICT r08 order #1).
     # q189: train-then-encode round trip (apply_bpe reproduces the
@@ -12239,16 +12286,20 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     #   substring-counting stage hash-matched against a SQL replay.
     # q191: unigram hard-EM train + Viterbi encode, certified via the
     #   lossless round-trip invariant (the q186/q187 discipline).
+    # q192: corpus-scale tokenization — the vocab-sized (word ->
+    #   pieces) LUT broadcast-joined back onto the corpus with
+    #   order-preserving per-doc re-assembly; per-DOCUMENT lossless
+    #   round-trip invariant.
     "q188_bpe_merge_sequence",
     "q189_bpe_encoded_vocab",
     "q190_unigram_seed_vocab",
     "q191_unigram_roundtrip",
-    # -- re-confirmations (28): the freshest greens — second/third
+    "q192_corpus_encode_roundtrip",
+    # -- re-confirmations (27): the freshest greens — second/third
     # confirmation consolidates them --
     "q146_pagerank",
     "q147_weighted_sample",
     "q148_windowed_funnel",
-    "q149_retrieval_metrics",
     "q150_cuped_adjustment",
     "q151_srm_check",
     "q154_khop_reachability",
@@ -12278,7 +12329,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     # (<= promotion budget, each landing in its own round's window)
     # + re-confirmations of the freshest greens.
     #
-    # -- ROUND-9 DEMOTIONS (4; each 2x green in r07+r08, machinery-
+    # -- ROUND-9 DEMOTIONS (5; each 2x green in r07+r08, machinery-
     # subsumed by a retained in-window sibling): --
     # q167 Zipf slope ↔ q177 (the same vocab-histogram sufficient
     #   stats, single-row regression readout) + q188/q189 (the new
@@ -12289,12 +12340,16 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     # q157 CDC log compaction ↔ q106/q158 (the same keyed latest-wins
     #   winner-election window, total tiebreak included);
     # q160 last-touch attribution ↔ q148 (per-user ordered-event
-    #   window chains) + q168 (the same per-key carry/lead windows) —
-    #   slots freed for the q190/q191 unigram additions.
+    #   window chains) + q168 (the same per-key carry/lead windows);
+    # q149 retrieval eval ↔ q137 (shares _bm25_doc_scores
+    #   frame-for-frame — the anchor pins the scoring machinery, so
+    #   the eval readout cannot drift) —
+    #   slots freed for the q190-q192 tokenizer additions.
     "q167_zipf_slope",
     "q178_centroid_shift",
     "q157_cdc_log_compaction",
     "q160_last_touch_attribution",
+    "q149_retrieval_metrics",
     #
     # -- ROUND-8 DEMOTIONS (5; each 1x green in r07, machinery-
     # subsumed by a retained in-window sibling): --

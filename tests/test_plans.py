@@ -1184,3 +1184,27 @@ def test_unigram_seed_one_exchange_encode_map_only(spark):
     eplan = formatted_plan(enc)
     assert count_shuffles(enc) == count_shuffles(words), eplan
     assert "Join" not in eplan, eplan
+
+
+def test_encode_corpus_broadcast_lut_no_cartesian(spark):
+    """q192's corpus encode (operators/tokenizer.py encode_corpus):
+    the vocab-sized LUT joins BROADCAST (never a corpus shuffle for
+    the join), no cartesian product, and the only exchanges beyond
+    the inputs' own are the per-doc re-assembly groupBy and the
+    zero-token-preserving join back to docs."""
+    from big_data_spark.catalog import load_table
+    from big_data_spark.operators.tokenizer import (
+        BPEMerge,
+        apply_bpe,
+        bpe_word_table,
+        encode_corpus,
+    )
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    words = bpe_word_table(docs, token_pattern="^[a-z]+$")
+    lut = apply_bpe(words, [BPEMerge(1, "a", "b", "ab", 0)])
+    out = encode_corpus(docs, lut, token_pattern="^[a-z]+$")
+    plan = formatted_plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan

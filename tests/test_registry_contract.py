@@ -23,10 +23,10 @@ ROWS_ONLY_WINDOW_EXCEPTIONS: set[str] = set()
 # permanent anchors, the 2 judge-ordered residual-PQ certification
 # anchors (q75, q152), the 4 round-8 additions kept as 1x-green
 # re-confirmations (q186 re-certifies its HARDENED range oracle),
-# the 4 round-9 additions (q188/q189 BPE trainer + q190/q191
-# unigram-LM trainer — first hard check), and 28 re-confirmations.
-# Four 2x-green entries rotated out with in-window machinery reps
-# (see _DRIVER_WINDOW_ORDER notes).
+# the 5 round-9 additions (q188/q189 BPE trainer, q190/q191
+# unigram-LM trainer, q192 corpus-scale LUT-join encode — first hard
+# check), and 27 re-confirmations. Five 2x-green entries rotated out
+# with in-window machinery reps (see _DRIVER_WINDOW_ORDER notes).
 MUST_BE_IN_WINDOW = {
     # -- anchors (12): multi-green machinery pins --
     "q01_pricing_summary",
@@ -54,11 +54,11 @@ MUST_BE_IN_WINDOW = {
     "q189_bpe_encoded_vocab",
     "q190_unigram_seed_vocab",
     "q191_unigram_roundtrip",
-    # -- re-confirmations (28): freshest greens --
+    "q192_corpus_encode_roundtrip",
+    # -- re-confirmations (27): freshest greens --
     "q146_pagerank",
     "q147_weighted_sample",
     "q148_windowed_funnel",
-    "q149_retrieval_metrics",
     "q150_cuped_adjustment",
     "q151_srm_check",
     "q154_khop_reachability",

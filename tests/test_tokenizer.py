@@ -259,3 +259,55 @@ def test_train_exposes_round_observability(spark, words):
     assert mk.last_rounds == len(mk.round_picks)
     assert sum(mk.round_picks) == len(mk) == 6
     assert mk.last_rounds < 6  # batching actually batched
+
+
+def test_encode_corpus_joins_lut_in_token_order(spark):
+    """encode_corpus: the corpus-scale LUT-join encode path — pieces
+    come back in token order, zero-kept-token docs keep an (empty)
+    row, non-matching tokens are filtered like the word table's
+    filter, and the same operator serves both tokenizer families."""
+    from big_data_spark.operators.tokenizer import encode_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "ab low ab"), (2, "low lower"), (3, ""), (4, "XX 42")],
+        "doc_id int, text string",
+    )
+    words = bpe_word_table(docs, token_pattern="^[a-z]+$")
+    merges = train_bpe(words, num_merges=3)
+    lut = apply_bpe(words, merges)
+    out = encode_corpus(docs, lut, token_pattern="^[a-z]+$")
+    rows = {r["doc_id"]: list(r["doc_tokens"]) for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[3] == [] and rows[4] == []
+    assert "".join(rows[1]) == "ablowab"
+    assert "".join(rows[2]) == "lowlower"
+    # token order survives re-assembly: doc 1's pieces are exactly
+    # (pieces of 'ab') + (pieces of 'low') + (pieces of 'ab')
+    per_word = {
+        r["w"]: list(r["bpe_tokens"]) for r in lut.collect()
+    }
+    assert rows[1] == per_word["ab"] + per_word["low"] + per_word["ab"]
+
+    # the unigram family drives the SAME operator
+    from big_data_spark.operators.unigram import apply_unigram, train_unigram
+
+    pieces = train_unigram(words, vocab_size=12, seed_size=16, max_piece_len=4)
+    ulut = apply_unigram(words, pieces, word_col="w", out_col="pieces")
+    uout = encode_corpus(
+        docs, ulut, pieces_col="pieces", token_pattern="^[a-z]+$"
+    )
+    urows = {r["doc_id"]: list(r["doc_tokens"]) for r in uout.collect()}
+    assert "".join(urows[2]) == "lowlower" and urows[3] == []
+
+
+def test_encode_corpus_missing_lut_word_fails_loudly(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from big_data_spark.operators.tokenizer import encode_corpus
+
+    docs = spark.createDataFrame([(1, "ab zz")], "doc_id int, text string")
+    lut = spark.createDataFrame(
+        [("ab", ["ab"])], "w string, bpe_tokens array<string>"
+    )
+    with pytest.raises(SparkRuntimeException, match="missing from the tokenizer LUT"):
+        encode_corpus(docs, lut).collect()
