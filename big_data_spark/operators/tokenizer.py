@@ -363,25 +363,44 @@ def encode_corpus(
     out_col: str = "doc_tokens",
     token_pattern: str | None = None,
     broadcast_lut: bool = True,
+    strategy: str = "join",
 ) -> DataFrame:
     """CORPUS-scale tokenization — the 100 TB encode path, shared by
     BOTH tokenizer families: expensive per-word encoding (BPE merge
     replay / unigram Viterbi) runs once per DISTINCT word to produce
     ``lut`` (word -> piece array, via ``apply_bpe`` or
-    ``apply_unigram`` over the vocab table), and this operator joins
-    that vocab-sized LUT back onto the corpus. Per doc: tokenize
-    (posexplode, map-only, ``token_pattern`` mirrors the word table's
-    filter), join the LUT (broadcast by default — the LUT is
-    vocab-sized like an index's centroids; pass broadcast_lut=False
-    when the vocabulary outgrows the broadcast budget and let AQE
-    pick the shuffle join), then re-assemble each doc's piece
-    sequence in token order (ONE groupBy shuffle on the doc key;
-    at 100 TB skip re-assembly when downstream wants counts, not
-    sequences). Docs with zero kept tokens keep a row (empty array) —
-    the operator must not silently drop documents. A corpus word
-    missing from the LUT fails LOUDLY (executor-side raise): encoding
-    with a stale vocabulary would silently corrupt the output
-    (the module contract)."""
+    ``apply_unigram`` over the vocab table), and this operator maps
+    that vocab-sized LUT back onto the corpus. Two strategies, both
+    emitting identical results (tested):
+
+    - ``strategy="join"`` (default, pure JVM): tokenize (posexplode,
+      map-only, ``token_pattern`` mirrors the word table's filter),
+      join the LUT (broadcast by default; broadcast_lut=False lets
+      AQE pick a shuffle join when the vocabulary outgrows the
+      broadcast budget), then re-assemble each doc's piece sequence
+      in token order. The re-assembly groupBy is a CORPUS-scale
+      shuffle — the dominant cost (measured: ~69 s for 1M docs/80M
+      tokens vs ~1 s for everything else; SCALING.md) — so at 100 TB
+      skip re-assembly when downstream wants counts, not sequences.
+    - ``strategy="map"`` (zero-shuffle): collect the LUT into one
+      driver-side dict (the ANN-centroid budget class — fine to
+      ~10^6-10^7 pieces), broadcast it, and encode each document in
+      ONE Arrow-batched map-only pass (no explode, no join, no
+      shuffle). The fastest path while the vocabulary fits the
+      broadcast budget; corpus text crosses the Arrow boundary once.
+
+    Docs with zero kept tokens keep a row (empty array) — the
+    operator must not silently drop documents. A corpus word missing
+    from the LUT fails LOUDLY (executor-side raise): encoding with a
+    stale vocabulary would silently corrupt the output (the module
+    contract)."""
+    if strategy == "map":
+        return _encode_corpus_map(
+            docs, lut, id_col, text_col, word_col, pieces_col, out_col,
+            token_pattern,
+        )
+    if strategy != "join":
+        raise ValueError(f"unknown encode_corpus strategy: {strategy!r}")
     pieces = lut.select(
         F.col(word_col).alias("_w"), F.col(pieces_col).alias("_p")
     )
@@ -421,3 +440,58 @@ def encode_corpus(
         out_col,
         F.coalesce(F.col(out_col), F.array().cast("array<string>")),
     )
+
+
+def _encode_corpus_map(
+    docs: DataFrame,
+    lut: DataFrame,
+    id_col: str,
+    text_col: str,
+    word_col: str,
+    pieces_col: str,
+    out_col: str,
+    token_pattern: str | None,
+) -> DataFrame:
+    """encode_corpus's zero-shuffle strategy: broadcast the whole
+    (word -> pieces) dict and encode per document inside one Arrow
+    stage. Self-contained worker closure (the by-value law — see
+    operators/unigram.py _make_viterbi)."""
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    spark = docs.sparkSession
+    table = {
+        r["_w"]: list(r["_p"])
+        for r in lut.select(
+            F.col(word_col).alias("_w"), F.col(pieces_col).alias("_p")
+        ).collect()
+    }
+    bc = spark.sparkContext.broadcast((table, token_pattern))
+    out_schema = StructType(
+        list(docs.schema.fields)
+        + [StructField(out_col, ArrayType(StringType()))]
+    )
+
+    def batches(it):
+        import re
+
+        tbl, pattern = bc.value
+        keep = re.compile(pattern).search if pattern is not None else None
+        for pdf in it:
+            encoded = []
+            for text in pdf[text_col]:
+                pieces = []
+                for tok in text.split(" "):
+                    if tok == "" or (keep is not None and not keep(tok)):
+                        continue
+                    seg = tbl.get(tok)
+                    if seg is None:
+                        raise ValueError(
+                            f"word {tok!r} is missing from the tokenizer LUT"
+                        )
+                    pieces.extend(seg)
+                encoded.append(pieces)
+            pdf = pdf.copy()
+            pdf[out_col] = encoded
+            yield pdf
+
+    return docs.mapInPandas(batches, schema=out_schema)

@@ -188,3 +188,91 @@ def test_fuzz_sliding_distinct_construction(spark):
     assert set(got) >= {d for d in expected_ends if any(
         active.get(d - datetime.timedelta(days=o)) for o in range(7)
     )}
+
+
+def test_fuzz_bpe_trainer_parity(spark):
+    """train_bpe vs the independent reference BPE on seeded random
+    word tables over a TINY alphabet — maximal tie pressure on the
+    (count DESC, left, right) tiebreak and on greedy overlapping-run
+    merges, across inputs nobody hand-picked."""
+    from .test_tokenizer import _ref_bpe
+    from big_data_spark.operators.tokenizer import train_bpe
+
+    rng = random.Random(2025)
+    for trial in range(3):
+        words = {}
+        for _ in range(rng.randint(12, 22)):
+            w = "".join(
+                rng.choice("abc") for _ in range(rng.randint(1, 7))
+            )
+            words[w] = words.get(w, 0) + rng.randint(1, 9)
+        df = spark.createDataFrame(list(words.items()), "w string, cnt long")
+        got = train_bpe(df, num_merges=10)
+        ref, _ = _ref_bpe(words, 10)
+        assert [(m.left, m.right, m.merged, m.n) for m in got] == ref, (
+            trial,
+            words,
+        )
+
+
+def test_fuzz_unigram_trainer_parity(spark):
+    """train_unigram vs the independent exhaustive-enumeration
+    reference on seeded random word tables — ties in substring
+    weights, Viterbi scores, and prune ranks must resolve identically
+    in the distributed and single-node paths."""
+    from .test_unigram import _ref_train
+    from big_data_spark.operators.unigram import train_unigram
+
+    rng = random.Random(777)
+    for trial in range(2):
+        words = {}
+        for _ in range(rng.randint(10, 16)):
+            w = "".join(
+                rng.choice("abcd") for _ in range(rng.randint(1, 6))
+            )
+            words[w] = words.get(w, 0) + rng.randint(1, 9)
+        df = spark.createDataFrame(list(words.items()), "w string, cnt long")
+        got = train_unigram(
+            df, vocab_size=10, seed_size=14, max_piece_len=4, em_iters=2
+        )
+        ref = _ref_train(
+            words, vocab_size=10, seed_size=14, max_len=4, em_iters=2
+        )
+        assert [(p.piece, p.count) for p in got] == [
+            (p, c) for p, _lp, c in ref
+        ], (trial, words)
+
+
+def test_fuzz_corpus_encode_roundtrip(spark):
+    """encode_corpus on seeded random documents: per-doc piece concat
+    must reproduce exactly the kept tokens in order (the q192
+    invariant, fuzzed), including docs whose tokens all filter out."""
+    from big_data_spark.operators.tokenizer import (
+        apply_bpe,
+        bpe_word_table,
+        encode_corpus,
+        train_bpe,
+    )
+
+    rng = random.Random(31415)
+    docs = []
+    for i in range(40):
+        toks = [
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 5)))
+            if rng.random() < 0.85
+            else rng.choice(["XX", "42", ""])
+            for _ in range(rng.randint(0, 8))
+        ]
+        docs.append((i, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    words = bpe_word_table(df, token_pattern="^[a-z]+$")
+    merges = train_bpe(words, num_merges=6)
+    out = encode_corpus(
+        df, apply_bpe(words, merges), token_pattern="^[a-z]+$"
+    )
+    got = {r["doc_id"]: "".join(r["doc_tokens"]) for r in out.collect()}
+    for i, text in docs:
+        kept = "".join(
+            t for t in text.split(" ") if t and t.isalpha() and t.islower()
+        )
+        assert got[i] == kept, (i, text)

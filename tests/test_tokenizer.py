@@ -311,3 +311,40 @@ def test_encode_corpus_missing_lut_word_fails_loudly(spark):
     )
     with pytest.raises(SparkRuntimeException, match="missing from the tokenizer LUT"):
         encode_corpus(docs, lut).collect()
+
+
+def test_encode_corpus_map_strategy_matches_join(spark):
+    """The zero-shuffle broadcast-dict strategy must emit exactly the
+    join strategy's results — including empty docs and filtered
+    tokens — and fail loudly on LUT misses the same way."""
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from big_data_spark.operators.tokenizer import encode_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "ab low ab"), (2, "low lower"), (3, ""), (4, "XX 42")],
+        "doc_id int, text string",
+    )
+    words = bpe_word_table(docs, token_pattern="^[a-z]+$")
+    merges = train_bpe(words, num_merges=3)
+    lut = apply_bpe(words, merges)
+    a = {
+        r["doc_id"]: list(r["doc_tokens"])
+        for r in encode_corpus(
+            docs, lut, token_pattern="^[a-z]+$"
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: list(r["doc_tokens"])
+        for r in encode_corpus(
+            docs, lut, token_pattern="^[a-z]+$", strategy="map"
+        ).collect()
+    }
+    assert a == b
+    assert b[3] == [] and b[4] == []
+
+    missing = spark.createDataFrame([(9, "ab zz")], "doc_id int, text string")
+    with pytest.raises(PythonException, match="missing from the tokenizer LUT"):
+        encode_corpus(missing, lut, strategy="map").collect()
+    with pytest.raises(ValueError, match="unknown encode_corpus strategy"):
+        encode_corpus(docs, lut, strategy="nope")

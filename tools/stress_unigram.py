@@ -141,7 +141,8 @@ def main() -> None:
     )
 
     t0 = time.perf_counter()
-    n_enc = apply_unigram(words, model).count()
+    lut = apply_unigram(words, model).localCheckpoint(eager=True)
+    n_enc = lut.count()
     wall = time.perf_counter() - t0
     print(
         json.dumps(
@@ -150,6 +151,70 @@ def main() -> None:
                 "wall_s": round(wall, 2),
                 "words_encoded": n_enc,
                 "words_per_s": round(n_enc / wall),
+            }
+        ),
+        flush=True,
+    )
+
+    # corpus-scale encode (q192's path): broadcast the vocab-sized
+    # LUT back onto the full corpus with per-doc re-assembly — the
+    # stage whose cost DOES scale with corpus bytes, measured so the
+    # per-doc overhead is a number, not a guess
+    from big_data_spark.operators.tokenizer import encode_corpus
+
+    t0 = time.perf_counter()
+    enc = encode_corpus(
+        docs,
+        lut,
+        id_col="doc",
+        pieces_col="pieces",
+        token_pattern="^[a-z]+$",
+    )
+    # aggregate over the OUTPUT column: a bare count() lets column
+    # pruning drop the piece-array assembly entirely (measured: 0.47 s
+    # "encoding" 1M docs — a pruned plan, not a datapoint)
+    row = enc.agg(
+        F.count("*").alias("docs"),
+        F.sum(F.size("doc_tokens")).alias("pieces"),
+    ).collect()[0]
+    wall = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "op": "encode_corpus_join",
+                "wall_s": round(wall, 2),
+                "docs_encoded": row["docs"],
+                "pieces_emitted": row["pieces"],
+                "docs_per_s": round(row["docs"] / wall),
+                "corpus_tokens_per_s": round(row["docs"] * n_tokens / wall),
+            }
+        ),
+        flush=True,
+    )
+
+    t0 = time.perf_counter()
+    enc_m = encode_corpus(
+        docs,
+        lut,
+        id_col="doc",
+        pieces_col="pieces",
+        token_pattern="^[a-z]+$",
+        strategy="map",
+    )
+    row = enc_m.agg(
+        F.count("*").alias("docs"),
+        F.sum(F.size("doc_tokens")).alias("pieces"),
+    ).collect()[0]
+    wall = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "op": "encode_corpus_map",
+                "wall_s": round(wall, 2),
+                "docs_encoded": row["docs"],
+                "pieces_emitted": row["pieces"],
+                "docs_per_s": round(row["docs"] / wall),
+                "corpus_tokens_per_s": round(row["docs"] * n_tokens / wall),
             }
         ),
         flush=True,
