@@ -1853,6 +1853,32 @@ def read_lm(spark, partials_dir: str) -> DataFrame:
     return unigram_lm_from_counts(merged)
 
 
+def read_word_table(
+    spark, partials_dir: str, token_pattern: str | None = None
+) -> DataFrame:
+    """The live WORD TABLE over the same streamed (token, cnt)
+    partials start_lm_stream maintains — the tokenizer trainers'
+    input (operators/tokenizer.py train_bpe, operators/unigram.py
+    train_unigram) kept current as the corpus grows: merge per-batch
+    counts by addition, then apply exactly the filters
+    ``bpe_word_table`` applies at batch build (non-empty tokens;
+    ``token_pattern`` or the symbol-delimiter exclusion), so
+    retraining the tokenizer from the live table yields the SAME
+    merges/pieces as a from-scratch batch build over the same corpus
+    (tests/test_streaming.py pins merge-for-merge equality). At
+    100 TB this removes the tokenizer's one corpus-scale pass from
+    every retrain — the stream already paid it incrementally."""
+    words = (
+        spark.read.parquet(partials_dir)
+        .groupBy(F.col("token").alias("w"))
+        .agg(F.sum("cnt").alias("cnt"))
+        .filter(F.col("w") != "")
+    )
+    if token_pattern is not None:
+        return words.filter(F.col("w").rlike(token_pattern))
+    return words.filter(~F.col("w").contains("|"))
+
+
 def start_cell_histogram_stream(
     events_stream: DataFrame,
     partials_dir: str,

@@ -1805,3 +1805,57 @@ def test_trending_post_commit_crash_replay_same_generation(spark, tmp_path):
     for uid, (cnt, s) in got2.items():
         assert cnt == got[uid][0]
         assert s == _pytest.approx(got[uid][1], rel=1e-9, abs=1e-9)
+
+
+def test_streamed_word_table_trains_identical_tokenizer(spark, tmp_path):
+    """read_word_table over start_lm_stream's partials: the
+    stream-maintained vocabulary must train EXACTLY the tokenizer the
+    batch word table trains — merge-for-merge (BPE) and
+    piece-for-piece (unigram) — so a retrain never needs the
+    corpus-scale pass the stream already paid incrementally."""
+    from big_data_spark.catalog import load_table
+    from big_data_spark.operators.tokenizer import bpe_word_table, train_bpe
+    from big_data_spark.operators.unigram import train_unigram
+    from big_data_spark.streaming.sinks import (
+        read_word_table,
+        start_lm_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    src = tmp_path / "src"
+    src.mkdir()
+    for name, pred in (("a", "doc_id % 2 = 0"), ("b", "doc_id % 2 = 1")):
+        docs.filter(pred).coalesce(1).write.parquet(str(src / name))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = start_lm_stream(
+        stream, str(tmp_path / "partials"), str(tmp_path / "ck")
+    )
+    q.awaitTermination(180)
+
+    live = read_word_table(
+        spark, str(tmp_path / "partials"), token_pattern="^[a-z]+$"
+    )
+    batch = bpe_word_table(docs, token_pattern="^[a-z]+$")
+    assert sorted(tuple(r) for r in live.collect()) == sorted(
+        tuple(r) for r in batch.collect()
+    )
+
+    got_bpe = train_bpe(live, num_merges=6)
+    want_bpe = train_bpe(batch, num_merges=6)
+    assert [(m.left, m.right, m.n) for m in got_bpe] == [
+        (m.left, m.right, m.n) for m in want_bpe
+    ]
+
+    got_uni = train_unigram(live, vocab_size=20, seed_size=30, max_piece_len=4)
+    want_uni = train_unigram(
+        batch, vocab_size=20, seed_size=30, max_piece_len=4
+    )
+    assert [(p.piece, p.logp, p.count) for p in got_uni] == [
+        (p.piece, p.logp, p.count) for p in want_uni
+    ]
