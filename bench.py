@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "q190_unigram_seed_vocab",
     "q191_unigram_roundtrip",
     "q192_corpus_encode_roundtrip",
+    "q193_tokenizer_compression",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

@@ -12210,6 +12210,90 @@ def q192_corpus_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "q193_tokenizer_compression",
+    _bpe_oracle_blocks(_BPE_MERGES)
+    + f""",
+    np AS (
+      SELECT replace(s, '|', '') AS w,
+             CAST(len(string_split(trim(s, '|'), '||')) AS BIGINT)
+               AS n_pieces
+      FROM w{_BPE_MERGES}
+    ),
+    tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    kept AS (
+      SELECT t.source, t.w, np.n_pieces
+      FROM tok t JOIN np USING (w)
+      WHERE t.w <> '' AND regexp_matches(t.w, '^[a-z]+$')
+    )
+    SELECT source,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+           CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+           CAST(SUM(n_pieces) AS DOUBLE) / COUNT(*) AS pieces_per_token,
+           CAST(SUM(length(w)) AS DOUBLE) / CAST(SUM(n_pieces) AS DOUBLE)
+             AS chars_per_piece
+    FROM kept GROUP BY source ORDER BY source
+    """,
+    "text",
+    "tokenizer",
+)
+def q193_tokenizer_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer compression readout — the standard eval shipped with
+    a trained tokenizer (pieces/token and chars/piece per source,
+    the fertility/compression numbers that decide whether a vocab
+    size is right for a corpus mix). Certifies the COUNTS-ONLY corpus
+    path q192's docstring prescribes for 100 TB: per-word piece
+    counts from the trained table (apply_bpe over the vocab — the
+    expensive step stays vocab-sized), broadcast-joined onto the
+    exploded corpus, aggregated per source WITHOUT per-doc sequence
+    re-assembly (no corpus-order shuffle — the groupBy on source is
+    the only exchange, map-side combinable). The oracle replays the
+    8 training rounds (q188's unrolled CTE blocks), recovers each
+    word's piece count from the end state, and re-joins it to the
+    corpus — so the row only matches if training, encoding, and the
+    count aggregation all agree. Ratios are double divisions of
+    identical integers: bit-identical across engines."""
+    from .operators.tokenizer import apply_bpe, train_bpe
+
+    vocab = _bpe_vocab(spark, sf_dir)
+    merges = train_bpe(vocab, num_merges=_BPE_MERGES)
+    lut = apply_bpe(vocab, merges).select(
+        "w", F.size("bpe_tokens").cast("long").alias("_np")
+    )
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter((F.col("w") != "") & F.col("w").rlike("^[a-z]+$"))
+    )
+    return (
+        toks.join(F.broadcast(lut), "w")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("_np").cast("long").alias("n_pieces"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_pieces",
+            "n_chars",
+            (
+                F.col("n_pieces").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("pieces_per_token"),
+            (
+                F.col("n_chars").cast("double")
+                / F.col("n_pieces").cast("double")
+            ).alias("chars_per_piece"),
+        )
+        .orderBy("source")
+    )
+
+
 # =========================================================================
 # Registry ordering (driver check-window priority)
 # =========================================================================
@@ -12226,14 +12310,14 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     # plan: 12 permanent anchors, the 2 judge-ordered residual-PQ
     # certification anchors (q75 + q152), 4 round-8 additions
     # (q184-q187, 1x green — kept in as re-confirmations per the
-    # demotion discipline), 5 ROUND-9 ADDITIONS (q188/q189 the BPE
+    # demotion discipline), 6 ROUND-9 ADDITIONS (q188/q189 the BPE
     # tokenizer trainer — VERDICT r08 order #1 — q190/q191 the
     # unigram-LM trainer, its SentencePiece-style sibling, and q192
     # the corpus-scale LUT-join encode both families share; all
     # landing in their own round's window per the rotation rule
     # asserted structurally in test_registry_contract.py against the
-    # committed CORRECTNESS_r*.json ledger), and 27 re-confirmation
-    # slots. Five 2x-green entries rotate out with in-window
+    # committed CORRECTNESS_r*.json ledger), and 26 re-confirmation
+    # slots. Six 2x-green entries rotate out with in-window
     # machinery reps (notes at the round-9 demotion block).
     #
     # -- anchors (12) — multi-green pins (unchanged from r07) --
@@ -12277,7 +12361,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q185_ivfpq_pruned_refine",
     "q186_kmeans_fit_invariants",
     "q187_w2v_vocab_invariants",
-    # -- ROUND-9 ADDITIONS: FIRST hard driver check (5) --
+    # -- ROUND-9 ADDITIONS: FIRST hard driver check (6) --
     # q188: distributed BPE tokenizer training (merge sequence vs an
     #   unrolled 8-round DuckDB replay — VERDICT r08 order #1).
     # q189: train-then-encode round trip (apply_bpe reproduces the
@@ -12290,14 +12374,17 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     #   pieces) LUT broadcast-joined back onto the corpus with
     #   order-preserving per-doc re-assembly; per-DOCUMENT lossless
     #   round-trip invariant.
+    # q193: tokenizer compression readout (pieces/token, chars/piece
+    #   per source) through the counts-only corpus path — the oracle
+    #   replays training AND the corpus re-join.
     "q188_bpe_merge_sequence",
     "q189_bpe_encoded_vocab",
     "q190_unigram_seed_vocab",
     "q191_unigram_roundtrip",
     "q192_corpus_encode_roundtrip",
-    # -- re-confirmations (27): the freshest greens — second/third
+    "q193_tokenizer_compression",
+    # -- re-confirmations (26): the freshest greens — second/third
     # confirmation consolidates them --
-    "q146_pagerank",
     "q147_weighted_sample",
     "q148_windowed_funnel",
     "q150_cuped_adjustment",
@@ -12329,7 +12416,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     # (<= promotion budget, each landing in its own round's window)
     # + re-confirmations of the freshest greens.
     #
-    # -- ROUND-9 DEMOTIONS (5; each 2x green in r07+r08, machinery-
+    # -- ROUND-9 DEMOTIONS (6; each 2x green in r07+r08, machinery-
     # subsumed by a retained in-window sibling): --
     # q167 Zipf slope ↔ q177 (the same vocab-histogram sufficient
     #   stats, single-row regression readout) + q188/q189 (the new
@@ -12343,13 +12430,17 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     #   window chains) + q168 (the same per-key carry/lead windows);
     # q149 retrieval eval ↔ q137 (shares _bm25_doc_scores
     #   frame-for-frame — the anchor pins the scoring machinery, so
-    #   the eval readout cannot drift) —
-    #   slots freed for the q190-q192 tokenizer additions.
+    #   the eval readout cannot drift);
+    # q146 PageRank ↔ q154 (per-round frontier⋈edges equi-join with
+    #   lineage cuts) + q66 (checkpointed fixpoint loop) — the
+    #   iterative-graph machinery keeps two in-window reps —
+    #   slots freed for the q190-q193 tokenizer additions.
     "q167_zipf_slope",
     "q178_centroid_shift",
     "q157_cdc_log_compaction",
     "q160_last_touch_attribution",
     "q149_retrieval_metrics",
+    "q146_pagerank",
     #
     # -- ROUND-8 DEMOTIONS (5; each 1x green in r07, machinery-
     # subsumed by a retained in-window sibling): --

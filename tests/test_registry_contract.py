@@ -23,10 +23,11 @@ ROWS_ONLY_WINDOW_EXCEPTIONS: set[str] = set()
 # permanent anchors, the 2 judge-ordered residual-PQ certification
 # anchors (q75, q152), the 4 round-8 additions kept as 1x-green
 # re-confirmations (q186 re-certifies its HARDENED range oracle),
-# the 5 round-9 additions (q188/q189 BPE trainer, q190/q191
-# unigram-LM trainer, q192 corpus-scale LUT-join encode — first hard
-# check), and 27 re-confirmations. Five 2x-green entries rotated out
-# with in-window machinery reps (see _DRIVER_WINDOW_ORDER notes).
+# the 6 round-9 additions (q188/q189 BPE trainer, q190/q191
+# unigram-LM trainer, q192 corpus-scale LUT-join encode, q193
+# compression readout — first hard check), and 26 re-confirmations.
+# Six 2x-green entries rotated out with in-window machinery reps
+# (see _DRIVER_WINDOW_ORDER notes).
 MUST_BE_IN_WINDOW = {
     # -- anchors (12): multi-green machinery pins --
     "q01_pricing_summary",
@@ -55,8 +56,8 @@ MUST_BE_IN_WINDOW = {
     "q190_unigram_seed_vocab",
     "q191_unigram_roundtrip",
     "q192_corpus_encode_roundtrip",
-    # -- re-confirmations (27): freshest greens --
-    "q146_pagerank",
+    "q193_tokenizer_compression",
+    # -- re-confirmations (26): freshest greens --
     "q147_weighted_sample",
     "q148_windowed_funnel",
     "q150_cuped_adjustment",
