@@ -379,9 +379,10 @@ def encode_corpus(
       AQE pick a shuffle join when the vocabulary outgrows the
       broadcast budget), then re-assemble each doc's piece sequence
       in token order. The re-assembly groupBy is a CORPUS-scale
-      shuffle — the dominant cost (measured: ~69 s for 1M docs/80M
-      tokens vs ~1 s for everything else; SCALING.md) — so at 100 TB
-      skip re-assembly when downstream wants counts, not sequences.
+      shuffle — the dominant cost (measured: 26-29 s for 1M docs/80M
+      tokens vs ~1 s for everything else; SCALING.md A/B table) — so
+      at 100 TB skip re-assembly when downstream wants counts, not
+      sequences (q193 is that path, certified).
     - ``strategy="map"`` (zero-shuffle): collect the LUT into one
       driver-side dict (the ANN-centroid budget class — fine to
       ~10^6-10^7 pieces), broadcast it, and encode each document in
