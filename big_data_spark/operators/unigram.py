@@ -78,6 +78,11 @@ class UnigramPiece:
     count: int  # hard-EM weighted count at the final E-step
 
 
+# Hash buckets for unigram_seed_vocab's two-level candidate top-k:
+# the global rank sorts at most SEED_BUCKETS x seed_size survivors.
+SEED_BUCKETS = 64
+
+
 class PieceList(list):
     """train_unigram's return type: a plain list of UnigramPiece with
     per-call observability (the tokenizer.py MergeList pattern):
@@ -100,9 +105,10 @@ def unigram_seed_vocab(
     multi-character substrings by (weight DESC, piece ASC), where
     weight = sum over words of count x occurrences. Two nested
     explode(sequence) projections + one map-side-combinable groupBy +
-    one per-length-class row_number — all codegen, no Python, and
-    exactly expressible in ANSI SQL (q190's DuckDB oracle replays it
-    verbatim)."""
+    a two-level (per-bucket, then global) row_number top-k — all
+    codegen, no Python, and the kept SET is exactly what one global
+    rank would keep, so q190's single-row_number DuckDB oracle
+    replays it verbatim."""
     starts = words.select(
         F.col(word_col).alias("_w"),
         F.col(count_col).cast("long").alias("_c"),
@@ -127,14 +133,33 @@ def unigram_seed_vocab(
         .groupBy("piece")
         .agg(F.sum("_c").alias("weight"))
     )
+    # Two-level top-k (ADVICE r09): ranking ALL multi-char candidates
+    # through one per-length-class row_number funnels the whole
+    # distinct-substring table (~10^8 rows at 10^6-10^7 words x ~100
+    # substrings) through a single reducer. Pre-truncate per hash
+    # bucket first — the global top-seed_size provably survives taking
+    # the local top-seed_size in every bucket (each global winner is
+    # beaten by < seed_size pieces in its own bucket) — so the final
+    # rank sorts at most SEED_BUCKETS x seed_size + alphabet rows.
+    # crc32 only spreads the bucket sort; the kept SET (and q190's
+    # single-rank oracle) is unchanged. Single-char pieces bypass the
+    # truncation entirely (always kept — coverage).
+    is_char = F.length("piece") == 1
+    local_rk = F.row_number().over(
+        Window.partitionBy(
+            F.when(is_char, F.lit(-1)).otherwise(
+                F.pmod(F.crc32("piece"), F.lit(SEED_BUCKETS))
+            )
+        ).orderBy(F.desc("weight"), "piece")
+    )
     rk = F.row_number().over(
-        Window.partitionBy(F.length("piece") == 1).orderBy(
-            F.desc("weight"), "piece"
-        )
+        Window.partitionBy(is_char).orderBy(F.desc("weight"), "piece")
     )
     return (
-        agg.withColumn("_rk", rk)
-        .filter((F.length("piece") == 1) | (F.col("_rk") <= seed_size))
+        agg.withColumn("_lrk", local_rk)
+        .filter(is_char | (F.col("_lrk") <= seed_size))
+        .withColumn("_rk", rk)
+        .filter(is_char | (F.col("_rk") <= seed_size))
         .select("piece", "weight")
     )
 
@@ -245,7 +270,10 @@ def _estep_counts(
         .agg(F.sum("c").alias("c"))
         .collect()
     )
-    bc.unpersist()
+    # the broadcast is never reused across E-steps: destroy (not just
+    # unpersist) so the driver releases its metadata/blocks over many
+    # prune rounds (ADVICE r09)
+    bc.destroy()
     return {r["piece"]: r["c"] for r in rows}
 
 

@@ -1172,9 +1172,10 @@ def test_unigram_seed_one_exchange_encode_map_only(spark):
     )
     seed = unigram_seed_vocab(words, seed_size=50, max_piece_len=6)
     plan = formatted_plan(seed)
-    # the substring agg + the row_number rank, beyond the word table's
-    # own build agg
-    assert count_shuffles(seed) == count_shuffles(words) + 2, plan
+    # the substring agg + the two-level rank (per-bucket pre-truncate,
+    # then the class rank over the bounded shortlist — ADVICE r09),
+    # beyond the word table's own build agg
+    assert count_shuffles(seed) == count_shuffles(words) + 3, plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
 

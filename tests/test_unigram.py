@@ -158,6 +158,21 @@ def test_seed_vocab_keeps_all_chars_beyond_seed_size(spark, words):
     assert len(got) == len(chars) + 1  # exactly one multi-char kept
 
 
+def test_seed_vocab_two_level_topk_matches_single_rank(spark, words):
+    """The per-bucket pre-truncation (ADVICE r09: no single-reducer
+    global sort) must keep EXACTLY the set one global rank keeps —
+    checked where the truncation actually bites (seed_size smaller
+    than the candidate count, ties present)."""
+    for seed_size in (1, 2, 3, 5):
+        got = {
+            r["piece"]: r["weight"]
+            for r in unigram_seed_vocab(
+                words, seed_size=seed_size, max_piece_len=4
+            ).collect()
+        }
+        assert got == _ref_seed(CORPUS, seed_size, 4), seed_size
+
+
 def test_train_matches_reference_python(spark, words):
     got = train_unigram(
         words, vocab_size=18, seed_size=30, max_piece_len=5, em_iters=2
