@@ -181,6 +181,10 @@ BENCH_QUERIES = [
     "q191_unigram_roundtrip",
     "q192_corpus_encode_roundtrip",
     "q193_tokenizer_compression",
+    # round-10 additions: longest-match (trie) encoder + byte-level
+    # OOV fallback through the corpus encode path
+    "q194_longest_match_encode",
+    "q195_byte_fallback_encode",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

@@ -353,6 +353,120 @@ def apply_bpe(
     ).drop("_bpe_s")
 
 
+def bpe_vocab_pieces(
+    words: DataFrame, merges: list[BPEMerge], word_col: str = "w"
+) -> list[str]:
+    """The BPE VOCABULARY as a sorted piece list: the initial alphabet
+    (distinct characters of the vocabulary words — one alphabet-sized
+    distinct + bounded collect) plus one new symbol per merge. This is
+    the conventional artifact a trained BPE ships (vocab.json next to
+    merges.txt) and what ``encode_longest_match`` consumes."""
+    chars = (
+        words.select(
+            F.explode(F.split(F.col(word_col), "")).alias("_c")
+        )
+        .filter(F.col("_c") != "")
+        .distinct()
+        .collect()
+    )
+    return sorted({r["_c"] for r in chars} | {m.merged for m in merges})
+
+
+def byte_pieces(tok: str) -> list[str]:
+    """``<0xNN>`` symbols for each UTF-8 byte of ``tok`` — the GPT-2
+    style byte-level fallback alphabet (hex uppercase, matching both
+    engines' ``hex()``). 256 symbols cover ANY string, so an encoder
+    with byte fallback can never fail on novel text."""
+    return [f"<0x{b:02X}>" for b in tok.encode("utf-8")]
+
+
+def encode_longest_match(
+    df: DataFrame,
+    pieces: list[str],
+    word_col: str = "w",
+    out_col: str = "lm_tokens",
+    byte_fallback: bool = False,
+) -> DataFrame:
+    """Greedy longest-match encoder over a FIXED piece vocabulary —
+    the production-vocab alternative to ``apply_bpe``'s merge replay
+    (the trie encoder its docstring names; VERDICT r09 order #1).
+
+    ``apply_bpe`` replays every merge as one left-to-right ``replace``
+    scan: correct (it IS training semantics) but O(merges) scans per
+    word plus a localCheckpoint every REPLACE_DEPTH_CAP=96 merges —
+    a 32k-merge table is 32k scans and ~334 materializations. This
+    encoder instead matches greedily against the final vocabulary in
+    ONE Arrow-batched map-only pass: at each position take the
+    longest vocab piece that matches (a set probe per candidate
+    length — trie-equivalent, since max piece length bounds the
+    probe count), cost O(word_len x max_piece_len) TOTAL, independent
+    of merge count. Zero shuffles, zero checkpoints; the vocab
+    travels as one broadcast (KB-MB — ``bpe_vocab_pieces`` for BPE,
+    ``[p.piece for p in pieces]`` for unigram).
+
+    SEMANTICS: longest-match is WordPiece-style greedy — NOT always
+    identical to BPE merge replay. Replay applies merges in training
+    priority order, so a low-priority long piece can lose to a
+    high-priority short one (vocab {a,b,c,ab,bc} from merges
+    [(b,c),(a,b)]: replay segments 'abc' as [a,bc] — merge (b,c)
+    fired first — longest-match takes [ab,c]). The two agree
+    wherever greedy-longest prefixes coincide with replay boundaries
+    (pinned in tests on chain-merge fixtures); q194 hash-checks
+    longest-match itself against a DuckDB recursive-CTE replay of
+    the same greedy walk, so the semantics are certified
+    independently of replay.
+
+    On an unmatchable position (novel character at encode time):
+    fails LOUDLY by default (the module contract); with
+    ``byte_fallback=True`` the character's UTF-8 bytes are emitted
+    as ``<0xNN>`` symbols instead (``byte_pieces``), making every
+    input coverable — the byte-level discipline real corpora need.
+    """
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    spark = df.sparkSession
+    vocab = frozenset(pieces)
+    if not vocab:
+        raise ValueError("encode_longest_match needs a non-empty vocabulary")
+    max_len = max(len(p) for p in vocab)
+    bc = spark.sparkContext.broadcast((vocab, max_len, byte_fallback))
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, ArrayType(StringType()))]
+    )
+
+    def batches(it):
+        tbl, ml, fallback = bc.value
+        for pdf in it:
+            encoded = []
+            for word in pdf[word_col]:
+                out: list[str] = []
+                i, n = 0, len(word)
+                while i < n:
+                    for ln in range(min(ml, n - i), 0, -1):
+                        cand = word[i : i + ln]
+                        if cand in tbl:
+                            out.append(cand)
+                            i += ln
+                            break
+                    else:
+                        if not fallback:
+                            raise ValueError(
+                                f"word {word!r} has no vocab piece at "
+                                f"position {i} (enable byte_fallback or "
+                                "extend the vocabulary)"
+                            )
+                        out.extend(
+                            f"<0x{b:02X}>" for b in word[i].encode("utf-8")
+                        )
+                        i += 1
+                encoded.append(out)
+            pdf = pdf.copy()
+            pdf[out_col] = encoded
+            yield pdf
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
 def encode_corpus(
     docs: DataFrame,
     lut: DataFrame,
@@ -364,6 +478,7 @@ def encode_corpus(
     token_pattern: str | None = None,
     broadcast_lut: bool = True,
     strategy: str = "join",
+    oov_fallback: str = "error",
 ) -> DataFrame:
     """CORPUS-scale tokenization — the 100 TB encode path, shared by
     BOTH tokenizer families: expensive per-word encoding (BPE merge
@@ -384,21 +499,41 @@ def encode_corpus(
       at 100 TB skip re-assembly when downstream wants counts, not
       sequences (q193 is that path, certified).
     - ``strategy="map"`` (zero-shuffle): collect the LUT into one
-      driver-side dict (the ANN-centroid budget class — fine to
-      ~10^6-10^7 pieces), broadcast it, and encode each document in
+      driver-side dict keyed by the WORD vocabulary — the driver
+      holds words x avg pieces-per-word entries, materially larger
+      than the piece vocabulary (size the driver for ~10^6-10^7 LUT
+      ROWS times their piece arrays before choosing this strategy;
+      ADVICE r09) — broadcast it, and encode each document in
       ONE Arrow-batched map-only pass (no explode, no join, no
-      shuffle). The fastest path while the vocabulary fits the
+      shuffle). The fastest path while the word-keyed LUT fits the
       broadcast budget; corpus text crosses the Arrow boundary once.
 
     Docs with zero kept tokens keep a row (empty array) — the
-    operator must not silently drop documents. A corpus word missing
-    from the LUT fails LOUDLY (executor-side raise): encoding with a
-    stale vocabulary would silently corrupt the output (the module
-    contract)."""
+    operator must not silently drop documents; a NULL text counts as
+    zero tokens in BOTH strategies (split(NULL) explodes to nothing
+    in the join path; the map path short-circuits — ADVICE r09).
+
+    ``oov_fallback`` decides what a corpus word MISSING from the LUT
+    does (VERDICT r09 order #2 — a real corpus always has novel
+    words at encode time):
+
+    - ``"error"`` (default, the certified strict mode): fail LOUDLY
+      (executor-side raise) — encoding with a stale vocabulary would
+      silently corrupt the output (the module contract).
+    - ``"bytes"``: emit the word's UTF-8 bytes as ``<0xNN>`` symbols
+      (``byte_pieces`` — GPT-2-style byte coverage), so NO input is
+      uncoverable. Identical in both strategies (the join path builds
+      the same symbols JVM-side from ``hex(encode(tok))``); fallback
+      pieces are distinguishable from vocab pieces whenever the
+      vocabulary cannot itself contain ``<0xNN>``-shaped words (any
+      ``token_pattern`` excluding ``<`` guarantees it).
+    """
+    if oov_fallback not in ("error", "bytes"):
+        raise ValueError(f"unknown encode_corpus oov_fallback: {oov_fallback!r}")
     if strategy == "map":
         return _encode_corpus_map(
             docs, lut, id_col, text_col, word_col, pieces_col, out_col,
-            token_pattern,
+            token_pattern, oov_fallback,
         )
     if strategy != "join":
         raise ValueError(f"unknown encode_corpus strategy: {strategy!r}")
@@ -413,21 +548,28 @@ def encode_corpus(
     ).filter(F.col("_tok") != "")
     if token_pattern is not None:
         toks = toks.filter(F.col("_tok").rlike(token_pattern))
+    if oov_fallback == "bytes":
+        # <0xNN> per UTF-8 byte, built JVM-side: hex() is uppercase in
+        # both engines, so the symbols match byte_pieces() exactly
+        hexs = F.hex(F.encode(F.col("_tok"), "UTF-8"))
+        miss = F.transform(
+            F.sequence(F.lit(1), F.octet_length(F.col("_tok"))),
+            lambda i: F.concat(
+                F.lit("<0x"), hexs.substr((i - 1) * 2 + 1, F.lit(2)), F.lit(">")
+            ),
+        )
+    else:
+        miss = F.raise_error(
+            F.format_string(
+                "word %s is missing from the tokenizer LUT", F.col("_tok")
+            )
+        )
     joined = toks.join(
         pieces, toks["_tok"] == pieces["_w"], "left"
     ).select(
         id_col,
         "_pos",
-        F.when(F.col("_p").isNotNull(), F.col("_p"))
-        .otherwise(
-            F.raise_error(
-                F.format_string(
-                    "word %s is missing from the tokenizer LUT",
-                    F.col("_tok"),
-                )
-            )
-        )
-        .alias("_p"),
+        F.when(F.col("_p").isNotNull(), F.col("_p")).otherwise(miss).alias("_p"),
     )
     per_doc = joined.groupBy(id_col).agg(
         F.flatten(
@@ -452,6 +594,7 @@ def _encode_corpus_map(
     pieces_col: str,
     out_col: str,
     token_pattern: str | None,
+    oov_fallback: str = "error",
 ) -> DataFrame:
     """encode_corpus's zero-shuffle strategy: broadcast the whole
     (word -> pieces) dict and encode per document inside one Arrow
@@ -466,7 +609,7 @@ def _encode_corpus_map(
             F.col(word_col).alias("_w"), F.col(pieces_col).alias("_p")
         ).collect()
     }
-    bc = spark.sparkContext.broadcast((table, token_pattern))
+    bc = spark.sparkContext.broadcast((table, token_pattern, oov_fallback))
     out_schema = StructType(
         list(docs.schema.fields)
         + [StructField(out_col, ArrayType(StringType()))]
@@ -475,20 +618,27 @@ def _encode_corpus_map(
     def batches(it):
         import re
 
-        tbl, pattern = bc.value
+        tbl, pattern, fallback = bc.value
         keep = re.compile(pattern).search if pattern is not None else None
         for pdf in it:
             encoded = []
             for text in pdf[text_col]:
+                if not isinstance(text, str):  # None/NaN: zero tokens,
+                    encoded.append([])  # matching the join strategy
+                    continue
                 pieces = []
                 for tok in text.split(" "):
                     if tok == "" or (keep is not None and not keep(tok)):
                         continue
                     seg = tbl.get(tok)
                     if seg is None:
-                        raise ValueError(
-                            f"word {tok!r} is missing from the tokenizer LUT"
-                        )
+                        if fallback == "bytes":
+                            seg = [f"<0x{b:02X}>" for b in tok.encode("utf-8")]
+                        else:
+                            raise ValueError(
+                                f"word {tok!r} is missing from the "
+                                "tokenizer LUT"
+                            )
                     pieces.extend(seg)
                 encoded.append(pieces)
             pdf = pdf.copy()

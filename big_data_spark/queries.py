@@ -11931,7 +11931,7 @@ def q187_w2v_vocab_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle_blocks(num_merges: int) -> str:
+def _bpe_oracle_blocks(num_merges: int, word_regex: str = "^[a-z]+$") -> str:
     """The shared WITH-clause for the BPE oracles: w0 = the wrapped
     distinct-word vocabulary (q121's scale trick in SQL), then one
     (pair-count → argmax-with-tiebreak → replace) block per merge —
@@ -11940,13 +11940,15 @@ def _bpe_oracle_blocks(num_merges: int) -> str:
     recursive CTE. DuckDB's replace scans left-to-right and resumes
     after each replacement, matching Spark's — the delimiter-wrapped
     representation makes that exactly greedy BPE merge semantics
-    (operators/tokenizer.py module doc)."""
+    (operators/tokenizer.py module doc). ``word_regex`` mirrors the
+    Spark side's bpe_word_table token_pattern (q195 trains on a
+    RESTRICTED vocabulary to exercise the byte fallback)."""
     blocks = [
-        """w0 AS (
+        f"""w0 AS (
       SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS s, cnt FROM (
         SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
           SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-        WHERE w <> '' AND regexp_matches(w, '^[a-z]+$')
+        WHERE w <> '' AND regexp_matches(w, '{word_regex}')
         GROUP BY w)
     )"""
     ]
@@ -12294,6 +12296,180 @@ def q193_tokenizer_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q194_longest_match_encode",
+    _bpe_oracle_blocks(_BPE_MERGES).replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""",
+    wv AS (SELECT replace(s, '|', '') AS w, cnt FROM w0),
+    vocab AS (
+      SELECT DISTINCT substr(w, CAST(i AS INT), 1) AS piece
+      FROM (SELECT w, unnest(generate_series(1, length(w))) AS i FROM wv)
+      UNION
+      {" UNION ".join(f"SELECT l || r FROM b{r}" for r in range(1, _BPE_MERGES + 1))}
+    ),
+    g AS (
+      SELECT p.w, p.pos, max(length(v.piece)) AS step
+      FROM (SELECT w, unnest(generate_series(1, length(w))) AS pos
+            FROM wv) p
+      JOIN vocab v
+        ON substr(p.w, CAST(p.pos AS INT), CAST(length(v.piece) AS INT))
+           = v.piece
+      GROUP BY p.w, p.pos
+    ),
+    path AS (
+      SELECT w, CAST(1 AS BIGINT) AS pos FROM wv
+      UNION ALL
+      SELECT p.w, p.pos + g.step
+      FROM path p JOIN g ON g.w = p.w AND g.pos = p.pos
+    )
+    SELECT s.w, cnt,
+           string_agg(substr(s.w, CAST(s.pos AS INT), CAST(s.step AS INT)),
+                      ' ' ORDER BY s.pos) AS lm_pieces,
+           CAST(COUNT(*) AS BIGINT) AS n_pieces
+    FROM (SELECT p.w, p.pos, g.step
+          FROM path p JOIN g ON g.w = p.w AND g.pos = p.pos) s
+    JOIN wv USING (w)
+    GROUP BY s.w, cnt ORDER BY s.w
+    """,
+    "text",
+    "tokenizer",
+)
+def q194_longest_match_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match (trie) tokenizer encoder — VERDICT r09
+    order #1, the production-vocab alternative to apply_bpe's merge
+    replay (O(word_len x max_piece_len) set probes in ONE Arrow
+    map-only pass vs O(merges) replace scans + ~merges/96 eager
+    checkpoints): train the q188 merge table, build the conventional
+    vocabulary (initial alphabet + one symbol per merge,
+    bpe_vocab_pieces), and longest-match-encode the corpus vocabulary.
+    The FULL segmentation string is hash-checked against a DuckDB
+    oracle that replays the same greedy walk as a recursive CTE
+    (per-position greedy step = max matching piece length; the path
+    table walks pos -> pos + step from 1), on top of the 8 unrolled
+    training rounds — so the merge table, the derived vocabulary, and
+    the greedy-match semantics must all agree across engines.
+    Longest-match is NOT always merge replay (the divergence is
+    documented and pinned in tests/test_tokenizer.py); this oracle
+    certifies longest-match itself, independently of replay."""
+    from .operators.tokenizer import (
+        bpe_vocab_pieces,
+        encode_longest_match,
+        train_bpe,
+    )
+
+    vocab_df = _bpe_vocab(spark, sf_dir)
+    merges = train_bpe(vocab_df, num_merges=_BPE_MERGES)
+    pieces = bpe_vocab_pieces(vocab_df, merges)
+    return (
+        encode_longest_match(vocab_df, pieces)
+        .select(
+            "w",
+            "cnt",
+            F.concat_ws(" ", "lm_tokens").alias("lm_pieces"),
+            F.size("lm_tokens").cast("long").alias("n_pieces"),
+        )
+        .orderBy("w")
+    )
+
+
+# q195 trains on a RESTRICTED vocabulary (words of length >= 4) so the
+# short words of the corpus are OOV at encode time and must take the
+# byte fallback; the encode itself keeps the full ^[a-z]+$ filter.
+_BPE_TRAIN_REGEX = "^[a-z]{4,}$"
+
+
+@register(
+    "q195_byte_fallback_encode",
+    _bpe_oracle_blocks(_BPE_MERGES, word_regex=_BPE_TRAIN_REGEX)
+    + f""",
+    vstate AS (
+      SELECT replace(s, '|', '') AS w,
+             replace(trim(s, '|'), '||', ' ') AS pstr,
+             CAST(len(string_split(trim(s, '|'), '||')) AS BIGINT) AS np
+      FROM w{_BPE_MERGES}
+    ),
+    tok AS (
+      SELECT doc_id, w, ord FROM (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS w,
+               unnest(generate_series(
+                 1, len(string_split(text, ' ')))) AS ord
+        FROM documents)
+      WHERE w <> '' AND regexp_matches(w, '^[a-z]+$')
+    ),
+    enc AS (
+      SELECT t.doc_id, t.ord,
+             COALESCE(v.pstr,
+               array_to_string(list_transform(
+                 generate_series(1, length(t.w)),
+                 i -> '<0x' || substr(hex(t.w), CAST((i - 1) * 2 + 1 AS INT),
+                                      2) || '>'), ' ')) AS pstr,
+             COALESCE(v.np, CAST(length(t.w) AS BIGINT)) AS np,
+             CASE WHEN v.w IS NULL THEN CAST(length(t.w) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS fb
+      FROM tok t LEFT JOIN vstate v ON t.w = v.w
+    ),
+    agg AS (
+      SELECT doc_id,
+             md5(string_agg(pstr, ' ' ORDER BY ord)) AS pieces_md5,
+             CAST(SUM(np) AS BIGINT) AS n_pieces,
+             CAST(SUM(fb) AS BIGINT) AS n_fallback_pieces
+      FROM enc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.pieces_md5, md5('')) AS pieces_md5,
+           COALESCE(a.n_pieces, CAST(0 AS BIGINT)) AS n_pieces,
+           COALESCE(a.n_fallback_pieces, CAST(0 AS BIGINT))
+             AS n_fallback_pieces
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    "text",
+    "tokenizer",
+)
+def q195_byte_fallback_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level OOV fallback through the corpus encode path —
+    VERDICT r09 order #2 (a real corpus always has words the trained
+    vocabulary never saw; the strict mode's loud failure must have a
+    coverage-preserving sibling): train the BPE table on a RESTRICTED
+    vocabulary (words of length >= 4 only), then encode the FULL
+    corpus with encode_corpus(oov_fallback='bytes') — in-vocab words
+    take their trained pieces, OOV words (the corpus's short words)
+    become <0xNN> UTF-8 byte symbols built JVM-side from
+    hex(encode(tok)). Emits per document the md5 of the complete
+    piece sequence plus piece/fallback-piece counts; the oracle
+    replays training on the same restricted vocabulary, left-joins
+    the corpus tokens against the end state, and synthesizes the
+    identical byte symbols for the misses — so the row only matches
+    if the fallback fires for exactly the OOV tokens, produces
+    byte-identical symbols, and drops nothing (zero-kept-token docs
+    keep their row). Strictness is preserved: oov_fallback defaults
+    to 'error' (q192/q193 certify that mode)."""
+    from .operators.tokenizer import apply_bpe, bpe_word_table, encode_corpus, train_bpe
+
+    vocab = bpe_word_table(
+        _t(spark, sf_dir, "documents"), token_pattern=_BPE_TRAIN_REGEX
+    )
+    merges = train_bpe(vocab, num_merges=_BPE_MERGES)
+    lut = apply_bpe(vocab, merges)
+    enc = encode_corpus(
+        _t(spark, sf_dir, "documents"),
+        lut,
+        token_pattern="^[a-z]+$",
+        oov_fallback="bytes",
+    )
+    return enc.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", "doc_tokens").cast("binary")).alias(
+            "pieces_md5"
+        ),
+        F.size("doc_tokens").cast("long").alias("n_pieces"),
+        F.size(
+            F.filter("doc_tokens", lambda x: x.startswith("<0x"))
+        ).cast("long").alias("n_fallback_pieces"),
+    ).orderBy("doc_id")
+
+
 # =========================================================================
 # Registry ordering (driver check-window priority)
 # =========================================================================
@@ -12305,20 +12481,21 @@ def q193_tokenizer_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
 # redundant subsets (q30/q31 ⊂ q32, q45 ⊂ q53, etc.), which keep local
 # oracle-parity coverage in tests/test_oracle_parity.py instead.
 _DRIVER_WINDOW_ORDER: list[str] = [
-    # ROUND-9 ROTATION (steady state — VERDICT r08 order #6): r08
-    # went 50/50 green (all full hash matches). This round's slot
-    # plan: 12 permanent anchors, the 2 judge-ordered residual-PQ
-    # certification anchors (q75 + q152), 4 round-8 additions
-    # (q184-q187, 1x green — kept in as re-confirmations per the
-    # demotion discipline), 6 ROUND-9 ADDITIONS (q188/q189 the BPE
-    # tokenizer trainer — VERDICT r08 order #1 — q190/q191 the
-    # unigram-LM trainer, its SentencePiece-style sibling, and q192
-    # the corpus-scale LUT-join encode both families share; all
-    # landing in their own round's window per the rotation rule
-    # asserted structurally in test_registry_contract.py against the
-    # committed CORRECTNESS_r*.json ledger), and 26 re-confirmation
-    # slots. Six 2x-green entries rotate out with in-window
-    # machinery reps (notes at the round-9 demotion block).
+    # ROUND-10 ROTATION (steady state — VERDICT r09 order #6): r09
+    # went 50/50 green (all full hash matches; ninth consecutive
+    # perfect driver signal). This round's slot plan: 12 permanent
+    # anchors, the 2 residual-PQ certification anchors (q75 + q152),
+    # the 4 round-8 additions (2x green, final re-confirmation
+    # round), the 6 round-9 tokenizer additions (1x green — kept in
+    # as re-confirmations per the demotion discipline), 2 ROUND-10
+    # ADDITIONS (q194 the greedy longest-match/trie encoder —
+    # VERDICT r09 order #1 — and q195 the byte-level OOV fallback
+    # through the corpus encode path — order #2; both landing in
+    # their own round's window per the rotation rule asserted
+    # structurally in test_registry_contract.py against the
+    # committed CORRECTNESS_r*.json ledger), and 24 re-confirmation
+    # slots. Two 3x-green entries rotate out with in-window
+    # machinery reps (notes at the round-10 demotion block).
     #
     # -- anchors (12) — multi-green pins (unchanged from r07) --
     # q01/q32: flagship pricing summary + the full reference ETL
@@ -12383,17 +12560,29 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q191_unigram_roundtrip",
     "q192_corpus_encode_roundtrip",
     "q193_tokenizer_compression",
-    # -- re-confirmations (26): the freshest greens — second/third
+    # -- ROUND-10 ADDITIONS: FIRST hard driver check (2) --
+    # q194: greedy longest-match (trie) encoder — apply_bpe's
+    #   production-vocab alternative (one Arrow map-only pass,
+    #   O(len x max_piece) set probes, no per-merge scans/checkpoints)
+    #   with the FULL segmentation hash-checked against a DuckDB
+    #   recursive-CTE replay of the same greedy walk (VERDICT r09
+    #   order #1).
+    # q195: byte-level OOV fallback (<0xNN> UTF-8 symbols) through
+    #   encode_corpus — trained on a length-restricted vocabulary so
+    #   the corpus's short words must take the fallback; per-doc
+    #   piece-sequence md5 + fallback counts replayed in SQL
+    #   (VERDICT r09 order #2).
+    "q194_longest_match_encode",
+    "q195_byte_fallback_encode",
+    # -- re-confirmations (24): the freshest greens — second/third
     # confirmation consolidates them --
     "q147_weighted_sample",
     "q148_windowed_funnel",
-    "q150_cuped_adjustment",
     "q151_srm_check",
     "q154_khop_reachability",
     "q155_weighted_quantiles",
     "q158_golden_record",
     "q159_quota_sample",
-    "q161_revenue_lorenz",
     "q163_cusum_changepoint",
     "q164_calibration_bins",
     "q165_int8_quantization",
@@ -12412,9 +12601,21 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q182_lsh_eval",
     "q183_dedup_impact",
     # ---- window boundary (position 50) ----
-    # ROUND-10 PLAN: steady state continues — anchors + additions
+    # ROUND-11 PLAN: steady state continues — anchors + additions
     # (<= promotion budget, each landing in its own round's window)
     # + re-confirmations of the freshest greens.
+    #
+    # -- ROUND-10 DEMOTIONS (2; each 3x green in r07+r08+r09,
+    # machinery-subsumed by a retained in-window sibling): --
+    # q150 CUPED adjustment ↔ q151 (the same sufficient-statistic
+    #   experiment algebra over per-arm conditional sums, same NumPy
+    #   cross-check discipline) + q164 (per-bin ratio-of-sums
+    #   calibration readout);
+    # q161 revenue Lorenz/Gini ↔ q155 (the same cumulative-sum-over-
+    #   ordered-window ECDF machinery, weighted generalization) +
+    #   q168's per-key running-carry windows.
+    "q150_cuped_adjustment",
+    "q161_revenue_lorenz",
     #
     # -- ROUND-9 DEMOTIONS (6; each 2x green in r07+r08, machinery-
     # subsumed by a retained in-window sibling): --

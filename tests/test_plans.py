@@ -1209,3 +1209,47 @@ def test_encode_corpus_broadcast_lut_no_cartesian(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_longest_match_encode_map_only(spark):
+    """q194's trie encoder (encode_longest_match): ONE Arrow-batched
+    map-only stage over the word table — zero exchanges, zero joins
+    beyond the table's own build, independent of merge-table size
+    (apply_bpe's per-96-merge checkpoints are gone). At 100 TB the
+    encode never shuffles anything."""
+    from big_data_spark.catalog import load_table
+    from big_data_spark.operators.tokenizer import (
+        bpe_word_table,
+        encode_longest_match,
+    )
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    words = bpe_word_table(docs, token_pattern="^[a-z]+$")
+    enc = encode_longest_match(words, list("abcdefghijklmnopqrstuvwxyz"))
+    plan = formatted_plan(enc)
+    assert count_shuffles(enc) == count_shuffles(words), plan
+    assert "Join" not in plan, plan
+
+
+def test_byte_fallback_join_path_stays_jvm_side(spark):
+    """q195's byte fallback: the <0xNN> synthesis in the join strategy
+    is a pure column expression (hex/encode/transform) — no Python
+    stage anywhere in the plan, broadcast LUT join preserved."""
+    from big_data_spark.catalog import load_table
+    from big_data_spark.operators.tokenizer import (
+        BPEMerge,
+        apply_bpe,
+        bpe_word_table,
+        encode_corpus,
+    )
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    words = bpe_word_table(docs, token_pattern="^[a-z]{4,}$")
+    lut = apply_bpe(words, [BPEMerge(1, "a", "b", "ab", 0)])
+    out = encode_corpus(
+        docs, lut, token_pattern="^[a-z]+$", oov_fallback="bytes"
+    )
+    plan = formatted_plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -19,15 +19,14 @@ DRIVER_WINDOW = 50
 # post-fit readouts are now oracle-backed companions (q186/q187).
 ROWS_ONLY_WINDOW_EXCEPTIONS: set[str] = set()
 
-# Round-9 slot plan (VERDICT r08 order #6 — steady state): 12
-# permanent anchors, the 2 judge-ordered residual-PQ certification
-# anchors (q75, q152), the 4 round-8 additions kept as 1x-green
-# re-confirmations (q186 re-certifies its HARDENED range oracle),
-# the 6 round-9 additions (q188/q189 BPE trainer, q190/q191
-# unigram-LM trainer, q192 corpus-scale LUT-join encode, q193
-# compression readout — first hard check), and 26 re-confirmations.
-# Six 2x-green entries rotated out with in-window machinery reps
-# (see _DRIVER_WINDOW_ORDER notes).
+# Round-10 slot plan (VERDICT r09 order #6 — steady state): 12
+# permanent anchors, the 2 residual-PQ certification anchors (q75,
+# q152), the 4 round-8 additions (2x green) and 6 round-9 tokenizer
+# additions (1x green) kept as re-confirmations, the 2 round-10
+# additions (q194 longest-match/trie encoder, q195 byte-level OOV
+# fallback — first hard check), and 24 re-confirmations. Two
+# 3x-green entries (q150, q161) rotated out with in-window
+# machinery reps (see _DRIVER_WINDOW_ORDER notes).
 MUST_BE_IN_WINDOW = {
     # -- anchors (12): multi-green machinery pins --
     "q01_pricing_summary",
@@ -50,23 +49,24 @@ MUST_BE_IN_WINDOW = {
     "q185_ivfpq_pruned_refine",
     "q186_kmeans_fit_invariants",
     "q187_w2v_vocab_invariants",
-    # -- round-9 additions: FIRST hard driver check --
+    # -- round-9 additions, kept as 1x-green re-confirmations --
     "q188_bpe_merge_sequence",
     "q189_bpe_encoded_vocab",
     "q190_unigram_seed_vocab",
     "q191_unigram_roundtrip",
     "q192_corpus_encode_roundtrip",
     "q193_tokenizer_compression",
-    # -- re-confirmations (26): freshest greens --
+    # -- round-10 additions: FIRST hard driver check --
+    "q194_longest_match_encode",
+    "q195_byte_fallback_encode",
+    # -- re-confirmations (24): freshest greens --
     "q147_weighted_sample",
     "q148_windowed_funnel",
-    "q150_cuped_adjustment",
     "q151_srm_check",
     "q154_khop_reachability",
     "q155_weighted_quantiles",
     "q158_golden_record",
     "q159_quota_sample",
-    "q161_revenue_lorenz",
     "q163_cusum_changepoint",
     "q164_calibration_bins",
     "q165_int8_quantization",

@@ -315,14 +315,16 @@ def test_encode_corpus_missing_lut_word_fails_loudly(spark):
 
 def test_encode_corpus_map_strategy_matches_join(spark):
     """The zero-shuffle broadcast-dict strategy must emit exactly the
-    join strategy's results — including empty docs and filtered
-    tokens — and fail loudly on LUT misses the same way."""
+    join strategy's results — including empty docs, filtered tokens,
+    and NULL texts (zero tokens in both paths — ADVICE r09) — and
+    fail loudly on LUT misses the same way."""
     from pyspark.errors.exceptions.captured import PythonException
 
     from big_data_spark.operators.tokenizer import encode_corpus
 
     docs = spark.createDataFrame(
-        [(1, "ab low ab"), (2, "low lower"), (3, ""), (4, "XX 42")],
+        [(1, "ab low ab"), (2, "low lower"), (3, ""), (4, "XX 42"),
+         (5, None)],
         "doc_id int, text string",
     )
     words = bpe_word_table(docs, token_pattern="^[a-z]+$")
@@ -341,10 +343,157 @@ def test_encode_corpus_map_strategy_matches_join(spark):
         ).collect()
     }
     assert a == b
-    assert b[3] == [] and b[4] == []
+    assert b[3] == [] and b[4] == [] and b[5] == []
 
     missing = spark.createDataFrame([(9, "ab zz")], "doc_id int, text string")
     with pytest.raises(PythonException, match="missing from the tokenizer LUT"):
         encode_corpus(missing, lut, strategy="map").collect()
     with pytest.raises(ValueError, match="unknown encode_corpus strategy"):
         encode_corpus(docs, lut, strategy="nope")
+    with pytest.raises(ValueError, match="unknown encode_corpus oov_fallback"):
+        encode_corpus(docs, lut, oov_fallback="skip")
+
+
+def _greedy_ref(word: str, vocab: set[str]) -> list[str]:
+    """Independent greedy longest-match (test oracle)."""
+    out, i = [], 0
+    ml = max(len(p) for p in vocab)
+    while i < len(word):
+        for ln in range(min(ml, len(word) - i), 0, -1):
+            if word[i : i + ln] in vocab:
+                out.append(word[i : i + ln])
+                i += ln
+                break
+        else:
+            raise AssertionError((word, i))
+    return out
+
+
+def test_encode_longest_match_matches_reference(spark, words):
+    """encode_longest_match vs an independent greedy longest-match on
+    the trained vocabulary — and lossless round-trip for every word."""
+    from big_data_spark.operators.tokenizer import (
+        bpe_vocab_pieces,
+        encode_longest_match,
+    )
+
+    merges = train_bpe(words, num_merges=8)
+    vocab = bpe_vocab_pieces(words, merges)
+    assert set(vocab) >= {m.merged for m in merges}
+    got = {
+        r["w"]: list(r["lm_tokens"])
+        for r in encode_longest_match(words, vocab).collect()
+    }
+    vset = set(vocab)
+    for w in CORPUS:
+        assert got[w] == _greedy_ref(w, vset), w
+        assert "".join(got[w]) == w, w
+
+
+def test_encode_longest_match_agrees_with_replay_on_chain_merges(spark):
+    """Where greedy-longest boundaries coincide with replay boundaries
+    (chain merges growing one suffix — the common trained shape), the
+    trie encoder and apply_bpe emit IDENTICAL segmentations."""
+    from big_data_spark.operators.tokenizer import (
+        bpe_vocab_pieces,
+        encode_longest_match,
+    )
+
+    df = spark.createDataFrame(
+        [("lowest", 5), ("low", 3), ("est", 2), ("lowlow", 1)],
+        "w string, cnt long",
+    )
+    merges = [
+        BPEMerge(1, "l", "o", "lo", 0),
+        BPEMerge(2, "lo", "w", "low", 0),
+        BPEMerge(3, "e", "s", "es", 0),
+        BPEMerge(4, "es", "t", "est", 0),
+    ]
+    vocab = bpe_vocab_pieces(df, merges)
+    replay = {
+        r["w"]: list(r["bpe_tokens"]) for r in apply_bpe(df, merges).collect()
+    }
+    lm = {
+        r["w"]: list(r["lm_tokens"])
+        for r in encode_longest_match(df, vocab).collect()
+    }
+    assert lm == replay
+    assert lm["lowlow"] == ["low", "low"]
+
+
+def test_encode_longest_match_divergence_from_replay_documented(spark):
+    """The documented divergence (operators/tokenizer.py docstring):
+    replay applies merges in PRIORITY order, longest-match takes the
+    longest piece — vocab {ab, bc} from merges [(b,c), (a,b)] splits
+    'abc' as [a, bc] under replay but [ab, c] under longest-match.
+    Both are valid vocab segmentations; they are different operators."""
+    from big_data_spark.operators.tokenizer import (
+        bpe_vocab_pieces,
+        encode_longest_match,
+    )
+
+    df = spark.createDataFrame([("abc", 1)], "w string, cnt long")
+    merges = [
+        BPEMerge(1, "b", "c", "bc", 0),
+        BPEMerge(2, "a", "b", "ab", 0),
+    ]
+    replay = apply_bpe(df, merges).collect()[0]["bpe_tokens"]
+    lm = encode_longest_match(df, bpe_vocab_pieces(df, merges)).collect()[0][
+        "lm_tokens"
+    ]
+    assert list(replay) == ["a", "bc"]
+    assert list(lm) == ["ab", "c"]
+
+
+def test_encode_longest_match_byte_fallback_and_loud_failure(spark):
+    """A position no vocab piece matches fails loudly by default; with
+    byte_fallback=True it emits <0xNN> UTF-8 byte symbols (uppercase
+    hex, multi-byte for non-ASCII) and every input round-trips."""
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from big_data_spark.operators.tokenizer import (
+        byte_pieces,
+        encode_longest_match,
+    )
+
+    df = spark.createDataFrame([("cafeé", 1)], "w string, cnt long")
+    vocab = ["c", "a", "f", "e", "ca", "fe"]
+    with pytest.raises(PythonException, match="no vocab piece at position"):
+        encode_longest_match(df, vocab).collect()
+    got = encode_longest_match(df, vocab, byte_fallback=True).collect()[0][
+        "lm_tokens"
+    ]
+    assert list(got) == ["ca", "fe", "<0xC3>", "<0xA9>"]
+    assert byte_pieces("é") == ["<0xC3>", "<0xA9>"]
+    with pytest.raises(ValueError, match="non-empty vocabulary"):
+        encode_longest_match(df, [])
+
+
+def test_encode_corpus_oov_fallback_bytes_both_strategies(spark):
+    """oov_fallback='bytes': a word missing from the LUT encodes as
+    its UTF-8 <0xNN> symbols — identically in the JVM join path
+    (hex(encode(tok))) and the Arrow map path (byte_pieces), including
+    multi-byte characters — while LUT words keep their pieces."""
+    from big_data_spark.operators.tokenizer import byte_pieces, encode_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "ab zz ab"), (2, "héllo"), (3, ""), (4, None)],
+        "doc_id int, text string",
+    )
+    lut = spark.createDataFrame(
+        [("ab", ["ab"])], "w string, bpe_tokens array<string>"
+    )
+    a = {
+        r["doc_id"]: list(r["doc_tokens"])
+        for r in encode_corpus(docs, lut, oov_fallback="bytes").collect()
+    }
+    b = {
+        r["doc_id"]: list(r["doc_tokens"])
+        for r in encode_corpus(
+            docs, lut, strategy="map", oov_fallback="bytes"
+        ).collect()
+    }
+    assert a == b
+    assert a[1] == ["ab"] + byte_pieces("zz") + ["ab"]
+    assert a[2] == byte_pieces("héllo")
+    assert a[3] == [] and a[4] == []

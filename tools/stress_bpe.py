@@ -15,14 +15,32 @@ per phase:
                   per-merge cost (one map-only replace), which is why
                   K=16 should approach K=1's per-merge cost / 16.
 
+  encode_replay_m{M} / encode_trie_m{M}
+                  the encode A/B (VERDICT r09 order #1): apply_bpe's
+                  merge REPLAY (O(M) replace scans + an eager
+                  localCheckpoint per REPLACE_DEPTH_CAP=96 merges)
+                  vs encode_longest_match's greedy TRIE pass (one
+                  Arrow map-only stage, cost independent of M), both
+                  encoding the full distinct-word table against an
+                  M-merge table. The table is the trained sequence
+                  extended with never-matching synthetic merges
+                  (symbols over the unused letter 'z') up to M —
+                  provenance doesn't change either encoder's cost
+                  model, only table SIZE does. total_pieces is
+                  reported for both (they may differ: longest-match
+                  is not replay — the divergence is documented in
+                  operators/tokenizer.py).
+
 Usage: python tools/stress_bpe.py [n_docs] [tokens_per_doc] [vocab]
                                   [num_merges] [alphabet]
+                                  [encode_targets]
 Defaults 100_000 docs x 80 tokens, 20k word vocab, 64 merges,
-16-letter alphabet (md5-hex spellings). alphabet=26 switches to
-per-character hashed spellings over a-z — the knob that tests
-whether the non-overlap filter's round fill is alphabet-bound.
-Single-shot timings on cache-warmed inputs — scale datapoints, not
-benchmarks (run idle; see SCALING.md "Noise floor").
+16-letter alphabet (md5-hex spellings), encode_targets 2048,32768
+('' skips the A/B). alphabet=26 switches to per-character hashed
+spellings over a-z — the knob that tests whether the non-overlap
+filter's round fill is alphabet-bound. Single-shot timings on
+cache-warmed inputs — scale datapoints, not benchmarks (run idle;
+see SCALING.md "Noise floor").
 """
 
 from __future__ import annotations
@@ -36,7 +54,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from pyspark.sql import functions as F
 
-from big_data_spark.operators.tokenizer import bpe_word_table, train_bpe
+from big_data_spark.operators.tokenizer import (
+    BPEMerge,
+    apply_bpe,
+    bpe_vocab_pieces,
+    bpe_word_table,
+    encode_longest_match,
+    train_bpe,
+)
 from big_data_spark.session import get_spark
 
 
@@ -46,6 +71,11 @@ def main() -> None:
     vocab = int(sys.argv[3]) if len(sys.argv) > 3 else 20_000
     num_merges = int(sys.argv[4]) if len(sys.argv) > 4 else 64
     alphabet = int(sys.argv[5]) if len(sys.argv) > 5 else 16
+    encode_targets = [
+        int(x)
+        for x in (sys.argv[6] if len(sys.argv) > 6 else "2048,32768").split(",")
+        if x
+    ]
 
     spark = get_spark("stress-bpe")
 
@@ -139,6 +169,63 @@ def main() -> None:
                     "first_merges": [
                         (m.left, m.right, m.n) for m in merges[:5]
                     ],
+                }
+            ),
+            flush=True,
+        )
+
+    # ---- encode A/B: merge replay vs greedy longest-match (trie) ----
+    for target in encode_targets:
+        if target <= len(merges):
+            table = list(merges[:target])
+        else:
+            # pad with never-matching merges over the unused letter
+            # 'z': replay still pays one replace scan (and its share
+            # of depth-cap checkpoints) per merge — exactly the cost
+            # a real 32k table charges — while the trie encoder's
+            # cost stays bound by word length x max piece length.
+            table = list(merges) + [
+                BPEMerge(
+                    rank=len(merges) + i + 1,
+                    left=f"z{i}",
+                    right="zz",
+                    merged=f"z{i}zz",
+                    n=0,
+                )
+                for i in range(target - len(merges))
+            ]
+        t0 = time.perf_counter()
+        enc = apply_bpe(words, table)
+        replay_pieces = enc.agg(
+            F.sum(F.size("bpe_tokens")).alias("p")
+        ).collect()[0]["p"]
+        print(
+            json.dumps(
+                {
+                    "op": f"encode_replay_m{target}",
+                    "wall_s": round(time.perf_counter() - t0, 2),
+                    "merge_table": target,
+                    "words_encoded": n_words,
+                    "total_pieces": int(replay_pieces),
+                }
+            ),
+            flush=True,
+        )
+        t0 = time.perf_counter()
+        pieces = bpe_vocab_pieces(words, table)
+        trie = encode_longest_match(words, pieces)
+        trie_pieces = trie.agg(
+            F.sum(F.size("lm_tokens")).alias("p")
+        ).collect()[0]["p"]
+        print(
+            json.dumps(
+                {
+                    "op": f"encode_trie_m{target}",
+                    "wall_s": round(time.perf_counter() - t0, 2),
+                    "merge_table": target,
+                    "vocab_pieces": len(pieces),
+                    "words_encoded": n_words,
+                    "total_pieces": int(trie_pieces),
                 }
             ),
             flush=True,
