@@ -344,12 +344,26 @@ def pq_adc_search(
     )
 
 
+def default_refine_factor(dim: int) -> int:
+    """Dim-scaled refine shortlist (VERDICT r09 order #5 — the knob
+    the round-9 sweep proved free should not be a knob users must
+    know about): per-subspace quantization noise sums over m
+    subspaces, so the ADC-tie population — and with it the shortlist
+    a given recall needs — grows with dimension. Measured at 1M
+    vectors: 32-d scores recall@10 = 1.00 at rf=100; 128-d needs
+    rf>=300 for 0.98 — at ZERO marginal latency, because the exact
+    re-rank of a KB-scale shortlist is noise next to the ADC scan
+    (SCALING.md, round-9 high-dimension section). Explicit
+    refine_factor always wins; None picks this rule."""
+    return 300 if dim >= 128 else 100
+
+
 def pq_search_refined(
     index: PQIndex,
     emb: DataFrame,
     query_vec: list[float],
     k: int = 10,
-    refine_factor: int = 10,
+    refine_factor: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -367,9 +381,13 @@ def pq_search_refined(
     rf=100 scores recall 1.0 at 50k vectors but 0.54 at 1M on a
     clustered corpus; rf=500 restores 0.94) — or better, switch to
     ivfpq_search_refined, whose residual codes remove the tie
-    population at the source (recall 1.0 at rf=100 at 1M)."""
+    population at the source (recall 1.0 at rf=100 at 1M).
+    refine_factor=None derives the dim-scaled default
+    (``default_refine_factor``); an explicit value always wins."""
     from ..functions import l2_sq
 
+    if refine_factor is None:
+        refine_factor = default_refine_factor(len(query_vec))
     cand = pq_adc_search(index, query_vec, k=k * refine_factor, id_col=id_col)
     qlit = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
@@ -816,7 +834,7 @@ def ivfpq_search_refined(
     query_vec: list[float],
     k: int = 10,
     nprobe: int = 4,
-    refine_factor: int = 10,
+    refine_factor: int | None = None,
     vec_col: str = "embedding",
     where=None,
     auto_nprobe: bool = False,
@@ -837,9 +855,14 @@ def ivfpq_search_refined(
     next to the ADC scan. Raising nprobe instead buys no recall at
     +35% latency (the misses are ADC-ranking losses inside already-
     probed cells, not coarse-stage misses). Rule: rf ≥ 300 at
-    ≥128-d; see SCALING.md's round-9 high-dimension section."""
+    ≥128-d (SCALING.md's round-9 high-dimension section) — which is
+    exactly what refine_factor=None now derives from the query's
+    dimension (``default_refine_factor``); an explicit value always
+    wins."""
     from ..functions import l2_sq
 
+    if refine_factor is None:
+        refine_factor = default_refine_factor(len(query_vec))
     cand = ivfpq_adc_search(
         index, query_vec, k=k * refine_factor, nprobe=nprobe,
         where=where, auto_nprobe=auto_nprobe,

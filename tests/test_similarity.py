@@ -1368,6 +1368,44 @@ def test_ivfpq_residual_recall_vs_exact(spark, emb, query_vec):
     assert refined[0] == 0
 
 
+def test_refine_factor_dim_scaled_default(spark, emb, query_vec):
+    """refine_factor=None derives the measured operating rule
+    (VERDICT r09 order #5): rf=100 below 128-d, rf=300 at >=128-d —
+    the knob the round-9 sweep proved free must not be a knob users
+    have to know about. An explicit value always wins; the derived
+    default must produce exactly the explicit call's results."""
+    from big_data_spark.operators.similarity import (
+        build_ivfpq_index,
+        default_refine_factor,
+        ivfpq_search_refined,
+    )
+
+    assert default_refine_factor(32) == 100
+    assert default_refine_factor(127) == 100
+    assert default_refine_factor(128) == 300
+    assert default_refine_factor(1536) == 300
+
+    idx = build_ivfpq_index(emb, nlist=8, m=4, ksub=8)
+    derived = [
+        tuple(r)
+        for r in ivfpq_search_refined(
+            idx, emb, query_vec, k=5, nprobe=8
+        ).collect()
+    ]
+    explicit = [
+        tuple(r)
+        for r in ivfpq_search_refined(
+            idx,
+            emb,
+            query_vec,
+            k=5,
+            nprobe=8,
+            refine_factor=default_refine_factor(len(query_vec)),
+        ).collect()
+    ]
+    assert derived == explicit and len(derived) == 5
+
+
 def test_ivfpq_encode_columns_parity(spark, emb):
     """Pure-column residual encoding (the streaming-ingest path) must
     agree with the build's KMeans.transform assignment vector-for-
