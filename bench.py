@@ -182,9 +182,10 @@ BENCH_QUERIES = [
     "q192_corpus_encode_roundtrip",
     "q193_tokenizer_compression",
     # round-10 additions: longest-match (trie) encoder + byte-level
-    # OOV fallback through the corpus encode path
+    # OOV fallback through the corpus encode path + pre-tokenization
     "q194_longest_match_encode",
     "q195_byte_fallback_encode",
+    "q196_pretokenized_vocab",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

@@ -56,6 +56,7 @@ from .operators.job_etl import (
     parse_salary,
 )
 from .operators.skills import SKILL_HOT_ORACLE_SQL, skill_hot_scores
+from .operators.tokenizer import PRE_TOKENIZE_PATTERN
 
 
 @dataclass
@@ -12470,6 +12471,51 @@ def q195_byte_fallback_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "q196_pretokenized_vocab",
+    "WITH src AS (SELECT * FROM "
+    + multi_values_clause(JOBS_CORPUS, JOBS_COLUMNS)
+    + f"""),
+    toks AS (
+      SELECT unnest(regexp_extract_all(
+        concat_ws(' ', job_title, city, experience, skills, salary),
+        '{PRE_TOKENIZE_PATTERN}')) AS w
+      FROM src)
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks
+    WHERE w <> '' AND strpos(w, '|') = 0
+    GROUP BY w ORDER BY w
+    """,
+    "text",
+    "tokenizer",
+)
+def q196_pretokenized_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenization rules for real text (VERDICT r09 "What's
+    missing" #1 — both word tables split on a single ASCII space,
+    fine at fixture scale, wrong for a real corpus):
+    bpe_word_table(pre_tokenize=True) tokenizes with the canonical
+    letters/digits/punct-run rule (PRE_TOKENIZE_PATTERN, Unicode
+    property classes — one codegen regexp_extract_all projection
+    feeding the same map-side-combinable groupBy), exercised here on
+    the reference's own Vietnamese job corpus: diacritics, commas,
+    ranges ('10 - 15 triệu'), and mixed alphanumerics all yield
+    trainable words instead of opaque blobs. The oracle replays the
+    identical pattern through DuckDB's RE2 — the row only matches if
+    Java and RE2 agree match-for-match on real multilingual text
+    (cross-engine Unicode-property semantics, test-pinned at the
+    Python category-splitter level too). Composes with the whole
+    family: the resulting word table feeds train_bpe/train_unigram
+    unchanged, and encode_corpus takes the same pre_tokenize flag so
+    encode-time tokenization cannot drift from training."""
+    from .operators.tokenizer import bpe_word_table
+
+    docs = jobs_corpus_df(spark).select(
+        F.concat_ws(
+            " ", "job_title", "city", "experience", "skills", "salary"
+        ).alias("text")
+    )
+    return bpe_word_table(docs, pre_tokenize=True).orderBy("w")
+
+
 # =========================================================================
 # Registry ordering (driver check-window priority)
 # =========================================================================
@@ -12572,9 +12618,14 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     #   the corpus's short words must take the fallback; per-doc
     #   piece-sequence md5 + fallback counts replayed in SQL
     #   (VERDICT r09 order #2).
+    # q196: pre-tokenization rules (canonical letters/digits/punct
+    #   runs via Unicode property classes) on the Vietnamese job
+    #   corpus — Java-vs-RE2 match-for-match parity hash-checked
+    #   (the real-text word-table gap, "What's missing" #1).
     "q194_longest_match_encode",
     "q195_byte_fallback_encode",
-    # -- re-confirmations (24): the freshest greens — second/third
+    "q196_pretokenized_vocab",
+    # -- re-confirmations (23): the freshest greens — second/third
     # confirmation consolidates them --
     "q147_weighted_sample",
     "q148_windowed_funnel",
@@ -12591,7 +12642,6 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q170_duplication_fraction",
     "q171_token_pmi",
     "q172_association_rules",
-    "q174_oov_rate",
     "q175_bigram_logprob",
     "q176_langid_confusion",
     "q177_token_entropy",
@@ -12613,9 +12663,15 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     #   calibration readout);
     # q161 revenue Lorenz/Gini ↔ q155 (the same cumulative-sum-over-
     #   ordered-window ECDF machinery, weighted generalization) +
-    #   q168's per-key running-carry windows.
+    #   q168's per-key running-carry windows;
+    # q174 OOV rate ↔ q195 (per-token LUT-membership accounting —
+    #   the SAME oov counting, now hash-checked per document through
+    #   the full encode path) + q193 (per-source token aggregation
+    #   over a broadcast vocabulary) + q137's broadcast-membership
+    #   machinery.
     "q150_cuped_adjustment",
     "q161_revenue_lorenz",
+    "q174_oov_rate",
     #
     # -- ROUND-9 DEMOTIONS (6; each 2x green in r07+r08, machinery-
     # subsumed by a retained in-window sibling): --

@@ -313,6 +313,34 @@ def test_fuzz_byte_fallback_mixed_script_roundtrip(spark):
     for w, pieces in enc.items():
         assert decode(pieces) == w, w
 
+    # pre_tokenize=True over the same mixed corpus: the join path
+    # (Java regexp_extract_all) and the map path (unicodedata
+    # category splitter) must agree symbol-for-symbol, and both must
+    # reproduce an INDEPENDENT engine's tokenization (DuckDB RE2 on
+    # the identical pattern) through the byte-decode round trip
+    from big_data_spark.operators.tokenizer import PRE_TOKENIZE_PATTERN
+
+    pa = {
+        r["doc_id"]: list(r["doc_tokens"])
+        for r in encode_corpus(
+            df, lut, oov_fallback="bytes", pre_tokenize=True
+        ).collect()
+    }
+    pb = {
+        r["doc_id"]: list(r["doc_tokens"])
+        for r in encode_corpus(
+            df, lut, oov_fallback="bytes", pre_tokenize=True,
+            strategy="map",
+        ).collect()
+    }
+    assert pa == pb
+    con = duckdb.connect()
+    for i, text in docs:
+        ref = con.execute(
+            "SELECT regexp_extract_all(?, ?)", [text, PRE_TOKENIZE_PATTERN]
+        ).fetchone()[0]
+        assert decode(pa[i]) == "".join(ref), (i, text, ref)
+
 
 def test_fuzz_corpus_encode_roundtrip(spark):
     """encode_corpus on seeded random documents: per-doc piece concat

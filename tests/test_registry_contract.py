@@ -22,11 +22,12 @@ ROWS_ONLY_WINDOW_EXCEPTIONS: set[str] = set()
 # Round-10 slot plan (VERDICT r09 order #6 — steady state): 12
 # permanent anchors, the 2 residual-PQ certification anchors (q75,
 # q152), the 4 round-8 additions (2x green) and 6 round-9 tokenizer
-# additions (1x green) kept as re-confirmations, the 2 round-10
+# additions (1x green) kept as re-confirmations, the 3 round-10
 # additions (q194 longest-match/trie encoder, q195 byte-level OOV
-# fallback — first hard check), and 24 re-confirmations. Two
-# 3x-green entries (q150, q161) rotated out with in-window
-# machinery reps (see _DRIVER_WINDOW_ORDER notes).
+# fallback, q196 pre-tokenization rules — first hard check), and 23
+# re-confirmations. Three 3x-green entries (q150, q161, q174)
+# rotated out with in-window machinery reps (see
+# _DRIVER_WINDOW_ORDER notes).
 MUST_BE_IN_WINDOW = {
     # -- anchors (12): multi-green machinery pins --
     "q01_pricing_summary",
@@ -59,7 +60,8 @@ MUST_BE_IN_WINDOW = {
     # -- round-10 additions: FIRST hard driver check --
     "q194_longest_match_encode",
     "q195_byte_fallback_encode",
-    # -- re-confirmations (24): freshest greens --
+    "q196_pretokenized_vocab",
+    # -- re-confirmations (23): freshest greens --
     "q147_weighted_sample",
     "q148_windowed_funnel",
     "q151_srm_check",
@@ -75,7 +77,6 @@ MUST_BE_IN_WINDOW = {
     "q170_duplication_fraction",
     "q171_token_pmi",
     "q172_association_rules",
-    "q174_oov_rate",
     "q175_bigram_logprob",
     "q176_langid_confusion",
     "q177_token_entropy",

@@ -354,6 +354,66 @@ def test_encode_corpus_map_strategy_matches_join(spark):
         encode_corpus(docs, lut, oov_fallback="skip")
 
 
+def test_pre_tokenize_word_table(spark):
+    """bpe_word_table(pre_tokenize=True): real text splits into
+    letter/digit/punct runs (Unicode-aware) instead of opaque
+    space-separated blobs; None keeps the certified space-split."""
+    docs = spark.createDataFrame(
+        [(1, "C++ .NET (3-5 năm)"), (2, "từ 25,000,000 VND/tháng")],
+        "doc_id int, text string",
+    )
+    got = {
+        r["w"]: r["cnt"]
+        for r in bpe_word_table(docs, pre_tokenize=True).collect()
+    }
+    assert got == {
+        "C": 1, "++": 1, ".": 1, "NET": 1, "(": 1, "3": 1, "-": 1,
+        "5": 1, "năm": 1, ")": 1, "từ": 1, "25": 1, ",": 2, "000": 2,
+        "VND": 1, "/": 1, "tháng": 1,
+    }
+    legacy = {r["w"] for r in bpe_word_table(docs).collect()}
+    assert "(3-5" in legacy  # space-split keeps the blob
+
+
+def test_encode_corpus_pre_tokenize_strategies_match(spark):
+    """encode_corpus(pre_tokenize=True): the join strategy's
+    regexp_extract_all and the map strategy's unicodedata category
+    splitter must tokenize identically (incl. diacritics, digit runs,
+    punct runs); custom regexes are join-only (Python re lacks \\p)."""
+    from big_data_spark.operators.tokenizer import byte_pieces, encode_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "C++ .NET (3-5 năm)"), (2, "từ 25,000,000 VND/tháng"),
+         (3, ""), (4, None)],
+        "doc_id int, text string",
+    )
+    lut = spark.createDataFrame(
+        [("năm", ["nă", "m"])], "w string, bpe_tokens array<string>"
+    )
+    a = {
+        r["doc_id"]: list(r["doc_tokens"])
+        for r in encode_corpus(
+            docs, lut, oov_fallback="bytes", pre_tokenize=True
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: list(r["doc_tokens"])
+        for r in encode_corpus(
+            docs, lut, oov_fallback="bytes", pre_tokenize=True,
+            strategy="map",
+        ).collect()
+    }
+    assert a == b
+    # 'năm' is the one LUT hit; everything else byte-falls-back
+    assert a[1][-3:] == ["nă", "m"] + byte_pieces(")")
+    assert a[3] == [] and a[4] == []
+    with pytest.raises(ValueError, match="only the canonical"):
+        encode_corpus(
+            docs, lut, strategy="map", pre_tokenize="[a-z]+",
+            oov_fallback="bytes",
+        )
+
+
 def _greedy_ref(word: str, vocab: set[str]) -> list[str]:
     """Independent greedy longest-match (test oracle)."""
     out, i = [], 0
@@ -467,6 +527,40 @@ def test_encode_longest_match_byte_fallback_and_loud_failure(spark):
     assert byte_pieces("é") == ["<0xC3>", "<0xA9>"]
     with pytest.raises(ValueError, match="non-empty vocabulary"):
         encode_longest_match(df, [])
+
+
+def test_trie_lut_feeds_encode_corpus(spark, words):
+    """The production composition: the expensive per-word encode runs
+    ONCE per distinct word via the trie encoder (not merge replay),
+    and the resulting LUT drives the corpus encode — per-doc pieces
+    are exactly the concatenation of each kept token's trie
+    segmentation, in order."""
+    from big_data_spark.operators.tokenizer import (
+        bpe_vocab_pieces,
+        encode_corpus,
+        encode_longest_match,
+    )
+
+    merges = train_bpe(words, num_merges=6)
+    vocab = bpe_vocab_pieces(words, merges)
+    lut = encode_longest_match(words, vocab, out_col="lm_tokens")
+    docs = spark.createDataFrame(
+        [(1, "low lower ab"), (2, "banana"), (3, "")],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: list(r["doc_tokens"])
+        for r in encode_corpus(
+            docs, lut, pieces_col="lm_tokens", token_pattern="^[a-z]+$"
+        ).collect()
+    }
+    per_word = {
+        r["w"]: list(r["lm_tokens"])
+        for r in encode_longest_match(words, vocab).collect()
+    }
+    assert out[1] == per_word["low"] + per_word["lower"] + per_word["ab"]
+    assert out[2] == per_word["banana"]
+    assert out[3] == []
 
 
 def test_encode_corpus_oov_fallback_bytes_both_strategies(spark):
