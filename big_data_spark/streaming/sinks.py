@@ -1801,6 +1801,7 @@ def start_lm_stream(
     checkpoint_dir: str,
     text_col: str = "text",
     available_now: bool = True,
+    pre_tokenize: bool | str | None = None,
 ) -> StreamingQuery:
     """Streaming maintainer for q110's unigram LM — the perplexity
     filter's MODEL kept live as the corpus grows: each micro-batch
@@ -1809,14 +1810,20 @@ def start_lm_stream(
     and ``read_lm`` merges by addition and finishes through the SAME
     unigram_lm_from_counts q110 ships — the live model equals the
     batch model bit-for-bit, so a quality threshold tuned offline
-    holds online."""
+    holds online. ``pre_tokenize`` mirrors ``bpe_word_table``'s
+    parameter (the shared tokenization contract, round 10): a word
+    table streamed for a pre-tokenized trainer must tokenize
+    micro-batches exactly as the batch build does, or retraining
+    from the live table would drift; default None keeps q110's
+    certified space-split."""
+    from ..operators.tokenizer import _tokens_col
 
     def write_partial(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         (
             batch.select(
-                F.explode(F.split(text_col, " ")).alias("token")
+                F.explode(_tokens_col(text_col, pre_tokenize)).alias("token")
             )
             .groupBy("token")
             .agg(F.count("*").alias("cnt"))

@@ -1859,3 +1859,50 @@ def test_streamed_word_table_trains_identical_tokenizer(spark, tmp_path):
     assert [(p.piece, p.logp, p.count) for p in got_uni] == [
         (p.piece, p.logp, p.count) for p in want_uni
     ]
+
+
+def test_streamed_word_table_pre_tokenized(spark, tmp_path):
+    """start_lm_stream(pre_tokenize=True): a word table streamed for
+    a pre-tokenized trainer must tokenize micro-batches exactly as
+    bpe_word_table(pre_tokenize=True) does at batch build — same
+    letter/digit/punct runs, same counts — or retraining from the
+    live table would drift from the batch tokenizer (the shared
+    tokenization contract, round 10)."""
+    from big_data_spark.operators.tokenizer import bpe_word_table
+    from big_data_spark.streaming.sinks import (
+        read_word_table,
+        start_lm_stream,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "C++ .NET (3-5 năm) từ 25,000,000 VND/tháng"),
+            (2, "Python, SQL, Excel — 10 - 15 triệu"),
+            (3, "không yêu cầu kinh nghiệm (intern)"),
+            (4, None),
+        ],
+        "doc_id int, text string",
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    for name, pred in (("a", "doc_id <= 2"), ("b", "doc_id > 2")):
+        docs.filter(pred).coalesce(1).write.parquet(str(src / name))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = start_lm_stream(
+        stream,
+        str(tmp_path / "partials"),
+        str(tmp_path / "ck"),
+        pre_tokenize=True,
+    )
+    q.awaitTermination(180)
+
+    live = read_word_table(spark, str(tmp_path / "partials"))
+    batch = bpe_word_table(docs.filter("text IS NOT NULL"), pre_tokenize=True)
+    assert sorted(tuple(r) for r in live.collect()) == sorted(
+        tuple(r) for r in batch.collect()
+    )
