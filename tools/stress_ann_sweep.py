@@ -15,6 +15,15 @@ Usage: python tools/stress_ann_sweep.py [n_vecs] [dim] [nlist] [m]
 Defaults 1_000_000 x 128, nlist 64, m=16, ksub=256, rf 100,300,500,
 nprobe 4,8. Single-shot timings on cache-warmed inputs — scale
 datapoints, not benchmarks (run idle).
+
+Memory sizing (round-10 lesson, learned from a silent OOM): local
+mode puts the eagerly-checkpointed corpus, the MLlib fit caches, AND
+the driver in ONE JVM whose heap defaults to 8g
+(session.py SPARK_GRAFT_DRIVER_MEM). That holds to ~1M x 128-d
+(~0.5 GB of vectors) but a 1M x 1536-d corpus is ~6 GB raw before
+MLlib's caching — export SPARK_GRAFT_DRIVER_MEM=64g for
+full-embedding-width runs at >=10^6 vectors. On a real cluster this
+is ordinary executor sizing, not a design constraint.
 """
 
 from __future__ import annotations
