@@ -263,6 +263,12 @@ def test_fuzz_byte_fallback_mixed_script_roundtrip(spark):
         "abc", "ab", "ba", "cab", "xin", "chào", "triệu", "năm", "日本",
         "数据", "😀", "héllo", "a-b", "c.d", "(x)", "#tag", "42", "７",
         "ß", "Ωmega", "привет", "", "a",
+        # \x0B (vertical tab) pins the ADVICE-r10 separator fix: Java's
+        # \s includes it, RE2's does not, so PRE_TOKENIZE_PATTERN spells
+        # the separator set out explicitly — all three engines must now
+        # treat it as a token BOUNDARY (and the non-pre-tokenized path
+        # must keep it INSIDE the space-delimited token, byte-covered).
+        "a\x0Bb", "\x0B",
     ]
     rng = random.Random(8128)
     docs = []

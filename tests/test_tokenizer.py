@@ -591,3 +591,61 @@ def test_encode_corpus_oov_fallback_bytes_both_strategies(spark):
     assert a[1] == ["ab"] + byte_pieces("zz") + ["ab"]
     assert a[2] == byte_pieces("héllo")
     assert a[3] == [] and a[4] == []
+
+
+def test_normalize_text_word_table_equality(spark):
+    """normalize_text (VERDICT r10 order #4): one Arrow pass of
+    unicodedata.normalize ahead of the word table. The word table of
+    the NORMALIZED denormalized corpus must equal the word table of
+    the corpus written with the canonical code points directly —
+    ligatures, fullwidth forms, compatibility digits, and decomposed
+    diacritics all fold onto the pieces the tokenizer trained on."""
+    from big_data_spark.operators.tokenizer import normalize_text
+
+    denorm = spark.createDataFrame(
+        [
+            (1, "ﬁre ﬁre"),              # LATIN SMALL LIGATURE FI
+            (2, "Ｆｕｌｌｗｉｄｔｈ ４２"),      # fullwidth letters/digits
+            (3, "cafe\u0301 noe\u0308l"),  # decomposed diacritics (NFD)
+            (4, "① Ⅸ"),              # CIRCLED ONE, ROMAN NINE
+            (5, None),
+        ],
+        "doc_id int, text string",
+    )
+    canon = spark.createDataFrame(
+        [
+            (1, "fire fire"),
+            (2, "Fullwidth 42"),
+            (3, "café noël"),
+            (4, "1 IX"),
+            (5, None),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        (r["w"], r["cnt"])
+        for r in bpe_word_table(
+            normalize_text(denorm), pre_tokenize=True
+        ).collect()
+    }
+    want = {
+        (r["w"], r["cnt"])
+        for r in bpe_word_table(canon, pre_tokenize=True).collect()
+    }
+    assert got == want and ("fire", 2) in got
+
+    # NULL stays NULL; other columns pass through; out_col appends
+    rows = {
+        r["doc_id"]: r["norm"]
+        for r in normalize_text(denorm, out_col="norm").collect()
+    }
+    assert rows[5] is None and rows[1] == "fire fire"
+    import unicodedata
+
+    for r in normalize_text(denorm, form="NFC").collect():
+        if r["text"] is not None:
+            src = dict((d[0], d[1]) for d in denorm.collect())[r["doc_id"]]
+            assert r["text"] == unicodedata.normalize("NFC", src)
+
+    with pytest.raises(ValueError):
+        normalize_text(denorm, form="NFKX")
