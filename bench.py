@@ -186,6 +186,11 @@ BENCH_QUERIES = [
     "q194_longest_match_encode",
     "q195_byte_fallback_encode",
     "q196_pretokenized_vocab",
+    # round-11 additions: tokenizer capstone chain + token-budget
+    # mixing on real tokenizer piece counts
+    "q197_tokenizer_capstone",
+    "q198_token_budget_real_counts",
+    "q199_packed_sequences",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

@@ -160,6 +160,17 @@ JOBS_CORPUS: list[tuple] = [
 
 JOBS_COLUMNS = ["job_title", "city", "experience", "skills", "salary"]
 
+# Mixed-script document rows for the tokenizer capstone (q197): the
+# Vietnamese jobs corpus flattened to (doc_id, source, text) so it can
+# UNION with the parquet `documents` table — doc_ids offset far past
+# the table's range; the text join happens HERE (driver-side, static
+# data) so both engines consume identical strings instead of each
+# replaying NULL-skipping concat semantics.
+CAPSTONE_JOBS_DOCS: list[tuple] = [
+    (10_000 + i, "jobs", " ".join(v for v in row if v is not None))
+    for i, row in enumerate(JOBS_CORPUS)
+]
+
 
 def jobs_corpus_df(spark: SparkSession) -> DataFrame:
     from pyspark.sql.types import StringType, StructField, StructType
@@ -174,6 +185,8 @@ def multi_values_clause(rows: list[tuple], colnames: list[str]) -> str:
     def cell(v):
         if v is None:
             return "CAST(NULL AS VARCHAR)"
+        if isinstance(v, int):
+            return f"CAST({v} AS BIGINT)"
         return "'" + str(v).replace("'", "''") + "'"
 
     vals = ", ".join("(" + ", ".join(cell(v) for v in r) + ")" for r in rows)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def chunk_expr(tokens: Column, chunk_idx: Column, window: int, stride: int) -> Column:
@@ -122,4 +123,119 @@ def segment_dedup(
                 lambda x: x["seg"],
             ),
         ).alias("clean_text"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "doc_tokens",
+    out_col: str = "tokens",
+    doc_separator: str | None = None,
+) -> DataFrame:
+    """MATERIALIZE packed training sequences — the GPT-style
+    concat-and-chunk batch artifact itself, not just the pack
+    assignment (q84/q197 compute pack ids and offsets; a training
+    pipeline ultimately writes the packed token arrays). Documents are
+    concatenated per source in ``id_col`` order and cut into
+    ``seq_len``-token windows; a document whose tokens straddle a
+    boundary is SPLIT across the neighboring packs (standard packing —
+    no padding, no discarded tokens). Emits
+    ``(source, pack_id, tokens, n_tokens)`` with ``n_tokens ==
+    seq_len`` for every pack except each source's ragged tail; the
+    caller drops or pads the tail as training policy dictates.
+
+    Scale shape (100 TB): packing is per SOURCE (the q84 argument — a
+    single global running sum serializes on one ordered partition;
+    per-source runs every stream in parallel and is how real
+    pipelines shard the step):
+
+    1. per-doc token-count running sum — a window over the DOC-count
+       table (rows = documents, not tokens);
+    2. ``posexplode`` the token arrays and key each token by
+       ``(cum_before + pos)``: its global position in the source
+       stream — map-only, fused after the window;
+    3. ONE shuffle keyed by ``(source, global_pos // seq_len)`` with
+       order-preserving re-assembly (array_sort over in-pack offsets
+       — the q192 collect_list discipline). This token-level exchange
+       is the irreducible materialization cost any batch writer pays;
+       it is hash-distributed over packs, so it scales with executors
+       and no partition sees more than its packs' tokens.
+
+    Determinism: pack contents depend only on (source, doc_id order,
+    tokens) — retry/reshuffle stable, engine-replayable (q199's
+    oracle replays it in SQL).
+
+    ``doc_separator`` (e.g. ``"<eos>"``) appends one separator token
+    after every NON-EMPTY document before packing — the standard
+    document-boundary marker training corpora carry so the model can
+    learn where contexts end. Empty/NULL docs contribute no separator
+    (no content to delimit); separators count toward ``seq_len`` like
+    any token and may themselves land as a pack's first slot."""
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks_in = F.col(tokens_col)
+    if doc_separator is not None:
+        toks_in = F.when(
+            toks_in.isNull() | (F.size(toks_in) <= 0), toks_in
+        ).otherwise(F.concat(toks_in, F.array(F.lit(doc_separator))))
+    # size(NULL) is -1 with ANSI off (the module's standing footgun —
+    # see test_empty_token_arrays_produce_nothing): a NULL token array
+    # must count 0 toward the running offsets, not walk them backward.
+    n_toks = (
+        F.when(toks_in.isNull(), F.lit(0))
+        .otherwise(F.size(toks_in))
+        .cast("long")
+    )
+    with_cum = docs.select(
+        source_col,
+        id_col,
+        toks_in.alias("_toks"),
+        F.coalesce(F.sum(n_toks).over(w), F.lit(0)).alias("_cum_before"),
+    )
+    toks = (
+        with_cum.select(
+            source_col,
+            "_cum_before",
+            F.posexplode("_toks").alias("_pos", "_tok"),
+        )
+        .select(
+            source_col,
+            F.floor((F.col("_cum_before") + F.col("_pos")) / seq_len).alias(
+                "pack_id"
+            ),
+            ((F.col("_cum_before") + F.col("_pos")) % seq_len).alias("_off"),
+            "_tok",
+        )
+    )
+    # The explicit repartition is the whole point (plan-asserted):
+    # without it Catalyst ELIDES the pack-level exchange, because the
+    # window's hash(source) partitioning already clusters the grouping
+    # keys' subset — and then every pack of a source re-assembles in
+    # ONE task, capping token-grain parallelism at #sources. At 100 TB
+    # that single elided exchange is the difference between
+    # #sources-way and #packs-way parallelism; at small SF it costs
+    # one extra exchange the groupBy below then reuses.
+    return (
+        toks.repartition(F.col(source_col), F.col("pack_id"))
+        .groupBy(source_col, "pack_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("_off").alias("_o"),
+                            F.col("_tok").alias("_t"),
+                        )
+                    )
+                ),
+                lambda s: s["_t"],
+            ).alias(out_col)
+        )
+        .withColumn("n_tokens", F.size(out_col).cast("long"))
     )

@@ -29,6 +29,7 @@ from pyspark.sql.window import Window
 
 from .catalog import load_table
 from .fixtures import (
+    CAPSTONE_JOBS_DOCS,
     EXPERIENCE_CORPUS,
     JOBS_COLUMNS,
     JOBS_CORPUS,
@@ -11932,7 +11933,12 @@ def q187_w2v_vocab_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle_blocks(num_merges: int, word_regex: str = "^[a-z]+$") -> str:
+def _bpe_oracle_blocks(
+    num_merges: int,
+    word_regex: str = "^[a-z]+$",
+    tokens_expr: str = "string_split(text, ' ')",
+    corpus: str = "documents",
+) -> str:
     """The shared WITH-clause for the BPE oracles: w0 = the wrapped
     distinct-word vocabulary (q121's scale trick in SQL), then one
     (pair-count → argmax-with-tiebreak → replace) block per merge —
@@ -11943,12 +11949,15 @@ def _bpe_oracle_blocks(num_merges: int, word_regex: str = "^[a-z]+$") -> str:
     representation makes that exactly greedy BPE merge semantics
     (operators/tokenizer.py module doc). ``word_regex`` mirrors the
     Spark side's bpe_word_table token_pattern (q195 trains on a
-    RESTRICTED vocabulary to exercise the byte fallback)."""
+    RESTRICTED vocabulary to exercise the byte fallback);
+    ``tokens_expr``/``corpus`` mirror its pre_tokenize flag and input
+    frame (q197 trains pre-tokenized over documents ∪ the jobs
+    corpus)."""
     blocks = [
         f"""w0 AS (
       SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS s, cnt FROM (
         SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
-          SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          SELECT unnest({tokens_expr}) AS w FROM {corpus})
         WHERE w <> '' AND regexp_matches(w, '{word_regex}')
         GROUP BY w)
     )"""
@@ -12516,6 +12525,378 @@ def q196_pretokenized_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_word_table(docs, pre_tokenize=True).orderBy("w")
 
 
+# q197 trains pre-tokenized on a RESTRICTED vocabulary (lowercase ASCII
+# runs of length >= 3 — also what pins the byte-lexicographic merge
+# tiebreak cross-engine) over documents ∪ the Vietnamese jobs corpus,
+# so digit runs, punctuation runs, diacritic words, capitalized words,
+# and short words ALL take the byte fallback at corpus encode time.
+_CAPSTONE_TRAIN_REGEX = "^[a-z]{3,}$"
+_CAPSTONE_SEQ = 512  # context-window length for the packing stage
+
+_CAPSTONE_CORPUS_CTE = (
+    "corpus AS (SELECT doc_id, source, text FROM documents UNION ALL "
+    "SELECT * FROM "
+    + multi_values_clause(CAPSTONE_JOBS_DOCS, ["doc_id", "source", "text"])
+    + ")"
+)
+
+
+@register(
+    "q197_tokenizer_capstone",
+    _bpe_oracle_blocks(
+        _BPE_MERGES,
+        word_regex=_CAPSTONE_TRAIN_REGEX,
+        tokens_expr=f"regexp_extract_all(text, '{PRE_TOKENIZE_PATTERN}')",
+        corpus="corpus",
+    ).replace("WITH ", "WITH RECURSIVE " + _CAPSTONE_CORPUS_CTE + ",\n    ", 1)
+    + f""",
+    wv AS (SELECT replace(s, '|', '') AS w FROM w0),
+    vocab AS (
+      SELECT DISTINCT substr(w, CAST(i AS INT), 1) AS piece
+      FROM (SELECT w, unnest(generate_series(1, length(w))) AS i FROM wv)
+      UNION
+      {" UNION ".join(f"SELECT l || r FROM b{r}" for r in range(1, _BPE_MERGES + 1))}
+    ),
+    g AS (
+      SELECT p.w, p.pos, max(length(v.piece)) AS step
+      FROM (SELECT w, unnest(generate_series(1, length(w))) AS pos
+            FROM wv) p
+      JOIN vocab v
+        ON substr(p.w, CAST(p.pos AS INT), CAST(length(v.piece) AS INT))
+           = v.piece
+      GROUP BY p.w, p.pos
+    ),
+    path AS (
+      SELECT w, CAST(1 AS BIGINT) AS pos FROM wv
+      UNION ALL
+      SELECT p.w, p.pos + g.step
+      FROM path p JOIN g ON g.w = p.w AND g.pos = p.pos
+    ),
+    lm AS (
+      SELECT s.w,
+             string_agg(substr(s.w, CAST(s.pos AS INT), CAST(s.step AS INT)),
+                        ' ' ORDER BY s.pos) AS pstr,
+             CAST(COUNT(*) AS BIGINT) AS np
+      FROM (SELECT p.w, p.pos, g.step
+            FROM path p JOIN g ON g.w = p.w AND g.pos = p.pos) s
+      GROUP BY s.w
+    ),
+    tok AS (
+      SELECT doc_id, w, ord FROM (
+        SELECT doc_id,
+               unnest(regexp_extract_all(text, '{PRE_TOKENIZE_PATTERN}'))
+                 AS w,
+               unnest(generate_series(
+                 1, len(regexp_extract_all(text, '{PRE_TOKENIZE_PATTERN}'))))
+                 AS ord
+        FROM corpus)
+      WHERE w <> ''
+    ),
+    enc AS (
+      SELECT t.doc_id, t.ord,
+             COALESCE(v.pstr,
+               array_to_string(list_transform(
+                 generate_series(1, strlen(t.w)),
+                 i -> '<0x' || substr(hex(t.w), CAST((i - 1) * 2 + 1 AS INT),
+                                      2) || '>'), ' ')) AS pstr,
+             COALESCE(v.np, CAST(strlen(t.w) AS BIGINT)) AS np,
+             CASE WHEN v.w IS NULL THEN CAST(strlen(t.w) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS fb
+      FROM tok t LEFT JOIN lm v ON t.w = v.w
+    ),
+    agg AS (
+      SELECT doc_id,
+             md5(string_agg(pstr, ' ' ORDER BY ord)) AS pieces_md5,
+             CAST(SUM(np) AS BIGINT) AS n_pieces,
+             CAST(SUM(fb) AS BIGINT) AS n_fallback_pieces
+      FROM enc GROUP BY doc_id
+    ),
+    perdoc AS (
+      SELECT c.doc_id, c.source,
+             COALESCE(a.pieces_md5, md5('')) AS pieces_md5,
+             COALESCE(a.n_pieces, CAST(0 AS BIGINT)) AS n_pieces,
+             COALESCE(a.n_fallback_pieces, CAST(0 AS BIGINT))
+               AS n_fallback_pieces
+      FROM corpus c LEFT JOIN agg a USING (doc_id)
+    ),
+    packed AS (
+      SELECT *,
+             CAST(COALESCE(SUM(n_pieces) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), 0) AS BIGINT) AS cum_before
+      FROM perdoc
+    )
+    SELECT doc_id, source, pieces_md5, n_pieces, n_fallback_pieces,
+           cum_before // {_CAPSTONE_SEQ} AS pack_id,
+           cum_before % {_CAPSTONE_SEQ} AS offset_in_pack,
+           CASE WHEN cum_before % {_CAPSTONE_SEQ} + n_pieces
+                     > {_CAPSTONE_SEQ} THEN 1 ELSE 0 END AS spans_boundary
+    FROM packed ORDER BY doc_id
+    """,
+    "text",
+    "tokenizer",
+)
+def q197_tokenizer_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-family capstone (VERDICT r10 order #2 — every piece
+    is green individually; this row certifies the PRODUCTION CHAIN
+    end-to-end): pre-tokenized word table → distributed BPE training →
+    longest-match (trie) LUT over the final vocabulary → corpus encode
+    with byte-level OOV fallback → sequence packing into 512-token
+    context windows, on documents ∪ the reference's Vietnamese jobs
+    corpus (mixed script: diacritics, digit runs, punctuation).
+
+    Training is restricted to ^[a-z]{{3,}}$ runs, so at encode time the
+    corpus's short/capitalized/diacritic/digit/punct tokens ALL take
+    the <0xNN> byte fallback while trained words take their trie
+    segmentation — the per-doc pieces_md5 only matches if
+    pre-tokenization (q196), training (q188), the greedy longest-match
+    walk (q194's recursive-CTE oracle, replayed here over the
+    pre-tokenized vocabulary), byte fallback (q195), order-preserving
+    re-assembly (q192), and the q84 packing window ALL agree. Packing
+    runs per source (the scale form — every stream packs in parallel;
+    one hash shuffle) over REAL tokenizer piece counts instead of
+    q84's whitespace proxy; zero-token docs keep their row (md5('')).
+
+    Scale shape: one corpus pass for the word table, vocab-local
+    training rounds, ONE Arrow map-only pass to trie-encode the
+    DISTINCT-word LUT, one broadcast LUT join + per-doc re-assembly,
+    one window shuffle for packing — no stage touches corpus-scale
+    data more than once (SCALING.md tokenizer section)."""
+    from .fixtures import CAPSTONE_JOBS_DOCS as _JOBS_DOCS
+    from .operators.tokenizer import (
+        bpe_vocab_pieces,
+        bpe_word_table,
+        encode_corpus,
+        encode_longest_match,
+        train_bpe,
+    )
+
+    jobs = spark.createDataFrame(
+        _JOBS_DOCS, "doc_id long, source string, text string"
+    )
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .unionAll(jobs)
+    )
+    words = bpe_word_table(
+        docs, pre_tokenize=True, token_pattern=_CAPSTONE_TRAIN_REGEX
+    )
+    merges = train_bpe(words, num_merges=_BPE_MERGES)
+    pieces = bpe_vocab_pieces(words, merges)
+    lut = encode_longest_match(words, pieces, out_col="lm_tokens")
+    enc = encode_corpus(
+        docs,
+        lut,
+        pieces_col="lm_tokens",
+        oov_fallback="bytes",
+        pre_tokenize=True,
+    )
+    per_doc = enc.select(
+        "doc_id",
+        "source",
+        F.md5(F.concat_ws(" ", "doc_tokens").cast("binary")).alias(
+            "pieces_md5"
+        ),
+        F.size("doc_tokens").cast("long").alias("n_pieces"),
+        F.size(
+            F.filter("doc_tokens", lambda x: x.startswith("<0x"))
+        ).cast("long").alias("n_fallback_pieces"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = per_doc.withColumn(
+        "cum_before", F.coalesce(F.sum("n_pieces").over(w), F.lit(0))
+    )
+    return packed.select(
+        "doc_id",
+        "source",
+        "pieces_md5",
+        "n_pieces",
+        "n_fallback_pieces",
+        F.floor(F.col("cum_before") / _CAPSTONE_SEQ).alias("pack_id"),
+        (F.col("cum_before") % _CAPSTONE_SEQ).alias("offset_in_pack"),
+        F.when(
+            F.col("cum_before") % _CAPSTONE_SEQ + F.col("n_pieces")
+            > _CAPSTONE_SEQ,
+            1,
+        )
+        .otherwise(0)
+        .alias("spans_boundary"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q198_token_budget_real_counts",
+    _bpe_oracle_blocks(_BPE_MERGES)
+    + f""",
+    np AS (
+      SELECT replace(s, '|', '') AS w,
+             CAST(len(string_split(trim(s, '|'), '||')) AS BIGINT)
+               AS n_pieces
+      FROM w{_BPE_MERGES}
+    ),
+    tok AS (
+      SELECT source, doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    dc AS (
+      SELECT t.source, t.doc_id, CAST(SUM(np.n_pieces) AS BIGINT)
+               AS n_pieces
+      FROM tok t JOIN np USING (w)
+      WHERE t.w <> '' AND regexp_matches(t.w, '^[a-z]+$')
+      GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT d0.source, d0.doc_id,
+             COALESCE(dc.n_pieces, CAST(0 AS BIGINT)) AS n_pieces
+      FROM documents d0
+      LEFT JOIN dc ON d0.source = dc.source AND d0.doc_id = dc.doc_id
+    ),
+    tot AS (SELECT source, SUM(n_pieces) AS _tot FROM d GROUP BY 1),
+    ns AS (SELECT COUNT(*) AS _ns FROM tot),
+    f AS (
+      SELECT source, LEAST(1.0, 10000.0 / _ns / _tot) AS take_frac
+      FROM tot, ns
+    )
+    SELECT d.source, d.doc_id, d.n_pieces
+    FROM d JOIN f ON d.source = f.source
+    WHERE ('0x' || substring(md5('budget:' || d.source || ':' ||
+                                 CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 10000 < f.take_frac * 10000
+    ORDER BY d.source, d.doc_id
+    """,
+    "mixing",
+    "tokenizer",
+)
+def q198_token_budget_real_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixing on REAL tokenizer piece counts (VERDICT r10
+    order #3): q113's budget mix predates the tokenizer and budgets by
+    whitespace token counts; a training run budgets by the tokens the
+    model actually consumes. This row wires mixing.token_budget_mix to
+    the q193 counts-only encode output — per-word piece counts from
+    the trained BPE table (apply_bpe over the vocab, the expensive
+    step stays vocab-sized), broadcast-joined onto the exploded corpus
+    and summed per document WITHOUT sequence re-assembly (no
+    corpus-order shuffle), left-joined back so zero-kept-token docs
+    keep a row at 0 pieces (they must stay sample-able, not vanish).
+    The budget predicate itself is q113's machinery verbatim: two tiny
+    broadcast aggregates + the deterministic md5 bucket, map-only on
+    the corpus side. The oracle replays training (q188's unrolled
+    blocks), the per-doc piece sums, AND the bucket draw — the row
+    only matches if the counts and the budget cut agree end-to-end."""
+    from .operators.mixing import token_budget_mix
+    from .operators.tokenizer import apply_bpe, train_bpe
+
+    vocab = _bpe_vocab(spark, sf_dir)
+    merges = train_bpe(vocab, num_merges=_BPE_MERGES)
+    lut = apply_bpe(vocab, merges).select(
+        "w", F.size("bpe_tokens").cast("long").alias("_np")
+    )
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter((F.col("w") != "") & F.col("w").rlike("^[a-z]+$"))
+    counts = (
+        toks.join(F.broadcast(lut), "w")
+        .groupBy("source", "doc_id")
+        .agg(F.sum("_np").cast("long").alias("n_pieces"))
+    )
+    per_doc = (
+        docs.select("source", "doc_id")
+        .join(counts, ["source", "doc_id"], "left")
+        .select(
+            "source",
+            "doc_id",
+            F.coalesce("n_pieces", F.lit(0).cast("long")).alias("n_pieces"),
+        )
+    )
+    return (
+        token_budget_mix(per_doc, 10_000, tokens_col="n_pieces")
+        .select("source", "doc_id", "n_pieces")
+        .orderBy("source", "doc_id")
+    )
+
+
+@register(
+    "q199_packed_sequences",
+    f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tl
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id,
+             CAST(COALESCE(SUM(len(tl)) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), 0) AS BIGINT) AS cum_before
+      FROM toks
+    ),
+    t2 AS (
+      SELECT source, doc_id,
+             unnest(tl) AS w,
+             unnest(generate_series(1, len(tl))) AS ord
+      FROM toks
+    ),
+    g AS (
+      SELECT t2.source, c.cum_before + t2.ord - 1 AS gpos, t2.w
+      FROM t2 JOIN c USING (source, doc_id)
+    )
+    SELECT source,
+           gpos // {_CAPSTONE_SEQ} AS pack_id,
+           md5(string_agg(w, ' ' ORDER BY gpos % {_CAPSTONE_SEQ}))
+             AS pack_md5,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM g GROUP BY source, gpos // {_CAPSTONE_SEQ}
+    ORDER BY source, pack_id
+    """,
+    "text",
+    "packing",
+)
+def q199_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZED sequence packing (operators/chunking.py
+    ``pack_sequences``): q84/q197 compute pack ASSIGNMENTS (pack id,
+    offset, spans flag); the training pipeline ultimately writes the
+    packed token arrays themselves — documents concatenated per source
+    in doc_id order, cut into 512-token windows, boundary-straddling
+    docs SPLIT across neighboring packs, no padding, no dropped
+    tokens. The emitted per-pack md5 of the space-joined contents
+    matches the oracle's replay only if the running-sum offsets, the
+    token-level pack keying, and the order-preserving re-assembly all
+    agree — including each source's ragged tail pack (n_tokens <
+    512), which must carry exactly the leftover tokens.
+
+    Scale shape: one doc-level window (rows = documents), one
+    token-level shuffle keyed by (source, pack_id) — the irreducible
+    materialization cost of writing batches, hash-distributed over
+    packs (SCALING.md round-11 packing section). Certified here on
+    whitespace tokens so the oracle stays replay-cheap; composition
+    with real tokenizer pieces is exactly q197's chain (same counts,
+    same per-source discipline)."""
+    from .operators.chunking import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias(
+            "doc_tokens"
+        ),
+    )
+    packed = pack_sequences(docs, _CAPSTONE_SEQ)
+    return packed.select(
+        "source",
+        "pack_id",
+        F.md5(F.concat_ws(" ", "tokens").cast("binary")).alias("pack_md5"),
+        "n_tokens",
+    ).orderBy("source", "pack_id")
+
+
 # =========================================================================
 # Registry ordering (driver check-window priority)
 # =========================================================================
@@ -12527,21 +12908,27 @@ def q196_pretokenized_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 # redundant subsets (q30/q31 ⊂ q32, q45 ⊂ q53, etc.), which keep local
 # oracle-parity coverage in tests/test_oracle_parity.py instead.
 _DRIVER_WINDOW_ORDER: list[str] = [
-    # ROUND-10 ROTATION (steady state — VERDICT r09 order #6): r09
-    # went 50/50 green (all full hash matches; ninth consecutive
+    # ROUND-11 ROTATION (steady state — VERDICT r10 order #5): r10
+    # went 50/50 green (all full hash matches; tenth consecutive
     # perfect driver signal). This round's slot plan: 12 permanent
     # anchors, the 2 residual-PQ certification anchors (q75 + q152),
-    # the 4 round-8 additions (2x green, final re-confirmation
-    # round), the 6 round-9 tokenizer additions (1x green — kept in
-    # as re-confirmations per the demotion discipline), 2 ROUND-10
-    # ADDITIONS (q194 the greedy longest-match/trie encoder —
-    # VERDICT r09 order #1 — and q195 the byte-level OOV fallback
-    # through the corpus encode path — order #2; both landing in
-    # their own round's window per the rotation rule asserted
-    # structurally in test_registry_contract.py against the
-    # committed CORRECTNESS_r*.json ledger), and 24 re-confirmation
-    # slots. Two 3x-green entries rotate out with in-window
-    # machinery reps (notes at the round-10 demotion block).
+    # the 4 round-8 additions (3x green, final re-confirmation
+    # round), the 6 round-9 tokenizer additions (2x green) and the 3
+    # round-10 additions (1x green) kept as re-confirmations per the
+    # demotion discipline, 2 ROUND-11 ADDITIONS (q197 the tokenizer
+    # capstone chain — VERDICT r10 order #2 — and q198 token-budget
+    # mixing on real piece counts — order #3; both landing in their
+    # own round's window per the rotation rule asserted structurally
+    # in test_registry_contract.py against the committed
+    # CORRECTNESS_r*.json ledger; q199 the materialized
+    # sequence-packing operator joins them as a third addition), and
+    # 20 re-confirmation slots. Three 4x-green entries rotate out
+    # with in-window machinery reps (notes at the round-11 demotion
+    # block).
+    # [Ledger correction, ADVICE r10: the round-10 header miscounted
+    # its own structure — r10 actually ran 3 additions (q194-q196),
+    # 23 re-confirmations, and 3 demotions (q150/q161/q174), exactly
+    # what the list and test_registry_contract.py enforced.]
     #
     # -- anchors (12) — multi-green pins (unchanged from r07) --
     # q01/q32: flagship pricing summary + the full reference ETL
@@ -12625,9 +13012,25 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q194_longest_match_encode",
     "q195_byte_fallback_encode",
     "q196_pretokenized_vocab",
-    # -- re-confirmations (23): the freshest greens — second/third
+    # -- ROUND-11 ADDITIONS: FIRST hard driver check (2) --
+    # q197: tokenizer-family capstone — the full production chain
+    #   (pre-tokenized word table → BPE training → longest-match trie
+    #   LUT → byte-fallback corpus encode → per-source sequence
+    #   packing on REAL piece counts) hash-checked in ONE row over
+    #   documents ∪ the Vietnamese jobs corpus (VERDICT r10 order #2).
+    # q198: token-budget mixing re-wired to ACTUAL tokenizer piece
+    #   counts (q193's counts-only encode feeding q113's budget-cut
+    #   machinery; zero-kept-token docs stay sample-able)
+    #   (VERDICT r10 order #3).
+    # q199: MATERIALIZED sequence packing (pack_sequences) — the
+    #   packed token arrays themselves, per-pack contents md5'd
+    #   against a SQL replay including ragged tails (the batch-writer
+    #   artifact q84/q197 only assign).
+    "q197_tokenizer_capstone",
+    "q198_token_budget_real_counts",
+    "q199_packed_sequences",
+    # -- re-confirmations (20): the freshest greens — repeat
     # confirmation consolidates them --
-    "q147_weighted_sample",
     "q148_windowed_funnel",
     "q151_srm_check",
     "q154_khop_reachability",
@@ -12636,11 +13039,9 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q159_quota_sample",
     "q163_cusum_changepoint",
     "q164_calibration_bins",
-    "q165_int8_quantization",
     "q168_interval_union",
     "q169_fk_orphan_audit",
     "q170_duplication_fraction",
-    "q171_token_pmi",
     "q172_association_rules",
     "q175_bigram_logprob",
     "q176_langid_confusion",
@@ -12651,11 +13052,27 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q182_lsh_eval",
     "q183_dedup_impact",
     # ---- window boundary (position 50) ----
-    # ROUND-11 PLAN: steady state continues — anchors + additions
+    # ROUND-12 PLAN: steady state continues — anchors + additions
     # (<= promotion budget, each landing in its own round's window)
     # + re-confirmations of the freshest greens.
     #
-    # -- ROUND-10 DEMOTIONS (2; each 3x green in r07+r08+r09,
+    # -- ROUND-11 DEMOTIONS (3; each 4x green in r07+r08+r09+r10,
+    # machinery-subsumed by a retained in-window sibling): --
+    # q147 weighted sample ↔ q159 (the same seeded-md5 acceptance
+    #   draw + largest-remainder quota machinery) + q198 (the NEW
+    #   in-window budget mix over the identical mix_bucket predicate);
+    # q171 token PMI ↔ q177 (the same vocab-histogram sufficient
+    #   stats with broadcast marginals) + q175 (array-local bigram
+    #   extraction joined against broadcast LM tables);
+    # q165 int8 quantization ↔ q75/q184/q185 (the in-window
+    #   quantize/reconstruct family: per-subspace code assignment +
+    #   exact re-rank — int8's per-dim affine scale is the same
+    #   min/max + rounding algebra those rows pin end-to-end).
+    "q147_weighted_sample",
+    "q171_token_pmi",
+    "q165_int8_quantization",
+    #
+    # -- ROUND-10 DEMOTIONS (3; each 3x green in r07+r08+r09,
     # machinery-subsumed by a retained in-window sibling): --
     # q150 CUPED adjustment ↔ q151 (the same sufficient-statistic
     #   experiment algebra over per-arm conditional sums, same NumPy

@@ -179,3 +179,67 @@ def test_empty_token_arrays_produce_nothing(spark):
     assert {r["doc_id"] for r in chunks} == {1}
     segs = segment_dedup(df, "doc_id", "t", seg_len=2).collect()
     assert {r["doc_id"] for r in segs} == {1}
+
+
+def test_pack_sequences_exact_contents(spark):
+    """pack_sequences: per-source concat-and-chunk must reproduce the
+    obvious Python packing exactly — boundary-straddling docs split
+    across packs, ragged tails carry the leftovers, empty/NULL token
+    arrays contribute nothing, sources pack independently."""
+    from big_data_spark.operators.chunking import pack_sequences
+
+    rows = [
+        ("a", 1, ["t0", "t1", "t2"]),
+        ("a", 2, ["t3", "t4", "t5", "t6"]),  # straddles the L=4 boundary
+        ("a", 3, []),
+        ("a", 4, ["t7"]),  # ragged tail
+        ("b", 1, None),
+        ("b", 2, ["u0", "u1", "u2", "u3", "u4"]),
+    ]
+    L = 4
+    expect = {}
+    for src in ("a", "b"):
+        stream = []
+        for _, _, toks in sorted(
+            (r for r in rows if r[0] == src), key=lambda r: r[1]
+        ):
+            stream.extend(toks or [])
+        for p in range(0, len(stream), L):
+            expect[(src, p // L)] = stream[p : p + L]
+
+    df = spark.createDataFrame(
+        rows, "source string, doc_id long, doc_tokens array<string>"
+    )
+    got = {
+        (r["source"], r["pack_id"]): list(r["tokens"])
+        for r in pack_sequences(df, L).collect()
+    }
+    assert got == expect
+    # stream a = 8 tokens -> two FULL packs (doc 2 straddles them);
+    # stream b = 5 tokens -> one full pack + a 1-token ragged tail
+    assert [len(got[k]) for k in sorted(got)] == [4, 4, 4, 1]
+
+
+def test_pack_sequences_doc_separator(spark):
+    """doc_separator: one EOS after every non-empty doc, counted like
+    any token; empty/NULL docs contribute none."""
+    from big_data_spark.operators.chunking import pack_sequences
+
+    rows = [
+        ("a", 1, ["t0", "t1"]),
+        ("a", 2, []),
+        ("a", 3, None),
+        ("a", 4, ["t2"]),
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id long, doc_tokens array<string>"
+    )
+    got = {
+        (r["source"], r["pack_id"]): list(r["tokens"])
+        for r in pack_sequences(df, 3, doc_separator="<eos>").collect()
+    }
+    # stream = t0 t1 <eos> | t2 <eos>  -> packs of 3: [t0,t1,<eos>], [t2,<eos>]
+    assert got == {
+        ("a", 0): ["t0", "t1", "<eos>"],
+        ("a", 1): ["t2", "<eos>"],
+    }

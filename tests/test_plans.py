@@ -1253,3 +1253,28 @@ def test_byte_fallback_join_path_stays_jvm_side(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pack_sequences_shuffle_budget(spark):
+    """q199 (pack_sequences): exactly the prescribed exchanges — the
+    doc-grain per-source window, the token-grain (source, pack_id)
+    re-assembly, and the presentation sort. The token-level stage must
+    be hash-partitioned (scales with executors), never a single-
+    partition sort, and nothing may explode tokens before the window
+    (the window reads doc-grain rows only)."""
+    df = q(spark, "q199_packed_sequences")
+    plan = formatted_plan(df)
+    # window (hash on source) + the EXPLICIT pack repartition (hash on
+    # source, pack_id — without it Catalyst elides the exchange via
+    # subset-key clustering and re-assembly parallelism collapses to
+    # #sources; see the pack_sequences comment)
+    assert plan.count("hashpartitioning(") == 2, plan
+    assert count_shuffles(df) <= 3, plan  # + presentation rangepartitioning
+    # one of the hash exchanges must key on pack_id (pack-grain
+    # parallelism), not just source
+    assert any(
+        "hashpartitioning(" in line and "pack_id" in line
+        for line in plan.splitlines()
+    ), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Generate" in plan and "Window" in plan, plan

@@ -19,13 +19,14 @@ DRIVER_WINDOW = 50
 # post-fit readouts are now oracle-backed companions (q186/q187).
 ROWS_ONLY_WINDOW_EXCEPTIONS: set[str] = set()
 
-# Round-10 slot plan (VERDICT r09 order #6 — steady state): 12
+# Round-11 slot plan (VERDICT r10 order #5 — steady state): 12
 # permanent anchors, the 2 residual-PQ certification anchors (q75,
-# q152), the 4 round-8 additions (2x green) and 6 round-9 tokenizer
-# additions (1x green) kept as re-confirmations, the 3 round-10
-# additions (q194 longest-match/trie encoder, q195 byte-level OOV
-# fallback, q196 pre-tokenization rules — first hard check), and 23
-# re-confirmations. Three 3x-green entries (q150, q161, q174)
+# q152), the 4 round-8 additions (3x green), 6 round-9 tokenizer
+# additions (2x green), and 3 round-10 additions (1x green) kept as
+# re-confirmations, the 2 round-11 additions (q197 tokenizer capstone
+# chain, q198 token-budget mixing on real piece counts — first hard
+# check) plus q199 (materialized sequence packing), and 20
+# re-confirmations. Three 4x-green entries (q147, q165, q171)
 # rotated out with in-window machinery reps (see
 # _DRIVER_WINDOW_ORDER notes).
 MUST_BE_IN_WINDOW = {
@@ -57,12 +58,15 @@ MUST_BE_IN_WINDOW = {
     "q191_unigram_roundtrip",
     "q192_corpus_encode_roundtrip",
     "q193_tokenizer_compression",
-    # -- round-10 additions: FIRST hard driver check --
+    # -- round-10 additions, kept as 1x-green re-confirmations --
     "q194_longest_match_encode",
     "q195_byte_fallback_encode",
     "q196_pretokenized_vocab",
-    # -- re-confirmations (23): freshest greens --
-    "q147_weighted_sample",
+    # -- round-11 additions: FIRST hard driver check --
+    "q197_tokenizer_capstone",
+    "q198_token_budget_real_counts",
+    "q199_packed_sequences",
+    # -- re-confirmations (20): freshest greens --
     "q148_windowed_funnel",
     "q151_srm_check",
     "q154_khop_reachability",
@@ -71,11 +75,9 @@ MUST_BE_IN_WINDOW = {
     "q159_quota_sample",
     "q163_cusum_changepoint",
     "q164_calibration_bins",
-    "q165_int8_quantization",
     "q168_interval_union",
     "q169_fk_orphan_audit",
     "q170_duplication_fraction",
-    "q171_token_pmi",
     "q172_association_rules",
     "q175_bigram_logprob",
     "q176_langid_confusion",
