@@ -349,12 +349,19 @@ def default_refine_factor(dim: int) -> int:
     the round-9 sweep proved free should not be a knob users must
     know about): per-subspace quantization noise sums over m
     subspaces, so the ADC-tie population — and with it the shortlist
-    a given recall needs — grows with dimension. Measured at 1M
-    vectors: 32-d scores recall@10 = 1.00 at rf=100; 128-d needs
-    rf>=300 for 0.98 — at ZERO marginal latency, because the exact
-    re-rank of a KB-scale shortlist is noise next to the ADC scan
-    (SCALING.md, round-9 high-dimension section). Explicit
-    refine_factor always wins; None picks this rule."""
+    a given recall needs — grows with dimension. Every tier is
+    MEASURED at 1M vectors: 32-d scores recall@10 = 1.00 at rf=100;
+    128-d needs rf>=300 for 0.98; full embedding width (1536-d,
+    m=96) scores 0.92 at rf=300 and recovers 1.00 at rf=500 —
+    rf=1000 adds nothing (1.00 at +1.3% latency), so 500 is the
+    >=512-d tier (VERDICT r10 order #1; the round-11 sweep closed
+    the one extrapolated cell). All tiers cost ~zero marginal
+    latency, because the exact re-rank of a KB-scale shortlist is
+    noise next to the ADC scan (SCALING.md, round-9 high-dimension
+    and round-11 full-recovery sections). Explicit refine_factor
+    always wins; None picks this rule."""
+    if dim >= 512:
+        return 500
     return 300 if dim >= 128 else 100
 
 
@@ -850,15 +857,16 @@ def ivfpq_search_refined(
     population, which grows with BOTH corpus size and dimension
     (per-subspace quantization noise sums over m subspaces).
     Measured at 1M vectors: 32-d/m=4 scores recall@10 = 1.00 at
-    rf=100; 128-d/m=16 needs rf≈300-500 for 0.96-0.98 — at FLAT
+    rf=100; 128-d/m=16 needs rf≈300-500 for 0.96-0.98; 1536-d/m=96
+    scores 0.92 at rf=300 and recovers 1.00 at rf=500 — all at FLAT
     latency, because the exact re-rank of the shortlist is noise
     next to the ADC scan. Raising nprobe instead buys no recall at
     +35% latency (the misses are ADC-ranking losses inside already-
     probed cells, not coarse-stage misses). Rule: rf ≥ 300 at
-    ≥128-d (SCALING.md's round-9 high-dimension section) — which is
-    exactly what refine_factor=None now derives from the query's
-    dimension (``default_refine_factor``); an explicit value always
-    wins."""
+    ≥128-d, ≥ 500 at ≥512-d (SCALING.md's round-9 high-dimension and
+    round-11 full-recovery sections) — which is exactly what
+    refine_factor=None derives from the query's dimension
+    (``default_refine_factor``); an explicit value always wins."""
     from ..functions import l2_sq
 
     if refine_factor is None:

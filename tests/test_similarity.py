@@ -1370,10 +1370,12 @@ def test_ivfpq_residual_recall_vs_exact(spark, emb, query_vec):
 
 def test_refine_factor_dim_scaled_default(spark, emb, query_vec):
     """refine_factor=None derives the measured operating rule
-    (VERDICT r09 order #5): rf=100 below 128-d, rf=300 at >=128-d —
-    the knob the round-9 sweep proved free must not be a knob users
-    have to know about. An explicit value always wins; the derived
-    default must produce exactly the explicit call's results."""
+    (VERDICT r09 order #5, r10 order #1): rf=100 below 128-d, rf=300
+    at >=128-d, rf=500 at >=512-d — every tier backed by a 1M-vector
+    sweep cell (the round-11 run measured rf=500 -> recall 1.00 at
+    1536-d, rf=1000 buys nothing; SCALING.md). An explicit value
+    always wins; the derived default must produce exactly the
+    explicit call's results."""
     from big_data_spark.operators.similarity import (
         build_ivfpq_index,
         default_refine_factor,
@@ -1383,7 +1385,9 @@ def test_refine_factor_dim_scaled_default(spark, emb, query_vec):
     assert default_refine_factor(32) == 100
     assert default_refine_factor(127) == 100
     assert default_refine_factor(128) == 300
-    assert default_refine_factor(1536) == 300
+    assert default_refine_factor(511) == 300
+    assert default_refine_factor(512) == 500
+    assert default_refine_factor(1536) == 500
 
     idx = build_ivfpq_index(emb, nlist=8, m=4, ksub=8)
     derived = [
