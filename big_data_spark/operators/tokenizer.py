@@ -806,3 +806,109 @@ def normalize_text(
             yield pdf
 
     return df.mapInPandas(batches, schema=out_schema)
+
+
+@dataclass(frozen=True)
+class TokenizerBundle:
+    """The COMPLETE shipping artifact of a trained tokenizer — what a
+    production corpus actually publishes next to its data (HF ships
+    vocab.json + merges.txt + tokenizer_config; SentencePiece one
+    .model blob). The merge table alone (``save_bpe_model``) is not
+    enough to reproduce an encode: the consumer also needs the final
+    PIECE vocabulary (for the trie encoder), the pre-tokenization
+    rule the table was built under, and the OOV policy — drift in any
+    of them silently changes every downstream token id. All fields
+    are KB-MB driver-side metadata (the index-manifest discipline)."""
+
+    merges: list[BPEMerge]
+    pieces: list[str]
+    pre_tokenize: bool | str | None
+    oov_fallback: str
+
+
+def save_tokenizer_bundle(bundle: TokenizerBundle, path: str) -> None:
+    """Persist the full tokenizer artifact (tmp + atomic replace)."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, "tokenizer_bundle.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "format": "tokenizer_bundle_v1",
+                "merges": [
+                    [m.rank, m.left, m.right, m.merged, m.n]
+                    for m in bundle.merges
+                ],
+                "pieces": bundle.pieces,
+                "pre_tokenize": bundle.pre_tokenize,
+                "oov_fallback": bundle.oov_fallback,
+            },
+            f,
+        )
+    os.replace(tmp, os.path.join(path, "tokenizer_bundle.json"))
+
+
+def load_tokenizer_bundle(path: str) -> TokenizerBundle:
+    """Inverse of save_tokenizer_bundle; fails loudly on format
+    drift (the load_bpe_model discipline)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "tokenizer_bundle.json")) as f:
+        meta = json.load(f)
+    if meta.get("format") != "tokenizer_bundle_v1":
+        raise ValueError(
+            f"unrecognized tokenizer bundle format at {path}: "
+            f"{meta.get('format')}"
+        )
+    if meta["oov_fallback"] not in ("error", "bytes"):
+        raise ValueError(
+            f"bundle at {path} carries unknown oov_fallback: "
+            f"{meta['oov_fallback']!r}"
+        )
+    return TokenizerBundle(
+        merges=[
+            BPEMerge(rank=r, left=a, right=b, merged=ab, n=n)
+            for r, a, b, ab, n in meta["merges"]
+        ],
+        pieces=list(meta["pieces"]),
+        pre_tokenize=meta["pre_tokenize"],
+        oov_fallback=meta["oov_fallback"],
+    )
+
+
+def encode_corpus_with_bundle(
+    docs: DataFrame,
+    bundle: TokenizerBundle,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "doc_tokens",
+) -> DataFrame:
+    """One-call corpus encode from a shipped bundle — exactly the
+    q197 capstone chain, driven by the persisted artifact so encode
+    settings CANNOT drift from training: build the corpus's
+    distinct-word table under the bundle's pre-tokenize rule,
+    trie-encode it against the bundle's piece vocabulary (one Arrow
+    map-only pass, byte fallback iff the bundle says so), and map the
+    resulting LUT back over the corpus with the bundle's OOV policy.
+    Same scale shape as the capstone: one corpus pass for the word
+    table, one vocab-sized encode, one broadcast join + re-assembly."""
+    words = bpe_word_table(docs, text_col=text_col, pre_tokenize=bundle.pre_tokenize)
+    lut = encode_longest_match(
+        words,
+        bundle.pieces,
+        out_col="_bundle_pieces",
+        byte_fallback=bundle.oov_fallback == "bytes",
+    )
+    return encode_corpus(
+        docs,
+        lut,
+        id_col=id_col,
+        text_col=text_col,
+        pieces_col="_bundle_pieces",
+        out_col=out_col,
+        oov_fallback=bundle.oov_fallback,
+        pre_tokenize=bundle.pre_tokenize,
+    )

@@ -649,3 +649,89 @@ def test_normalize_text_word_table_equality(spark):
 
     with pytest.raises(ValueError):
         normalize_text(denorm, form="NFKX")
+
+
+def test_tokenizer_bundle_roundtrip_and_encode(spark, tmp_path):
+    """TokenizerBundle: the complete shipping artifact (merges +
+    pieces + pre-tokenize rule + OOV policy). Save/load must round-
+    trip exactly; encode_corpus_with_bundle must reproduce the manual
+    capstone chain token-for-token; format drift and unknown policies
+    are rejected loudly."""
+    from big_data_spark.operators.tokenizer import (
+        TokenizerBundle,
+        bpe_vocab_pieces,
+        encode_corpus,
+        encode_corpus_with_bundle,
+        encode_longest_match,
+        load_tokenizer_bundle,
+        save_tokenizer_bundle,
+        train_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abab abab cd (3-5 năm)"),
+            (2, "abab cd cd 42"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id int, text string",
+    )
+    words = bpe_word_table(docs, pre_tokenize=True, token_pattern="^[a-z]{2,}$")
+    merges = train_bpe(words, num_merges=3)
+    pieces = bpe_vocab_pieces(words, merges)
+    bundle = TokenizerBundle(
+        merges=list(merges),
+        pieces=pieces,
+        pre_tokenize=True,
+        oov_fallback="bytes",
+    )
+    path = str(tmp_path / "bundle")
+    save_tokenizer_bundle(bundle, path)
+    loaded = load_tokenizer_bundle(path)
+    assert loaded == TokenizerBundle(
+        merges=list(merges), pieces=pieces, pre_tokenize=True,
+        oov_fallback="bytes",
+    )
+
+    got = {
+        r["doc_id"]: list(r["doc_tokens"])
+        for r in encode_corpus_with_bundle(docs, loaded).collect()
+    }
+    # manual chain: same word table, trie LUT, corpus map
+    lut = encode_longest_match(
+        bpe_word_table(docs, pre_tokenize=True),
+        pieces,
+        out_col="_p",
+        byte_fallback=True,
+    )
+    want = {
+        r["doc_id"]: list(r["doc_tokens"])
+        for r in encode_corpus(
+            docs, lut, pieces_col="_p", oov_fallback="bytes",
+            pre_tokenize=True,
+        ).collect()
+    }
+    assert got == want
+    assert got[3] == [] and got[4] == []
+    # the trained words encode via vocab pieces, OOV runs via bytes
+    assert all(not t.startswith("<0x") for t in got[1][:2])
+    assert any(t.startswith("<0x") for t in got[1])  # 'năm', digits, punct
+
+    # format drift and bad policy are loud
+    import json
+    import os
+
+    with open(os.path.join(path, "tokenizer_bundle.json")) as f:
+        meta = json.load(f)
+    meta["format"] = "tokenizer_bundle_v9"
+    with open(os.path.join(path, "tokenizer_bundle.json"), "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="unrecognized tokenizer bundle"):
+        load_tokenizer_bundle(path)
+    meta["format"] = "tokenizer_bundle_v1"
+    meta["oov_fallback"] = "skip"
+    with open(os.path.join(path, "tokenizer_bundle.json"), "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="unknown oov_fallback"):
+        load_tokenizer_bundle(path)
