@@ -134,6 +134,7 @@ def pack_sequences(
     tokens_col: str = "doc_tokens",
     out_col: str = "tokens",
     doc_separator: str | None = None,
+    pad_token: str | None = None,
 ) -> DataFrame:
     """MATERIALIZE packed training sequences — the GPT-style
     concat-and-chunk batch artifact itself, not just the pack
@@ -173,7 +174,15 @@ def pack_sequences(
     document-boundary marker training corpora carry so the model can
     learn where contexts end. Empty/NULL docs contribute no separator
     (no content to delimit); separators count toward ``seq_len`` like
-    any token and may themselves land as a pack's first slot."""
+    any token and may themselves land as a pack's first slot.
+
+    ``pad_token`` (e.g. ``"<pad>"``) right-pads each source's ragged
+    tail pack to exactly ``seq_len`` — the other standard tail policy
+    (dropping the tail is the caller filtering ``n_tokens < seq_len``
+    BEFORE padding semantics apply, which is why ``n_tokens`` always
+    reports the REAL token count, never the padded length: it is the
+    loss-mask denominator). Full packs are untouched; the pad is a
+    map-only concat on the pack rows, after the shuffle."""
     w = (
         Window.partitionBy(source_col)
         .orderBy(id_col)
@@ -221,7 +230,7 @@ def pack_sequences(
     # that single elided exchange is the difference between
     # #sources-way and #packs-way parallelism; at small SF it costs
     # one extra exchange the groupBy below then reuses.
-    return (
+    packed = (
         toks.repartition(F.col(source_col), F.col("pack_id"))
         .groupBy(source_col, "pack_id")
         .agg(
@@ -239,3 +248,16 @@ def pack_sequences(
         )
         .withColumn("n_tokens", F.size(out_col).cast("long"))
     )
+    if pad_token is not None:
+        packed = packed.withColumn(
+            out_col,
+            F.when(F.col("n_tokens") >= seq_len, F.col(out_col)).otherwise(
+                F.concat(
+                    F.col(out_col),
+                    F.array_repeat(
+                        F.lit(pad_token), (seq_len - F.col("n_tokens")).cast("int")
+                    ),
+                )
+            ),
+        )
+    return packed

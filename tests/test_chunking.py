@@ -243,3 +243,22 @@ def test_pack_sequences_doc_separator(spark):
         ("a", 0): ["t0", "t1", "<eos>"],
         ("a", 1): ["t2", "<eos>"],
     }
+
+
+def test_pack_sequences_pad_token(spark):
+    """pad_token: ragged tails right-pad to seq_len; n_tokens stays
+    the REAL count (the loss-mask denominator); full packs untouched."""
+    from big_data_spark.operators.chunking import pack_sequences
+
+    df = spark.createDataFrame(
+        [("a", 1, ["t0", "t1", "t2", "t3", "t4"])],
+        "source string, doc_id long, doc_tokens array<string>",
+    )
+    got = {
+        (r["source"], r["pack_id"]): (list(r["tokens"]), r["n_tokens"])
+        for r in pack_sequences(df, 4, pad_token="<pad>").collect()
+    }
+    assert got == {
+        ("a", 0): (["t0", "t1", "t2", "t3"], 4),
+        ("a", 1): (["t4", "<pad>", "<pad>", "<pad>"], 1),
+    }
