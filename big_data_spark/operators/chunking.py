@@ -135,6 +135,7 @@ def pack_sequences(
     out_col: str = "tokens",
     doc_separator: str | None = None,
     pad_token: str | None = None,
+    with_doc_ids: bool = False,
 ) -> DataFrame:
     """MATERIALIZE packed training sequences — the GPT-style
     concat-and-chunk batch artifact itself, not just the pack
@@ -182,7 +183,16 @@ def pack_sequences(
     BEFORE padding semantics apply, which is why ``n_tokens`` always
     reports the REAL token count, never the padded length: it is the
     loss-mask denominator). Full packs are untouched; the pad is a
-    map-only concat on the pack rows, after the shuffle."""
+    map-only concat on the pack rows, after the shuffle.
+
+    ``with_doc_ids=True`` adds a ``doc_ids`` array position-aligned
+    with ``tokens``: each slot's originating document id — what a
+    trainer needs to build the block-diagonal attention mask that
+    stops contexts attending across packed document boundaries
+    (separator tokens carry their document's id). Same plan (the ids
+    ride the one collect_list struct); ``doc_ids`` covers the REAL
+    tokens only — padding has no source document, so under
+    ``pad_token`` its length stays ``n_tokens``."""
     w = (
         Window.partitionBy(source_col)
         .orderBy(id_col)
@@ -210,6 +220,7 @@ def pack_sequences(
     toks = (
         with_cum.select(
             source_col,
+            F.col(id_col).alias("_id"),
             "_cum_before",
             F.posexplode("_toks").alias("_pos", "_tok"),
         )
@@ -220,6 +231,7 @@ def pack_sequences(
             ),
             ((F.col("_cum_before") + F.col("_pos")) % seq_len).alias("_off"),
             "_tok",
+            "_id",
         )
     )
     # The explicit repartition is the whole point (plan-asserted):
@@ -230,22 +242,24 @@ def pack_sequences(
     # that single elided exchange is the difference between
     # #sources-way and #packs-way parallelism; at small SF it costs
     # one extra exchange the groupBy below then reuses.
+    sorted_slots = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("_off").alias("_o"),
+                F.col("_tok").alias("_t"),
+                F.col("_id").alias("_d"),
+            )
+        )
+    )
+    aggs = [F.transform(sorted_slots, lambda s: s["_t"]).alias(out_col)]
+    if with_doc_ids:
+        aggs.append(
+            F.transform(sorted_slots, lambda s: s["_d"]).alias("doc_ids")
+        )
     packed = (
         toks.repartition(F.col(source_col), F.col("pack_id"))
         .groupBy(source_col, "pack_id")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.col("_off").alias("_o"),
-                            F.col("_tok").alias("_t"),
-                        )
-                    )
-                ),
-                lambda s: s["_t"],
-            ).alias(out_col)
-        )
+        .agg(*aggs)
         .withColumn("n_tokens", F.size(out_col).cast("long"))
     )
     if pad_token is not None:

@@ -262,3 +262,33 @@ def test_pack_sequences_pad_token(spark):
         ("a", 0): (["t0", "t1", "t2", "t3"], 4),
         ("a", 1): (["t4", "<pad>", "<pad>", "<pad>"], 1),
     }
+
+
+def test_pack_sequences_doc_ids_alignment(spark):
+    """with_doc_ids: the doc_ids array is position-aligned with
+    tokens (the block-diagonal attention-mask input), separators
+    carry their document's id, straddling docs keep their id across
+    packs, and padding does NOT extend doc_ids (its length stays the
+    real n_tokens)."""
+    from big_data_spark.operators.chunking import pack_sequences
+
+    df = spark.createDataFrame(
+        [("a", 1, ["t0", "t1"]), ("a", 2, ["t2", "t3"])],
+        "source string, doc_id long, doc_tokens array<string>",
+    )
+    got = {
+        (r["source"], r["pack_id"]): (
+            list(r["tokens"]),
+            list(r["doc_ids"]),
+            r["n_tokens"],
+        )
+        for r in pack_sequences(
+            df, 4, doc_separator="<eos>", pad_token="<pad>",
+            with_doc_ids=True,
+        ).collect()
+    }
+    # stream: t0 t1 <eos>(doc1) t2 t3 <eos>(doc2) -> packs of 4
+    assert got == {
+        ("a", 0): (["t0", "t1", "<eos>", "t2"], [1, 1, 1, 2], 4),
+        ("a", 1): (["t3", "<eos>", "<pad>", "<pad>"], [2, 2], 2),
+    }

@@ -735,3 +735,58 @@ def test_tokenizer_bundle_roundtrip_and_encode(spark, tmp_path):
         json.dump(meta, f)
     with pytest.raises(ValueError, match="unknown oov_fallback"):
         load_tokenizer_bundle(path)
+
+
+def test_tokenizer_bundle_serves_unigram_pieces(spark, tmp_path):
+    """The bundle is family-agnostic: a unigram-LM piece table ships
+    through the SAME artifact (merges empty — replay is a BPE notion;
+    the trie encoder consumes the final pieces either way), and
+    encode_corpus_with_bundle reproduces the longest-match encode of
+    the unigram vocabulary."""
+    from big_data_spark.operators.tokenizer import (
+        TokenizerBundle,
+        encode_corpus,
+        encode_corpus_with_bundle,
+        encode_longest_match,
+        load_tokenizer_bundle,
+        save_tokenizer_bundle,
+    )
+    from big_data_spark.operators.unigram import train_unigram
+
+    docs = spark.createDataFrame(
+        [(1, "abab baba abc"), (2, "cab abc abab"), (3, "zz 42")],
+        "doc_id int, text string",
+    )
+    words = bpe_word_table(docs, token_pattern="^[a-c]+$")
+    pieces = train_unigram(
+        words, vocab_size=8, seed_size=12, max_piece_len=3, em_iters=1
+    )
+    bundle = TokenizerBundle(
+        merges=[],
+        pieces=[p.piece for p in pieces],
+        pre_tokenize=None,
+        oov_fallback="bytes",
+    )
+    path = str(tmp_path / "uni_bundle")
+    save_tokenizer_bundle(bundle, path)
+    loaded = load_tokenizer_bundle(path)
+    assert loaded.merges == [] and loaded.pieces == bundle.pieces
+
+    got = {
+        r["doc_id"]: list(r["doc_tokens"])
+        for r in encode_corpus_with_bundle(docs, loaded).collect()
+    }
+    lut = encode_longest_match(
+        bpe_word_table(docs), loaded.pieces, out_col="_p",
+        byte_fallback=True,
+    )
+    want = {
+        r["doc_id"]: list(r["doc_tokens"])
+        for r in encode_corpus(
+            docs, lut, pieces_col="_p", oov_fallback="bytes"
+        ).collect()
+    }
+    assert got == want
+    # in-vocab words segment via unigram pieces; 'zz'/'42' byte-cover
+    assert all(not t.startswith("<0x") for t in got[1])
+    assert any(t.startswith("<0x") for t in got[3])
