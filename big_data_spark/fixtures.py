@@ -185,7 +185,9 @@ def multi_values_clause(rows: list[tuple], colnames: list[str]) -> str:
     def cell(v):
         if v is None:
             return "CAST(NULL AS VARCHAR)"
-        if isinstance(v, int):
+        # bool is a subclass of int (ADVICE r11): a True cell must not
+        # render as CAST(True AS BIGINT)
+        if isinstance(v, int) and not isinstance(v, bool):
             return f"CAST({v} AS BIGINT)"
         return "'" + str(v).replace("'", "''") + "'"
 

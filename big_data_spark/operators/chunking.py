@@ -217,12 +217,16 @@ def pack_sequences(
         toks_in.alias("_toks"),
         F.coalesce(F.sum(n_toks).over(w), F.lit(0)).alias("_cum_before"),
     )
+    # The doc id rides the token-grain rows ONLY under with_doc_ids
+    # (ADVICE r11): this shuffle is the operator's dominant cost, and
+    # the default policy has no use for ~8 extra bytes per token.
+    id_cols = [F.col(id_col).alias("_id")] if with_doc_ids else []
     toks = (
         with_cum.select(
             source_col,
-            F.col(id_col).alias("_id"),
             "_cum_before",
             F.posexplode("_toks").alias("_pos", "_tok"),
+            *id_cols,
         )
         .select(
             source_col,
@@ -231,7 +235,7 @@ def pack_sequences(
             ),
             ((F.col("_cum_before") + F.col("_pos")) % seq_len).alias("_off"),
             "_tok",
-            "_id",
+            *(["_id"] if with_doc_ids else []),
         )
     )
     # The explicit repartition is the whole point (plan-asserted):
@@ -242,15 +246,13 @@ def pack_sequences(
     # that single elided exchange is the difference between
     # #sources-way and #packs-way parallelism; at small SF it costs
     # one extra exchange the groupBy below then reuses.
-    sorted_slots = F.array_sort(
-        F.collect_list(
-            F.struct(
-                F.col("_off").alias("_o"),
-                F.col("_tok").alias("_t"),
-                F.col("_id").alias("_d"),
-            )
-        )
-    )
+    slot_fields = [
+        F.col("_off").alias("_o"),
+        F.col("_tok").alias("_t"),
+    ]
+    if with_doc_ids:
+        slot_fields.append(F.col("_id").alias("_d"))
+    sorted_slots = F.array_sort(F.collect_list(F.struct(*slot_fields)))
     aggs = [F.transform(sorted_slots, lambda s: s["_t"]).alias(out_col)]
     if with_doc_ids:
         aggs.append(

@@ -425,6 +425,21 @@ def byte_pieces(tok: str) -> list[str]:
     return [f"<0x{b:02X}>" for b in tok.encode("utf-8")]
 
 
+BYTE_FALLBACK_PIECES = [f"<0x{b:02X}>" for b in range(256)]
+
+
+def with_byte_fallback_pieces(pieces: list[str]) -> list[str]:
+    """The piece vocabulary extended with the full 256-symbol byte
+    alphabet, re-sorted — what a byte-fallback tokenizer SHIPS (cf.
+    SentencePiece's ``byte_fallback=true`` reserving all 256 byte
+    pieces in the vocab): with the bytes IN the id space, every
+    emittable piece has an integer id and ``emit_ids`` encodes are
+    total. Idempotent; sorted so piece ids stay the deterministic
+    rank-in-sorted-vocabulary assignment ``bpe_vocab_pieces``
+    established."""
+    return sorted(set(pieces) | set(BYTE_FALLBACK_PIECES))
+
+
 def encode_longest_match(
     df: DataFrame,
     pieces: list[str],
@@ -512,6 +527,47 @@ def encode_longest_match(
     return df.mapInPandas(batches, schema=out_schema)
 
 
+def _pieces_to_id_arrays(
+    lut: DataFrame, pieces_col: str, piece_index: dict[str, int]
+) -> DataFrame:
+    """Map a VOCAB-SIZED LUT's piece arrays to int32 id arrays in one
+    Arrow batch pass (the emit_ids support stage — runs over ~10^6
+    distinct words, never the corpus; the corpus-scale plan reuses the
+    ids through the same broadcast join). A piece missing from the
+    index fails LOUDLY — encoding against a stale piece list would
+    silently mint wrong ids for every occurrence."""
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    bc = lut.sparkSession.sparkContext.broadcast(piece_index)
+    out_schema = StructType(
+        [
+            StructField(f.name, ArrayType(IntegerType()))
+            if f.name == pieces_col
+            else f
+            for f in lut.schema.fields
+        ]
+    )
+
+    def batches(it):
+        idx = bc.value
+        for pdf in it:
+            ids = []
+            for arr in pdf[pieces_col]:
+                try:
+                    ids.append([idx[p] for p in arr])
+                except KeyError as exc:
+                    raise ValueError(
+                        f"LUT piece {exc.args[0]!r} is missing from "
+                        "id_pieces — the piece list does not cover this "
+                        "LUT (stale or truncated vocabulary)"
+                    ) from None
+            pdf = pdf.copy()
+            pdf[pieces_col] = ids
+            yield pdf
+
+    return lut.mapInPandas(batches, schema=out_schema)
+
+
 def encode_corpus(
     docs: DataFrame,
     lut: DataFrame,
@@ -525,6 +581,8 @@ def encode_corpus(
     strategy: str = "join",
     oov_fallback: str = "error",
     pre_tokenize: bool | str | None = None,
+    emit_ids: bool = False,
+    id_pieces: list[str] | None = None,
 ) -> DataFrame:
     """CORPUS-scale tokenization — the 100 TB encode path, shared by
     BOTH tokenizer families: expensive per-word encoding (BPE merge
@@ -581,19 +639,62 @@ def encode_corpus(
     strategy only; the map strategy reproduces the CANONICAL rule
     with a unicodedata category splitter, since Python's re lacks
     ``\\p`` classes, and rejects custom regexes loudly).
+
+    ``emit_ids=True`` (VERDICT r11 order #1 — a trainer consumes
+    int32 ids, and at 100 TB string packs are ~5-10x the bytes of id
+    packs) emits ``array<int>`` token ids instead of piece strings,
+    mapped through ``id_pieces`` — the shipped piece vocabulary whose
+    LIST POSITION is the id space (``TokenizerBundle.pieces``). The
+    plan is unchanged: the piece->id mapping is applied to the
+    VOCAB-SIZED LUT (one Arrow pass over ~10^6 rows, never the
+    corpus), and under ``oov_fallback='bytes'`` the ``<0xNN>`` ids
+    are built JVM-side through a 256-entry literal map — which
+    requires all 256 byte pieces to be IN ``id_pieces``
+    (``with_byte_fallback_pieces``; validated loudly driver-side).
+    A LUT piece missing from ``id_pieces`` fails loudly (stale
+    vocabulary = silently wrong ids otherwise).
     """
     if oov_fallback not in ("error", "bytes"):
         raise ValueError(f"unknown encode_corpus oov_fallback: {oov_fallback!r}")
+    piece_index: dict[str, int] | None = None
+    if emit_ids:
+        if id_pieces is None:
+            raise ValueError(
+                "encode_corpus(emit_ids=True) needs id_pieces — the piece "
+                "vocabulary whose list position defines the id space "
+                "(TokenizerBundle.pieces)"
+            )
+        piece_index = {p: i for i, p in enumerate(id_pieces)}
+        if len(piece_index) != len(id_pieces):
+            raise ValueError(
+                "encode_corpus id_pieces contains duplicates — ids would "
+                "be ambiguous"
+            )
+        if oov_fallback == "bytes":
+            missing_bytes = [
+                p for p in BYTE_FALLBACK_PIECES if p not in piece_index
+            ]
+            if missing_bytes:
+                raise ValueError(
+                    "encode_corpus(emit_ids=True, oov_fallback='bytes') "
+                    "needs all 256 byte pieces in id_pieces (see "
+                    "with_byte_fallback_pieces); missing e.g. "
+                    f"{missing_bytes[:3]}"
+                )
     if strategy == "map":
         return _encode_corpus_map(
             docs, lut, id_col, text_col, word_col, pieces_col, out_col,
-            token_pattern, oov_fallback, pre_tokenize,
+            token_pattern, oov_fallback, pre_tokenize, piece_index,
         )
     if strategy != "join":
         raise ValueError(f"unknown encode_corpus strategy: {strategy!r}")
     pieces = lut.select(
         F.col(word_col).alias("_w"), F.col(pieces_col).alias("_p")
     )
+    if piece_index is not None:
+        # vocab-sized Arrow pass: the corpus-side plan below is
+        # byte-for-byte the same join + re-assembly, just over int ids
+        pieces = _pieces_to_id_arrays(pieces, "_p", piece_index)
     if broadcast_lut:
         pieces = F.broadcast(pieces)
     toks = docs.select(
@@ -614,6 +715,19 @@ def encode_corpus(
                 F.lit("<0x"), hexs.substr((i - 1) * 2 + 1, F.lit(2)), F.lit(">")
             ),
         )
+        if piece_index is not None:
+            # still JVM-side: a 256-entry literal map (validated total
+            # above) turns each synthesized byte symbol into its id
+            bmap = F.create_map(
+                *[
+                    lit
+                    for p in BYTE_FALLBACK_PIECES
+                    for lit in (F.lit(p), F.lit(piece_index[p]))
+                ]
+            )
+            miss = F.transform(
+                miss, lambda s: F.element_at(bmap, s).cast("int")
+            )
     else:
         miss = F.raise_error(
             F.format_string(
@@ -635,9 +749,10 @@ def encode_corpus(
             )
         ).alias(out_col)
     )
+    empty_t = "array<int>" if piece_index is not None else "array<string>"
     return docs.join(per_doc, id_col, "left").withColumn(
         out_col,
-        F.coalesce(F.col(out_col), F.array().cast("array<string>")),
+        F.coalesce(F.col(out_col), F.array().cast(empty_t)),
     )
 
 
@@ -652,6 +767,7 @@ def _encode_corpus_map(
     token_pattern: str | None,
     oov_fallback: str = "error",
     pre_tokenize: bool | str | None = None,
+    piece_index: dict[str, int] | None = None,
 ) -> DataFrame:
     """encode_corpus's zero-shuffle strategy: broadcast the whole
     (word -> pieces) dict and encode per document inside one Arrow
@@ -659,8 +775,11 @@ def _encode_corpus_map(
     operators/unigram.py _make_viterbi). pre_tokenize=True reproduces
     PRE_TOKENIZE_PATTERN with a unicodedata category splitter
     (letters/digits/other runs, ASCII whitespace separators — Python
-    re lacks \\p classes); custom regexes are join-strategy-only."""
-    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+    re lacks \\p classes); custom regexes are join-strategy-only.
+    ``piece_index`` (the emit_ids path) converts the broadcast dict's
+    values to id lists DRIVER-side — the worker encodes ints
+    directly, same single Arrow stage."""
+    from pyspark.sql.types import ArrayType, IntegerType, StringType, StructField, StructType
 
     if isinstance(pre_tokenize, str):
         raise ValueError(
@@ -675,23 +794,45 @@ def _encode_corpus_map(
             F.col(word_col).alias("_w"), F.col(pieces_col).alias("_p")
         ).collect()
     }
+    byte_ids: list[int] | None = None
+    if piece_index is not None:
+        try:
+            table = {
+                w: [piece_index[p] for p in arr] for w, arr in table.items()
+            }
+        except KeyError as exc:
+            raise ValueError(
+                f"LUT piece {exc.args[0]!r} is missing from id_pieces — "
+                "the piece list does not cover this LUT (stale or "
+                "truncated vocabulary)"
+            ) from None
+        if oov_fallback == "bytes":
+            # validated total by encode_corpus before dispatch
+            byte_ids = [piece_index[p] for p in BYTE_FALLBACK_PIECES]
+    # _PRE_TOKENIZE_WS travels inside the broadcast (the by-value law:
+    # the worker closure must not reach back to module state), so the
+    # Python splitter and PRE_TOKENIZE_PATTERN share ONE separator-set
+    # definition (ADVICE r11 — the re-spelled copy was drift bait).
     bc = spark.sparkContext.broadcast(
-        (table, token_pattern, oov_fallback, bool(pre_tokenize))
+        (table, token_pattern, oov_fallback, bool(pre_tokenize),
+         _PRE_TOKENIZE_WS, byte_ids)
+    )
+    out_type = ArrayType(
+        IntegerType() if piece_index is not None else StringType()
     )
     out_schema = StructType(
-        list(docs.schema.fields)
-        + [StructField(out_col, ArrayType(StringType()))]
+        list(docs.schema.fields) + [StructField(out_col, out_type)]
     )
 
     def batches(it):
         import re
         import unicodedata
 
-        tbl, pattern, fallback, pretok = bc.value
+        tbl, pattern, fallback, pretok, ws_chars, bids = bc.value
         keep = re.compile(pattern).search if pattern is not None else None
-        # _PRE_TOKENIZE_WS by value (the by-value law): the explicit
-        # separator set PRE_TOKENIZE_PATTERN spells out (== Java \s).
-        ws = set(" \t\n\x0B\f\r")
+        # the explicit separator set PRE_TOKENIZE_PATTERN spells out
+        # (== Java \s), shipped via the broadcast from _PRE_TOKENIZE_WS
+        ws = set(ws_chars)
         # Unicode-version caveat (ADVICE r10): this splitter reads
         # PYTHON's unicodedata tables while the join strategy reads
         # the JVM's regex tables — a code point ASSIGNED in one
@@ -737,7 +878,11 @@ def _encode_corpus_map(
                     seg = tbl.get(tok)
                     if seg is None:
                         if fallback == "bytes":
-                            seg = [f"<0x{b:02X}>" for b in tok.encode("utf-8")]
+                            raw = tok.encode("utf-8")
+                            if bids is not None:
+                                seg = [bids[b] for b in raw]
+                            else:
+                                seg = [f"<0x{b:02X}>" for b in raw]
                         else:
                             raise ValueError(
                                 f"word {tok!r} is missing from the "
@@ -789,6 +934,18 @@ def normalize_text(
     from pyspark.sql.types import StringType, StructField, StructType
 
     dst = text_col if out_col is None else out_col
+    # dtype checks are driver-side too (ADVICE r11): the worker writes
+    # strings into dst, so a pre-existing non-string dst (or a
+    # non-string text_col) must fail at plan time with the reason
+    # named, not as a per-batch Arrow conversion error.
+    for col, role in ((text_col, "text_col"), (dst, "out_col")):
+        if col in df.columns and not isinstance(
+            df.schema[col].dataType, StringType
+        ):
+            raise ValueError(
+                f"normalize_text {role} {col!r} must be a string column, "
+                f"got {df.schema[col].dataType.simpleString()}"
+            )
     fields = list(df.schema.fields)
     if out_col is not None and out_col not in df.columns:
         fields = fields + [StructField(out_col, StringType())]
@@ -808,6 +965,9 @@ def normalize_text(
     return df.mapInPandas(batches, schema=out_schema)
 
 
+NORMALIZE_FORMS = (None, "NFC", "NFD", "NFKC", "NFKD")
+
+
 @dataclass(frozen=True)
 class TokenizerBundle:
     """The COMPLETE shipping artifact of a trained tokenizer — what a
@@ -816,27 +976,56 @@ class TokenizerBundle:
     .model blob). The merge table alone (``save_bpe_model``) is not
     enough to reproduce an encode: the consumer also needs the final
     PIECE vocabulary (for the trie encoder), the pre-tokenization
-    rule the table was built under, and the OOV policy — drift in any
-    of them silently changes every downstream token id. All fields
-    are KB-MB driver-side metadata (the index-manifest discipline)."""
+    rule the table was built under, the Unicode normalization the
+    training text carried, and the OOV policy — drift in any of them
+    silently changes every downstream token id. All fields are KB-MB
+    driver-side metadata (the index-manifest discipline).
+
+    ``pieces`` doubles as the INTEGER ID SPACE: a piece's token id is
+    its list position (``piece_ids``), which is what ``emit_ids``
+    encodes against — so id assignments are pinned by the artifact
+    itself and survive save/load byte-for-byte.
+
+    ``normalize`` (VERDICT r11 order #2): the ``normalize_text`` form
+    the training corpus was normalized under, or None. The bundle's
+    own rationale applies — a corpus trained on NFKC text but encoded
+    later without it silently drifts every token id —  so
+    ``encode_corpus_with_bundle`` applies the recorded form before
+    tokenizing."""
 
     merges: list[BPEMerge]
     pieces: list[str]
     pre_tokenize: bool | str | None
     oov_fallback: str
+    normalize: str | None = None
+
+    def piece_ids(self) -> dict[str, int]:
+        """piece -> int32 token id (list position in ``pieces``)."""
+        return {p: i for i, p in enumerate(self.pieces)}
 
 
 def save_tokenizer_bundle(bundle: TokenizerBundle, path: str) -> None:
-    """Persist the full tokenizer artifact (tmp + atomic replace)."""
+    """Persist the full tokenizer artifact (tmp + atomic replace).
+
+    Writes ``tokenizer_bundle_v2`` — v1 plus the ``normalize`` field
+    (the format tag is bumped LOUDLY rather than defaulting a missing
+    key, so a v1 reader confronted with a v2 artifact fails on the
+    tag instead of silently dropping the normalization contract).
+    ``load_tokenizer_bundle`` still reads v1 artifacts (normalize was
+    structurally None when they were written)."""
     import json
     import os
 
+    if bundle.normalize not in NORMALIZE_FORMS:
+        raise ValueError(
+            f"unknown tokenizer bundle normalize form: {bundle.normalize!r}"
+        )
     os.makedirs(path, exist_ok=True)
     tmp = os.path.join(path, "tokenizer_bundle.json.tmp")
     with open(tmp, "w") as f:
         json.dump(
             {
-                "format": "tokenizer_bundle_v1",
+                "format": "tokenizer_bundle_v2",
                 "merges": [
                     [m.rank, m.left, m.right, m.merged, m.n]
                     for m in bundle.merges
@@ -844,6 +1033,7 @@ def save_tokenizer_bundle(bundle: TokenizerBundle, path: str) -> None:
                 "pieces": bundle.pieces,
                 "pre_tokenize": bundle.pre_tokenize,
                 "oov_fallback": bundle.oov_fallback,
+                "normalize": bundle.normalize,
             },
             f,
         )
@@ -852,21 +1042,42 @@ def save_tokenizer_bundle(bundle: TokenizerBundle, path: str) -> None:
 
 def load_tokenizer_bundle(path: str) -> TokenizerBundle:
     """Inverse of save_tokenizer_bundle; fails loudly on format
-    drift (the load_bpe_model discipline)."""
+    drift (the load_bpe_model discipline). Reads v2 (current) and v1
+    (pre-normalize) artifacts: a v1 bundle loads with
+    ``normalize=None`` — structurally true, since no v1 writer could
+    record a form. Required keys are validated explicitly (ADVICE
+    r11): a hand-edited or truncated file with the right tag raises
+    ValueError naming the path, never a bare KeyError."""
     import json
     import os
 
-    with open(os.path.join(path, "tokenizer_bundle.json")) as f:
+    fpath = os.path.join(path, "tokenizer_bundle.json")
+    with open(fpath) as f:
         meta = json.load(f)
-    if meta.get("format") != "tokenizer_bundle_v1":
+    fmt = meta.get("format")
+    if fmt not in ("tokenizer_bundle_v1", "tokenizer_bundle_v2"):
         raise ValueError(
-            f"unrecognized tokenizer bundle format at {path}: "
-            f"{meta.get('format')}"
+            f"unrecognized tokenizer bundle format at {path}: {fmt}"
+        )
+    required = ["merges", "pieces", "pre_tokenize", "oov_fallback"]
+    if fmt == "tokenizer_bundle_v2":
+        required.append("normalize")
+    missing = [k for k in required if k not in meta]
+    if missing:
+        raise ValueError(
+            f"tokenizer bundle at {path} ({fmt}) is missing required "
+            f"keys: {missing}"
         )
     if meta["oov_fallback"] not in ("error", "bytes"):
         raise ValueError(
             f"bundle at {path} carries unknown oov_fallback: "
             f"{meta['oov_fallback']!r}"
+        )
+    normalize = meta.get("normalize")
+    if normalize not in NORMALIZE_FORMS:
+        raise ValueError(
+            f"bundle at {path} carries unknown normalize form: "
+            f"{normalize!r}"
         )
     return TokenizerBundle(
         merges=[
@@ -876,6 +1087,7 @@ def load_tokenizer_bundle(path: str) -> TokenizerBundle:
         pieces=list(meta["pieces"]),
         pre_tokenize=meta["pre_tokenize"],
         oov_fallback=meta["oov_fallback"],
+        normalize=normalize,
     )
 
 
@@ -885,16 +1097,27 @@ def encode_corpus_with_bundle(
     id_col: str = "doc_id",
     text_col: str = "text",
     out_col: str = "doc_tokens",
+    emit_ids: bool = False,
 ) -> DataFrame:
     """One-call corpus encode from a shipped bundle — exactly the
     q197 capstone chain, driven by the persisted artifact so encode
-    settings CANNOT drift from training: build the corpus's
-    distinct-word table under the bundle's pre-tokenize rule,
-    trie-encode it against the bundle's piece vocabulary (one Arrow
-    map-only pass, byte fallback iff the bundle says so), and map the
-    resulting LUT back over the corpus with the bundle's OOV policy.
-    Same scale shape as the capstone: one corpus pass for the word
-    table, one vocab-sized encode, one broadcast join + re-assembly."""
+    settings CANNOT drift from training: apply the bundle's recorded
+    Unicode normalization (if any — VERDICT r11 order #2: a corpus
+    trained on NFKC text but encoded without it silently drifts every
+    token id), build the corpus's distinct-word table under the
+    bundle's pre-tokenize rule, trie-encode it against the bundle's
+    piece vocabulary (one Arrow map-only pass, byte fallback iff the
+    bundle says so), and map the resulting LUT back over the corpus
+    with the bundle's OOV policy. Same scale shape as the capstone:
+    one corpus pass for the word table (plus one Arrow normalize pass
+    when recorded), one vocab-sized encode, one broadcast join +
+    re-assembly.
+
+    ``emit_ids=True`` returns int32 token ids in the bundle's id
+    space (piece list position) instead of piece strings — the
+    training-ready form (q200/q201)."""
+    if bundle.normalize is not None:
+        docs = normalize_text(docs, text_col=text_col, form=bundle.normalize)
     words = bpe_word_table(docs, text_col=text_col, pre_tokenize=bundle.pre_tokenize)
     lut = encode_longest_match(
         words,
@@ -911,4 +1134,6 @@ def encode_corpus_with_bundle(
         out_col=out_col,
         oov_fallback=bundle.oov_fallback,
         pre_tokenize=bundle.pre_tokenize,
+        emit_ids=emit_ids,
+        id_pieces=bundle.pieces if emit_ids else None,
     )
