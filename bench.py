@@ -191,6 +191,12 @@ BENCH_QUERIES = [
     "q197_tokenizer_capstone",
     "q198_token_budget_real_counts",
     "q199_packed_sequences",
+    # round-12 additions: int32 token-id bundle encode, packed id
+    # shards round-tripped through the persisted files, and the
+    # packing-policy surface
+    "q200_token_id_encode",
+    "q201_packed_id_shards",
+    "q202_packing_policies",
 ]
 
 ETL_ROWS = int(os.environ.get("SPARK_GRAFT_ETL_ROWS", "850000"))

@@ -12897,6 +12897,383 @@ def q199_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "pack_id")
 
 
+def _id_encode_oracle_blocks() -> str:
+    """Shared WITH-prefix for the integer-token-id oracles (q200/q201):
+    replay BPE training on the restricted vocabulary (q188's unrolled
+    blocks over documents ∪ the jobs corpus), derive the piece
+    vocabulary = trained alphabet + merged symbols + ALL 256 byte
+    pieces (with_byte_fallback_pieces), assign each piece its id =
+    rank in the binary-sorted vocabulary (the bundle's list-position
+    id space — Python's sort and DuckDB's ORDER BY agree byte-for-
+    byte on UTF-8), and greedy-longest-match-walk EVERY corpus word
+    with POSITIONAL byte fallback: at a position no piece matches,
+    emit the character's UTF-8 bytes as ``<0xNN>`` ids and advance
+    one char (q194's recursive-CTE walk, generalized total via the
+    LEFT-JOIN step table). ``doc_pieces`` is the end product: every
+    (doc, token, piece) with its int id in exact emit order."""
+    train = _bpe_oracle_blocks(
+        _BPE_MERGES, word_regex=_BPE_TRAIN_REGEX, corpus="corpus"
+    ).replace("WITH ", "WITH RECURSIVE " + _CAPSTONE_CORPUS_CTE + ",\n    ", 1)
+    return (
+        train
+        + f""",
+    wv AS (SELECT replace(s, '|', '') AS w FROM w0),
+    vocab AS (
+      SELECT DISTINCT substr(w, CAST(i AS INT), 1) AS piece
+      FROM (SELECT w, unnest(generate_series(1, length(w))) AS i FROM wv)
+      UNION
+      {" UNION ".join(f"SELECT l || r FROM b{r}" for r in range(1, _BPE_MERGES + 1))}
+      UNION
+      SELECT '<0x' || substr('0123456789ABCDEF', CAST(i // 16 + 1 AS INT), 1)
+                   || substr('0123456789ABCDEF', CAST(i % 16 + 1 AS INT), 1)
+                   || '>'
+      FROM (SELECT unnest(generate_series(0, 255)) AS i)
+    ),
+    vids AS (
+      SELECT piece,
+             CAST(row_number() OVER (ORDER BY piece) - 1 AS INT) AS pid
+      FROM vocab
+    ),
+    wv_all AS (
+      SELECT DISTINCT w FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM corpus)
+      WHERE w <> '' AND strpos(w, '|') = 0
+    ),
+    poss AS (
+      SELECT w, CAST(unnest(generate_series(1, length(w))) AS BIGINT) AS pos
+      FROM wv_all
+    ),
+    gm AS (
+      SELECT p.w, p.pos, max(length(v.piece)) AS step
+      FROM poss p JOIN vids v
+        ON substr(p.w, CAST(p.pos AS INT), CAST(length(v.piece) AS INT))
+           = v.piece
+      GROUP BY p.w, p.pos
+    ),
+    g AS (
+      SELECT p.w, p.pos, COALESCE(gm.step, CAST(1 AS BIGINT)) AS step,
+             gm.step IS NULL AS fb
+      FROM poss p LEFT JOIN gm ON gm.w = p.w AND gm.pos = p.pos
+    ),
+    path AS (
+      SELECT w, CAST(1 AS BIGINT) AS pos FROM wv_all
+      UNION ALL
+      SELECT p.w, p.pos + g.step
+      FROM path p JOIN g ON g.w = p.w AND g.pos = p.pos
+    ),
+    steps AS (
+      SELECT p.w, p.pos, g.step, g.fb
+      FROM path p JOIN g ON g.w = p.w AND g.pos = p.pos
+    ),
+    fbx AS (
+      SELECT w, pos,
+             unnest(generate_series(
+               1, strlen(substr(w, CAST(pos AS INT), 1)))) AS i
+      FROM steps WHERE fb
+    ),
+    wpieces AS (
+      SELECT s.w, s.pos, CAST(0 AS BIGINT) AS sub, v.pid
+      FROM steps s JOIN vids v
+        ON substr(s.w, CAST(s.pos AS INT), CAST(s.step AS INT)) = v.piece
+      WHERE NOT s.fb
+      UNION ALL
+      SELECT f.w, f.pos, CAST(f.i AS BIGINT) AS sub, v.pid
+      FROM fbx f JOIN vids v
+        ON v.piece = '<0x' || substr(hex(substr(f.w, CAST(f.pos AS INT), 1)),
+                                     CAST((f.i - 1) * 2 + 1 AS INT), 2) || '>'
+    ),
+    tok AS (
+      SELECT doc_id, source, w, ord FROM (
+        SELECT doc_id, source,
+               unnest(string_split(text, ' ')) AS w,
+               unnest(generate_series(1, len(string_split(text, ' '))))
+                 AS ord
+        FROM corpus)
+      WHERE w <> ''
+    ),
+    missx AS (
+      SELECT t.doc_id, t.source, t.ord, t.w,
+             unnest(generate_series(1, strlen(t.w))) AS i
+      FROM tok t LEFT JOIN wv_all a ON t.w = a.w WHERE a.w IS NULL
+    ),
+    doc_pieces AS (
+      SELECT t.doc_id, t.source, t.ord, p.pos, p.sub, p.pid
+      FROM tok t JOIN wpieces p ON t.w = p.w
+      UNION ALL
+      SELECT m.doc_id, m.source, m.ord, CAST(1 AS BIGINT) AS pos,
+             CAST(m.i AS BIGINT) AS sub, v.pid
+      FROM missx m JOIN vids v
+        ON v.piece = '<0x' || substr(hex(m.w),
+                                     CAST((m.i - 1) * 2 + 1 AS INT), 2) || '>'
+    )"""
+    )
+
+
+def _bundle_id_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared Spark chain for q200/q201: train the restricted-vocab
+    BPE over documents ∪ the jobs corpus, ship the v2 bundle (pieces
+    extended with the 256-byte alphabet — the id-complete vocabulary),
+    round-trip it through save/load, and bundle-encode the corpus to
+    int32 ids. Returns the encoded frame (doc_id, source, text,
+    doc_tokens array<int>)."""
+    import shutil
+    import tempfile
+
+    from .operators.tokenizer import (
+        TokenizerBundle,
+        bpe_vocab_pieces,
+        bpe_word_table,
+        encode_corpus_with_bundle,
+        load_tokenizer_bundle,
+        save_tokenizer_bundle,
+        train_bpe,
+        with_byte_fallback_pieces,
+    )
+
+    jobs = spark.createDataFrame(
+        CAPSTONE_JOBS_DOCS, "doc_id long, source string, text string"
+    )
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .unionAll(jobs)
+    )
+    words = bpe_word_table(docs, token_pattern=_BPE_TRAIN_REGEX)
+    merges = train_bpe(words, num_merges=_BPE_MERGES)
+    pieces = with_byte_fallback_pieces(bpe_vocab_pieces(words, merges))
+    bundle = TokenizerBundle(
+        merges=list(merges),
+        pieces=pieces,
+        pre_tokenize=None,
+        oov_fallback="bytes",
+    )
+    tmp = tempfile.mkdtemp(prefix="bds_bundle_")
+    try:
+        save_tokenizer_bundle(bundle, tmp)
+        loaded = load_tokenizer_bundle(tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return encode_corpus_with_bundle(docs, loaded, emit_ids=True)
+
+
+@register(
+    "q200_token_id_encode",
+    _id_encode_oracle_blocks()
+    + """,
+    agg AS (
+      SELECT doc_id,
+             md5(string_agg(CAST(pid AS VARCHAR), ' '
+                            ORDER BY ord, pos, sub)) AS ids_md5,
+             CAST(COUNT(*) AS BIGINT) AS n_pieces
+      FROM doc_pieces GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           COALESCE(a.ids_md5, md5('')) AS ids_md5,
+           COALESCE(a.n_pieces, CAST(0 AS BIGINT)) AS n_pieces
+    FROM corpus c LEFT JOIN agg a USING (doc_id)
+    ORDER BY c.doc_id
+    """,
+    "text",
+    "tokenizer",
+)
+def q200_token_id_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT32 token-id corpus encode through the shipped bundle
+    (VERDICT r11 order #1a — a trainer consumes ids, not strings; at
+    100 TB string packs are ~5-10x the bytes of id packs): train the
+    restricted-vocab BPE over documents ∪ the Vietnamese jobs corpus,
+    extend the piece vocabulary with the full 256-symbol byte
+    alphabet (with_byte_fallback_pieces — the SentencePiece
+    byte_fallback discipline, making the id space total), persist the
+    v2 TokenizerBundle, reload it, and encode the corpus with
+    emit_ids=True: trained words take their trie-piece ids, novel
+    characters take per-position <0xNN> byte ids — all minted at the
+    VOCAB-SIZED LUT (one Arrow pass) and carried through the same
+    broadcast join + order-preserving re-assembly as the string
+    encode (the plan is unchanged; ids are just smaller).
+
+    The oracle replays training, the rank-in-sorted-vocabulary id
+    assignment (= the bundle's list-position id space), the greedy
+    longest-match walk WITH positional byte fallback (q194's
+    recursive CTE made total), and the per-doc re-assembly — the
+    per-doc ids_md5 only matches if every stage, including the
+    save/load round trip, agrees end-to-end. Zero-token docs keep
+    their row (md5('') / 0)."""
+    enc = _bundle_id_encode(spark, sf_dir)
+    return (
+        enc.select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform("doc_tokens", lambda x: x.cast("string")),
+                ).cast("binary")
+            ).alias("ids_md5"),
+            F.size("doc_tokens").cast("long").alias("n_pieces"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q201_packed_id_shards",
+    _id_encode_oracle_blocks()
+    + f""",
+    gp AS (
+      SELECT source,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY doc_id, ord, pos, sub) - 1
+               AS BIGINT) AS gpos,
+             pid
+      FROM doc_pieces
+    )
+    SELECT source, gpos // {_CAPSTONE_SEQ} AS pack_id,
+           md5(string_agg(CAST(pid AS VARCHAR), ' '
+                          ORDER BY gpos % {_CAPSTONE_SEQ})) AS pack_md5,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM gp GROUP BY source, gpos // {_CAPSTONE_SEQ}
+    ORDER BY source, pack_id
+    """,
+    "text",
+    "packing",
+)
+def q201_packed_id_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING-READY packed id shards, certified THROUGH THE FILES
+    (VERDICT r11 order #1b/#1c — the last step between the corpus →
+    packs chain and an artifact a trainer actually reads): the q200
+    int32 id encode feeds pack_sequences (the operator is token-type
+    agnostic — same one-window-one-exchange plan over id arrays),
+    write_packed_shards persists the per-source shard tree + manifest
+    (deterministic layout, content fingerprints), read_packed_shards
+    reopens it under verify='content' (full fingerprint re-check),
+    and the emitted per-pack md5 is computed FROM THE FILES — the row
+    only matches the oracle's replay (id walk + global-position
+    packing in SQL) if encode, packing, the shard write, the
+    manifest, and the read-back all agree byte-for-byte. The shard
+    tree lives in a process-scoped temp dir; the result is
+    materialized (localCheckpoint) before cleanup."""
+    import shutil
+    import tempfile
+
+    from .operators.chunking import (
+        pack_sequences,
+        read_packed_shards,
+        write_packed_shards,
+    )
+
+    enc = _bundle_id_encode(spark, sf_dir)
+    packed = pack_sequences(
+        enc.select("source", "doc_id", "doc_tokens"), _CAPSTONE_SEQ
+    )
+    tmp = tempfile.mkdtemp(prefix="bds_pack_shards_")
+    try:
+        write_packed_shards(packed, tmp, packs_per_shard=8, mode="overwrite")
+        back = read_packed_shards(spark, tmp, verify="content")
+        out = (
+            back.select(
+                "source",
+                "pack_id",
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.transform("tokens", lambda x: x.cast("string")),
+                    ).cast("binary")
+                ).alias("pack_md5"),
+                "n_tokens",
+            )
+            .orderBy("source", "pack_id")
+            .localCheckpoint(eager=True)  # detach from the temp files
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register(
+    "q202_packing_policies",
+    f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tl
+      FROM documents
+    ),
+    t1 AS (
+      SELECT source, doc_id,
+             CASE WHEN tl IS NULL OR len(tl) = 0 THEN tl
+                  ELSE list_concat(tl, ['<eos>']) END AS tl
+      FROM toks
+    ),
+    t2 AS (
+      SELECT source, doc_id,
+             unnest(tl) AS w,
+             unnest(generate_series(1, len(tl))) AS ord
+      FROM t1
+    ),
+    g AS (
+      SELECT source, doc_id, w,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY doc_id, ord) - 1
+               AS BIGINT) AS gpos
+      FROM t2
+    )
+    SELECT source,
+           gpos // {_CAPSTONE_SEQ} AS pack_id,
+           md5(string_agg(w, ' ' ORDER BY gpos % {_CAPSTONE_SEQ})
+               || repeat(' <pad>',
+                         CAST({_CAPSTONE_SEQ} - COUNT(*) AS INT)))
+             AS pack_md5,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ' '
+                          ORDER BY gpos % {_CAPSTONE_SEQ})) AS doc_ids_md5,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM g GROUP BY source, gpos // {_CAPSTONE_SEQ}
+    ORDER BY source, pack_id
+    """,
+    "text",
+    "packing",
+)
+def q202_packing_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full packing POLICY surface hash-checked in one row (the
+    r11 policies landed test-pinned only; this is their first hard
+    driver check): doc_separator appends one <eos> after every
+    non-empty document, with_doc_ids emits the position-aligned
+    originating-doc array (the block-diagonal attention-mask input —
+    separator slots carry their document's id, padding carries none),
+    and pad_token right-pads each source's ragged tail to exactly
+    seq_len while n_tokens keeps the REAL count (the loss-mask
+    denominator). The oracle replays separator injection, global
+    positions, the tail pad, and the doc-id alignment — pack_md5
+    covers the PADDED tokens, doc_ids_md5 only the real slots, so
+    the row matches only if all three policies compose exactly as
+    documented. Same plan as q199: one doc-grain window + ONE
+    (source, pack_id) exchange; the policies are map-only edges."""
+    from .operators.chunking import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias(
+            "doc_tokens"
+        ),
+    )
+    packed = pack_sequences(
+        docs,
+        _CAPSTONE_SEQ,
+        doc_separator="<eos>",
+        pad_token="<pad>",
+        with_doc_ids=True,
+    )
+    return packed.select(
+        "source",
+        "pack_id",
+        F.md5(F.concat_ws(" ", "tokens").cast("binary")).alias("pack_md5"),
+        F.md5(
+            F.concat_ws(
+                " ", F.transform("doc_ids", lambda x: x.cast("string"))
+            ).cast("binary")
+        ).alias("doc_ids_md5"),
+        "n_tokens",
+    ).orderBy("source", "pack_id")
+
+
 # =========================================================================
 # Registry ordering (driver check-window priority)
 # =========================================================================
@@ -12908,27 +13285,25 @@ def q199_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # redundant subsets (q30/q31 ⊂ q32, q45 ⊂ q53, etc.), which keep local
 # oracle-parity coverage in tests/test_oracle_parity.py instead.
 _DRIVER_WINDOW_ORDER: list[str] = [
-    # ROUND-11 ROTATION (steady state — VERDICT r10 order #5): r10
-    # went 50/50 green (all full hash matches; tenth consecutive
+    # ROUND-12 ROTATION (steady state — VERDICT r11 order #3): r11
+    # went 50/50 green (all full hash matches; eleventh consecutive
     # perfect driver signal). This round's slot plan: 12 permanent
     # anchors, the 2 residual-PQ certification anchors (q75 + q152),
-    # the 4 round-8 additions (3x green, final re-confirmation
-    # round), the 6 round-9 tokenizer additions (2x green) and the 3
-    # round-10 additions (1x green) kept as re-confirmations per the
-    # demotion discipline, 2 ROUND-11 ADDITIONS (q197 the tokenizer
-    # capstone chain — VERDICT r10 order #2 — and q198 token-budget
-    # mixing on real piece counts — order #3; both landing in their
-    # own round's window per the rotation rule asserted structurally
-    # in test_registry_contract.py against the committed
-    # CORRECTNESS_r*.json ledger; q199 the materialized
-    # sequence-packing operator joins them as a third addition), and
-    # 20 re-confirmation slots. Three 4x-green entries rotate out
-    # with in-window machinery reps (notes at the round-11 demotion
+    # the 6 round-9 tokenizer additions (3x green) + 3 round-10
+    # additions (2x green) + 3 round-11 additions (1x green) kept as
+    # re-confirmations per the demotion discipline, 3 ROUND-12
+    # ADDITIONS (q200 int32 token-id bundle encode — VERDICT r11
+    # order #1a — q201 packed id shards certified through the
+    # persisted files — order #1b/c — and q202 the packing-policy
+    # surface's first hard row; each landing in its own round's
+    # window per the rotation rule asserted structurally in
+    # test_registry_contract.py against the committed
+    # CORRECTNESS_r*.json ledger), 20 re-confirmation slots, and 1
+    # re-promotion (q84 — the packing family's original assignment
+    # query re-confirmed alongside the round's packing additions).
+    # The four 4x-green round-8 additions (q184-q187) rotate out
+    # with in-window machinery reps (notes at the round-12 demotion
     # block).
-    # [Ledger correction, ADVICE r10: the round-10 header miscounted
-    # its own structure — r10 actually ran 3 additions (q194-q196),
-    # 23 re-confirmations, and 3 demotions (q150/q161/q174), exactly
-    # what the list and test_registry_contract.py enforced.]
     #
     # -- anchors (12) — multi-green pins (unchanged from r07) --
     # q01/q32: flagship pricing summary + the full reference ETL
@@ -12963,15 +13338,29 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     # green; q152 = filtered pruned ANN, green r07) --
     "q75_pq_adc_topk",
     "q152_filtered_ann",
-    # -- round-8 additions (4), kept in as 1x-green re-confirmations;
-    # q186's invariant was HARDENED this round (range check replaces
-    # the data-dependent `== 5` — ADVICE r08), so its re-check also
-    # certifies the new oracle --
-    "q184_residual_adc_topk",
-    "q185_ivfpq_pruned_refine",
-    "q186_kmeans_fit_invariants",
-    "q187_w2v_vocab_invariants",
-    # -- ROUND-9 ADDITIONS: FIRST hard driver check (6) --
+    # -- ROUND-12 ADDITIONS: FIRST hard driver check (3) --
+    # q200: int32 token-id corpus encode through the persisted v2
+    #   bundle (save -> load -> emit_ids; byte-complete id space via
+    #   with_byte_fallback_pieces; positional byte fallback replayed
+    #   by a total recursive-CTE greedy walk) (VERDICT r11 #1a).
+    # q201: packed id shards certified THROUGH THE FILES — q200's id
+    #   encode -> pack_sequences over array<int> -> write_packed_
+    #   shards (deterministic tree + fingerprint manifest) ->
+    #   read_packed_shards(verify='content') -> per-pack md5 FROM the
+    #   read-back (VERDICT r11 #1b/#1c).
+    # q202: the packing POLICY surface (doc_separator + pad_token +
+    #   with_doc_ids) — r11 landed it test-pinned; this is its first
+    #   hash-checked driver row (padded-tokens md5 + real-slot
+    #   doc_ids md5 + real n_tokens).
+    "q200_token_id_encode",
+    "q201_packed_id_shards",
+    "q202_packing_policies",
+    # -- re-promotion (1): q84 — the packing family's original
+    # assignment query (pack ids/offsets on the whitespace proxy),
+    # re-confirmed in the same window its id-level descendants land
+    # in (freshest prior green r06) --
+    "q84_sequence_packing",
+    # -- ROUND-9 ADDITIONS (6), kept as 3x-green re-confirmations --
     # q188: distributed BPE tokenizer training (merge sequence vs an
     #   unrolled 8-round DuckDB replay — VERDICT r08 order #1).
     # q189: train-then-encode round trip (apply_bpe reproduces the
@@ -13052,9 +13441,28 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q182_lsh_eval",
     "q183_dedup_impact",
     # ---- window boundary (position 50) ----
-    # ROUND-12 PLAN: steady state continues — anchors + additions
+    # ROUND-13 PLAN: steady state continues — anchors + additions
     # (<= promotion budget, each landing in its own round's window)
     # + re-confirmations of the freshest greens.
+    #
+    # -- ROUND-12 DEMOTIONS (4; each 4x green in r08+r09+r10+r11,
+    # machinery-subsumed by a retained in-window sibling): --
+    # q184 residual ADC top-k ↔ q75 (the in-window flat PQ-ADC
+    #   anchor: same subspace-code assignment + ADC lookup algebra)
+    #   + q152/q64 (pruned-probe scan shapes);
+    # q185 IVF-PQ pruned refine ↔ q64 (IVF probe prune, in-window
+    #   anchor) + q75 (ADC) — q185 IS their composition, and the
+    #   exact-rerank tail is q112's bucket-kNN discipline;
+    # q186 KMeans fit invariants ↔ q64/q61 centroid-assignment math
+    #   (plan-asserted) + the seed-42 metric-parity pins in
+    #   tests/test_ml.py (inside every green suite run);
+    # q187 Word2Vec vocab invariants ↔ q177/q193 (vocab-histogram
+    #   sufficient stats over broadcast vocabularies) + the same
+    #   test_ml.py parity pins.
+    "q184_residual_adc_topk",
+    "q185_ivfpq_pruned_refine",
+    "q186_kmeans_fit_invariants",
+    "q187_w2v_vocab_invariants",
     #
     # -- ROUND-11 DEMOTIONS (3; each 4x green in r07+r08+r09+r10,
     # machinery-subsumed by a retained in-window sibling): --
@@ -13295,7 +13703,7 @@ _DRIVER_WINDOW_ORDER: list[str] = [
     "q78_pii_redaction",
     "q79_repetition_quality",
     "q80_decontamination",
-    "q84_sequence_packing",
+    # (q84_sequence_packing re-promoted to the round-12 window above)
     "q86_vocabulary_idf",
     # round-4 demotions next (freshest prev-pass evidence; q05
     # re-promoted to the round-7 anchor block above):

@@ -19,16 +19,17 @@ DRIVER_WINDOW = 50
 # post-fit readouts are now oracle-backed companions (q186/q187).
 ROWS_ONLY_WINDOW_EXCEPTIONS: set[str] = set()
 
-# Round-11 slot plan (VERDICT r10 order #5 — steady state): 12
+# Round-12 slot plan (VERDICT r11 order #3 — steady state): 12
 # permanent anchors, the 2 residual-PQ certification anchors (q75,
-# q152), the 4 round-8 additions (3x green), 6 round-9 tokenizer
-# additions (2x green), and 3 round-10 additions (1x green) kept as
-# re-confirmations, the 2 round-11 additions (q197 tokenizer capstone
-# chain, q198 token-budget mixing on real piece counts — first hard
-# check) plus q199 (materialized sequence packing), and 20
-# re-confirmations. Three 4x-green entries (q147, q165, q171)
-# rotated out with in-window machinery reps (see
-# _DRIVER_WINDOW_ORDER notes).
+# q152), 6 round-9 tokenizer additions (3x green) + 3 round-10
+# additions (2x green) + 3 round-11 additions (1x green) kept as
+# re-confirmations, the 3 round-12 additions (q200 int32 token-id
+# bundle encode, q201 packed id shards through the persisted files,
+# q202 packing policies — first hard check), 1 re-promotion (q84,
+# the packing family's assignment query re-confirmed beside its
+# id-level descendants), and 20 re-confirmations. The 4x-green
+# round-8 cohort (q184-q187) rotated out with in-window machinery
+# reps (see _DRIVER_WINDOW_ORDER notes).
 MUST_BE_IN_WINDOW = {
     # -- anchors (12): multi-green machinery pins --
     "q01_pricing_summary",
@@ -46,23 +47,24 @@ MUST_BE_IN_WINDOW = {
     # -- VERDICT r07 order #1: residual-PQ certification anchors --
     "q75_pq_adc_topk",
     "q152_filtered_ann",
-    # -- round-8 additions, kept as 1x-green re-confirmations --
-    "q184_residual_adc_topk",
-    "q185_ivfpq_pruned_refine",
-    "q186_kmeans_fit_invariants",
-    "q187_w2v_vocab_invariants",
-    # -- round-9 additions, kept as 1x-green re-confirmations --
+    # -- round-12 additions: FIRST hard driver check --
+    "q200_token_id_encode",
+    "q201_packed_id_shards",
+    "q202_packing_policies",
+    # -- re-promotion: packing-family assignment query --
+    "q84_sequence_packing",
+    # -- round-9 additions, kept as 3x-green re-confirmations --
     "q188_bpe_merge_sequence",
     "q189_bpe_encoded_vocab",
     "q190_unigram_seed_vocab",
     "q191_unigram_roundtrip",
     "q192_corpus_encode_roundtrip",
     "q193_tokenizer_compression",
-    # -- round-10 additions, kept as 1x-green re-confirmations --
+    # -- round-10 additions, kept as 2x-green re-confirmations --
     "q194_longest_match_encode",
     "q195_byte_fallback_encode",
     "q196_pretokenized_vocab",
-    # -- round-11 additions: FIRST hard driver check --
+    # -- round-11 additions, kept as 1x-green re-confirmations --
     "q197_tokenizer_capstone",
     "q198_token_budget_real_counts",
     "q199_packed_sequences",
