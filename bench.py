@@ -20,6 +20,14 @@ basis; the full-session numbers remain for totals and relative
 ordering. Skip with SPARK_GRAFT_SENTINELS=0 (children inherit the
 skip implicitly — they are invoked with --sentinel-child).
 
+CONTAMINATION RETRY (round 12, VERDICT r11 order #4): a child whose
+pre-run 1-min load exceeds 25% of the cores gets ONE bounded
+cooldown-and-rerun; both attempts are recorded in the JSON
+(``sentinel_retries``) and the lower-load attempt supplies the
+median, so a loaded driver box self-corrects instead of requiring a
+judge re-run. Caps: 3 retries/phase, 60 s cooldown, all inside the
+phase budget (raised 420 -> 600 s to absorb them).
+
 The full-session loop also releases dead plan state between entries
 (gc.collect() drops the py4j proxies pinning finished DataFrames'
 JVM objects; a periodic System.gc() lets ContextCleaner reclaim their
@@ -329,18 +337,52 @@ def _sentinel_child(name: str) -> None:
     spark.stop()
 
 
-def _run_sentinels() -> tuple[dict, dict]:
+def _spawn_sentinel_child(name: str) -> list[float]:
+    """Run one sentinel child subprocess; returns its rep seconds."""
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__),
+         "--sentinel-child", name],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        check=True,
+    ).stdout
+    payload = next(
+        line for line in out.splitlines()
+        if line.startswith("SENTINEL_JSON:")
+    )
+    return json.loads(payload[len("SENTINEL_JSON:"):])["reps"]
+
+
+def _run_sentinels() -> tuple[dict, dict, dict, dict]:
     """Run every sentinel in its own subprocess, SERIALLY (parallel
     children would contend for the 32 cores and corrupt exactly the
-    timings this exists to stabilize). A phase budget (default 420 s,
+    timings this exists to stabilize). A phase budget (default 600 s,
     ~2x the measured phase cost) bounds the worst case: on a degraded
     box the remaining sentinels are skipped (null) rather than
-    risking the whole bench line against a harness timeout. Returns
-    (medians, reps, load1_before)."""
-    budget = float(os.environ.get("SPARK_GRAFT_SENTINEL_BUDGET", "420"))
+    risking the whole bench line against a harness timeout.
+
+    CONTAMINATION RETRY (VERDICT r11 order #4 — three consecutive
+    loaded driver windows made cross-round deltas unusable without a
+    judge re-run): when a child's pre-run load sample exceeds the
+    foreign-load threshold, the child still runs (its numbers are
+    recorded either way), then the phase sleeps one bounded cooldown
+    and re-runs THAT child once; both attempts land in the JSON
+    (``sentinel_retries``) and the attempt with the LOWER pre-run
+    load supplies the median — so the committed line carries its own
+    clean-or-flagged numbers instead of needing adjudication. Retries
+    are budget-bounded (total-phase budget + a per-phase retry cap);
+    no new knobs beyond the cap/cooldown env overrides. Returns
+    (medians, reps, load1_before, retries)."""
+    budget = float(os.environ.get("SPARK_GRAFT_SENTINEL_BUDGET", "600"))
+    cooldown = float(os.environ.get("SPARK_GRAFT_SENTINEL_COOLDOWN", "60"))
+    max_retries = int(os.environ.get("SPARK_GRAFT_SENTINEL_RETRIES", "3"))
+    load_frac = 0.25  # same foreign-load threshold as the r08 warning
     phase_t0 = time.perf_counter()
     medians: dict[str, float] = {}
     all_reps: dict[str, list[float]] = {}
+    retries: dict[str, dict] = {}
+    retries_used = 0
     # Contention forensics (VERDICT r08 order #5): the r08 line carried
     # 6x-inflated kmeans/rf cells that only a judge re-run could
     # invalidate. Record the 1-minute load average BEFORE each child so
@@ -355,7 +397,7 @@ def _run_sentinels() -> tuple[dict, dict]:
     for name in SENTINELS:
         load1 = round(os.getloadavg()[0], 2)
         load_before[name] = load1
-        if not medians and load1 / ncpu > 0.25:
+        if not medians and load1 / ncpu > load_frac:
             # nothing of ours has run yet — this load is foreign
             print(
                 f"SENTINEL CONTAMINATION WARNING: load1={load1} on "
@@ -372,26 +414,43 @@ def _run_sentinels() -> tuple[dict, dict]:
             all_reps[name] = []
             continue
         try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--sentinel-child", name],
-                capture_output=True,
-                text=True,
-                timeout=900,
-                check=True,
-            ).stdout
-            payload = next(
-                line for line in out.splitlines()
-                if line.startswith("SENTINEL_JSON:")
-            )
-            reps = json.loads(payload[len("SENTINEL_JSON:"):])["reps"]
+            reps = _spawn_sentinel_child(name)
             all_reps[name] = reps
             medians[name] = round(statistics.median(reps), 3)
         except Exception as exc:  # a broken sentinel must not kill the line
             print(f"sentinel {name} failed: {exc}", file=sys.stderr)
             medians[name] = None
             all_reps[name] = []
-    return medians, all_reps, load_before
+            continue
+        if (
+            load1 / ncpu > load_frac
+            and retries_used < max_retries
+            # a retry costs ~cooldown + the child we just timed; only
+            # start one the budget can absorb
+            and time.perf_counter() - phase_t0
+            + cooldown + 3 * medians[name] * SENTINEL_REPS < budget
+        ):
+            retries_used += 1
+            time.sleep(cooldown)
+            load2 = round(os.getloadavg()[0], 2)
+            try:
+                reps2 = _spawn_sentinel_child(name)
+            except Exception as exc:
+                print(f"sentinel retry {name} failed: {exc}", file=sys.stderr)
+                continue
+            chosen = "retry" if load2 <= load1 else "first"
+            retries[name] = {
+                "first_load1": load1,
+                "first_reps": all_reps[name],
+                "retry_load1": load2,
+                "retry_reps": reps2,
+                "chosen": chosen,
+            }
+            if chosen == "retry":
+                all_reps[name] = reps2
+                medians[name] = round(statistics.median(reps2), 3)
+                load_before[name] = load2
+    return medians, all_reps, load_before, retries
 
 
 def main() -> None:
@@ -403,8 +462,11 @@ def main() -> None:
     sentinels: dict = {}
     sentinel_reps: dict = {}
     sentinel_load: dict = {}
+    sentinel_retries: dict = {}
     if os.environ.get("SPARK_GRAFT_SENTINELS", "1") != "0":
-        sentinels, sentinel_reps, sentinel_load = _run_sentinels()
+        sentinels, sentinel_reps, sentinel_load, sentinel_retries = (
+            _run_sentinels()
+        )
 
     bench_gc = os.environ.get("SPARK_GRAFT_BENCH_GC", "1") != "0"
     spark = get_spark("big_data_spark-bench")
@@ -520,6 +582,9 @@ def main() -> None:
             # 1-min load sampled before each sentinel child (first
             # sample predates any child: foreign load by construction)
             "sentinel_load1_before": sentinel_load,
+            # contamination retries: both attempts + which one the
+            # median came from (empty dict = clean phase)
+            "sentinel_retries": sentinel_retries,
             "cpus": os.cpu_count(),
             "bench_gc": bench_gc,
             "sf": sf,

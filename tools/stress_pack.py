@@ -15,6 +15,16 @@ Measured, one JSON line each:
 
   pack_assign       q84's doc-grain assignment (window only — the
                     cheap path when downstream wants ids, not arrays)
+  pack_assign_2pass the range-partitioned two-pass prefix sum — the
+                    candidate upgrade for the doc-grain window's
+                    known ceiling (VERDICT r11 "What's wrong" #3: the
+                    running-sum window sorts each source's DOC rows
+                    in ONE task). Pass 1: per-partition per-source
+                    subtotals (bounded collect: partitions x
+                    sources); pass 2: broadcast offsets + a window
+                    WITHIN each (partition, source) — parallelism =
+                    #partitions instead of #sources. Same cum values
+                    (verified in-run against pack_assign's readout).
   pack_materialize  pack_sequences (explicit repartition — exchanges
                     = window + pack + none; parallelism = #packs)
   pack_elided       the identical pipeline MINUS the repartition
@@ -117,6 +127,67 @@ def main() -> None:
     print(
         json.dumps(
             {"op": "pack_assign", "wall_s": round(time.perf_counter() - t0, 2)}
+        ),
+        flush=True,
+    )
+
+    # 1b) the two-pass range-partitioned prefix sum: same cum values,
+    # #partitions-way parallel instead of one task per source
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    t0 = time.perf_counter()
+    rp = (
+        docs.repartitionByRange(nparts, "source", "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin partition ids across reuse
+    )
+    subtotals = (
+        rp.groupBy("_pid", "source")
+        .agg(F.sum(F.size("doc_tokens").cast("long")).alias("s"))
+        .collect()  # bounded: partitions x sources rows
+    )
+    per_src: dict[str, list[tuple[int, int]]] = {}
+    for r in subtotals:
+        per_src.setdefault(r["source"], []).append((r["_pid"], r["s"]))
+    offsets = {}  # (pid, source) -> tokens before this partition
+    for src, lst in per_src.items():
+        acc = 0
+        for pid, s in sorted(lst):
+            offsets[(pid, src)] = acc
+            acc += s
+    off_items = [
+        x
+        for (pid, src), v in offsets.items()
+        for x in (F.lit(f"{pid}|{src}"), F.lit(v))
+    ]
+    omap = F.create_map(*off_items)
+    w2 = (
+        Window.partitionBy("_pid", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum2 = rp.select(
+        "source",
+        "doc_id",
+        (
+            F.element_at(
+                omap, F.concat_ws("|", F.col("_pid"), F.col("source"))
+            )
+            + F.coalesce(
+                F.sum(F.size("doc_tokens").cast("long")).over(w2), F.lit(0)
+            )
+        ).alias("cum"),
+    ).select(F.sum(F.floor(F.col("cum") / seq_len)).alias("x"))
+    x2 = cum2.collect()[0][0]
+    wall2 = time.perf_counter() - t0
+    x1 = assign.collect()[0][0]  # re-read the 1-task readout to compare
+    print(
+        json.dumps(
+            {
+                "op": "pack_assign_2pass",
+                "wall_s": round(wall2, 2),
+                "partitions": nparts,
+                "matches_window_readout": bool(x1 == x2),
+            }
         ),
         flush=True,
     )
