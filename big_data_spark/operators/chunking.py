@@ -285,6 +285,47 @@ def pack_sequences(
     return packed
 
 
+def epoch_shuffle(
+    packed: DataFrame,
+    seed: int,
+    n_buckets: int = 1024,
+    source_col: str = "source",
+    pack_col: str = "pack_id",
+) -> DataFrame:
+    """Deterministic EPOCH-LEVEL shuffle order for packed training
+    batches — the last thing a data loader needs from the engine: a
+    reproducible, seed-keyed global permutation of packs that does
+    not sort the corpus on one machine.
+
+    Map-only (zero exchanges, plan-assertable): each pack gets
+    ``epoch_key`` = md5 over (seed, source, pack_id) and
+    ``epoch_bucket`` = first 28 bits of the tail of that digest mod
+    ``n_buckets``. The epoch's global order IS lexicographic
+    ``(epoch_bucket, epoch_key, source, pack_id)`` — at scale the
+    trainer consumes buckets in index order and sorts WITHIN a bucket
+    (corpus/n_buckets packs — small), which is exactly the
+    hierarchical shuffle real loaders implement; a global ORDER BY
+    of the full corpus on one task is never required. Different
+    seeds give statistically independent permutations; the same seed
+    replays the same epoch byte-for-byte on any partitioning
+    (md5 of values — no engine hash, no partition ids)."""
+    if n_buckets < 1:
+        raise ValueError("epoch_shuffle needs n_buckets >= 1")
+    key = F.md5(
+        F.concat_ws(
+            ":",
+            F.lit(f"epoch{seed}"),
+            F.col(source_col).cast("string"),
+            F.col(pack_col).cast("string"),
+        )
+    )
+    return packed.withColumn("epoch_key", key).withColumn(
+        "epoch_bucket",
+        (F.conv(F.substring("epoch_key", 26, 7), 16, 10).cast("long")
+         % n_buckets).cast("int"),
+    )
+
+
 PACKED_SHARDS_FORMAT = "packed_shards_v1"
 _PACKED_MANIFEST = "manifest.json"
 _PACKED_SHARD_COL = "shard"

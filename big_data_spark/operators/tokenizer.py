@@ -1091,6 +1091,84 @@ def load_tokenizer_bundle(path: str) -> TokenizerBundle:
     )
 
 
+def decode_token_ids(
+    df: DataFrame,
+    pieces: list[str],
+    ids_col: str = "doc_tokens",
+    out_col: str = "decoded_text",
+) -> DataFrame:
+    """DETOKENIZE: int32 token ids back to text — the trainer-side
+    inverse of ``encode_corpus(emit_ids=True)`` (inspecting batches,
+    debugging loss spikes, rendering samples). One Arrow map-only
+    pass; the piece vocabulary travels as one broadcast (KB-MB); zero
+    shuffles.
+
+    Ids resolve by list position in ``pieces`` (the bundle's id
+    space). Runs of byte-fallback pieces (``<0xNN>``) are re-assembled
+    into bytes and decoded as UTF-8 — a byte-fallback encode of any
+    text decodes back to that exact text. Out-of-range ids and
+    malformed byte runs (a fallback run that is not valid UTF-8 —
+    truncated packs can split a multi-byte character) fail LOUDLY:
+    silently mojibake'd samples are how tokenizer bugs hide.
+
+    LOSSINESS CONTRACT: decode concatenates pieces directly. The
+    encode paths here tokenize BEFORE encoding (space split or
+    PRE_TOKENIZE_PATTERN) and do not mark word starts (no
+    SentencePiece ``▁``), so inter-word whitespace is not
+    recoverable: decode(encode(text)) == text with the separators
+    removed (test-pinned). A NULL id array decodes to NULL."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    if not pieces:
+        raise ValueError("decode_token_ids needs a non-empty piece list")
+    bc = df.sparkSession.sparkContext.broadcast(list(pieces))
+    fields = list(df.schema.fields)
+    if out_col not in df.columns:
+        fields = fields + [StructField(out_col, StringType())]
+    else:
+        raise ValueError(
+            f"decode_token_ids out_col {out_col!r} already exists"
+        )
+    out_schema = StructType(fields)
+
+    def batches(it):
+        table = bc.value
+        n = len(table)
+        # piece -> byte value for the 256 fallback symbols, by value
+        bmap = {f"<0x{b:02X}>": b for b in range(256)}
+        for pdf in it:
+            decoded = []
+            for ids in pdf[ids_col]:
+                if ids is None:
+                    decoded.append(None)
+                    continue
+                parts: list[str] = []
+                buf = bytearray()
+                for i in ids:
+                    if not 0 <= i < n:
+                        raise ValueError(
+                            f"token id {i} is outside the piece "
+                            f"vocabulary [0, {n})"
+                        )
+                    p = table[i]
+                    b = bmap.get(p)
+                    if b is not None:
+                        buf.append(b)
+                        continue
+                    if buf:
+                        parts.append(buf.decode("utf-8"))  # strict: loud
+                        buf = bytearray()
+                    parts.append(p)
+                if buf:
+                    parts.append(buf.decode("utf-8"))
+                decoded.append("".join(parts))
+            pdf = pdf.copy()
+            pdf[out_col] = decoded
+            yield pdf
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
 def encode_corpus_with_bundle(
     docs: DataFrame,
     bundle: TokenizerBundle,

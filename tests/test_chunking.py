@@ -421,3 +421,45 @@ def test_packed_shards_determinism_and_tamper_detection(spark, tmp_path):
         json.dump(meta, f)
     with pytest.raises(ValueError, match="missing required keys"):
         read_packed_shards(spark, p1)
+
+
+def test_epoch_shuffle_is_deterministic_permutation_and_map_only(spark):
+    """epoch_shuffle: same seed -> identical order on any
+    partitioning; different seeds -> different permutations of the
+    SAME pack set; the op adds zero exchanges (map-only plan)."""
+    from big_data_spark.operators.chunking import epoch_shuffle
+
+    packed = _packed_fixture(spark)
+    base = {(r["source"], r["pack_id"]) for r in packed.collect()}
+
+    def order(df):
+        rows = df.orderBy(
+            "epoch_bucket", "epoch_key", "source", "pack_id"
+        ).collect()
+        return [(r["source"], r["pack_id"]) for r in rows]
+
+    o1 = order(epoch_shuffle(packed, seed=7, n_buckets=16))
+    o2 = order(epoch_shuffle(packed.repartition(5), seed=7, n_buckets=16))
+    o3 = order(epoch_shuffle(packed, seed=8, n_buckets=16))
+    assert o1 == o2                      # partitioning-independent
+    assert set(o1) == base == set(o3)    # a permutation, nothing lost
+    assert o1 != o3                      # seeds differ -> order differs
+    # natural order is actually shuffled
+    assert o1 != sorted(o1)
+
+    plan = (
+        epoch_shuffle(packed, seed=7)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # only pack_sequences' own exchanges appear; epoch_shuffle adds
+    # none (<= because AQE may render the two plan strings at
+    # different stages of exchange reuse)
+    n_base = (
+        packed._jdf.queryExecution().executedPlan().toString()
+    ).count("Exchange")
+    assert plan.count("Exchange") <= n_base
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        epoch_shuffle(packed, seed=1, n_buckets=0)

@@ -1011,3 +1011,59 @@ def test_emit_ids_validation_is_loud(spark):
         encode_corpus(
             docs, lut, emit_ids=True, id_pieces=["a"], strategy="map"
         ).collect()
+
+
+def test_decode_token_ids_roundtrip(spark):
+    """Detokenization: decode(encode(text)) reproduces the text with
+    the tokenizer's separators removed (the documented lossiness
+    contract) — including multi-byte byte-fallback runs; NULL arrays
+    decode to NULL; out-of-range ids are loud."""
+    from big_data_spark.operators.tokenizer import (
+        TokenizerBundle,
+        bpe_vocab_pieces,
+        decode_token_ids,
+        encode_corpus_with_bundle,
+        train_bpe,
+        with_byte_fallback_pieces,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abab abab cd năm"),      # diacritics -> byte fallback
+            (2, "cd 42 (3-5)"),           # digits/punct -> byte fallback
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id int, text string",
+    )
+    words = bpe_word_table(docs, token_pattern="^[a-z]+$")
+    merges = train_bpe(words, num_merges=2)
+    pieces = with_byte_fallback_pieces(bpe_vocab_pieces(words, merges))
+    bundle = TokenizerBundle(
+        merges=list(merges), pieces=pieces, pre_tokenize=None,
+        oov_fallback="bytes",
+    )
+    enc = encode_corpus_with_bundle(docs, bundle, emit_ids=True)
+    got = {
+        r["doc_id"]: r["decoded_text"]
+        for r in decode_token_ids(enc, pieces).collect()
+    }
+    src = {1: "abab abab cd năm", 2: "cd 42 (3-5)", 3: "", 4: None}
+    for d, text in src.items():
+        want = text.replace(" ", "") if text is not None else ""
+        if d == 4:
+            want = ""  # NULL text encodes to [] which decodes to ""
+        assert got[d] == want, (d, got[d], want)
+
+    ids = spark.createDataFrame([(1, [0, 99999])], "doc_id int, t array<int>")
+    with pytest.raises(Exception, match="outside the piece vocabulary"):
+        decode_token_ids(ids, pieces, ids_col="t").collect()
+    null_ids = spark.createDataFrame(
+        [(1, None)], "doc_id int, t array<int>"
+    )
+    assert (
+        decode_token_ids(null_ids, pieces, ids_col="t").collect()[0][
+            "decoded_text"
+        ]
+        is None
+    )
