@@ -2575,3 +2575,63 @@ def start_contract_gate_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_bundle_encode_stream(
+    docs_stream: DataFrame,
+    bundle,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    emit_ids: bool = True,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming corpus tokenization with a FROZEN TokenizerBundle:
+    each micro-batch runs ``encode_corpus_with_bundle`` (the q197/q200
+    chain — normalization, the bundle's pre-tokenize rule, trie
+    encode, OOV policy, int32 ids) and appends the encoded documents.
+    The stream==batch twin of the round-12 id-encode path.
+
+    Why THIS is streamable while training/packing are not (the
+    packing design note's counterpart): given a frozen bundle the
+    encode is a PURE per-document function — no cross-doc state, so
+    arrival order, batching, and replay cannot change any document's
+    ids. Per batch it pays the batch-scale word table + a vocab-sized
+    trie pass; the corpus-scale work is one broadcast join inside the
+    batch. Training stays batch (the merge sequence depends on global
+    counts); packing stays snapshot-time (offsets are global running
+    sums); encoding sits exactly between — freeze the artifact,
+    stream the corpus through it.
+
+    Exactly-once: each batch overwrites its own ``batch_id=N``
+    partition (dynamic partition overwrite keyed by the foreachBatch
+    id, the engine's idempotent-sink recipe), so checkpoint replay of
+    a committed batch rewrites identical bytes instead of appending
+    duplicates."""
+    from ..operators.tokenizer import encode_corpus_with_bundle
+
+    def encode(batch: DataFrame, batch_id: int) -> None:
+        out = encode_corpus_with_bundle(
+            batch,
+            bundle,
+            id_col=id_col,
+            text_col=text_col,
+            emit_ids=emit_ids,
+        )
+        (
+            out.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(encode)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1278,3 +1278,44 @@ def test_pack_sequences_shuffle_budget(spark):
     ), plan
     assert "CartesianProduct" not in plan, plan
     assert "Generate" in plan and "Window" in plan, plan
+
+
+def test_q200_id_encode_keeps_broadcast_lut_plan(spark):
+    """q200 (emit_ids): minting int ids must not change the encode
+    plan — the vocab-sized LUT still broadcasts onto the exploded
+    corpus (BroadcastHashJoin, no cartesian), and the byte-fallback
+    ids are JVM-side expressions (the one Arrow stage in the plan is
+    the vocab-sized LUT id-mapping, applied BEFORE the broadcast —
+    never a corpus-scale Python crossing)."""
+    df = q(spark, "q200_token_id_encode")
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # exactly two Arrow-boundary NODES — the trie encode and the id
+    # mapping, BOTH on the vocab-sized LUT feeding the
+    # BroadcastExchange; the corpus side stays JVM-only (the
+    # formatted plan mentions each node several times — count the
+    # numbered node entries, not raw substrings)
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) MapInPandas", plan)) == 2, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_epoch_shuffle_adds_no_exchange(spark):
+    """epoch_shuffle is a pure projection: the order key + bucket are
+    md5/conv expressions, so mounting it on a scan yields a plan with
+    ZERO exchanges — the trainer-side global order never requires the
+    engine to sort or shuffle anything."""
+    from pyspark.sql import functions as F
+
+    from big_data_spark.catalog import load_table
+    from big_data_spark.operators.chunking import epoch_shuffle
+
+    docs = load_table(spark, SF_ORACLE, "documents").select(
+        "source", F.col("doc_id").alias("pack_id")
+    )
+    df = epoch_shuffle(docs, seed=3, n_buckets=64)
+    plan = formatted_plan(df)
+    assert count_shuffles(df) == 0, plan
+    assert "Exchange" not in plan, plan
