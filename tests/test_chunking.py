@@ -463,3 +463,29 @@ def test_epoch_shuffle_is_deterministic_permutation_and_map_only(spark):
 
     with pytest.raises(ValueError, match="n_buckets"):
         epoch_shuffle(packed, seed=1, n_buckets=0)
+
+
+def test_packed_shards_source_reads_are_partition_pruned(spark, tmp_path):
+    """The shard tree is hive-partitioned on (source, shard), so a
+    per-source read — a trainer pulling one stream, an auditor
+    re-checking one source — must prune to that source's directories
+    at plan time (PartitionFilters on the scan), never scan the whole
+    corpus."""
+    from big_data_spark.operators.chunking import (
+        read_packed_shards,
+        write_packed_shards,
+    )
+
+    packed = _packed_fixture(spark)
+    path = str(tmp_path / "pp")
+    write_packed_shards(packed, path, packs_per_shard=4)
+
+    df = read_packed_shards(spark, path, verify=None).filter(
+        F.col("source") == "a"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "source" in plan.split(
+        "PartitionFilters"
+    )[1][:120], plan
+    got = {r["source"] for r in df.collect()}
+    assert got == {"a"}
