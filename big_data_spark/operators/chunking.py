@@ -462,6 +462,64 @@ def _shard_read_schema(data_schema):
     )
 
 
+def diff_packed_snapshots(path_a: str, path_b: str) -> dict:
+    """Compare two packed-shard SNAPSHOTS by manifest alone — the
+    zero-scan answer to "what changed between corpus versions?" that
+    the immutable-snapshot discipline exists to make cheap. Returns
+    per-source verdicts keyed on the manifests' content fingerprints
+    (write_packed_shards computes them from the persisted files, so
+    equal fingerprints mean bit-identical pack contents):
+
+    ``{"added": [...], "removed": [...], "changed": [...],
+       "unchanged": [...], "delta_packs": int, "delta_tokens": int}``
+
+    Both manifests are validated with the loader's own discipline
+    (format drift / missing keys raise, never mis-compare). No Spark
+    session, no file scans — two KB-sized JSON reads, usable from an
+    orchestrator or a CI gate (e.g. "fail the pipeline if a source
+    changed without its version bumping")."""
+    import json
+    import os
+
+    def load(path: str) -> dict:
+        mpath = os.path.join(path, _PACKED_MANIFEST)
+        if not os.path.exists(mpath):
+            raise ValueError(f"no packed-shard manifest at {mpath}")
+        with open(mpath) as f:
+            m = json.load(f)
+        if m.get("format") != PACKED_SHARDS_FORMAT:
+            raise ValueError(
+                f"unrecognized packed-shard format at {path}: "
+                f"{m.get('format')}"
+            )
+        if "sources" not in m:
+            raise ValueError(
+                f"packed-shard manifest at {path} is missing required "
+                "keys: ['sources']"
+            )
+        return m
+
+    a, b = load(path_a), load(path_b)
+    sa, sb = a["sources"], b["sources"]
+    added = sorted(set(sb) - set(sa))
+    removed = sorted(set(sa) - set(sb))
+    common = set(sa) & set(sb)
+    changed = sorted(
+        s for s in common if sa[s]["fingerprint"] != sb[s]["fingerprint"]
+    )
+    unchanged = sorted(common - set(changed))
+    return {
+        "added": added,
+        "removed": removed,
+        "changed": changed,
+        "unchanged": unchanged,
+        "delta_packs": sum(sb[s]["n_packs"] for s in sb)
+        - sum(sa[s]["n_packs"] for s in sa),
+        "delta_tokens": sum(sb[s]["n_tokens"] for s in sb)
+        - sum(sa[s]["n_tokens"] for s in sa),
+    }
+
+
 def read_packed_shards(
     spark, path: str, verify: str | None = "counts"
 ) -> DataFrame:

@@ -489,3 +489,46 @@ def test_packed_shards_source_reads_are_partition_pruned(spark, tmp_path):
     )[1][:120], plan
     got = {r["source"] for r in df.collect()}
     assert got == {"a"}
+
+
+def test_diff_packed_snapshots(spark, tmp_path):
+    """Manifest-level snapshot diff: fingerprints alone distinguish
+    identical, changed, added, and removed sources — no file scan,
+    no Spark job; bad manifests are loud."""
+    from pyspark.sql import functions as F2
+
+    from big_data_spark.operators.chunking import (
+        diff_packed_snapshots,
+        pack_sequences,
+        write_packed_shards,
+    )
+
+    rows_v1 = [("a", i, [i, i + 1]) for i in range(1, 9)] + [
+        ("b", i, [100 + i]) for i in range(1, 5)
+    ]
+    rows_v2 = (
+        [("a", i, [i, i + 1]) for i in range(1, 9)]       # unchanged
+        + [("b", i, [200 + i]) for i in range(1, 5)]      # changed data
+        + [("c", i, [300 + i]) for i in range(1, 4)]      # added source
+    )
+
+    def snap(rows, path):
+        df = spark.createDataFrame(
+            rows, "source string, doc_id long, doc_tokens array<int>"
+        )
+        write_packed_shards(pack_sequences(df, 4), str(path))
+
+    snap(rows_v1, tmp_path / "v1")
+    snap(rows_v2, tmp_path / "v2")
+    d = diff_packed_snapshots(str(tmp_path / "v1"), str(tmp_path / "v2"))
+    assert d["added"] == ["c"]
+    assert d["removed"] == []
+    assert d["changed"] == ["b"]
+    assert d["unchanged"] == ["a"]
+    assert d["delta_tokens"] == 3  # source c's three tokens
+    # reflexive: a snapshot diffs clean against itself
+    d0 = diff_packed_snapshots(str(tmp_path / "v1"), str(tmp_path / "v1"))
+    assert d0["changed"] == [] and d0["added"] == [] and d0["delta_packs"] == 0
+
+    with pytest.raises(ValueError, match="no packed-shard manifest"):
+        diff_packed_snapshots(str(tmp_path / "v1"), str(tmp_path / "nope"))
