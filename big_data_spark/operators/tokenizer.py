@@ -616,6 +616,10 @@ def encode_corpus(
     operator must not silently drop documents; a NULL text counts as
     zero tokens in BOTH strategies (split(NULL) explodes to nothing
     in the join path; the map path short-circuits — ADVICE r09).
+    ``id_col`` must identify documents CORPUS-WIDE (the re-assembly
+    groups by it alone): two rows sharing an id would merge their
+    token sequences. Every shipped table satisfies this; composite
+    identities should be pre-combined into one column.
 
     ``oov_fallback`` decides what a corpus word MISSING from the LUT
     does (VERDICT r09 order #2 — a real corpus always has novel

@@ -532,3 +532,74 @@ def test_diff_packed_snapshots(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no packed-shard manifest"):
         diff_packed_snapshots(str(tmp_path / "v1"), str(tmp_path / "nope"))
+
+
+def test_full_training_artifact_loop(spark, tmp_path):
+    """The complete round-12 artifact loop, end to end: corpus ->
+    bundle id encode -> pack_sequences -> write_packed_shards ->
+    read_packed_shards -> decode_token_ids on the pack contents. The
+    decoded pack stream must equal the separator-free concatenation
+    of each source's documents in doc_id order — i.e. a trainer
+    reading the persisted shards sees exactly the corpus the
+    tokenizer saw, byte for byte, including byte-fallback text."""
+    from big_data_spark.operators.chunking import (
+        pack_sequences,
+        read_packed_shards,
+        write_packed_shards,
+    )
+    from big_data_spark.operators.tokenizer import (
+        TokenizerBundle,
+        bpe_vocab_pieces,
+        bpe_word_table,
+        decode_token_ids,
+        encode_corpus_with_bundle,
+        train_bpe,
+        with_byte_fallback_pieces,
+    )
+
+    # doc_ids are corpus-unique (the encode_corpus id_col contract —
+    # real tables and the q197 jobs fixture guarantee it)
+    rows = [
+        ("a", 1, "abab abab cd"),
+        ("a", 2, "năm 42 cd"),        # byte fallback through the loop
+        ("a", 3, ""),
+        ("b", 4, "cd abab (3-5)"),
+    ]
+    docs = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    words = bpe_word_table(docs, token_pattern="^[a-z]+$")
+    merges = train_bpe(words, num_merges=2)
+    bundle = TokenizerBundle(
+        merges=list(merges),
+        pieces=with_byte_fallback_pieces(bpe_vocab_pieces(words, merges)),
+        pre_tokenize=None,
+        oov_fallback="bytes",
+    )
+    enc = encode_corpus_with_bundle(docs, bundle, emit_ids=True)
+    packed = pack_sequences(enc.select("source", "doc_id", "doc_tokens"), 6)
+    path = str(tmp_path / "loop")
+    write_packed_shards(packed, path, packs_per_shard=2)
+    back = read_packed_shards(spark, path, verify="content")
+    # decode the re-concatenated per-source STREAM, not single packs:
+    # seq_len=6 deliberately splits 'ă''s two UTF-8 bytes across a
+    # pack boundary, and per-pack strict decode is loudly undecodable
+    # there (the decode_token_ids contract) — stitching packs back in
+    # pack_id order restores the byte stream exactly
+    stream = back.groupBy("source").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pack_id", "tokens"))
+                ),
+                lambda s: s["tokens"],
+            )
+        ).alias("ids")
+    )
+    decoded = decode_token_ids(stream, bundle.pieces, ids_col="ids")
+    got = {
+        r["source"]: r["decoded_text"] for r in decoded.collect()
+    }
+    want = {}
+    for src, _, text in sorted(rows, key=lambda x: (x[0], x[1])):
+        want[src] = want.get(src, "") + text.replace(" ", "")
+    # (a trailing empty doc contributes nothing on either side)
+    assert got == want
