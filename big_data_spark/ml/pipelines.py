@@ -129,14 +129,26 @@ def adaptive_rf_params(n_rows: int) -> tuple[int, int]:
 
 
 def _regression_metrics(predictions: DataFrame, label: str) -> dict[str, float]:
-    """rmse/mae/r2 triple (M7, train_gbt.py:172-191)."""
-    out = {}
-    for metric in ("rmse", "mae", "r2"):
-        ev = RegressionEvaluator(
-            labelCol=label, predictionCol="prediction", metricName=metric
-        )
-        out[metric] = ev.evaluate(predictions)
-    return out
+    """rmse/mae/r2 triple (M7, train_gbt.py:172-191) in ONE pass.
+
+    Three RegressionEvaluator.evaluate calls re-ran the full
+    prediction chain (assembler -> scaler -> 100-tree predict) once
+    PER METRIC (guide §1.2: don't compute things you throw away);
+    one aggregation computes the same standard definitions the
+    evaluator uses — rmse = sqrt(mean((y-p)^2)), mae = mean(|y-p|),
+    r2 = 1 - SS_res/SS_tot with SS_tot = sum((y-mean(y))^2), nulls
+    excluded the same way (evaluator drops rows it cannot score)."""
+    err = F.col(label) - F.col("prediction")
+    row = predictions.agg(
+        F.avg(err * err).alias("mse"),
+        F.avg(F.abs(err)).alias("mae"),
+        F.var_pop(F.col(label)).alias("vy"),  # stable one-pass moment
+    ).first()
+    return {
+        "rmse": float(row["mse"]) ** 0.5,
+        "mae": float(row["mae"]),
+        "r2": 1.0 - float(row["mse"]) / float(row["vy"]),
+    }
 
 
 def fit_job_clustering(df: DataFrame, k: int = 5) -> FitResult:

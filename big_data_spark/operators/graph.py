@@ -139,15 +139,23 @@ def pagerank(
     )
     g = e.join(outdeg, "u").select("u", "v", "outdeg").localCheckpoint(eager=True)
     nodes = outdeg.select("u")
-    ncnt = outdeg.agg(F.count("*").alias("n"))
+    # |V| as a DRIVER literal (one count over the already-materialized
+    # outdeg — the same bounded-collect class as an index's centroid
+    # fetch): the previous crossJoin(broadcast(1-row agg)) re-planned a
+    # broadcast exchange + aggregate subtree into EVERY iteration's
+    # score update for a single constant (guide §2.4 — remove
+    # exchanges the data does not require). Values are unchanged:
+    # the same integer n feeds the same rounded expressions.
+    n_nodes = outdeg.count()
     # round the teleport constant: Python 1.0-0.85 is 1 ulp above 0.15,
     # and a SQL oracle writes the short literal — both engines must
     # iterate on the identical constant or boundary rounds can flip
     if seeds is None:
-        teleport = F.lit(round(1.0 - damping, 12)) / F.col("n")
+        teleport = F.lit(round(1.0 - damping, 12)) / F.lit(n_nodes)
         scores = (
-            outdeg.crossJoin(F.broadcast(ncnt))
-            .select("u", F.round(F.lit(1.0) / F.col("n"), 12).alias("score"))
+            outdeg.select(
+                "u", F.round(F.lit(1.0) / F.lit(n_nodes), 12).alias("score")
+            )
             .localCheckpoint(eager=True)
         )
     else:
@@ -193,17 +201,14 @@ def pagerank(
         # edge, so in-neighbors == out-neighbors and every node of g
         # already appears in agg — skip the join in that path.
         base = agg if symmetrize else nodes.join(agg, "u", "left")
-        scores = (
-            base.crossJoin(F.broadcast(ncnt))
-            .select(
-                "u",
-                F.round(
-                    teleport
-                    + F.lit(damping)
-                    * F.coalesce(F.col("acc").cast("double"), F.lit(0.0)),
-                    10,
-                ).alias("score"),
-            )
+        scores = base.select(
+            "u",
+            F.round(
+                teleport
+                + F.lit(damping)
+                * F.coalesce(F.col("acc").cast("double"), F.lit(0.0)),
+                10,
+            ).alias("score"),
         )
         if (_k + 1) % 3 == 0 or _k == iters - 1:
             scores = scores.localCheckpoint(eager=True)

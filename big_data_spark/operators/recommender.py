@@ -57,8 +57,12 @@ def recommend_skills_for_job(
         .groupBy("skill")
         .agg(F.count("*").alias("frequency"))
     )
-    owned = postings.sparkSession.createDataFrame(
-        [(s.lower().strip(),) for s in current_skills], ["skill"]
+    from ..sources.local import local_df
+
+    owned = local_df(
+        postings.sparkSession,
+        [(s.lower().strip(),) for s in current_skills],
+        "skill string",
     )
     return (
         counts.join(F.broadcast(owned), "skill", "left_anti")

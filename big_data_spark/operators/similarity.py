@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import cosine_similarity
+from ..sources.local import local_df
 
 SEED = 42
 
@@ -78,9 +79,10 @@ def build_ivf_index(
     km = KMeans(k=nlist, seed=SEED, featuresCol="_v", predictionCol="cell")
     model = km.fit(feat)
     assigned = model.transform(feat).select(id_col, vec_col, *keep, "cell")
-    centroids = feat.sparkSession.createDataFrame(
+    centroids = local_df(
+        feat.sparkSession,
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        ["cell", "centroid"],
+        "cell bigint, centroid array<double>",
     )
     return IVFIndex(
         assigned=assigned,
@@ -222,7 +224,8 @@ def _estimate_selectivity(
         total = sum(r[-1] for r in stats["rows"])
         if total > 0:
             try:
-                sdf = spark.createDataFrame(
+                sdf = local_df(
+                    spark,
                     [tuple(r) for r in stats["rows"]],
                     ["cell", *stats["columns"], "n"],
                 )
@@ -811,8 +814,11 @@ def ivfpq_adc_search(
         )
         lut_rows.append((cell, *luts))
     spark = index.codes.sparkSession
-    lut_df = spark.createDataFrame(
-        lut_rows, ["cell", *[f"_lut{s}" for s in range(index.m)]]
+    lut_df = local_df(
+        spark,
+        lut_rows,
+        "cell bigint, "
+        + ", ".join(f"_lut{s} array<double>" for s in range(index.m)),
     )
     cand = _latest_wins(
         index.codes.filter(F.col("cell").isin(probe_cells)), index.id_col
@@ -1024,9 +1030,7 @@ def ivfpq_encode_frame(
     # build's KMeans-prediction dtype exactly, or stream leaves drift
     # to bigint vs the base's int and ADC's element_at(..., code+1)
     # stops resolving (caught by the streaming parity tests)
-    cent = spark.createDataFrame(
-        cent_rows, "_cell int, _pos int, _cv double"
-    )
+    cent = local_df(spark, cent_rows, "_cell int, _pos int, _cv double")
     assign = (
         comp.join(F.broadcast(cent), "_pos")
         .groupBy(id_col, "_cell")
@@ -1062,9 +1066,7 @@ def ivfpq_encode_frame(
         for c, entry in enumerate(book)
         for j, v in enumerate(entry)
     ]
-    cb = spark.createDataFrame(
-        cb_rows, "_s int, _cid int, _j int, _cbv double"
-    )
+    cb = local_df(spark, cb_rows, "_s int, _cid int, _j int, _cbv double")
     codes_long = (
         resid.withColumn("_s", (F.col("_pos") / dsub).cast("int"))
         .withColumn("_j", F.col("_pos") % dsub)
@@ -1129,9 +1131,7 @@ def pq_encode_frame(
     ]
     # explicit INT schema — code-column dtype parity with the batch
     # build (see ivfpq_encode_frame)
-    cb = spark.createDataFrame(
-        cb_rows, "_s int, _cid int, _j int, _cbv double"
-    )
+    cb = local_df(spark, cb_rows, "_s int, _cid int, _j int, _cbv double")
     codes_long = (
         comp.withColumn("_s", (F.col("_pos") / dsub).cast("int"))
         .withColumn("_j", F.col("_pos") % dsub)

@@ -300,7 +300,12 @@ def train_bpe(
             pending += len(seg)
             i += len(seg)
         rounds_since_ckpt += 1
-        if rounds_since_ckpt >= checkpoint_every:
+        # checkpoint only if another round will actually read the
+        # state: the trailing materialization after the LAST round was
+        # a pure waste action (~0.3-0.5 s/training at local scale, a
+        # full vocab-table job at cluster scale — guide §1.2: don't
+        # compute things you throw away)
+        if rounds_since_ckpt >= checkpoint_every and len(merges) < num_merges:
             state = state.localCheckpoint(eager=True)
             pending = 0
             rounds_since_ckpt = 0
@@ -312,7 +317,10 @@ def train_bpe(
 def merges_df(spark, merges: list[BPEMerge]) -> DataFrame:
     """The merge table as a DataFrame (rank, left, right, merged, n) —
     the persistable model artifact."""
-    return spark.createDataFrame(
+    from ..sources.local import local_df
+
+    return local_df(
+        spark,
         [(m.rank, m.left, m.right, m.merged, m.n) for m in merges],
         "merge_rank int, left_sym string, right_sym string, "
         "merged string, n long",

@@ -356,7 +356,10 @@ def train_unigram(
 def pieces_df(spark, pieces: list[UnigramPiece]) -> DataFrame:
     """The piece table as a DataFrame (piece, logp, count) — the
     persistable model artifact."""
-    return spark.createDataFrame(
+    from ..sources.local import local_df
+
+    return local_df(
+        spark,
         [(p.piece, p.logp, p.count) for p in pieces],
         "piece string, logp double, count long",
     )

@@ -58,6 +58,7 @@ from .operators.job_etl import (
 )
 from .operators.skills import SKILL_HOT_ORACLE_SQL, skill_hot_scores
 from .operators.tokenizer import PRE_TOKENIZE_PATTERN
+from .sources.local import local_df
 
 
 @dataclass
@@ -2571,7 +2572,8 @@ def q77_corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     copy_id rows. Reference anchor: randomSplit (train_gbt.py:139) is
     the reference's only sampler; this is its corpus-scale form."""
     docs = _t(spark, sf_dir, "documents")
-    weights = spark.createDataFrame(
+    weights = local_df(
+        spark,
         [
             (f"src{i}", _MIX_WEIGHTS_BP[i % len(_MIX_WEIGHTS_BP)])
             for i in range(20)
@@ -10942,9 +10944,7 @@ def q176_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n")
     )
     grid = cells0.select("true_lang").distinct().crossJoin(
-        spark.createDataFrame(
-            [("en",), ("other",)], ["pred_lang"]
-        )
+        local_df(spark, [("en",), ("other",)], "pred_lang string")
     )
     cells = grid.join(cells0, ["true_lang", "pred_lang"], "left").fillna(
         0, subset=["n"]
@@ -11614,6 +11614,14 @@ def _residual_pq_frames(spark: SparkSession, sf_dir: str):
     per-component table, per-(vector, cell) coarse distances, and
     per-corpus-vector ADC scores carrying the assigned cell."""
     emb = _t(spark, sf_dir, "embeddings")
+    # sub and celld are referenced MANY times across the twins' plans
+    # (query residual, codebook donors, corpus side, probe, refine):
+    # un-materialized, the q185 plan re-evaluated the explode + the
+    # coarse-distance aggregation in every repeated subtree — 58
+    # Exchanges in one 207-node plan (plans/r12/
+    # q185_ivfpq_pruned_refine_before.txt). localCheckpoint pays two
+    # small jobs once and every consumer reads the materialized rows
+    # (guide §5: cut lineage when an intermediate has many consumers).
     sub = emb.select(
         "vec_id", F.posexplode(F.col("embedding")).alias("pos0", "v0")
     ).select(
@@ -11621,7 +11629,7 @@ def _residual_pq_frames(spark: SparkSession, sf_dir: str):
         (F.col("pos0") + 1).alias("pos"),
         (F.col("pos0") / 16).cast("int").alias("s"),
         F.col("v0").cast("double").alias("v"),
-    )
+    ).localCheckpoint(eager=True)
     cent = sub.filter(F.col("vec_id").between(1, 4)).select(
         (F.col("vec_id") - 1).cast("int").alias("cell"),
         "pos",
@@ -11633,6 +11641,7 @@ def _residual_pq_frames(spark: SparkSession, sf_dir: str):
         .join(F.broadcast(cent), "pos")
         .groupBy("vec_id", "cell")
         .agg(F.round(F.sum(sq(F.col("v"), F.col("cv"))), 6).alias("dd"))
+        .localCheckpoint(eager=True)
     )
     wa = Window.partitionBy("vec_id").orderBy("dd", "cell")
     assign = (
@@ -12672,8 +12681,8 @@ def q197_tokenizer_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_bpe,
     )
 
-    jobs = spark.createDataFrame(
-        _JOBS_DOCS, "doc_id long, source string, text string"
+    jobs = local_df(
+        spark, _JOBS_DOCS, "doc_id long, source string, text string"
     )
     docs = (
         _t(spark, sf_dir, "documents")
@@ -13030,8 +13039,8 @@ def _bundle_id_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_byte_fallback_pieces,
     )
 
-    jobs = spark.createDataFrame(
-        CAPSTONE_JOBS_DOCS, "doc_id long, source string, text string"
+    jobs = local_df(
+        spark, CAPSTONE_JOBS_DOCS, "doc_id long, source string, text string"
     )
     docs = (
         _t(spark, sf_dir, "documents")
@@ -13166,7 +13175,13 @@ def q201_packed_id_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="bds_pack_shards_")
     try:
-        write_packed_shards(packed, tmp, packs_per_shard=8, mode="overwrite")
+        # packs_per_shard sizes the shard FILES (guide §6 small-files:
+        # the certified layout machinery is identical at any setting —
+        # 64 keeps every source multi-shard at sf0.1 while cutting the
+        # tree from 529 files to ~90, which all three read-back passes
+        # then re-list; measured in OPTIMIZATION_r12.md). Output rows
+        # are independent of the shard split.
+        write_packed_shards(packed, tmp, packs_per_shard=64, mode="overwrite")
         back = read_packed_shards(spark, tmp, verify="content")
         out = (
             back.select(
