@@ -13,7 +13,7 @@ rounds 0..i-1, and log-round convergence where the algorithm allows
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -67,6 +67,13 @@ def connected_components(
         y = prop.select(
             F.col("node").alias("p_node"), F.col("new_label").alias("p_label")
         ).alias("y")
+        # the convergence probe rides the checkpoint's own
+        # materialization as an observed metric (guide §1.2: don't
+        # spend a job on something a running action can count for
+        # free) — Dataset.checkpoint is a withAction, so the
+        # Observation fills during the eager localCheckpoint and the
+        # old filter/limit/count probe job per round disappears
+        obs = Observation()
         merged = (
             x.join(y, F.col("x.new_label") == F.col("y.p_node"), "left")
             .select(
@@ -77,11 +84,15 @@ def connected_components(
                     F.coalesce(F.col("y.p_label"), F.col("x.new_label")),
                 ).alias("new_label"),
             )
+            .observe(
+                obs,
+                F.count(
+                    F.when(F.col("new_label") != F.col("label"), 1)
+                ).alias("changed"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            merged.filter(F.col("new_label") != F.col("label")).limit(1).count()
-        )
+        changed = obs.get["changed"]
         labels = merged.select("node", F.col("new_label").alias("label"))
         rounds = _round + 1
         if changed == 0:
@@ -130,10 +141,15 @@ def pagerank(
     contributions round to 12 then sum as DECIMAL(38,12) and the
     damped update rounds to 10, so the iteration is deterministic
     across partitionings and engines (the q146 oracle discipline)."""
+    # e is NOT checkpointed: symmetrize is a map-side union over the
+    # caller's edge table (itself typically checkpointed, e.g.
+    # _copurchase_edges) and e is consumed exactly twice — once by the
+    # outdeg aggregation and once by the g join below, both of which
+    # ARE materialized. A third materialization job bought nothing
+    # (guide §1.2: don't compute things you throw away).
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     if symmetrize:
         e = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    e = e.localCheckpoint(eager=True)
     outdeg = (
         e.groupBy("u").agg(F.count("*").alias("outdeg")).localCheckpoint(eager=True)
     )
@@ -152,11 +168,13 @@ def pagerank(
     # iterate on the identical constant or boundary rounds can flip
     if seeds is None:
         teleport = F.lit(round(1.0 - damping, 12)) / F.lit(n_nodes)
-        scores = (
-            outdeg.select(
-                "u", F.round(F.lit(1.0) / F.lit(n_nodes), 12).alias("score")
-            )
-            .localCheckpoint(eager=True)
+        # init scores are a literal projection over the checkpointed
+        # outdeg — consumed once by iteration 1, so materializing them
+        # was a pure extra job (the seeded path below keeps its
+        # checkpoint: its init embeds a validated seed list and feeds
+        # the same single consumer, but costs a filter over nodes)
+        scores = outdeg.select(
+            "u", F.round(F.lit(1.0) / F.lit(n_nodes), 12).alias("score")
         )
     else:
         seed_list = sorted(set(seeds))

@@ -2064,6 +2064,12 @@ def q66_lsh_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         x, y = prop.alias("x"), prop.select(
             F.col("doc_id").alias("p_doc"), F.col("new_label").alias("p_label")
         ).alias("y")
+        # convergence probe rides the checkpoint's own materialization
+        # (observed metric; Dataset.checkpoint is a withAction) — one
+        # job per round instead of checkpoint + probe-count
+        from pyspark.sql import Observation
+
+        obs = Observation()
         merged = (
             x.join(y, F.col("x.new_label") == F.col("y.p_doc"), "left")
             .select(
@@ -2074,11 +2080,15 @@ def q66_lsh_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce(F.col("y.p_label"), F.col("x.new_label")),
                 ).alias("new_label"),
             )
+            .observe(
+                obs,
+                F.count(
+                    F.when(F.col("new_label") != F.col("label"), 1)
+                ).alias("changed"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            merged.filter(F.col("new_label") != F.col("label")).limit(1).count()
-        )
+        changed = obs.get["changed"]
         labels = merged.select("doc_id", F.col("new_label").alias("label"))
         q66_lsh_dedup_components.last_rounds = _round + 1
         if changed == 0:

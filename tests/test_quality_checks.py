@@ -259,6 +259,25 @@ def test_connected_components_generic_edges(spark):
     assert cc.last_rounds <= 10, cc.last_rounds
 
 
+def test_connected_components_single_edge_and_converged_probe(spark):
+    """r12 internals pin: the convergence probe now rides the round's
+    checkpoint as an observed metric (Observation + CollectMetrics)
+    instead of a separate count job. Two shapes that exercise the
+    probe's boundary behavior: a single edge (first round changes one
+    label, second round must observe changed=0 over an already-
+    converged frame and break — not loop to max_rounds), and a
+    self-contained pair whose node ids equal their labels from round
+    one. ``last_rounds`` pins that the loop still terminates on the
+    observed zero."""
+    from big_data_spark.operators.graph import connected_components
+
+    one = spark.createDataFrame([(7, 3)], "u long, v long")
+    cc = connected_components(one)
+    got = {r["node"]: r["component"] for r in cc.collect()}
+    assert got == {3: 3, 7: 3}
+    assert 1 <= cc.last_rounds <= 3, cc.last_rounds
+
+
 def test_connected_components_fuzz_vs_bfs(spark):
     """Randomized cross-check: pointer-jumped distributed components
     equal a plain-Python BFS on Erdos-Renyi-ish graphs (deterministic
