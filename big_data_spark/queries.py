@@ -11625,13 +11625,14 @@ def _residual_pq_frames(spark: SparkSession, sf_dir: str):
     per-corpus-vector ADC scores carrying the assigned cell."""
     emb = _t(spark, sf_dir, "embeddings")
     # sub and celld are referenced MANY times across the twins' plans
-    # (query residual, codebook donors, corpus side, probe, refine):
-    # un-materialized, the q185 plan re-evaluated the explode + the
-    # coarse-distance aggregation in every repeated subtree — 58
-    # Exchanges in one 207-node plan (plans/r12/
-    # q185_ivfpq_pruned_refine_before.txt). localCheckpoint pays two
-    # small jobs once and every consumer reads the materialized rows
-    # (guide §5: cut lineage when an intermediate has many consumers).
+    # (query residual, codebook donors, corpus side, probe, refine),
+    # but they are deliberately NOT materialized: Catalyst already
+    # de-duplicates the repeated subtrees at execution (ReusedExchange
+    # — the 207-node q185 plan executes each exchange once), and a
+    # localCheckpoint both adds jobs and ERASES size estimates, so
+    # joins AQE would broadcast degrade to SortMergeJoin. Measured
+    # r12 A/B (best-of-4, same window): checkpointing cost q184
+    # 1.81 -> 2.08 s and q185 2.22 -> 3.05 s (17/21 -> 28/33 jobs).
     sub = emb.select(
         "vec_id", F.posexplode(F.col("embedding")).alias("pos0", "v0")
     ).select(
@@ -11639,7 +11640,7 @@ def _residual_pq_frames(spark: SparkSession, sf_dir: str):
         (F.col("pos0") + 1).alias("pos"),
         (F.col("pos0") / 16).cast("int").alias("s"),
         F.col("v0").cast("double").alias("v"),
-    ).localCheckpoint(eager=True)
+    )
     cent = sub.filter(F.col("vec_id").between(1, 4)).select(
         (F.col("vec_id") - 1).cast("int").alias("cell"),
         "pos",
@@ -11651,7 +11652,6 @@ def _residual_pq_frames(spark: SparkSession, sf_dir: str):
         .join(F.broadcast(cent), "pos")
         .groupBy("vec_id", "cell")
         .agg(F.round(F.sum(sq(F.col("v"), F.col("cv"))), 6).alias("dd"))
-        .localCheckpoint(eager=True)
     )
     wa = Window.partitionBy("vec_id").orderBy("dd", "cell")
     assign = (
