@@ -13,8 +13,59 @@ rounds 0..i-1, and log-round convergence where the algorithm allows
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Named observed-metric key for checkpoint_and_count. Reusing one name
+# across calls is fine: the metric is read back per-Dataset, off that
+# dataset's own QueryExecution.
+_COUNT_METRIC = "bds_ckpt_count"
+
+
+def checkpoint_and_count(
+    df: DataFrame, cond: Column | None = None
+) -> tuple[DataFrame, int]:
+    """Eagerly localCheckpoint ``df`` and return ``(checkpointed_df,
+    n)`` where ``n`` counts the rows satisfying ``cond`` (all rows when
+    ``cond`` is None), counted DURING the checkpoint's own
+    materialization as a NAMED observed metric — the convergence /
+    cardinality probe must not cost its own job (guide §1.2; measured
+    r12: q66 41→33 jobs, q158 52→44 with the probe riding the
+    checkpoint). Shared by connected_components, the q66 inline loop,
+    and pagerank's |V| fetch, so the probe mechanics cannot drift
+    between the twins (ADVICE r12).
+
+    Implementation note — why a NAMED ``observe`` and a direct
+    ``queryExecution().observedMetrics()`` read instead of a pyspark
+    ``Observation`` object: registering an Observation initializes the
+    SparkSession's lazy ``observationManager``, and
+    ``o.a.s.sql.classic.ObservationManager`` is NOT java-serializable,
+    so every later task closure that captures the SparkSession (e.g.
+    an MLlib LogisticRegression model whose training summary holds the
+    session, shipped by ``model.transform``'s UDF) then dies in the
+    closure cleaner with ``NotSerializableException`` — the r12
+    ``test_ml.py::test_attractiveness_rule_and_lr`` failure, root-
+    caused and reproduced in round 13 (OPTIMIZATION_r13.md). The named
+    form only plants a CollectMetrics node and never touches the
+    manager. The read is synchronous, not listener-based:
+    ``localCheckpoint(eager=True)`` is a ``withAction`` over THIS
+    dataset's QueryExecution, so the CollectMetrics accumulator is
+    final when the call returns — which also removes the unbounded
+    ``Observation.get`` wait flagged in ADVICE r12. Classic-mode
+    pinned: under Spark Connect ``_jdf`` does not exist and this
+    raises loudly instead of hanging; if the metric is ever absent
+    (future Spark drift) the probe falls back to one bounded count
+    job rather than returning a wrong count.
+    """
+    agg = F.count(F.when(cond, 1)) if cond is not None else F.count(F.lit(1))
+    observed = df.observe(_COUNT_METRIC, agg.alias("n"))
+    ck = observed.localCheckpoint(eager=True)
+    jmap = observed._jdf.queryExecution().observedMetrics()
+    if jmap.contains(_COUNT_METRIC):
+        n = jmap.apply(_COUNT_METRIC).getLong(0)
+    else:  # pragma: no cover — defensive against engine drift
+        n = (ck.filter(cond) if cond is not None else ck).count()
+    return ck, int(n)
 
 
 def connected_components(
@@ -68,13 +119,11 @@ def connected_components(
             F.col("node").alias("p_node"), F.col("new_label").alias("p_label")
         ).alias("y")
         # the convergence probe rides the checkpoint's own
-        # materialization as an observed metric (guide §1.2: don't
-        # spend a job on something a running action can count for
-        # free) — Dataset.checkpoint is a withAction, so the
-        # Observation fills during the eager localCheckpoint and the
-        # old filter/limit/count probe job per round disappears
-        obs = Observation()
-        merged = (
+        # materialization as a named observed metric (guide §1.2:
+        # don't spend a job on something a running action can count
+        # for free) — see checkpoint_and_count for why the NAMED form,
+        # not an Observation object
+        merged, changed = checkpoint_and_count(
             x.join(y, F.col("x.new_label") == F.col("y.p_node"), "left")
             .select(
                 F.col("x.node").alias("node"),
@@ -83,16 +132,9 @@ def connected_components(
                     F.col("x.new_label"),
                     F.coalesce(F.col("y.p_label"), F.col("x.new_label")),
                 ).alias("new_label"),
-            )
-            .observe(
-                obs,
-                F.count(
-                    F.when(F.col("new_label") != F.col("label"), 1)
-                ).alias("changed"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            F.col("new_label") != F.col("label"),
         )
-        changed = obs.get["changed"]
         labels = merged.select("node", F.col("new_label").alias("label"))
         rounds = _round + 1
         if changed == 0:
@@ -150,19 +192,19 @@ def pagerank(
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     if symmetrize:
         e = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    outdeg = (
-        e.groupBy("u").agg(F.count("*").alias("outdeg")).localCheckpoint(eager=True)
+    # |V| as a DRIVER literal, counted DURING the outdeg checkpoint's
+    # own materialization (checkpoint_and_count — r13: the separate
+    # outdeg.count() job the r12 version paid is free as an observed
+    # metric on the same action): the pre-r12 crossJoin(broadcast(1-row
+    # agg)) re-planned a broadcast exchange + aggregate subtree into
+    # EVERY iteration's score update for a single constant (guide §2.4
+    # — remove exchanges the data does not require). Values are
+    # unchanged: the same integer n feeds the same rounded expressions.
+    outdeg, n_nodes = checkpoint_and_count(
+        e.groupBy("u").agg(F.count("*").alias("outdeg"))
     )
     g = e.join(outdeg, "u").select("u", "v", "outdeg").localCheckpoint(eager=True)
     nodes = outdeg.select("u")
-    # |V| as a DRIVER literal (one count over the already-materialized
-    # outdeg — the same bounded-collect class as an index's centroid
-    # fetch): the previous crossJoin(broadcast(1-row agg)) re-planned a
-    # broadcast exchange + aggregate subtree into EVERY iteration's
-    # score update for a single constant (guide §2.4 — remove
-    # exchanges the data does not require). Values are unchanged:
-    # the same integer n feeds the same rounded expressions.
-    n_nodes = outdeg.count()
     # round the teleport constant: Python 1.0-0.85 is 1 ulp above 0.15,
     # and a SQL oracle writes the short literal — both engines must
     # iterate on the identical constant or boundary rounds can flip

@@ -2065,12 +2065,12 @@ def q66_lsh_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("p_doc"), F.col("new_label").alias("p_label")
         ).alias("y")
         # convergence probe rides the checkpoint's own materialization
-        # (observed metric; Dataset.checkpoint is a withAction) — one
-        # job per round instead of checkpoint + probe-count
-        from pyspark.sql import Observation
+        # (named observed metric — one job per round instead of
+        # checkpoint + probe-count; the shared helper documents why
+        # the named form and not an Observation object)
+        from .operators.graph import checkpoint_and_count
 
-        obs = Observation()
-        merged = (
+        merged, changed = checkpoint_and_count(
             x.join(y, F.col("x.new_label") == F.col("y.p_doc"), "left")
             .select(
                 F.col("x.doc_id").alias("doc_id"),
@@ -2079,16 +2079,9 @@ def q66_lsh_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("x.new_label"),
                     F.coalesce(F.col("y.p_label"), F.col("x.new_label")),
                 ).alias("new_label"),
-            )
-            .observe(
-                obs,
-                F.count(
-                    F.when(F.col("new_label") != F.col("label"), 1)
-                ).alias("changed"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            F.col("new_label") != F.col("label"),
         )
-        changed = obs.get["changed"]
         labels = merged.select("doc_id", F.col("new_label").alias("label"))
         q66_lsh_dedup_components.last_rounds = _round + 1
         if changed == 0:

@@ -260,15 +260,15 @@ def test_connected_components_generic_edges(spark):
 
 
 def test_connected_components_single_edge_and_converged_probe(spark):
-    """r12 internals pin: the convergence probe now rides the round's
-    checkpoint as an observed metric (Observation + CollectMetrics)
-    instead of a separate count job. Two shapes that exercise the
-    probe's boundary behavior: a single edge (first round changes one
-    label, second round must observe changed=0 over an already-
-    converged frame and break — not loop to max_rounds), and a
-    self-contained pair whose node ids equal their labels from round
-    one. ``last_rounds`` pins that the loop still terminates on the
-    observed zero."""
+    """r12/r13 internals pin: the convergence probe rides the round's
+    checkpoint as a NAMED observed metric (CollectMetrics read off the
+    dataset's own QueryExecution — checkpoint_and_count) instead of a
+    separate count job. Two shapes that exercise the probe's boundary
+    behavior: a single edge (first round changes one label, second
+    round must observe changed=0 over an already-converged frame and
+    break — not loop to max_rounds), and a self-contained pair whose
+    node ids equal their labels from round one. ``last_rounds`` pins
+    that the loop still terminates on the observed zero."""
     from big_data_spark.operators.graph import connected_components
 
     one = spark.createDataFrame([(7, 3)], "u long, v long")
@@ -276,6 +276,46 @@ def test_connected_components_single_edge_and_converged_probe(spark):
     got = {r["node"]: r["component"] for r in cc.collect()}
     assert got == {3: 3, 7: 3}
     assert 1 <= cc.last_rounds <= 3, cc.last_rounds
+
+
+def test_checkpoint_probe_does_not_register_an_observation(spark):
+    """REGRESSION pin for the r12 test_ml failure (root-caused r13):
+    registering a pyspark ``Observation`` initializes the session's
+    lazy ``observationManager`` — and
+    ``o.a.s.sql.classic.ObservationManager`` is not java-serializable,
+    so every later task closure capturing the SparkSession (e.g. an
+    MLlib LogisticRegression model whose training summary holds the
+    session) dies in the closure cleaner. checkpoint_and_count must
+    therefore use the NAMED observe form, which never touches the
+    manager. This test runs the probe and then asserts, by
+    reflection, that the lazy field is STILL uninitialized — it goes
+    red if anyone swaps the probe back to an Observation object."""
+    from pyspark.sql import functions as F
+
+    from big_data_spark.operators.graph import checkpoint_and_count
+
+    df = spark.range(100).withColumn("x", F.col("id") % 5)
+    ck, n = checkpoint_and_count(df, F.col("x") > 2)
+    assert n == 40
+    ck2, total = checkpoint_and_count(spark.range(7))
+    assert total == 7
+    js = spark._jsparkSession
+    cls = js.getClass()
+    field = None
+    while cls is not None and field is None:
+        try:
+            field = cls.getDeclaredField("observationManager")
+        except Exception:
+            cls = cls.getSuperclass()
+    if field is None:
+        return  # engine drift: no such field — nothing to poison
+    field.setAccessible(True)
+    assert field.get(js) is None, (
+        "the convergence probe initialized SparkSession."
+        "observationManager — a pyspark Observation snuck back in; "
+        "that object is not java-serializable and poisons every later "
+        "closure that captures the session (the r12 test_ml failure)"
+    )
 
 
 def test_connected_components_fuzz_vs_bfs(spark):
