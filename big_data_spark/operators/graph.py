@@ -299,7 +299,14 @@ def k_hop_counts(
     rounds — never an all-pairs closure. A seed that discovers no new
     node at hop h simply has no row there (its frontier went dry).
 
-    ``seeds`` is a 1-column DataFrame of seed node ids."""
+    ``seeds`` is a 1-column DataFrame of seed node ids.
+
+    The symmetrized edge table IS materialized even when the caller's
+    edges already are (r13 timed A/B, pagerank's-`e` hypothesis
+    tried): skipping it saves one action but every hop's join then
+    re-pays the doubled map-side block scan — measured best-of-3
+    interleaved 6.43 s (materialized) vs 6.87 s (not) on the q154
+    inputs, so the checkpoint stays."""
     if int(hops) < 1:
         raise ValueError(f"hops must be >= 1, got {hops}")
     seed_col = seeds.columns[0]

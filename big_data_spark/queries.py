@@ -79,11 +79,18 @@ def _ensure_confs(spark: SparkSession) -> None:
     ANSI on; the parsing chains need null-on-bad-cast), UTC so
     timestamp bucketing matches the tz-naive DuckDB oracle, and
     nanos-as-long so the events table's timestamp[ns] is readable.
+    Arrow is required by ``local_df`` (r13): without it every literal
+    model/dim table would plan as a pickled ``Scan ExistingRDD`` over
+    Python-worker slices — under the driver's vanilla session the
+    queries silently took that slow path; now they get the same
+    ``LocalTableScan`` plans the bench measures (and local_df fails
+    loudly rather than ever degrading again).
     """
     for k, v in (
         ("spark.sql.ansi.enabled", "false"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
     ):
         try:
             spark.conf.set(k, v)
@@ -8110,16 +8117,18 @@ def q146_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations as chained CTE stages."""
     from .operators.graph import pagerank
 
-    pairs = _copurchase_pairs(
-        _t(spark, sf_dir, "lineitem"), max_basket_items=64
+    # r13: the same support-≥2 / 64-cap edge recipe as q141/q154, via
+    # the SHARED _copurchase_edges helper — which localCheckpoints the
+    # edge list. The previous inline (un-checkpointed) copy made
+    # pagerank's two consumers of the edge table (the outdeg
+    # aggregation and the g join, each itself checkpointed) re-run the
+    # ENTIRE basket pipeline (scan→distinct→cap→self-join→support agg)
+    # once EACH (guide §1.2: don't compute things twice). Frame is
+    # identical row-for-row; only the materialization point moved.
+    edges = _copurchase_edges(
+        _t(spark, sf_dir, "lineitem"), min_support=2, max_basket_items=64
     )
-    und = (
-        pairs.groupBy(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("u", "v")
-    )
-    scores = pagerank(und, iters=_PAGERANK_ITERS, damping=0.85)
+    scores = pagerank(edges, iters=_PAGERANK_ITERS, damping=0.85)
     return (
         scores.select(
             F.col("node").alias("part"), F.col("score").alias("pagerank")
@@ -8949,6 +8958,14 @@ def q154_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("seed")
         .limit(5)
     )
+    # NOTE (r13): skipping the sym materialization (the pagerank-`e`
+    # hypothesis — edges are already checkpointed, the union is
+    # map-side) was tried and measured: 1 job fewer but each hop's
+    # join re-pays the doubled block scan — best-of-3 interleaved
+    # 6.43 s (materialized) vs 6.87 s (not), rows identical. Not a
+    # win; the per-hop checkpoint chain stays as is (the frontier IS
+    # the loop state; counts are already computed lazily at the end
+    # and `visited` is already a lazy union of checkpointed hops).
     return k_hop_counts(edges, seeds, hops=3)
 
 
@@ -12063,7 +12080,11 @@ def q189_bpe_encoded_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     same merge semantics."""
     from .operators.tokenizer import apply_bpe, train_bpe
 
-    vocab = _bpe_vocab(spark, sf_dir)
+    # r13: materialize the vocab-sized word table ONCE — both the
+    # trainer's initial state and the count-time apply_bpe LUT read
+    # the blocks instead of each re-running the corpus-scale
+    # explode+groupBy (guide §1.2; timed A/B in OPTIMIZATION_r13.md)
+    vocab = _bpe_vocab(spark, sf_dir).localCheckpoint(eager=True)
     merges = train_bpe(vocab, num_merges=_BPE_MERGES)
     return (
         apply_bpe(vocab, merges)
@@ -12170,7 +12191,9 @@ def q191_unigram_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_unigram.py.)"""
     from .operators.unigram import apply_unigram, train_unigram
 
-    vocab = _bpe_vocab(spark, sf_dir)
+    # r13: one materialized word table for trainer + count-time encode
+    # (see q189 — the same corpus-agg-ran-twice shape)
+    vocab = _bpe_vocab(spark, sf_dir).localCheckpoint(eager=True)
     pieces = train_unigram(
         vocab,
         vocab_size=24,
@@ -12218,7 +12241,8 @@ def q192_corpus_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document through the full corpus path here."""
     from .operators.tokenizer import apply_bpe, encode_corpus, train_bpe
 
-    vocab = _bpe_vocab(spark, sf_dir)
+    # r13: one materialized word table for trainer + count-time LUT
+    vocab = _bpe_vocab(spark, sf_dir).localCheckpoint(eager=True)
     merges = train_bpe(vocab, num_merges=_BPE_MERGES)
     lut = apply_bpe(vocab, merges)
     enc = encode_corpus(
@@ -12282,7 +12306,8 @@ def q193_tokenizer_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical integers: bit-identical across engines."""
     from .operators.tokenizer import apply_bpe, train_bpe
 
-    vocab = _bpe_vocab(spark, sf_dir)
+    # r13: one materialized word table for trainer + count-time LUT
+    vocab = _bpe_vocab(spark, sf_dir).localCheckpoint(eager=True)
     merges = train_bpe(vocab, num_merges=_BPE_MERGES)
     lut = apply_bpe(vocab, merges).select(
         "w", F.size("bpe_tokens").cast("long").alias("_np")
@@ -12379,7 +12404,10 @@ def q194_longest_match_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_bpe,
     )
 
-    vocab_df = _bpe_vocab(spark, sf_dir)
+    # r13: materialized once — the trainer, the alphabet collect
+    # (bpe_vocab_pieces), AND the count-time longest-match encode all
+    # read this table (3 corpus aggs → 1)
+    vocab_df = _bpe_vocab(spark, sf_dir).localCheckpoint(eager=True)
     merges = train_bpe(vocab_df, num_merges=_BPE_MERGES)
     pieces = bpe_vocab_pieces(vocab_df, merges)
     return (
@@ -12469,9 +12497,11 @@ def q195_byte_fallback_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 'error' (q192/q193 certify that mode)."""
     from .operators.tokenizer import apply_bpe, bpe_word_table, encode_corpus, train_bpe
 
+    # r13: one materialized (restricted) word table for trainer +
+    # count-time LUT
     vocab = bpe_word_table(
         _t(spark, sf_dir, "documents"), token_pattern=_BPE_TRAIN_REGEX
-    )
+    ).localCheckpoint(eager=True)
     merges = train_bpe(vocab, num_merges=_BPE_MERGES)
     lut = apply_bpe(vocab, merges)
     enc = encode_corpus(
@@ -12692,9 +12722,11 @@ def q197_tokenizer_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "text")
         .unionAll(jobs)
     )
+    # r13: materialized once — trainer, alphabet collect, and the
+    # count-time trie LUT all read this table (3 corpus aggs → 1)
     words = bpe_word_table(
         docs, pre_tokenize=True, token_pattern=_CAPSTONE_TRAIN_REGEX
-    )
+    ).localCheckpoint(eager=True)
     merges = train_bpe(words, num_merges=_BPE_MERGES)
     pieces = bpe_vocab_pieces(words, merges)
     lut = encode_longest_match(words, pieces, out_col="lm_tokens")
@@ -12804,7 +12836,8 @@ def q198_token_budget_real_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     from .operators.mixing import token_budget_mix
     from .operators.tokenizer import apply_bpe, train_bpe
 
-    vocab = _bpe_vocab(spark, sf_dir)
+    # r13: one materialized word table for trainer + count-time LUT
+    vocab = _bpe_vocab(spark, sf_dir).localCheckpoint(eager=True)
     merges = train_bpe(vocab, num_merges=_BPE_MERGES)
     lut = apply_bpe(vocab, merges).select(
         "w", F.size("bpe_tokens").cast("long").alias("_np")
@@ -13050,7 +13083,12 @@ def _bundle_id_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "text")
         .unionAll(jobs)
     )
-    words = bpe_word_table(docs, token_pattern=_BPE_TRAIN_REGEX)
+    # r13: materialized once — trainer + alphabet collect both read
+    # this table (2 corpus aggs → 1); the bundle encode below builds
+    # its own (unrestricted) word table, which is a different frame
+    words = bpe_word_table(docs, token_pattern=_BPE_TRAIN_REGEX).localCheckpoint(
+        eager=True
+    )
     merges = train_bpe(words, num_merges=_BPE_MERGES)
     pieces = with_byte_fallback_pieces(bpe_vocab_pieces(words, merges))
     bundle = TokenizerBundle(
@@ -13155,13 +13193,16 @@ def q201_packed_id_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     int32 id encode feeds pack_sequences (the operator is token-type
     agnostic — same one-window-one-exchange plan over id arrays),
     write_packed_shards persists the per-source shard tree + manifest
-    (deterministic layout, content fingerprints), read_packed_shards
-    reopens it under verify='content' (full fingerprint re-check),
-    and the emitted per-pack md5 is computed FROM THE FILES — the row
-    only matches the oracle's replay (id walk + global-position
-    packing in SQL) if encode, packing, the shard write, the
-    manifest, and the read-back all agree byte-for-byte. The shard
-    tree lives in a process-scoped temp dir; the result is
+    — computing the per-source content fingerprints FROM the persisted
+    files — read_packed_shards reopens it under verify='counts'
+    (footer-only manifest cross-check; the content fingerprints were
+    just computed from these same files by the write, so a full
+    content re-scan inside the same query was pure duplication —
+    r13), and the emitted per-pack md5 is computed FROM THE FILES —
+    the row only matches the oracle's replay (id walk +
+    global-position packing in SQL) if encode, packing, the shard
+    write, the manifest, and the read-back all agree byte-for-byte.
+    The shard tree lives in a process-scoped temp dir; the result is
     materialized (localCheckpoint) before cleanup."""
     import shutil
     import tempfile
@@ -13184,8 +13225,22 @@ def q201_packed_id_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         # tree from 529 files to ~90, which all three read-back passes
         # then re-list; measured in OPTIMIZATION_r12.md). Output rows
         # are independent of the shard split.
-        write_packed_shards(packed, tmp, packs_per_shard=64, mode="overwrite")
-        back = read_packed_shards(spark, tmp, verify="content")
+        manifest = write_packed_shards(
+            packed, tmp, packs_per_shard=64, mode="overwrite"
+        )
+        # verify='counts' (footer-only), not 'content' (r13 — VERDICT
+        # r12 order #2): write_packed_shards just computed the content
+        # fingerprints FROM these same files an instant ago inside this
+        # query, so a content re-verify re-read the whole tree to
+        # recompute the identical xxhash aggregation — one full scan +
+        # shuffle + collect of pure duplication (guide §1.2). The
+        # footer pass still cross-checks per-source pack counts against
+        # the manifest, and the per-pack md5 below is still computed
+        # FROM THE FILES, so end-to-end certification is unchanged; the
+        # 'content' mode itself stays certified by
+        # tests/test_chunking.py (tamper → loud mismatch).
+        assert manifest["n_packs_total"] > 0
+        back = read_packed_shards(spark, tmp, verify="counts")
         out = (
             back.select(
                 "source",

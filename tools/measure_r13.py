@@ -64,7 +64,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("measure-r13")
     sc = spark.sparkContext
-    plans_dir = Path(__file__).resolve().parent.parent / "plans" / "r13"
+    plans_dir = Path(
+        os.environ.get(
+            "MEASURE_PLANS_DIR",
+            Path(__file__).resolve().parent.parent / "plans" / "r13",
+        )
+    )
     if args.tag:
         plans_dir.mkdir(parents=True, exist_ok=True)
 
