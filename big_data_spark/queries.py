@@ -2043,6 +2043,8 @@ def q66_lsh_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `merged` serves both the convergence probe and the next round's
     # input — without it the loop recomputes the whole history each
     # round (measured 20x slower at sf0.1).
+    from .operators.graph import checkpoint_and_count
+
     bands = _lsh_bands(spark, sf_dir).localCheckpoint(eager=True)
     labels = bands.select("doc_id").distinct().withColumn("label", F.col("doc_id"))
     # exposed for bench.py: rounds-to-convergence, so per-round job
@@ -2075,8 +2077,6 @@ def q66_lsh_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (named observed metric — one job per round instead of
         # checkpoint + probe-count; the shared helper documents why
         # the named form and not an Observation object)
-        from .operators.graph import checkpoint_and_count
-
         merged, changed = checkpoint_and_count(
             x.join(y, F.col("x.new_label") == F.col("y.p_doc"), "left")
             .select(
